@@ -1,0 +1,92 @@
+"""Engine facade — the Spark equivalent of the reference's REST/EJB surface.
+
+- ``Wikisearch.ingest`` ≙ the ingest MR job (``WikipediaIngester.run``)
+- ``Wikisearch.query`` ≙ ``Query.query(query, auths)``
+  (``query/.../query/Query.java:214-248`` → ``AbstractQueryLogic.runQuery``)
+- ``Wikisearch.content`` ≙ ``Query.content`` / ``ContentLogic.runQuery``
+  (``query/.../logic/ContentLogic.java:66-107``)
+- ``Wikisearch.scored_search`` — ranked text search over the TermWeight
+  index (``TermWeight.proto``, ``TextIndexCombiner.java``), the reference
+  stores scores but never ranks; we expose the natural ranked query.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.operators.ingest import WikisearchIndex, build_index
+from accumulo_wikisearch_spark.plans import parser
+from accumulo_wikisearch_spark.plans.planner import run_query
+from accumulo_wikisearch_spark.functions.normalize import normalize_str
+
+# DOCUMENT:partition/lang/id — pointer grammar at ContentLogic.java:56
+_POINTER_RE = re.compile(r"^DOCUMENT:(\d+)/([^/]+)/(\d+)$")
+
+
+class Wikisearch:
+    def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
+        self.index = index
+        self.multi_value_fields = multi_value_fields
+
+    @classmethod
+    def ingest(
+        cls,
+        articles: DataFrame,
+        config: EngineConfig | None = None,
+        scalar_fields: dict[str, str] | None = None,
+        text_col: str = "text",
+    ) -> "Wikisearch":
+        return cls(build_index(articles, config, scalar_fields, text_col))
+
+    def query(
+        self,
+        expr: str,
+        auths: list[str] | None = None,
+        force_path: str | None = None,
+    ) -> DataFrame:
+        """Boolean query → matching docs (partition_id, language, doc_id)."""
+        df, _ = run_query(
+            self.index, parser.parse(expr), auths, force_path, self.multi_value_fields
+        )
+        return df
+
+    def query_with_path(
+        self, expr: str, auths: list[str] | None = None
+    ) -> tuple[DataFrame, str]:
+        return run_query(
+            self.index, parser.parse(expr), auths, None, self.multi_value_fields
+        )
+
+    def content(self, pointer: str, auths: list[str] | None = None) -> DataFrame:
+        """Fetch a document body by DOCUMENT:partition/lang/id pointer —
+        a partition-pruned point read (ContentLogic.java:66-107)."""
+        m = _POINTER_RE.match(pointer)
+        if not m:
+            raise ValueError(f"bad content pointer {pointer!r}")
+        part, lang, doc = int(m.group(1)), m.group(2), int(m.group(3))
+        cond = (
+            (F.col("partition_id") == part)
+            & (F.col("language") == lang)
+            & (F.col("doc_id") == doc)
+        )
+        if auths:
+            cond = cond & F.col("language").isin(*auths)
+        return self.index.documents.where(cond).select("doc_id", "text")
+
+    def scored_search(
+        self, term: str, auths: list[str] | None = None, limit: int | None = None
+    ) -> DataFrame:
+        """Ranked search on the TermWeight index: docs containing ``term``
+        ordered by term frequency (occurrences, tf)."""
+        t = normalize_str(term)
+        ti = self.index.term_index.where(F.col("norm_value") == t)
+        if auths:
+            ti = ti.where(F.col("language").isin(*auths))
+        out = ti.select(
+            "partition_id", "language", "doc_id", "occurrences", "tf", "offsets"
+        ).orderBy(F.desc("occurrences"), "doc_id")
+        return out.limit(limit) if limit else out

@@ -1,0 +1,37 @@
+"""Engine configuration.
+
+Mirrors the reference's tunables:
+- ``num_partitions`` — shard count; reference default 25 via
+  ``WikipediaConfiguration.java:118-120``; partition = id % num_partitions
+  (``WikipediaMapper.java:114-117``).
+- ``uid_max`` — posting-list degradation threshold; above this many distinct
+  docs per (term, field, partition) the global index stores only a count
+  (``GlobalIndexUidCombiner.java:40`` MAX=20).
+- ``indexed_fields`` — which fields get fi/global-index entries; the
+  reference records this in the metadata table (``WikipediaMapper.java:199-208``)
+  and the planner consults it (``AbstractQueryLogic.findIndexedTerms``).
+- ``unevaluated_fields`` — fields trusted from the index and skipped during
+  event-side re-evaluation (``Query.java:245`` sets TEXT).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    num_partitions: int = 8
+    uid_max: int = 20
+    # None → every field is indexed (our default corpus indexes everything).
+    indexed_fields: frozenset[str] | None = None
+    unevaluated_fields: frozenset[str] = field(default_factory=frozenset)
+    # Broadcast a postings side when its estimated cardinality (from the
+    # global index) is below this — the Spark analogue of the reference's
+    # doc-range vs whole-partition-range two-tier plan
+    # (RangeCalculator.java:683-705).
+    broadcast_postings_max: int = 200_000
+    normalizer: str = "LcNoDiacritics"
+
+    def is_indexed(self, fld: str) -> bool:
+        return self.indexed_fields is None or fld in self.indexed_fields

@@ -1,0 +1,177 @@
+"""Registry of driver-checkable queries: name → (spark, sf_dir) → DataFrame,
+plus the equivalent DuckDB oracle SQL for each.
+
+Conventions for oracle hash-stability:
+- outputs are integer/string columns only (no floats, no timestamps);
+- every computed column is aliased identically in Spark and SQL;
+- ratio thresholds are expressed with integer cross-multiplication.
+
+The wikisearch queries run through the engine's optimized index path; their
+oracles are brute-force SQL over the raw ``documents`` table — the same
+golden pattern as the reference's TestQueryLogic (fixed corpus, exact
+doc-set assertions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.session import tune_runtime
+from accumulo_wikisearch_spark.sources.corpus import get_engine
+
+TOK = "string_split(text,' ')"
+
+# name → (jexl, auths, duckdb_where)
+WS_QUERIES: dict[str, tuple[str, list[str] | None, str]] = {
+    "ws_eq_rare": ("SOURCE == 'src5'", None, "source='src5'"),
+    "ws_eq_common": ("TEXT == 'batch'", None, f"list_contains({TOK},'batch')"),
+    "ws_and2": (
+        "TEXT == 'dup' and TEXT == 'key'",
+        None,
+        f"list_contains({TOK},'dup') AND list_contains({TOK},'key')",
+    ),
+    "ws_and3": (
+        "TEXT == 'key' and TEXT == 'vector' and TEXT == 'the'",
+        None,
+        f"list_contains({TOK},'key') AND list_contains({TOK},'vector') AND list_contains({TOK},'the')",
+    ),
+    "ws_or2": (
+        "SOURCE == 'src3' or SOURCE == 'src7'",
+        None,
+        "source IN ('src3','src7')",
+    ),
+    "ws_nested_bool": (
+        "TEXT == 'dup' and (TEXT == 'key' or TEXT == 'vector')",
+        None,
+        f"list_contains({TOK},'dup') AND (list_contains({TOK},'key') OR list_contains({TOK},'vector'))",
+    ),
+    "ws_baseline_shape": (
+        "TEXT == 'fast' and (TEXT == 'slow' or TEXT == 'stream')",
+        None,
+        f"list_contains({TOK},'fast') AND (list_contains({TOK},'slow') OR list_contains({TOK},'stream'))",
+    ),
+    "ws_unfielded_term": (
+        "'dup'",
+        None,
+        f"(list_contains({TOK},'dup') OR source='dup' OR lang='dup' OR doc_id::VARCHAR='dup' OR n_chars::VARCHAR='dup')",
+    ),
+    "ws_neq_antijoin": (
+        "TEXT == 'dup' and SOURCE != 'src3'",
+        None,
+        f"list_contains({TOK},'dup') AND source<>'src3'",
+    ),
+    "ws_not_subtree": (
+        "TEXT == 'dup' and not (LANG == 'en')",
+        None,
+        f"list_contains({TOK},'dup') AND lang<>'en'",
+    ),
+    "ws_wildcard_trailing": (
+        "SOURCE =~ 'src1.*'",
+        None,
+        "regexp_full_match(source,'src1.*')",
+    ),
+    "ws_wildcard_leading": (
+        "SOURCE =~ '.*8'",
+        None,
+        "regexp_full_match(source,'.*8')",
+    ),
+    "ws_regex_interior": (
+        "SOURCE =~ 's.c12'",
+        None,
+        "regexp_full_match(source,'s.c12')",
+    ),
+    "ws_range_pair": (
+        "SOURCE >= 'src14' and SOURCE <= 'src16'",
+        None,
+        "source>='src14' AND source<='src16'",
+    ),
+    "ws_range_unbounded_fullscan": (
+        "SOURCE >= 'src18'",
+        None,
+        "source>='src18'",
+    ),
+    "ws_between_fn": (
+        "f:between(NCHARS, 100, 300) and TEXT == 'dup'",
+        None,
+        f"n_chars BETWEEN 100 AND 300 AND list_contains({TOK},'dup')",
+    ),
+    "ws_abs_fn": (
+        "f:abs(NCHARS) >= 350 and TEXT == 'dup'",
+        None,
+        f"abs(n_chars)>=350 AND list_contains({TOK},'dup')",
+    ),
+    "ws_neq_multivalue": (
+        "TEXT != 'dup'",
+        None,
+        f"len(list_filter({TOK}, x -> x<>'dup'))>0",
+    ),
+    "ws_auths_en_fr": (
+        "TEXT == 'dup'",
+        ["en", "fr"],
+        f"list_contains({TOK},'dup') AND lang IN ('en','fr')",
+    ),
+    "ws_auths_zh": (
+        "SOURCE =~ 'src1.*'",
+        ["zh"],
+        "regexp_full_match(source,'src1.*') AND lang='zh'",
+    ),
+}
+
+
+def _ws_query(jexl: str, auths: list[str] | None) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_runtime(spark)
+        eng = get_engine(spark, sf_dir)
+        return eng.query(jexl, auths=auths).select(F.col("doc_id").alias("doc_id"))
+
+    return run
+
+
+def _ws_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    doc = eng.index.documents.where(F.col("doc_id") == 42).collect()[0]
+    ptr = f"DOCUMENT:{doc.partition_id}/{doc.language}/42"
+    return eng.content(ptr)
+
+
+def _ws_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.scored_search("dup").select("doc_id", F.col("occurrences").alias("occ"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (jexl, auths, _sql) in WS_QUERIES.items():
+        out[name] = _ws_query(jexl, auths)
+    out["ws_content_fetch"] = _ws_content
+    out["ws_scored_search"] = _ws_scored
+
+    from accumulo_wikisearch_spark.operators import dedup, similarity, textstats
+
+    out.update(dedup.queries())
+    out.update(similarity.queries())
+    out.update(textstats.queries())
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, (_jexl, _auths, where) in WS_QUERIES.items():
+        out[name] = f"SELECT doc_id FROM documents WHERE {where}"
+    out["ws_content_fetch"] = "SELECT doc_id, text FROM documents WHERE doc_id=42"
+    out["ws_scored_search"] = (
+        f"SELECT doc_id, len(list_filter({TOK}, x -> x='dup')) AS occ "
+        f"FROM documents WHERE list_contains({TOK},'dup')"
+    )
+
+    from accumulo_wikisearch_spark.operators import dedup, similarity, textstats
+
+    out.update(dedup.oracle_sql())
+    out.update(similarity.oracle_sql())
+    out.update(textstats.oracle_sql())
+    return out

@@ -1,0 +1,367 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, from exact to approximate — each a pure DataFrame plan:
+
+- exact duplicates: hash-groupBy on md5(text). One shuffle on the hash; at
+  100 TB this is the cheapest possible dedup (map-side partial agg + AQE).
+- n-gram (word-shingle) Jaccard: the exact near-dup baseline. Candidate
+  pairs via an inverted shingle join — quadratic on hot shingles, so this
+  is the *verifier*; the scale path is minhash below.
+- MinHash + LSH: 64 portable hash permutations over 3-word shingles, banded
+  into 16×4; candidate pairs from band-bucket self-join; candidates verified
+  with exact Jaccard. At 100 TB the band join shuffles only (band, sig)
+  keys — linear in corpus size — and verification touches candidate pairs
+  only.
+- SimHash: 60-bit signature per doc (token-frequency weighted bit-majority
+  vote); near-dup pairs findable by hamming distance on signature bands.
+
+All hashes are the portable md5-based ``hash60`` so every operator is
+oracle-checkable against DuckDB SQL computing the identical values.
+Jaccard thresholds are integer cross-multiplications (no float equality).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.functions.normalize import HASH60_DUCKDB, hash60_col
+from accumulo_wikisearch_spark.session import tune_runtime
+
+TOK = "string_split(text,' ')"
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Docs that are byte-identical to an earlier doc: (doc_id, canonical_id).
+
+    canonical = min doc_id of the identical-text group.
+    """
+    w = Window.partitionBy(F.md5("text"))
+    return (
+        docs.select("doc_id", F.min("doc_id").over(w).alias("canonical_id"))
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word k-grams; docs with < k tokens drop out."""
+    w = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(w) - k)
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]))
+    )
+    return (
+        docs.where(F.size(w) >= k)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+    )
+
+
+def _pairs_with_jaccard(sh: DataFrame, num: int, den: int) -> DataFrame:
+    """Pairs (a<b) whose shingle-set Jaccard ≥ num/den, via inverted join.
+
+    Integer filter: den*common ≥ num*(|A|+|B|-common).
+    """
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(counts.withColumnsRenamed({"doc_id": "a_id", "n": "a_n"}), "a_id")
+        .join(counts.withColumnsRenamed({"doc_id": "b_id", "n": "b_n"}), "b_id")
+        .where(
+            F.lit(den) * F.col("common")
+            >= F.lit(num) * (F.col("a_n") + F.col("b_n") - F.col("common"))
+        )
+        .select("a_id", "b_id")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, num: int = 4, den: int = 5) -> DataFrame:
+    """Exact near-dup pairs: word-k-gram Jaccard ≥ num/den (default 0.8)."""
+    return _pairs_with_jaccard(_shingles(docs, k), num, den)
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_coeffs(num_hashes: int, seed: int = 1337) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>) — minhash over word-k-gram sets.
+
+    One shuffle (groupBy doc_id); the 64 permutation mins are computed as 64
+    aggregate expressions over the base shingle hash — JVM codegen, no UDF.
+    """
+    coeffs = _perm_coeffs(num_hashes)
+    sh = _shingles(docs, k).withColumn("h", hash60_col("shingle") % _MERSENNE31)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % _MERSENNE31).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    band-bucket self-join emits candidates (linear shuffle at scale); each
+    candidate pair is then exactly verified, so precision is 1.0 and recall
+    is the LSH catch probability (≈0.9998 at j=0.8 with 16×4 bands).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, k, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.hash(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("bsig"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", "b.band", "b.bsig"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sets = _shingles(docs, k).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"), F.col("n").alias("a_n")),
+            "a_id",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"), F.col("n").alias("b_n")),
+            "b_id",
+        )
+        .withColumn("common", F.size(F.array_intersect("a_s", "b_s")))
+        .where(
+            F.lit(den) * F.col("common")
+            >= F.lit(num) * (F.col("a_n") + F.col("b_n") - F.col("common"))
+        )
+        .select("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT) — 60-bit frequency-weighted bit-majority
+    signature over tokens, portable (md5-based) for oracle checking."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = toks.withColumn("hv", hash60_col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    sim: Column = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, band_bits: int = 15) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Banding: split the 60-bit signature into 4×15-bit bands — any pair with
+    hamming ≤ 3 agrees exactly on ≥1 band (pigeonhole), so the band join is
+    a complete candidate generator; candidates are verified with popcount.
+    """
+    sig = simhash(docs)
+    nbands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit(mask)).alias("bsig"),
+        )
+        for i in range(nbands)
+    ]
+    banded = sig.select("doc_id", "simhash", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", "simhash", "b.band", "b.bsig"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(b, ["band", "bsig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dups
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold_pct: int = 90) -> DataFrame:
+    """Pairs of embeddings with cosine ≥ threshold_pct/100 (unit or non-unit
+    vectors). Brute-force self-join — the exact baseline; LSH variant lives
+    in operators/similarity.py."""
+    v = emb.select(
+        F.col("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(F.lit(100.0) * cos >= F.lit(float(threshold_pct)))
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver registry
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def queries():
+    return {
+        "dedup_exact": lambda s, d: exact_duplicates(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
+        "dedup_simhash_sig": lambda s, d: simhash(_docs(s, d)),
+        "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(_emb(s, d)),
+    }
+
+
+_H = HASH60_DUCKDB
+
+_SHINGLE_SQL = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS wl FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)])) AS shingle
+  FROM w WHERE len(wl) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id FROM common
+JOIN cnt ca ON ca.doc_id = a_id
+JOIN cnt cb ON cb.doc_id = b_id
+WHERE 5 * common >= 4 * (ca.n + cb.n - common)
+"""
+
+_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_H.format(expr='tok')} AS hv FROM t WHERE len(tok) > 0),
+b AS (
+  SELECT doc_id, j, SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, generate_series(0, 59) AS g(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM b GROUP BY doc_id
+"""
+
+_EMB_COS_SQL = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE 100.0 * (
+  list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+  / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in a.embedding]))
+     * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in b.embedding])))
+) >= 90.0
+"""
+
+
+def oracle_sql():
+    return {
+        "dedup_exact": (
+            "SELECT doc_id, canonical_id FROM ("
+            "  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id"
+            "  FROM documents) WHERE doc_id <> canonical_id"
+        ),
+        "dedup_ngram_jaccard": _SHINGLE_SQL,
+        # minhash verified against the *exact* pair set: precision 1.0 by
+        # construction, recall ≈1 at these jaccard levels (16 bands × 4 rows)
+        "dedup_minhash_lsh": _SHINGLE_SQL,
+        "dedup_simhash_sig": _SIMHASH_SQL,
+        "dedup_embedding_cosine": _EMB_COS_SQL,
+    }

@@ -1,0 +1,289 @@
+"""Index build: articles → the reference's four-table catalog, as DataFrames.
+
+Reference dataflow being reproduced (semantics, not mechanism):
+- event cells + fi cells + global/reverse index cells + metadata per article:
+  ``WikipediaMapper.java:121-221`` (S6 in SURVEY.md §2.1)
+- posting-list merge with degradation past uid_max=20 distinct docs:
+  ``GlobalIndexUidCombiner.java:38-96`` (A1)
+- term-frequency/offset merge for scored TEXT search:
+  ``TextIndexCombiner.java:40-106`` (A2)
+- reverse index for leading wildcards: ``WikipediaMapper.java:193-197``
+- metadata catalog: ``WikipediaMapper.java:144-151,199-208``
+
+Scale posture (100 TB):
+- Everything is ``select/explode/groupBy/agg`` — map-side partial
+  aggregation and AQE do the reference's LRUOutputCombiner/compaction work
+  (SURVEY.md §4 O17/O18) for free.
+- The global index bounds its collected UID set *before* the final
+  aggregation using a window ranked on the same keys as the groupBy: the
+  sort/shuffle is reused (one exchange), and no executor ever materializes
+  more than ``uid_max+1`` uids per (term, field, partition, language) — the
+  same degradation the reference's combiner applies at LSM compaction.
+- ``write()`` lays tables out partitioned by ``partition_id`` and sorted by
+  (field, norm_value) within partitions — the analogue of the reference's
+  sorted RFile bulk load (``SortingRFileOutputFormat.java``), which is what
+  makes per-term scans partition-pruned + min/max-skipped at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.functions.normalize import normalize_col, tokenize_col
+
+# Default mapping of article scalar columns → field names (the reference's
+# event fields ID/TITLE/TIMESTAMP/COMMENTS, ArticleExtractor.java:81-88).
+DEFAULT_SCALAR_FIELDS = {"ID": "id"}
+
+
+@dataclass
+class WikisearchIndex:
+    """The engine's catalog: five DataFrames + config."""
+
+    config: EngineConfig
+    doc_fields: DataFrame  # (partition_id, language, doc_id, field, value)
+    field_index: DataFrame  # (partition_id, field, norm_value, language, doc_id)
+    global_index: DataFrame  # (norm_value, field, partition_id, language, count, uids, ignore)
+    reverse_index: DataFrame  # same, norm_value reversed
+    metadata: DataFrame  # (field, language, indexed, normalizer)
+    term_index: DataFrame  # (partition_id, language, doc_id, norm_value, tf, offsets)
+    docs_wide: DataFrame  # (partition_id, language, doc_id, fields MAP<STRING,ARRAY<STRING>>)
+    documents: DataFrame  # (partition_id, language, doc_id, text)
+
+    _persisted: bool = False
+
+    def persist(self) -> "WikisearchIndex":
+        if not self._persisted:
+            self.field_index = self.field_index.persist()
+            self.global_index = self.global_index.persist()
+            self.docs_wide = self.docs_wide.persist()
+            self.metadata = self.metadata.persist()
+            self._persisted = True
+        return self
+
+    def indexed_fields(self) -> set[str]:
+        """Catalog lookup: which fields are indexed (findIndexedTerms,
+        AbstractQueryLogic.java:500-524). Metadata is tiny — collect is safe."""
+        rows = self.metadata.where(F.col("indexed")).select("field").distinct().collect()
+        return {r["field"] for r in rows}
+
+
+def build_index(
+    articles: DataFrame,
+    config: EngineConfig | None = None,
+    scalar_fields: dict[str, str] | None = None,
+    text_col: str = "text",
+) -> WikisearchIndex:
+    """Build the full catalog from an articles DataFrame.
+
+    ``articles`` must have ``id`` (long), ``language`` (string), ``text_col``
+    (string, nullable), plus the columns named in ``scalar_fields``
+    (field name → source column).
+    """
+    config = config or EngineConfig()
+    scalar_fields = scalar_fields or DEFAULT_SCALAR_FIELDS
+
+    base = articles.withColumn(
+        "partition_id", (F.col("id") % config.num_partitions).cast("int")
+    ).withColumn("doc_id", F.col("id").cast("long"))
+
+    # --- event cells (doc_fields): raw scalar field values -----------------
+    fv_structs = [
+        F.struct(F.lit(fname).alias("field"), F.col(col).cast("string").alias("value"))
+        for fname, col in scalar_fields.items()
+    ]
+    doc_fields = (
+        base.select(
+            "partition_id",
+            "language",
+            "doc_id",
+            F.explode(F.array(*fv_structs)).alias("fv"),
+        )
+        .select("partition_id", "language", "doc_id", "fv.field", "fv.value")
+        .where(F.col("value").isNotNull())
+    )
+
+    # --- fi cells (field_index): normalized values, incl. tokenized TEXT ---
+    scalar_fi = doc_fields.select(
+        "partition_id",
+        "field",
+        normalize_col("value").alias("norm_value"),
+        "language",
+        "doc_id",
+    )
+    text_fi = (
+        base.select(
+            "partition_id",
+            "language",
+            "doc_id",
+            F.explode(tokenize_col(F.col(text_col))).alias("norm_value"),
+        )
+        .withColumn("field", F.lit("TEXT"))
+        .select("partition_id", "field", "norm_value", "language", "doc_id")
+    )
+    field_index = scalar_fi.unionByName(text_fi).distinct()
+
+    # --- global index with two-tier degradation (A1) -----------------------
+    gi_keys = ["norm_value", "field", "partition_id", "language"]
+    w = Window.partitionBy(*gi_keys).orderBy("doc_id")
+    ranked = field_index.withColumn("rn", F.row_number().over(w))
+    global_index = (
+        ranked.groupBy(*gi_keys)
+        .agg(
+            F.count("*").alias("count"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= config.uid_max, F.col("doc_id").cast("string"))
+                )
+            ).alias("_uids"),
+        )
+        .select(
+            *gi_keys,
+            "count",
+            F.when(F.col("count") > config.uid_max, F.array().cast("array<string>"))
+            .otherwise(F.col("_uids"))
+            .alias("uids"),
+            (F.col("count") > config.uid_max).alias("ignore"),
+        )
+    )
+
+    # --- reverse index (leading wildcards, WikipediaMapper.java:193-197) ---
+    reverse_index = global_index.withColumn("norm_value", F.reverse(F.col("norm_value")))
+
+    # --- metadata catalog --------------------------------------------------
+    all_fields = field_index.select("field", "language").distinct()
+    if config.indexed_fields is None:
+        indexed_expr = F.lit(True)
+    else:
+        indexed_expr = F.col("field").isin(*sorted(config.indexed_fields))
+    metadata = all_fields.select(
+        "field",
+        "language",
+        indexed_expr.alias("indexed"),
+        F.lit(config.normalizer).alias("normalizer"),
+    )
+
+    # --- term index for scored TEXT search (TermWeight, A2) ---------------
+    # offsets = word positions; tf = occurrences / doc token count
+    # (TermWeight.proto:25-28, TextIndexCombiner.java:40-106).
+    tokens_pos = base.select(
+        "partition_id",
+        "language",
+        "doc_id",
+        F.posexplode(tokenize_col(F.col(text_col), distinct=False)).alias("pos", "norm_value"),
+    )
+    term_index = tokens_pos.groupBy("partition_id", "language", "doc_id", "norm_value").agg(
+        F.count("*").alias("occurrences"),
+        F.sort_array(F.collect_list("pos")).alias("offsets"),
+    )
+    doc_len = tokens_pos.groupBy("doc_id").agg(F.count("*").alias("_len"))
+    term_index = (
+        term_index.join(doc_len, "doc_id")
+        .withColumn("tf", F.col("occurrences") / F.col("_len"))
+        .select(
+            "partition_id", "language", "doc_id", "norm_value", "occurrences", "tf", "offsets"
+        )
+    )
+
+    # --- pivoted doc view for predicate evaluation (P7) --------------------
+    # Reference: EvaluatingIterator aggregates a doc's cells into EventFields
+    # then evaluates the full JEXL expr (AbstractEvaluatingIterator.java:138-157).
+    per_field = field_index.groupBy("partition_id", "language", "doc_id", "field").agg(
+        F.collect_list("norm_value").alias("vals")
+    )
+    docs_wide = per_field.groupBy("partition_id", "language", "doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("field"), F.col("vals")))
+        ).alias("fields")
+    )
+
+    # --- document blobs (the `d` locality group, WikipediaMapper.java:210-214)
+    documents = base.select(
+        "partition_id", "language", "doc_id", F.col(text_col).alias("text")
+    )
+
+    return WikisearchIndex(
+        config=config,
+        doc_fields=doc_fields,
+        field_index=field_index,
+        global_index=global_index,
+        reverse_index=reverse_index,
+        metadata=metadata,
+        term_index=term_index,
+        docs_wide=docs_wide,
+        documents=documents,
+    )
+
+
+def write_index(index: WikisearchIndex, path: str) -> None:
+    """Persist the catalog, laid out for 100 TB reads: partition-pruned by
+    ``partition_id``, sorted within files by (field, norm_value) so per-term
+    scans hit few row groups (sorted bulk load analogue, SURVEY §4 O19)."""
+    (
+        index.field_index.repartition("partition_id")
+        .sortWithinPartitions("field", "norm_value")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(f"{path}/field_index")
+    )
+    (
+        index.global_index.repartition(F.col("field"))
+        .sortWithinPartitions("norm_value")
+        .write.mode("overwrite")
+        .parquet(f"{path}/global_index")
+    )
+    (
+        index.reverse_index.repartition(F.col("field"))
+        .sortWithinPartitions("norm_value")
+        .write.mode("overwrite")
+        .parquet(f"{path}/reverse_index")
+    )
+    index.metadata.coalesce(1).write.mode("overwrite").parquet(f"{path}/metadata")
+    (
+        index.doc_fields.repartition("partition_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(f"{path}/doc_fields")
+    )
+    (
+        index.term_index.repartition("partition_id")
+        .sortWithinPartitions("norm_value")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(f"{path}/term_index")
+    )
+    (
+        index.docs_wide.repartition("partition_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(f"{path}/docs_wide")
+    )
+    (
+        index.documents.repartition("partition_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(f"{path}/documents")
+    )
+
+
+def load_index(spark: SparkSession, path: str, config: EngineConfig | None = None) -> WikisearchIndex:
+    config = config or EngineConfig()
+    rd = spark.read.parquet
+    return WikisearchIndex(
+        config=config,
+        doc_fields=rd(f"{path}/doc_fields"),
+        field_index=rd(f"{path}/field_index"),
+        global_index=rd(f"{path}/global_index"),
+        reverse_index=rd(f"{path}/reverse_index"),
+        metadata=rd(f"{path}/metadata"),
+        term_index=rd(f"{path}/term_index"),
+        docs_wide=rd(f"{path}/docs_wide"),
+        documents=rd(f"{path}/documents"),
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns.
+
+- ``topk_bruteforce``: exact cosine top-k — the correctness baseline. The
+  query side is tiny and broadcast; the corpus side streams, so at 100 TB
+  this is one scan + a per-partition top-k (window) with no full sort.
+- ``topk_lsh``: random-hyperplane LSH buckets + exact re-rank within the
+  probed buckets — the scale path (candidates ∝ bucket size, not corpus).
+
+Cosines are computed JVM-side with ``zip_with``/``aggregate`` over
+double-cast arrays — no Python UDF.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.session import tune_runtime
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    n = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (n(a) * n(b))
+
+
+def topk_bruteforce(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, qv ARRAY<FLOAT/DOUBLE>). Output:
+    (query_id, neighbor_id, rank) with deterministic tie-break on
+    neighbor_id. Self-matches (same id) are excluded.
+    """
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    q = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+    scored = corpus.join(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def self_queries(emb: DataFrame, n: int = 5) -> DataFrame:
+    """First n corpus vectors as the query set (deterministic)."""
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 2024) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+
+
+def lsh_bucket(col: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id of an (double[]) embedding column."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(col, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: exact re-rank restricted to the query's LSH bucket.
+
+    Recall < 1 by construction (single-probe); at scale the bucket join
+    replaces the full cross product — candidates shrink by ~2^nbits.
+    """
+    planes = _hyperplanes(dim, nbits)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    q = queries.select("query_id", _as_double(F.col("qv")).alias("qv")).withColumn(
+        "bucket", lsh_bucket(F.col("qv"), planes)
+    )
+    scored = corpus.join(F.broadcast(q), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver registry
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def queries():
+    return {
+        "ann_topk_bruteforce": lambda s, d: topk_bruteforce(
+            _emb(s, d), self_queries(_emb(s, d))
+        ),
+        # LSH variant: recall-bounded, no SQL oracle (rows-only check)
+        "ann_topk_lsh": lambda s, d: topk_lsh(_emb(s, d), self_queries(_emb(s, d))),
+    }
+
+
+_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, len(e.embedding)+1), i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+    / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in qv]))
+       * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding]))) AS c
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+def oracle_sql():
+    return {"ann_topk_bruteforce": _TOPK_SQL}

@@ -1,0 +1,193 @@
+"""Text analysis operators: quality scoring, token counting, language ID,
+document fingerprinting — the per-document feature extraction a training-data
+pipeline runs over 100 TB corpora.
+
+All but lang-ID are pure built-in expressions (JVM codegen, scan-local, no
+shuffle at all — linear map over the corpus). Lang-ID is a vectorized
+pandas UDF (Arrow-batched) over character n-gram profiles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from accumulo_wikisearch_spark.functions.normalize import HASH60_DUCKDB, hash60_col
+from accumulo_wikisearch_spark.session import tune_runtime
+
+STOPWORDS = ("the", "a", "in", "of")
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features, integer-valued for oracle stability:
+    token counts, distinct ratio, stopword count, word lengths, and a
+    composite keep/drop flag (the usual pretraining heuristics)."""
+    toks = F.split(F.col("text"), " ")
+    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stopword_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    max_wlen = F.array_max(F.transform(toks, F.length))
+    # keep: ≥20 tokens, ≥40% distinct, has a stopword (10× int arithmetic)
+    keep = (
+        (n_tokens >= 20)
+        & (F.lit(10) * n_distinct >= F.lit(4) * n_tokens)
+        & (stopword_cnt > 0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        n_distinct.cast("int").alias("n_distinct"),
+        stopword_cnt.cast("int").alias("stopword_cnt"),
+        max_wlen.cast("int").alias("max_word_len"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate.
+
+    The subword estimate counts regex token boundaries (word cores, digits,
+    punctuation runs) plus a length/4 correction for long words — a
+    deterministic, library-free approximation of BPE token counts.
+    """
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0))
+    # pieces: every word contributes ceil(len/4) subword units
+    pieces = F.aggregate(
+        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        ws.cast("int").alias("ws_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        pieces.cast("int").alias("bpe_estimate"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: min portable-hash over all ``gram``-char
+    windows of the text. Equal fingerprints ⇒ likely shared content.
+    Scan-local (explode + min per doc, no cross-doc shuffle)."""
+    n = F.length("text")
+    idx = F.explode(F.sequence(F.lit(1), n - gram + 1)).alias("i")
+    grams = docs.where(n >= gram).select("doc_id", idx, "text")
+    grams = grams.select("doc_id", F.expr(f"substring(text, i, {gram})").alias("g"))
+    return grams.groupBy("doc_id").agg(
+        F.min(hash60_col("g")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram heuristic, vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+
+# Tiny trigram profiles per language — deterministic stand-ins; with a real
+# multilingual corpus these would be learned frequency profiles.
+_PROFILES = {
+    "en": ["the", "ing", "and", " th", "ion"],
+    "es": ["de ", "la ", "os ", "ión", "ent"],
+    "de": ["der", "ein", "sch", "die", "und"],
+    "fr": ["le ", "es ", "de ", "ent", "que"],
+    "zh": ["的", "是", "了", "在", "有"],
+}
+
+
+_LANGID_UDF = None
+
+
+def _get_langid_udf():
+    # built lazily: pandas_udf registration needs an active SparkSession
+    global _LANGID_UDF
+    if _LANGID_UDF is None:
+
+        @pandas_udf("string")
+        def _langid_udf(texts: pd.Series) -> pd.Series:
+            def classify(t: str) -> str:
+                if not t:
+                    return "und"
+                best, best_score = "und", 0
+                for lang, grams in _PROFILES.items():
+                    score = sum(t.count(g) for g in grams)
+                    if score > best_score:
+                        best, best_score = lang, score
+                return best
+
+            return texts.map(classify)
+
+        _LANGID_UDF = _langid_udf
+    return _LANGID_UDF
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — char-n-gram language guess (Arrow-batched)."""
+    return docs.select("doc_id", _get_langid_udf()(F.col("text")).alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# driver registry
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def queries():
+    return {
+        "text_quality": lambda s, d: text_quality(_docs(s, d)),
+        "token_counts": lambda s, d: token_counts(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
+        # heuristic, no SQL oracle (rows-only)
+        "lang_id": lambda s, d: lang_id(_docs(s, d)),
+    }
+
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks FROM documents
+)
+SELECT doc_id,
+  len(toks)::INTEGER AS n_tokens,
+  len(list_distinct(toks))::INTEGER AS n_distinct,
+  len(list_filter(toks, x -> x IN ('the','a','in','of')))::INTEGER AS stopword_cnt,
+  list_max(list_transform(toks, x -> len(x)))::INTEGER AS max_word_len,
+  (len(toks) >= 20
+   AND 10 * len(list_distinct(toks)) >= 4 * len(toks)
+   AND len(list_filter(toks, x -> x IN ('the','a','in','of'))) > 0)::INTEGER AS keep
+FROM t
+"""
+
+_TOKEN_SQL = """
+WITH t AS (
+  SELECT doc_id, text, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks FROM documents
+)
+SELECT doc_id,
+  len(toks)::INTEGER AS ws_tokens,
+  len(text)::INTEGER AS n_chars,
+  list_sum(list_transform(toks, x -> ceil(len(x) / 4.0)::BIGINT))::INTEGER AS bpe_estimate
+FROM t
+"""
+
+_FP_SQL = f"""
+WITH g AS (
+  SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+  FROM documents WHERE len(text) >= 8
+)
+SELECT doc_id, min({HASH60_DUCKDB.format(expr='substr(text, i, 8)')}) AS fingerprint
+FROM g GROUP BY doc_id
+"""
+
+
+def oracle_sql():
+    return {
+        "text_quality": _QUALITY_SQL,
+        "token_counts": _TOKEN_SQL,
+        "doc_fingerprint": _FP_SQL,
+    }

@@ -1,0 +1,422 @@
+"""Query planner: path choice + index-driven candidate plan.
+
+Reproduces the reference's planning pipeline (SURVEY.md §3.1, §4) with
+DataFrame plan construction instead of Accumulo iterators:
+
+1. NNF rewrite — NOTs pushed to leaves with De Morgan, flipping operators;
+   the reference tracks negation context while visiting the JEXL AST
+   (``QueryParser.java:489-514``, ``:684-700``).
+2. Unfielded-term expansion — a bare term becomes an OR over every indexed
+   field that contains the value, discovered from the global index
+   (``AbstractQueryLogic.java:601-633``, ``QueryLogic.getTermIndexInformation``).
+3. Index-tree reduction — decides which leaves can drive the index:
+   negated leaves never do (``QueryParser.java:491-514``); unbounded ranges
+   are rejected, bounded pairs under an AND are fused
+   (``RangeCalculator.java:495-498``, ``FieldIndexQueryReWriter.java:96-111``);
+   function terms (f:between/f:abs) are event-side only; non-indexed fields
+   are dropped from AND contexts but poison OR contexts — the optimized-path
+   criteria of ``AbstractQueryLogic.java:560-587``.
+4. Candidate build — each leaf is a pushed-down scan of ``field_index``;
+   AND = join on (partition_id, doc_id) ordered cheapest-first using
+   global-index cardinalities (``RangeCalculator.java:784-843``), with a
+   broadcast hint when a side is tiny — the Spark analogue of the two-tier
+   doc-range/shard-range plan (``RangeCalculator.java:683-705``); OR = union
+   + dedup; single-valued negated leaves become anti-joins
+   (``AndIterator`` notFlag, ``AndIterator.java:72-80``).
+5. Fetch + verify — left-semi join of ``docs_wide`` against the candidates,
+   then the FULL predicate re-evaluated event-side
+   (``OptimizedQueryIterator.java:119-162``); row-level security is a
+   mandatory ``language ∈ auths`` conjunct (``AbstractQueryLogic.java:445-448``).
+
+Scale notes: every step is a declarative DataFrame op — leaf scans push
+(field, norm_value) predicates into parquet (partition pruning + min/max
+skipping on the sorted layout written by ``write_index``); Catalyst/AQE pick
+broadcast vs sort-merge joins per candidate-set size, which is exactly the
+reference's doc-ranges-vs-partition-scan decision made adaptively.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.plans import ast
+from accumulo_wikisearch_spark.plans.evaluator import (
+    compile_predicate,
+    regex_full,
+    _norm_literal,
+)
+from accumulo_wikisearch_spark.operators.ingest import WikisearchIndex
+
+
+# ---------------------------------------------------------------------------
+# NNF rewrite
+# ---------------------------------------------------------------------------
+
+_NEG = {
+    ast.EQ: ast.NE,
+    ast.NE: ast.EQ,
+    ast.LT: ast.GE,
+    ast.GE: ast.LT,
+    ast.GT: ast.LE,
+    ast.LE: ast.GT,
+    ast.MATCH: ast.NMATCH,
+    ast.NMATCH: ast.MATCH,
+}
+
+
+def to_nnf(node: ast.Node, negate: bool = False) -> ast.Node:
+    if isinstance(node, ast.Not):
+        return to_nnf(node.child, not negate)
+    if isinstance(node, ast.And):
+        kids = tuple(to_nnf(c, negate) for c in node.children)
+        return ast.Or(kids) if negate else ast.And(kids)
+    if isinstance(node, ast.Or):
+        kids = tuple(to_nnf(c, negate) for c in node.children)
+        return ast.And(kids) if negate else ast.Or(kids)
+    if isinstance(node, ast.Cmp):
+        return ast.Cmp(node.field, _NEG[node.op], node.literal, node.abs) if negate else node
+    # Between / Term have no operator dual — keep a Not wrapper
+    return ast.Not(node) if negate else node
+
+
+# ---------------------------------------------------------------------------
+# Index tree
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class IxLeaf:
+    field: str
+    kind: str  # 'eq' | 'range' | 'regex'
+    value: str | None = None
+    lo: str | None = None
+    hi: str | None = None
+    lo_incl: bool = True
+    hi_incl: bool = True
+    pattern: str | None = None
+    negated: bool = False  # only as anti-join member of an IxAnd
+
+
+@dataclass(frozen=True)
+class IxAnd:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class IxOr:
+    children: tuple
+
+
+IxNode = object
+
+
+_TRAILING_WILD = re.compile(r"^([a-z0-9 _\-]+)\.\*$")
+_LEADING_WILD = re.compile(r"^\.\*([a-z0-9 _\-]+)$")
+
+
+def _leaf_to_ix(n: ast.Node, indexed: set[str], multi_value: frozenset[str]) -> Optional[IxNode]:
+    """One positive leaf → index leaf, or None if it cannot drive the index."""
+    if isinstance(n, ast.Term):
+        return None  # expanded earlier; unexpanded Term can't drive the index
+    if isinstance(n, ast.Between):
+        return None  # functions are event-side only (QueryFunctions.java)
+    if not isinstance(n, ast.Cmp) or n.abs:
+        return None
+    if n.field not in indexed:
+        return None
+    if n.op == ast.EQ:
+        return IxLeaf(n.field, "eq", value=_norm_literal(n.literal))
+    if n.op == ast.MATCH:
+        return IxLeaf(n.field, "regex", pattern=str(n.literal).lower())
+    # lone range bounds are unbounded → rejected (RangeCalculator.java:495-498);
+    # pairing happens in the And reduction.
+    return None
+
+
+def _negated_ix(n: ast.Node, indexed: set[str], multi_value: frozenset[str]) -> Optional[IxLeaf]:
+    """Negated leaf usable as an anti-join: only for single-valued indexed
+    fields (any-match semantics make index-level NOT unsafe for multi-valued
+    fields; the event-side re-check cannot resurrect dropped candidates)."""
+    if not isinstance(n, ast.Cmp):
+        return None
+    if n.field not in indexed or n.field in multi_value:
+        return None
+    if n.op == ast.NE and not n.abs and isinstance(n.literal, str):
+        return IxLeaf(n.field, "eq", value=_norm_literal(n.literal), negated=True)
+    return None
+
+
+_RANGE_OPS = {ast.GT: ("lo", False), ast.GE: ("lo", True), ast.LT: ("hi", False), ast.LE: ("hi", True)}
+
+
+def reduce_to_index_tree(
+    n: ast.Node, indexed: set[str], multi_value: frozenset[str]
+) -> Optional[IxNode]:
+    """AND: keep drivable children (≥1 required); OR: all children must be
+    drivable, else the whole OR is not (AbstractQueryLogic.java:560-587)."""
+    if isinstance(n, ast.And):
+        pos: list[IxNode] = []
+        neg: list[IxLeaf] = []
+        # fuse bounded range pairs per field (O8)
+        bounds: dict[str, dict[str, tuple[str, bool]]] = {}
+        for c in n.children:
+            if (
+                isinstance(c, ast.Cmp)
+                and c.op in _RANGE_OPS
+                and not c.abs
+                and isinstance(c.literal, str)
+                and c.field in indexed
+            ):
+                side, incl = _RANGE_OPS[c.op]
+                b = bounds.setdefault(c.field, {})
+                # keep the tightest bound if repeated
+                b[side] = (_norm_literal(c.literal), incl)
+                continue
+            sub = reduce_to_index_tree(c, indexed, multi_value)
+            if sub is not None:
+                pos.append(sub)
+            else:
+                nleaf = _negated_ix(c, indexed, multi_value)
+                if nleaf is not None:
+                    neg.append(nleaf)
+        for fld, b in bounds.items():
+            if "lo" in b and "hi" in b:
+                (lo, lo_i), (hi, hi_i) = b["lo"], b["hi"]
+                pos.append(
+                    IxLeaf(fld, "range", lo=lo, hi=hi, lo_incl=lo_i, hi_incl=hi_i)
+                )
+            # unbounded side → event-side only (rejected from index path)
+        if not pos:
+            return None
+        return IxAnd(tuple(pos + neg)) if (len(pos) + len(neg)) > 1 else pos[0]
+    if isinstance(n, ast.Or):
+        kids = []
+        for c in n.children:
+            sub = reduce_to_index_tree(c, indexed, multi_value)
+            if sub is None:
+                return None
+            kids.append(sub)
+        return IxOr(tuple(kids)) if len(kids) > 1 else kids[0]
+    if isinstance(n, ast.Not):
+        return None
+    return _leaf_to_ix(n, indexed, multi_value)
+
+
+# ---------------------------------------------------------------------------
+# Candidate plan construction
+# ---------------------------------------------------------------------------
+
+
+class Planner:
+    def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
+        self.index = index
+        self.multi_value = multi_value_fields
+        self._indexed: set[str] | None = None
+
+    def indexed_fields(self) -> set[str]:
+        if self._indexed is None:
+            self._indexed = self.index.indexed_fields()
+        return self._indexed
+
+    # -- unfielded-term expansion ------------------------------------------
+    def expand_unfielded(self, node: ast.Node, auths: list[str] | None) -> ast.Node:
+        terms = {n.value for n in ast.walk(node) if isinstance(n, ast.Term)}
+        if not terms:
+            return node
+        gi = self.index.global_index
+        norm = {t: _norm_literal(t) for t in terms}
+        cond = F.col("norm_value").isin(*sorted(set(norm.values())))
+        if auths:
+            cond = cond & F.col("language").isin(*auths)
+        hits = (
+            gi.where(cond).select("norm_value", "field").distinct().collect()
+        )  # tiny: ≤ #fields × #terms rows
+        by_val: dict[str, list[str]] = {}
+        for r in hits:
+            by_val.setdefault(r["norm_value"], []).append(r["field"])
+
+        def rewrite(n: ast.Node) -> ast.Node:
+            if isinstance(n, ast.Term):
+                flds = sorted(by_val.get(norm[n.value], []))
+                if not flds:
+                    # term occurs nowhere → matches nothing
+                    return ast.Cmp("__NONE__", ast.EQ, "__none__")
+                leaves = tuple(ast.Cmp(f, ast.EQ, n.value) for f in flds)
+                return leaves[0] if len(leaves) == 1 else ast.Or(leaves)
+            if isinstance(n, ast.And):
+                return ast.And(tuple(rewrite(c) for c in n.children))
+            if isinstance(n, ast.Or):
+                return ast.Or(tuple(rewrite(c) for c in n.children))
+            if isinstance(n, ast.Not):
+                return ast.Not(rewrite(n.child))
+            return n
+
+        return rewrite(node)
+
+    # -- cardinality estimates (O3) ----------------------------------------
+    def estimate_eq_cardinalities(self, tree: IxNode, auths: list[str] | None) -> dict[tuple[str, str], int]:
+        pairs = set()
+
+        def collect(n):
+            if isinstance(n, IxLeaf):
+                if n.kind == "eq" and not n.negated:
+                    pairs.add((n.field, n.value))
+            elif isinstance(n, (IxAnd, IxOr)):
+                for c in n.children:
+                    collect(c)
+
+        collect(tree)
+        if not pairs:
+            return {}
+        gi = self.index.global_index
+        cond = F.concat_ws("\u0000", "field", "norm_value").isin(
+            *[f"{f}\u0000{v}" for f, v in sorted(pairs)]
+        )
+        if auths:
+            cond = cond & F.col("language").isin(*auths)
+        rows = (
+            gi.where(cond)
+            .groupBy("field", "norm_value")
+            .agg(F.sum("count").alias("n"))
+            .collect()
+        )
+        return {(r["field"], r["norm_value"]): r["n"] for r in rows}
+
+    # -- leaf postings ------------------------------------------------------
+    def _leaf_postings(self, leaf: IxLeaf, auths: list[str] | None) -> DataFrame:
+        fi = self.index.field_index
+        cond = F.col("field") == leaf.field
+        if auths:
+            cond = cond & F.col("language").isin(*auths)
+        v = F.col("norm_value")
+        if leaf.kind == "eq":
+            cond = cond & (v == leaf.value)
+            return fi.where(cond).select("partition_id", "doc_id")
+        if leaf.kind == "range":
+            lo = (v >= leaf.lo) if leaf.lo_incl else (v > leaf.lo)
+            hi = (v <= leaf.hi) if leaf.hi_incl else (v < leaf.hi)
+            out = fi.where(cond & lo & hi)
+        else:  # regex, with wildcard routing (O7)
+            pat = leaf.pattern
+            m_trail = _TRAILING_WILD.match(pat)
+            m_lead = _LEADING_WILD.match(pat)
+            anchored = regex_full(pat)
+            if m_trail:
+                out = fi.where(cond & v.startswith(m_trail.group(1)))
+            elif m_lead:
+                # reverse-index lookup: values ending with the suffix
+                # (WikipediaMapper.java:193-197; RangeCalculator.java:358-420)
+                suffix_rev = m_lead.group(1)[::-1]
+                ri = self.index.reverse_index.where(
+                    (F.col("field") == leaf.field)
+                    & F.col("norm_value").startswith(suffix_rev)
+                )
+                vals = ri.select(
+                    F.reverse(F.col("norm_value")).alias("norm_value")
+                ).distinct()
+                out = fi.where(cond).join(F.broadcast(vals), "norm_value", "left_semi")
+            else:
+                out = fi.where(cond & v.rlike(anchored))
+            if not (m_trail and False):
+                out = out.where(v.rlike(anchored))
+        return out.select("partition_id", "doc_id").dropDuplicates(
+            ["partition_id", "doc_id"]
+        )
+
+    def _est(self, n: IxNode, card: dict) -> int:
+        big = 1 << 60
+        if isinstance(n, IxLeaf):
+            if n.kind == "eq":
+                return card.get((n.field, n.value), 0)
+            return big
+        if isinstance(n, IxAnd):
+            ests = [self._est(c, card) for c in n.children if not _is_neg(c)]
+            return min(ests) if ests else big
+        if isinstance(n, IxOr):
+            return sum(self._est(c, card) for c in n.children)
+        return big
+
+    def candidates(self, tree: IxNode, auths: list[str] | None) -> DataFrame:
+        card = self.estimate_eq_cardinalities(tree, auths)
+        return self._build(tree, auths, card)
+
+    def _build(self, n: IxNode, auths, card) -> DataFrame:
+        if isinstance(n, IxLeaf):
+            return self._leaf_postings(n, auths)
+        if isinstance(n, IxAnd):
+            pos = [c for c in n.children if not _is_neg(c)]
+            neg = [c for c in n.children if _is_neg(c)]
+            # cheapest conjunct first (RangeCalculator.java:784-843)
+            pos.sort(key=lambda c: self._est(c, card))
+            out = self._build(pos[0], auths, card)
+            small = self._est(pos[0], card) <= self.index.config.broadcast_postings_max
+            if small:
+                out = F.broadcast(out)
+            for c in pos[1:]:
+                out = self._build(c, auths, card).join(
+                    out, ["partition_id", "doc_id"], "left_semi"
+                )
+                # keep the running side broadcast-able while it stays tiny
+                if small:
+                    out = F.broadcast(out)
+            for c in neg:
+                out = out.join(
+                    self._leaf_postings(
+                        IxLeaf(c.field, c.kind, value=c.value), auths
+                    ),
+                    ["partition_id", "doc_id"],
+                    "left_anti",
+                )
+            return out
+        if isinstance(n, IxOr):
+            parts = [self._build(c, auths, card) for c in n.children]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.dropDuplicates(["partition_id", "doc_id"])
+        raise AssertionError(n)
+
+
+def _is_neg(n) -> bool:
+    return isinstance(n, IxLeaf) and n.negated
+
+
+# ---------------------------------------------------------------------------
+# Top-level query execution
+# ---------------------------------------------------------------------------
+
+
+def run_query(
+    index: WikisearchIndex,
+    node: ast.Node,
+    auths: list[str] | None = None,
+    force_path: str | None = None,
+    multi_value_fields: frozenset[str] = frozenset({"TEXT"}),
+) -> tuple[DataFrame, str]:
+    """Execute a parsed query; returns (result_df, path) where path is
+    'optimized' or 'fullscan'. Result = (partition_id, language, doc_id)."""
+    planner = Planner(index, multi_value_fields)
+    nnf = to_nnf(node)
+    nnf = planner.expand_unfielded(nnf, auths)
+    pred = compile_predicate(nnf)
+    docs = index.docs_wide
+    sec = F.col("language").isin(*auths) if auths else F.lit(True)
+
+    tree = None
+    if force_path != "fullscan":
+        tree = reduce_to_index_tree(nnf, planner.indexed_fields(), multi_value_fields)
+    if tree is None or force_path == "fullscan":
+        result = docs.where(sec & pred)
+        path = "fullscan"
+    else:
+        cand = planner.candidates(tree, auths)
+        result = docs.join(cand, ["partition_id", "doc_id"], "left_semi").where(
+            sec & pred
+        )
+        path = "optimized"
+    return result.select("partition_id", "language", "doc_id"), path

@@ -1,0 +1,46 @@
+"""SparkSession helper for tests and bench.
+
+The driver supplies its own session to ``__spark_entry__``; this builder is
+for local tests/bench runs. Settings chosen for the local[32] harness but
+with scale-out posture documented per knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "accumulo-wikisearch-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        # One shuffle partition per core locally; on a 1000-executor cluster
+        # this is sized to ~128MB per post-shuffle partition instead (AQE
+        # coalescing makes the exact number less critical).
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs when handed a foreign session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if nparts > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+    return spark

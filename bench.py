@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set mirrors the reference's benchmark shape (README.md:127-134 —
+multi-term AND and AND-of-OR keyword queries, warm) plus the pipeline
+operators (dedup, ANN, text stats). Each query is run once to warm
+(JIT/caches) and once timed, matching the reference's warm-index protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from accumulo_wikisearch_spark.session import get_spark
+    from accumulo_wikisearch_spark.sources.corpus import get_engine
+    from accumulo_wikisearch_spark.operators import dedup, similarity, textstats
+
+    spark = get_spark("wikisearch-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+
+    t0 = time.time()
+    eng = get_engine(spark, sf_dir)
+    # force-materialize the persisted index tables
+    eng.index.field_index.count()
+    eng.index.docs_wide.count()
+    eng.index.global_index.count()
+    times["index_build"] = round(time.time() - t0, 3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    ws = {
+        "q_and3": "TEXT == 'key' and TEXT == 'vector' and TEXT == 'the'",
+        "q_and4": "TEXT == 'key' and TEXT == 'fast' and TEXT == 'line' and TEXT == 'the'",
+        "q_rare_and": "TEXT == 'dup' and TEXT == 'key'",
+        "q_and_or": "TEXT == 'fast' and (TEXT == 'slow' or TEXT == 'stream')",
+        "q_rare_pair": "TEXT == 'dup' and SOURCE == 'src3'",
+        "q_or_eq": "SOURCE == 'src3' or SOURCE == 'src7'",
+        "q_wildcard": "SOURCE =~ 'src1.*'",
+        "q_unfielded": "'dup'",
+    }
+
+    def timed(name, thunk):
+        thunk()  # warm
+        t = time.time()
+        thunk()
+        times[name] = round(time.time() - t, 3)
+
+    for name, jexl in ws.items():
+        timed(name, lambda jexl=jexl: eng.query(jexl).count())
+
+    timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs).count())
+    timed("dedup_simhash", lambda: dedup.simhash(docs).count())
+    timed(
+        "ann_topk",
+        lambda: similarity.topk_bruteforce(emb, similarity.self_queries(emb)).count(),
+    )
+    timed("text_quality", lambda: textstats.text_quality(docs).count())
+    timed("doc_fingerprint", lambda: textstats.doc_fingerprint(docs).count())
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "wikisearch_spark_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Golden end-to-end query tests (FIXTURES.md §3): every query runs through
+BOTH the optimized/index path and the brute-force full-scan path, and both
+must equal the DuckDB oracle — the reference's TestQueryLogic pattern
+(exact doc-id assertions) generalized."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.api import Wikisearch
+from accumulo_wikisearch_spark.sources.corpus import get_engine, load_articles, SCALAR_FIELDS
+
+TOK = "string_split(text,' ')"
+
+GOLDEN = [
+    # (name, jexl, duckdb-where, expected_path)
+    ("eq_rare", "SOURCE == 'src5'", "source='src5'", "optimized"),
+    ("eq_common", "TEXT == 'batch'", f"list_contains({TOK},'batch')", "optimized"),
+    (
+        "and2",
+        "TEXT == 'dup' and TEXT == 'key'",
+        f"list_contains({TOK},'dup') AND list_contains({TOK},'key')",
+        "optimized",
+    ),
+    (
+        "and3",
+        "TEXT == 'key' and TEXT == 'vector' and TEXT == 'the'",
+        f"list_contains({TOK},'key') AND list_contains({TOK},'vector') AND list_contains({TOK},'the')",
+        "optimized",
+    ),
+    ("or2", "SOURCE == 'src3' or SOURCE == 'src7'", "source IN ('src3','src7')", "optimized"),
+    (
+        "nested",
+        "TEXT == 'dup' and (TEXT == 'key' or TEXT == 'vector')",
+        f"list_contains({TOK},'dup') AND (list_contains({TOK},'key') OR list_contains({TOK},'vector'))",
+        "optimized",
+    ),
+    (
+        "unfielded",
+        "'dup'",
+        f"(list_contains({TOK},'dup') OR source='dup' OR lang='dup' OR doc_id::VARCHAR='dup' OR n_chars::VARCHAR='dup')",
+        "optimized",
+    ),
+    (
+        "neq_anti",
+        "TEXT == 'dup' and SOURCE != 'src3'",
+        f"list_contains({TOK},'dup') AND source<>'src3'",
+        "optimized",
+    ),
+    (
+        "not_lang",
+        "TEXT == 'dup' and not (LANG == 'en')",
+        f"list_contains({TOK},'dup') AND lang<>'en'",
+        "optimized",
+    ),
+    ("wild_trail", "SOURCE =~ 'src1.*'", "regexp_full_match(source,'src1.*')", "optimized"),
+    ("wild_lead", "SOURCE =~ '.*8'", "regexp_full_match(source,'.*8')", "optimized"),
+    ("regex_mid", "SOURCE =~ 's.c12'", "regexp_full_match(source,'s.c12')", "optimized"),
+    (
+        "range_pair",
+        "SOURCE >= 'src14' and SOURCE <= 'src16'",
+        "source>='src14' AND source<='src16'",
+        "optimized",
+    ),
+    (
+        "range_unbounded",
+        "SOURCE >= 'src18'",
+        "source>='src18'",
+        "fullscan",  # unbounded → rejected from index path (RangeCalculator.java:495-498)
+    ),
+    (
+        "between_fn",
+        "f:between(NCHARS, 100, 300) and TEXT == 'dup'",
+        f"n_chars BETWEEN 100 AND 300 AND list_contains({TOK},'dup')",
+        "optimized",
+    ),
+    (
+        "abs_fn",
+        "f:abs(NCHARS) >= 350 and TEXT == 'dup'",
+        f"abs(n_chars)>=350 AND list_contains({TOK},'dup')",
+        "optimized",
+    ),
+    (
+        "neq_multivalue",
+        "TEXT != 'dup'",
+        f"len(list_filter({TOK}, x -> x<>'dup'))>0",
+        "fullscan",  # all-negated → never index-driven (QueryParser.java:489-491)
+    ),
+]
+
+
+@pytest.mark.parametrize("name,jexl,where,expected_path", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_golden_query(engine, duck, name, jexl, where, expected_path):
+    want = sorted(r[0] for r in duck.execute(f"SELECT doc_id FROM documents WHERE {where}").fetchall())
+
+    df, path = engine.query_with_path(jexl)
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == want, f"{name}: index path differs from oracle"
+    assert path == expected_path, f"{name}: expected {expected_path}, chose {path}"
+
+    # path equivalence: forced full scan must agree (FIXTURES.md §3 pattern)
+    full = engine.query(jexl, force_path="fullscan")
+    got_full = sorted(r["doc_id"] for r in full.collect())
+    assert got_full == want, f"{name}: fullscan path differs from oracle"
+
+
+def test_auths_row_level_security(engine, duck):
+    # every cell is visibility-filtered by language ∈ auths
+    # (WikipediaMapper.java:105; AbstractQueryLogic.java:445-448)
+    for auths in (["en"], ["en", "fr"], ["zh"]):
+        df = engine.query("TEXT == 'dup'", auths=auths)
+        got = sorted(r["doc_id"] for r in df.collect())
+        langs = ",".join(f"'{a}'" for a in auths)
+        want = sorted(
+            r[0]
+            for r in duck.execute(
+                f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') AND lang IN ({langs})"
+            ).fetchall()
+        )
+        assert got == want
+
+
+def test_content_fetch(engine, duck):
+    row = engine.index.documents.where(F.col("doc_id") == 42).collect()[0]
+    ptr = f"DOCUMENT:{row.partition_id}/{row.language}/42"
+    got = engine.content(ptr).collect()[0]["text"]
+    want = duck.execute("SELECT text FROM documents WHERE doc_id=42").fetchone()[0]
+    assert got == want
+    # wrong partition → no rows (exact Range on (row, colf, colq))
+    wrong = f"DOCUMENT:{(row.partition_id + 1) % engine.index.config.num_partitions}/{row.language}/42"
+    assert engine.content(wrong).count() == 0
+
+
+def test_mixed_index_or_forces_fullscan(spark, sf_dir, duck):
+    # OR with a non-indexed field cannot ride the index
+    # (AbstractQueryLogic.java:560-587)
+    cfg = EngineConfig(num_partitions=4, indexed_fields=frozenset({"TEXT", "LANG"}))
+    eng = Wikisearch.ingest(load_articles(spark, sf_dir), cfg, SCALAR_FIELDS)
+    df, path = eng.query_with_path("TEXT == 'dup' or SOURCE == 'src3'")
+    assert path == "fullscan"
+    got = sorted(r["doc_id"] for r in df.collect())
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') OR source='src3'"
+        ).fetchall()
+    )
+    assert got == want
+    # AND with one indexed conjunct still optimizes
+    df2, path2 = eng.query_with_path("TEXT == 'dup' and SOURCE == 'src3'")
+    assert path2 == "optimized"
+
+
+def test_empty_result_unknown_term(engine):
+    assert engine.query("TEXT == 'zzzznotaword'").count() == 0
+    assert engine.query("'zzzznotaword'").count() == 0
+
+
+def test_multivalue_any_match_semantics(spark):
+    # doc 1: TITLE values {v1, v2}; doc 2: TITLE {v3} — Q12/Q13 truth table
+    rows = [
+        (1, "enwiki", "x", "V1"),
+        (1, "enwiki", "x", "v2"),
+        (2, "enwiki", "x", "v3"),
+    ]
+    df = spark.createDataFrame(rows, "id long, language string, text string, title string")
+    eng = Wikisearch(
+        __import__(
+            "accumulo_wikisearch_spark.operators.ingest", fromlist=["build_index"]
+        ).build_index(
+            df, EngineConfig(num_partitions=1), {"ID": "id", "TITLE": "title"}
+        ),
+        multi_value_fields=frozenset({"TEXT", "TITLE"}),
+    )
+    ids = lambda d: sorted(r["doc_id"] for r in d.collect())
+    assert ids(eng.query("TITLE == 'v1'")) == [1]
+    # any-match: doc1 has v2 != v1 → matches; doc2 v3 != v1 → matches
+    assert ids(eng.query("TITLE != 'v1'")) == [1, 2]
+    assert ids(eng.query("not (TITLE == 'v1')")) == [1, 2]
