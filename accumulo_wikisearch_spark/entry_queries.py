@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from accumulo_wikisearch_spark.session import tune_runtime
-from accumulo_wikisearch_spark.sources.corpus import get_engine
+from accumulo_wikisearch_spark.sources.corpus import get_engine, get_events_engine
 
 TOK = "string_split(text,' ')"
 
@@ -121,6 +121,34 @@ WS_QUERIES: dict[str, tuple[str, list[str] | None, str]] = {
 }
 
 
+# Events corpus (second ingest source; TS = ISO string field → string-ordered
+# index ranges, the reference's timestamp treatment). name → (jexl, where).
+EV_QUERIES: dict[str, tuple[str, str]] = {
+    "ev_type_eq": ("EVENT_TYPE == 'purchase'", "event_type='purchase'"),
+    "ev_ts_range_pair": (
+        "TS >= '2024-01-10 00:00:00' and TS <= '2024-01-12 00:00:00' and EVENT_TYPE == 'error'",
+        "ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-12 00:00:00' AND event_type='error'",
+    ),
+    "ev_user_and_type": (
+        "USER_ID == '42' and EVENT_TYPE == 'click'",
+        "user_id = 42 AND event_type='click'",
+    ),
+    "ev_type_or_negation": (
+        "(EVENT_TYPE == 'signup' or EVENT_TYPE == 'error') and USER_ID != '7'",
+        "event_type IN ('signup','error') AND user_id <> 7",
+    ),
+}
+
+
+def _ev_query(jexl: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_runtime(spark)
+        eng = get_events_engine(spark, sf_dir)
+        return eng.query(jexl).select(F.col("doc_id").alias("event_id"))
+
+    return run
+
+
 def _ws_query(jexl: str, auths: list[str] | None) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         tune_runtime(spark)
@@ -150,12 +178,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _ws_query(jexl, auths)
     out["ws_content_fetch"] = _ws_content
     out["ws_scored_search"] = _ws_scored
+    for name, (jexl, _sql) in EV_QUERIES.items():
+        out[name] = _ev_query(jexl)
 
-    from accumulo_wikisearch_spark.operators import dedup, similarity, textstats
+    from accumulo_wikisearch_spark.operators import dedup, multimodal, similarity, textstats
 
     out.update(dedup.queries())
     out.update(similarity.queries())
     out.update(textstats.queries())
+    out.update(multimodal.queries())
     return out
 
 
@@ -168,10 +199,13 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, len(list_filter({TOK}, x -> x='dup')) AS occ "
         f"FROM documents WHERE list_contains({TOK},'dup')"
     )
+    for name, (_jexl, where) in EV_QUERIES.items():
+        out[name] = f"SELECT event_id FROM events WHERE {where}"
 
-    from accumulo_wikisearch_spark.operators import dedup, similarity, textstats
+    from accumulo_wikisearch_spark.operators import dedup, multimodal, similarity, textstats
 
     out.update(dedup.oracle_sql())
     out.update(similarity.oracle_sql())
     out.update(textstats.oracle_sql())
+    out.update(multimodal.oracle_sql())
     return out

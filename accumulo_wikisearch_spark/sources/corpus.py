@@ -29,9 +29,9 @@ def load_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Engine cache keyed by (sf_dir, config) so a batch of queries against the
-# same scale factor builds the index once (the reference's ingest is likewise
-# a one-time batch; queries share the built tables).
+# Engine cache keyed by (corpus, sf_dir, config) so a batch of queries
+# against the same scale factor builds the index once (the reference's
+# ingest is likewise a one-time batch; queries share the built tables).
 _ENGINES: dict[tuple, Wikisearch] = {}
 
 
@@ -39,11 +39,53 @@ def get_engine(
     spark: SparkSession, sf_dir: str, config: EngineConfig | None = None
 ) -> Wikisearch:
     config = config or EngineConfig()
-    key = (sf_dir, config)
+    key = ("documents", sf_dir, config)
     eng = _ENGINES.get(key)
     if eng is None:
         articles = load_articles(spark, sf_dir)
         eng = Wikisearch.ingest(articles, config, SCALAR_FIELDS)
+        eng.index.persist()
+        _ENGINES[key] = eng
+    return eng
+
+
+# --- events corpus: a second ingest source with timestamp-bearing fields ---
+# Demonstrates the engine is corpus-agnostic (any structured table ingests);
+# TS is an ISO-format string field, so string-ordered index ranges match the
+# reference's treatment of timestamps as normalized strings
+# (ArticleExtractor.java:40 parses ISO-8601; index stores strings).
+
+EVENT_SCALAR_FIELDS = {
+    "ID": "id",
+    "EVENT_TYPE": "event_type",
+    "USER_ID": "user_id",
+    "TS": "ts_str",
+}
+
+
+def load_event_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts arrives as nanos-since-epoch LONG (spark.sql.legacy.parquet.nanosAsLong)
+    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.lit("default").alias("language"),
+        F.col("event_type").alias("text"),  # TEXT = the type token
+        "event_type",
+        "user_id",
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+def get_events_engine(
+    spark: SparkSession, sf_dir: str, config: EngineConfig | None = None
+) -> Wikisearch:
+    config = config or EngineConfig()
+    key = ("events", sf_dir, config)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        arts = load_event_articles(spark, sf_dir)
+        eng = Wikisearch.ingest(arts, config, EVENT_SCALAR_FIELDS)
         eng.index.persist()
         _ENGINES[key] = eng
     return eng

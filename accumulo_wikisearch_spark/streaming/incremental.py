@@ -1,0 +1,133 @@
+"""Incremental index maintenance — the reference's LSM-combiner semantics
+(A4/O18 in SURVEY.md §2.2/§4) re-expressed for Spark.
+
+In the reference, new writes merge with existing index state at compaction
+time: ``GlobalIndexUidCombiner`` re-folds Uid.Lists on every scan/compaction
+(scopes attached at ``WikipediaIngester.java:98-135``), so re-ingesting
+articles grows counts and may flip a posting into the IGNORE tier.
+
+Here the same fold is a deterministic DataFrame merge:
+
+    merged = old_global_index ∪ delta_global_index
+             → groupBy keys → sum counts, union uids, re-apply degradation
+
+which is exactly the combiner's algebra (sum COUNT, union UID set, IGNORE
+past uid_max — ``GlobalIndexUidCombiner.java:66-75``). The fold is
+associative/commutative, so it can run per micro-batch under Structured
+Streaming ``foreachBatch`` (this module) or as a Delta-style MERGE in a
+warehouse deployment.
+
+Scale posture: the merge shuffles only the *delta*'s keys plus matching old
+groups (a broadcast of delta keys prunes the old side); at 100 TB the old
+index is partitioned by (field, norm_value-range) files, so a micro-batch
+touches few files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.operators.ingest import WikisearchIndex, build_index
+
+GI_KEYS = ["norm_value", "field", "partition_id", "language"]
+
+
+def merge_global_index(
+    old: DataFrame, delta: DataFrame, uid_max: int = 20
+) -> DataFrame:
+    """Fold a delta global-index into the existing one (combiner algebra).
+
+    Both inputs have the global_index schema
+    (norm_value, field, partition_id, language, count, uids, ignore).
+    """
+    merged = old.unionByName(delta)
+    return (
+        merged.groupBy(*GI_KEYS)
+        .agg(
+            F.sum("count").alias("count"),
+            # union of uid lists, bounded: degraded inputs contribute []
+            F.slice(
+                F.array_distinct(F.flatten(F.collect_list("uids"))), 1, uid_max + 1
+            ).alias("_uids"),
+            F.max("ignore").alias("_seen_ignore"),
+        )
+        .select(
+            *GI_KEYS,
+            "count",
+            F.when(
+                (F.col("count") > uid_max) | F.col("_seen_ignore"),
+                F.array().cast("array<string>"),
+            )
+            .otherwise(F.col("_uids"))
+            .alias("uids"),
+            ((F.col("count") > uid_max) | F.col("_seen_ignore")).alias("ignore"),
+        )
+    )
+
+
+def incremental_update(
+    index: WikisearchIndex,
+    new_articles: DataFrame,
+    scalar_fields: dict[str, str],
+    text_col: str = "text",
+) -> WikisearchIndex:
+    """Batch-merge newly arrived articles into an existing catalog.
+
+    Appends to doc_fields/field_index/docs_wide/documents and *folds* the
+    aggregated tables (global/reverse index) with the combiner algebra.
+    """
+    cfg = index.config
+    delta = build_index(new_articles, cfg, scalar_fields, text_col)
+    return WikisearchIndex(
+        config=cfg,
+        doc_fields=index.doc_fields.unionByName(delta.doc_fields),
+        field_index=index.field_index.unionByName(delta.field_index),
+        global_index=merge_global_index(
+            index.global_index, delta.global_index, cfg.uid_max
+        ),
+        reverse_index=merge_global_index(
+            index.reverse_index, delta.reverse_index, cfg.uid_max
+        ),
+        metadata=index.metadata.unionByName(delta.metadata).distinct(),
+        term_index=index.term_index.unionByName(delta.term_index),
+        docs_wide=index.docs_wide.unionByName(delta.docs_wide),
+        documents=index.documents.unionByName(delta.documents),
+    )
+
+
+def stream_ingest(
+    stream_articles: DataFrame,
+    index_path: str,
+    config: EngineConfig,
+    scalar_fields: dict[str, str],
+    text_col: str = "text",
+    checkpoint: str | None = None,
+):
+    """Continuous ingest: readStream → foreachBatch(merge + overwrite).
+
+    ``stream_articles`` is a streaming DataFrame with the articles contract.
+    Each micro-batch rebuilds the delta tables and folds them into the
+    stored global index — the streaming analogue of "query during ingest"
+    (reference README.md:206-219: ingest and query run concurrently).
+    """
+    from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        current = load_index(spark, index_path, config)
+        merged = incremental_update(current, batch_df, scalar_fields, text_col)
+        # materialize before overwrite (sources are the files being replaced)
+        for name in ["global_index", "reverse_index", "field_index", "docs_wide"]:
+            getattr(merged, name).persist().count()
+        write_index(merged, index_path)
+
+    writer = stream_articles.writeStream.foreachBatch(process_batch).outputMode(
+        "update"
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

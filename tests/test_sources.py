@@ -1,0 +1,104 @@
+"""XML ingest front-end (S1/S2) and multimodal plumbing tests."""
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.sources.xml import (
+    extract_pages,
+    language_from_filename,
+    parse_page,
+    read_wikipedia_xml,
+)
+from accumulo_wikisearch_spark.operators import multimodal
+
+PAGE = """<page>
+  <title>Abacus</title>
+  <id>11</id>
+  <revision>
+    <timestamp>2011-09-01T00:00:00Z</timestamp>
+    <comment>initial</comment>
+    <text>the abacus is an ancient tool</text>
+  </revision>
+</page>"""
+
+DUMP = f"""<mediawiki>
+{PAGE}
+<page><title>Acid</title><id>12</id><revision>
+<timestamp>2011-09-02T00:00:00Z</timestamp><comment>c</comment>
+<text>acid is corrosive</text></revision></page>
+<page><broken</page>
+</mediawiki>"""
+
+
+def test_extract_pages_chunks():
+    assert len(extract_pages(DUMP)) == 3  # incl. the broken fragment
+
+
+def test_parse_page_fields():
+    art = parse_page(PAGE, "enwiki")
+    assert art == {
+        "id": 11,
+        "title": "Abacus",
+        "timestamp": "2011-09-01T00:00:00Z",
+        "comments": "initial",
+        "text": "the abacus is an ancient tool",
+        "language": "enwiki",
+    }
+
+
+def test_parse_page_bad_xml_returns_none():
+    assert parse_page("<page><broken</page>", "enwiki") is None
+
+
+def test_language_from_filename():
+    assert language_from_filename("/data/enwiki-20110901-pages.xml") == "enwiki"
+    assert language_from_filename("dewiki.xml") == "dewiki"
+    assert language_from_filename("whatever.xml") == "unknown"
+
+
+def test_read_wikipedia_xml_end_to_end(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        Path(f"{tmp}/enwiki-test.xml").write_text(DUMP)
+        df = read_wikipedia_xml(spark, tmp)
+        rows = {r["id"]: r for r in df.collect()}
+        assert set(rows) == {11, 12}
+        assert rows[11]["title"] == "Abacus"
+        assert rows[11]["language"] == "enwiki"
+        # feeds straight into the engine
+        from accumulo_wikisearch_spark.api import Wikisearch
+        from accumulo_wikisearch_spark.config import EngineConfig
+
+        eng = Wikisearch.ingest(
+            df, EngineConfig(num_partitions=2), {"ID": "id", "TITLE": "title"}
+        )
+        got = [r["doc_id"] for r in eng.query("TEXT == 'abacus'").collect()]
+        assert got == [11]
+
+
+def test_multimodal_payload_stats(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "worlds!")], "doc_id long, text string")
+    media = multimodal.attach_payload(docs)
+    out = {r["doc_id"]: r for r in multimodal.payload_stats(media).collect()}
+    assert out[1]["n_bytes"] == 5 and out[2]["n_bytes"] == 7
+    assert len(out[1]["sha_prefix"]) == 12
+
+
+def test_multimodal_fake_decode_deterministic(spark):
+    docs = spark.createDataFrame([(1, "imgdata")], "doc_id long, text string")
+    media = multimodal.attach_payload(docs, kind="image")
+    a = multimodal.decode_image(media, fake=True).collect()[0]
+    b = multimodal.decode_image(media, fake=True).collect()[0]
+    assert (a["width"], a["height"], a["channels"]) == (b["width"], b["height"], 3)
+    assert 1 <= a["width"] <= 1920
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = multimodal.attach_payload(docs)
+    try:
+        multimodal.decode_image(media)
+        assert False, "expected NotImplementedError"
+    except NotImplementedError:
+        pass

@@ -1,0 +1,97 @@
+"""Incremental index maintenance tests — the combiner-algebra merge
+(GlobalIndexUidTest.java analogues at the merge level) and a live
+Structured Streaming micro-batch run."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.operators.ingest import build_index, load_index, write_index
+from accumulo_wikisearch_spark.streaming.incremental import (
+    incremental_update,
+    merge_global_index,
+    stream_ingest,
+)
+
+CFG = EngineConfig(num_partitions=1, uid_max=20)
+SF = {"ID": "id", "TITLE": "title"}
+
+
+def _arts(spark, rows):
+    return spark.createDataFrame(rows, "id long, language string, text string, title string")
+
+
+def test_merge_grows_count_and_degrades(spark):
+    # 15 docs, then 10 more with the same token → merged posting crosses
+    # uid_max and degrades (GlobalIndexUidCombiner.java:66-75 at compaction)
+    old = build_index(_arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(15)]), CFG, SF)
+    new = build_index(
+        _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(15, 25)]), CFG, SF
+    )
+    merged = merge_global_index(old.global_index, new.global_index, CFG.uid_max)
+    r = merged.where((F.col("field") == "TEXT") & (F.col("norm_value") == "tok")).collect()[0]
+    assert r["count"] == 25 and r["ignore"] and r["uids"] == []
+
+
+def test_merge_exact_tier_unions_uids(spark):
+    old = build_index(_arts(spark, [(1, "enwiki", "tok", "a")]), CFG, SF)
+    new = build_index(_arts(spark, [(2, "enwiki", "tok", "b")]), CFG, SF)
+    merged = merge_global_index(old.global_index, new.global_index, CFG.uid_max)
+    r = merged.where((F.col("field") == "TEXT") & (F.col("norm_value") == "tok")).collect()[0]
+    assert r["count"] == 2 and not r["ignore"] and sorted(r["uids"]) == ["1", "2"]
+
+
+def test_merge_ignore_is_sticky(spark):
+    # once degraded, a posting never resurrects its uid list
+    # (seen-ignore propagation, GlobalIndexUidTest)
+    big = build_index(
+        _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(25)]), CFG, SF
+    )
+    one = build_index(_arts(spark, [(99, "enwiki", "tok", "x")]), CFG, SF)
+    merged = merge_global_index(big.global_index, one.global_index, CFG.uid_max)
+    r = merged.where(F.col("norm_value") == "tok").collect()[0]
+    assert r["ignore"] and r["uids"] == [] and r["count"] == 26
+
+
+def test_incremental_update_queries_new_docs(spark):
+    from accumulo_wikisearch_spark.api import Wikisearch
+
+    idx = build_index(_arts(spark, [(1, "enwiki", "alpha beta", "t1")]), CFG, SF)
+    idx2 = incremental_update(idx, _arts(spark, [(2, "enwiki", "alpha gamma", "t2")]), SF)
+    eng = Wikisearch(idx2)
+    got = sorted(r["doc_id"] for r in eng.query("TEXT == 'alpha'").collect())
+    assert got == [1, 2]
+    got2 = sorted(r["doc_id"] for r in eng.query("TEXT == 'gamma'").collect())
+    assert got2 == [2]
+
+
+def test_stream_ingest_foreachbatch(spark):
+    # live micro-batch: file-source stream of articles folded into a stored
+    # index ("query during ingest", README.md:206-219)
+    with tempfile.TemporaryDirectory() as tmp:
+        base = _arts(spark, [(1, "enwiki", "alpha beta", "t1")])
+        write_index(build_index(base, CFG, SF), f"{tmp}/index")
+
+        inc = _arts(spark, [(2, "enwiki", "alpha gamma", "t2")])
+        inc.write.parquet(f"{tmp}/incoming/batch0")
+
+        stream = spark.readStream.schema(
+            "id long, language string, text string, title string"
+        ).parquet(f"{tmp}/incoming/*")
+        q = (
+            stream_ingest(stream, f"{tmp}/index", CFG, SF, checkpoint=f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        idx = load_index(spark, f"{tmp}/index", CFG)
+        r = idx.global_index.where(
+            (F.col("field") == "TEXT") & (F.col("norm_value") == "alpha")
+        ).collect()[0]
+        assert r["count"] == 2
+        from accumulo_wikisearch_spark.api import Wikisearch
+
+        got = sorted(x["doc_id"] for x in Wikisearch(idx).query("TEXT == 'alpha'").collect())
+        assert got == [1, 2]
