@@ -31,6 +31,8 @@ class Wikisearch:
     def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
         self.index = index
         self.multi_value_fields = multi_value_fields
+        # shared cardinality cache across queries (plan-cache analogue, O12)
+        self._card_cache: dict = {}
 
     @classmethod
     def ingest(
@@ -50,7 +52,12 @@ class Wikisearch:
     ) -> DataFrame:
         """Boolean query → matching docs (partition_id, language, doc_id)."""
         df, _ = run_query(
-            self.index, parser.parse(expr), auths, force_path, self.multi_value_fields
+            self.index,
+            parser.parse(expr),
+            auths,
+            force_path,
+            self.multi_value_fields,
+            self._card_cache,
         )
         return df
 
@@ -58,7 +65,12 @@ class Wikisearch:
         self, expr: str, auths: list[str] | None = None
     ) -> tuple[DataFrame, str]:
         return run_query(
-            self.index, parser.parse(expr), auths, None, self.multi_value_fields
+            self.index,
+            parser.parse(expr),
+            auths,
+            None,
+            self.multi_value_fields,
+            self._card_cache,
         )
 
     def content(self, pointer: str, auths: list[str] | None = None) -> DataFrame:

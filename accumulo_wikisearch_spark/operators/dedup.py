@@ -113,22 +113,47 @@ def _perm_coeffs(num_hashes: int, seed: int = 1337) -> list[tuple[int, int]]:
     ]
 
 
+def _shingle_hash_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, hs ARRAY<BIGINT>, n INT) — per-doc distinct shingle hashes,
+    computed row-locally (split → transform → distinct), NO shuffle: the
+    whole shingling pipeline is a narrow map over the corpus scan."""
+    w = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(w) - k)
+    sh = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+        )
+    )
+    hs = F.array_distinct(
+        F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    )
+    return docs.where(F.size(w) >= k).select(
+        "doc_id", hs.alias("hs"), F.size(hs).alias("n")
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 64) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>) — minhash over word-k-gram sets.
 
-    One shuffle (groupBy doc_id); the 64 permutation mins are computed as 64
-    aggregate expressions over the base shingle hash — JVM codegen, no UDF.
-    """
+    Shuffle-free: per-row array transforms compute all permutation minima
+    (JVM codegen, no UDF, no explode/groupBy)."""
+    sets = _shingle_hash_sets(docs, k)
+    return sets.select("doc_id", _sig_from_sets(num_hashes).alias("sig"))
+
+
+def _sig_from_sets(num_hashes: int):
     coeffs = _perm_coeffs(num_hashes)
-    sh = _shingles(docs, k).withColumn("h", hash60_col("shingle") % _MERSENNE31)
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % _MERSENNE31).alias(f"m{i}")
-        for i, (a, b) in enumerate(coeffs)
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda x: ((x % _MERSENNE31) * F.lit(a) + F.lit(b)) % _MERSENNE31,
+            )
+        )
+        for (a, b) in coeffs
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return F.array(*mins)
 
 
 def minhash_lsh_pairs(
@@ -146,7 +171,12 @@ def minhash_lsh_pairs(
     is the LSH catch probability (≈0.9998 at j=0.8 with 16×4 bands).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, k, num_hashes)
+    sets = _shingle_hash_sets(docs, k).withColumn(
+        "sig", _sig_from_sets(num_hashes)
+    )
+    # sets are computed once and reused by both the band join and the exact
+    # verification (the persist is scoped to this plan's lifetime)
+    sets = sets.persist()
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -154,7 +184,7 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+    banded = sets.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc_id", "b.band", "b.bsig"
     )
     a = banded.alias("a")
@@ -165,17 +195,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # exact verification on candidates only
-    sets = _shingles(docs, k).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("s"), F.count("*").alias("n")
-    )
+    # exact verification on candidates only, via 60-bit shingle-hash sets
+    # (collision probability within a pair union ≈ |A∪B|²/2^61 — negligible)
     return (
         cand.join(
-            sets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"), F.col("n").alias("a_n")),
+            sets.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_s"), F.col("n").alias("a_n")),
             "a_id",
         )
         .join(
-            sets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"), F.col("n").alias("b_n")),
+            sets.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("b_s"), F.col("n").alias("b_n")),
             "b_id",
         )
         .withColumn("common", F.size(F.array_intersect("a_s", "b_s")))
@@ -196,22 +224,26 @@ SIMHASH_BITS = 60
 
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash BIGINT) — 60-bit frequency-weighted bit-majority
-    signature over tokens, portable (md5-based) for oracle checking."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).where(F.length("tok") > 0)
-    h = toks.withColumn("hv", hash60_col("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = h.groupBy("doc_id").agg(*bit_sums)
+    signature over tokens, portable (md5-based) for oracle checking.
+
+    Shuffle-free: token hashes and all 60 bit-majorities are per-row array
+    expressions — a narrow map over the corpus scan (the right shape for a
+    100 TB pass)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(hs)
     sim: Column = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", sim.alias("simhash"))
+        ones = F.size(
+            F.filter(hs, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
+        )
+        # majority vote: (+1 per set bit, -1 per clear bit) > 0 ⟺ 2*ones > n
+        sim = sim + F.when(
+            F.lit(2) * ones > n, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return docs.where(n > 0).select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, band_bits: int = 15) -> DataFrame:

@@ -55,6 +55,7 @@ class WikisearchIndex:
     documents: DataFrame  # (partition_id, language, doc_id, text)
 
     _persisted: bool = False
+    _indexed_cache: set[str] | None = None
 
     def persist(self) -> "WikisearchIndex":
         if not self._persisted:
@@ -67,9 +68,15 @@ class WikisearchIndex:
 
     def indexed_fields(self) -> set[str]:
         """Catalog lookup: which fields are indexed (findIndexedTerms,
-        AbstractQueryLogic.java:500-524). Metadata is tiny — collect is safe."""
-        rows = self.metadata.where(F.col("indexed")).select("field").distinct().collect()
-        return {r["field"] for r in rows}
+        AbstractQueryLogic.java:500-524). Metadata is tiny — collected once
+        and cached for the life of the catalog (the reference likewise scans
+        the metadata table per query but keeps an LRU of parsed plans)."""
+        if self._indexed_cache is None:
+            rows = (
+                self.metadata.where(F.col("indexed")).select("field").distinct().collect()
+            )
+            self._indexed_cache = {r["field"] for r in rows}
+        return self._indexed_cache
 
 
 def build_index(

@@ -213,10 +213,18 @@ def reduce_to_index_tree(
 
 
 class Planner:
-    def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
+    def __init__(
+        self,
+        index: WikisearchIndex,
+        multi_value_fields: frozenset[str] = frozenset({"TEXT"}),
+        card_cache: dict | None = None,
+    ):
         self.index = index
         self.multi_value = multi_value_fields
         self._indexed: set[str] | None = None
+        # (field, value, auths_key) → estimated posting count; shared across
+        # queries by the engine facade (plan-cache analogue of O12)
+        self.card_cache = card_cache if card_cache is not None else {}
 
     def indexed_fields(self) -> set[str]:
         if self._indexed is None:
@@ -273,19 +281,27 @@ class Planner:
         collect(tree)
         if not pairs:
             return {}
-        gi = self.index.global_index
-        cond = F.concat_ws("\u0000", "field", "norm_value").isin(
-            *[f"{f}\u0000{v}" for f, v in sorted(pairs)]
-        )
-        if auths:
-            cond = cond & F.col("language").isin(*auths)
-        rows = (
-            gi.where(cond)
-            .groupBy("field", "norm_value")
-            .agg(F.sum("count").alias("n"))
-            .collect()
-        )
-        return {(r["field"], r["norm_value"]): r["n"] for r in rows}
+        auths_key = tuple(sorted(auths)) if auths else None
+        missing = [
+            p for p in sorted(pairs) if (p[0], p[1], auths_key) not in self.card_cache
+        ]
+        if missing:
+            gi = self.index.global_index
+            cond = F.concat_ws("\u0000", "field", "norm_value").isin(
+                *[f"{f}\u0000{v}" for f, v in missing]
+            )
+            if auths:
+                cond = cond & F.col("language").isin(*auths)
+            rows = (
+                gi.where(cond)
+                .groupBy("field", "norm_value")
+                .agg(F.sum("count").alias("n"))
+                .collect()
+            )
+            found = {(r["field"], r["norm_value"]): r["n"] for r in rows}
+            for f, v in missing:
+                self.card_cache[(f, v, auths_key)] = found.get((f, v), 0)
+        return {(f, v): self.card_cache[(f, v, auths_key)] for f, v in pairs}
 
     # -- leaf postings ------------------------------------------------------
     def _leaf_postings(self, leaf: IxLeaf, auths: list[str] | None) -> DataFrame:
@@ -397,10 +413,11 @@ def run_query(
     auths: list[str] | None = None,
     force_path: str | None = None,
     multi_value_fields: frozenset[str] = frozenset({"TEXT"}),
+    card_cache: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """Execute a parsed query; returns (result_df, path) where path is
     'optimized' or 'fullscan'. Result = (partition_id, language, doc_id)."""
-    planner = Planner(index, multi_value_fields)
+    planner = Planner(index, multi_value_fields, card_cache)
     nnf = to_nnf(node)
     nnf = planner.expand_unfielded(nnf, auths)
     pred = compile_predicate(nnf)
