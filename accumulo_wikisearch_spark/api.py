@@ -89,6 +89,54 @@ class Wikisearch:
             cond = cond & F.col("language").isin(*auths)
         return self.index.documents.where(cond).select("doc_id", "text")
 
+    def fetch_documents(self, results: DataFrame) -> DataFrame:
+        """Assemble result documents: id + fields + DOCUMENT content pointer
+        — the reference's ``createDocument`` (AbstractQueryLogic.java:400-430),
+        where each returned Document carries its event fields plus a
+        ``DOCUMENT:partition/lang/id`` pointer for body retrieval.
+
+        ``results`` is a query() output (partition_id, language, doc_id).
+        """
+        pointer = F.concat_ws(
+            "/",
+            F.concat(F.lit("DOCUMENT:"), F.col("partition_id").cast("string")),
+            F.col("language"),
+            F.col("doc_id").cast("string"),
+        )
+        assembled = self.index.doc_fields.groupBy(
+            "partition_id", "language", "doc_id"
+        ).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("field"), F.col("value")))
+            ).alias("fields")
+        )
+        return (
+            results.join(assembled, ["partition_id", "language", "doc_id"])
+            .withColumn("pointer", pointer)
+            .select("doc_id", "language", "partition_id", "fields", "pointer")
+        )
+
+    def distinct_values(
+        self,
+        field: str,
+        lo: str,
+        hi: str,
+        auths: list[str] | None = None,
+    ) -> DataFrame:
+        """Distinct indexed values of a field within [lo, hi] — the
+        UniqFieldNameValueIterator (query/.../iterator/
+        UniqFieldNameValueIterator.java:38-342), which feeds the reference's
+        range→OR expansion; here it is a pushed-down distinct scan."""
+        from accumulo_wikisearch_spark.functions.normalize import normalize_str
+
+        fi = self.index.field_index.where(
+            (F.col("field") == field.upper())
+            & F.col("norm_value").between(normalize_str(lo), normalize_str(hi))
+        )
+        if auths:
+            fi = fi.where(F.col("language").isin(*auths))
+        return fi.select("norm_value").distinct()
+
     def scored_search(
         self, term: str, auths: list[str] | None = None, limit: int | None = None
     ) -> DataFrame:

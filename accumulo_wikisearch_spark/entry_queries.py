@@ -172,12 +172,45 @@ def _ws_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.scored_search("dup").select("doc_id", F.col("occurrences").alias("occ"))
 
 
+def _ws_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """createDocument parity: result docs carry fields + content pointer."""
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    docs = eng.fetch_documents(eng.query("TEXT == 'dup'"))
+    return docs.select(
+        "doc_id",
+        "language",
+        "pointer",
+        F.col("fields")["SOURCE"].alias("source"),
+        F.col("fields")["NCHARS"].cast("int").alias("n_chars"),
+    )
+
+
+def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqFieldNameValueIterator parity: distinct values in a range."""
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.distinct_values("SOURCE", "src10", "src16")
+
+
+def _ws_metadata_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata `f` column (SummingCombiner): event-cell counts per field."""
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.index.metadata.where(F.col("freq") > 0).select(
+        "field", "language", "freq"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (jexl, auths, _sql) in WS_QUERIES.items():
         out[name] = _ws_query(jexl, auths)
     out["ws_content_fetch"] = _ws_content
     out["ws_scored_search"] = _ws_scored
+    out["ws_result_assembly"] = _ws_assembly
+    out["ws_distinct_values"] = _ws_distinct_values
+    out["ws_metadata_freq"] = _ws_metadata_freq
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
 
@@ -198,6 +231,21 @@ def oracle_sql() -> dict[str, str]:
     out["ws_scored_search"] = (
         f"SELECT doc_id, len(list_filter({TOK}, x -> x='dup')) AS occ "
         f"FROM documents WHERE list_contains({TOK},'dup')"
+    )
+    out["ws_result_assembly"] = (
+        "SELECT doc_id, lang AS language, "
+        "'DOCUMENT:' || (doc_id % 8)::VARCHAR || '/' || lang || '/' || doc_id::VARCHAR AS pointer, "
+        "source, n_chars::INTEGER AS n_chars "
+        f"FROM documents WHERE list_contains({TOK},'dup')"
+    )
+    out["ws_distinct_values"] = (
+        "SELECT DISTINCT source AS norm_value FROM documents "
+        "WHERE source BETWEEN 'src10' AND 'src16'"
+    )
+    out["ws_metadata_freq"] = (
+        "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "
+        "FROM documents, (VALUES ('ID'),('SOURCE'),('NCHARS'),('LANG')) AS f(field) "
+        "GROUP BY f.field, lang"
     )
     for name, (_jexl, where) in EV_QUERIES.items():
         out[name] = f"SELECT event_id FROM events WHERE {where}"

@@ -162,16 +162,24 @@ def build_index(
     reverse_index = global_index.withColumn("norm_value", F.reverse(F.col("norm_value")))
 
     # --- metadata catalog --------------------------------------------------
+    # field existence (colf `e`, WikipediaMapper.java:144-151), indexed flag
+    # + normalizer (colf `i`, :199-208), and the summed frequency column
+    # (colf `f`, SummingCombiner attached at WikipediaIngester.java:129-136)
     all_fields = field_index.select("field", "language").distinct()
     if config.indexed_fields is None:
         indexed_expr = F.lit(True)
     else:
         indexed_expr = F.col("field").isin(*sorted(config.indexed_fields))
-    metadata = all_fields.select(
-        "field",
-        "language",
-        indexed_expr.alias("indexed"),
-        F.lit(config.normalizer).alias("normalizer"),
+    freq = doc_fields.groupBy("field", "language").agg(F.count("*").alias("freq"))
+    metadata = (
+        all_fields.join(freq, ["field", "language"], "left")
+        .select(
+            "field",
+            "language",
+            indexed_expr.alias("indexed"),
+            F.lit(config.normalizer).alias("normalizer"),
+            F.coalesce(F.col("freq"), F.lit(0)).alias("freq"),
+        )
     )
 
     # --- term index for scored TEXT search (TermWeight, A2) ---------------

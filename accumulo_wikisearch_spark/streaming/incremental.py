@@ -90,7 +90,15 @@ def incremental_update(
         reverse_index=merge_global_index(
             index.reverse_index, delta.reverse_index, cfg.uid_max
         ),
-        metadata=index.metadata.unionByName(delta.metadata).distinct(),
+        metadata=index.metadata.unionByName(delta.metadata)
+        .groupBy("field", "language")
+        .agg(
+            F.max("indexed").alias("indexed"),
+            F.first("normalizer").alias("normalizer"),
+            # the metadata `f` column is a SummingCombiner
+            # (WikipediaIngester.java:129-136)
+            F.sum("freq").alias("freq"),
+        ),
         term_index=index.term_index.unionByName(delta.term_index),
         docs_wide=index.docs_wide.unionByName(delta.docs_wide),
         documents=index.documents.unionByName(delta.documents),
