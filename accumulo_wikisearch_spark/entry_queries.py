@@ -214,12 +214,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
 
-    from accumulo_wikisearch_spark.operators import dedup, multimodal, similarity, textstats
+    from accumulo_wikisearch_spark.operators import (
+        analytics,
+        dedup,
+        multimodal,
+        similarity,
+        textstats,
+    )
 
     out.update(dedup.queries())
     out.update(similarity.queries())
     out.update(textstats.queries())
     out.update(multimodal.queries())
+    out.update(analytics.queries())
     return out
 
 
@@ -250,10 +257,17 @@ def oracle_sql() -> dict[str, str]:
     for name, (_jexl, where) in EV_QUERIES.items():
         out[name] = f"SELECT event_id FROM events WHERE {where}"
 
-    from accumulo_wikisearch_spark.operators import dedup, multimodal, similarity, textstats
+    from accumulo_wikisearch_spark.operators import (
+        analytics,
+        dedup,
+        multimodal,
+        similarity,
+        textstats,
+    )
 
     out.update(dedup.oracle_sql())
     out.update(similarity.oracle_sql())
     out.update(textstats.oracle_sql())
     out.update(multimodal.oracle_sql())
+    out.update(analytics.oracle_sql())
     return out

@@ -1,0 +1,130 @@
+"""Time-window analytics over the events stream table.
+
+The batch twin of the Structured Streaming shape: tumbling-window
+aggregation with ``F.window`` is exactly what ``readStream … groupBy(window
+(ts, '1 hour'))`` executes per micro-batch, so correctness proven here
+carries to the streaming deployment (same Catalyst plan, plus watermarking).
+
+Outputs are integer-only (epoch seconds, counts) for oracle hash-stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.session import tune_runtime
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts is nanos-since-epoch LONG under nanosAsLong (see session.py)
+    # integer `div`, not `/`: float division of an ~1e18 nanos value loses
+    # precision below double's 53-bit mantissa
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts + distinct users per (window, event_type)."""
+    w = F.window(F.col("ts"), width)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session assignment per user: a new session starts after a gap ≥
+    ``gap_minutes``. Classic gaps-and-islands via lag + running sum — one
+    shuffle on user_id; at scale this is the standard sessionization plan
+    (or ``applyInPandasWithState`` in streaming)."""
+    from pyspark.sql import Window
+
+    uw = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(uw)
+    new_sess = (gap.isNull() | (gap >= gap_minutes * 60)).cast("int")
+    return (
+        events.withColumn("_new", new_sess)
+        .withColumn("session_seq", F.sum("_new").over(uw))
+        .drop("_new")
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session stats: events per session, span seconds (integers)."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+        ).alias("span_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver registry
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    def _windowed(spark, sf_dir):
+        tune_runtime(spark)
+        return windowed_event_counts(load_events(spark, sf_dir))
+
+    def _sessions(spark, sf_dir):
+        tune_runtime(spark)
+        return session_stats(load_events(spark, sf_dir))
+
+    return {
+        "ev_windowed_counts": _windowed,
+        "ev_session_stats": _sessions,
+    }
+
+
+_WINDOWED_SQL = """
+SELECT
+  epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+  event_type,
+  count(*)::BIGINT AS n_events,
+  count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         floor(epoch(ts))::BIGINT AS t,
+         lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+  FROM events
+),
+m AS (
+  SELECT user_id, t,
+         CASE WHEN pt IS NULL OR t - pt >= 1800 THEN 1 ELSE 0 END AS nw
+  FROM o
+),
+s AS (
+  SELECT user_id, t,
+         SUM(nw) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM m
+)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS span_seconds
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def oracle_sql():
+    return {
+        "ev_windowed_counts": _WINDOWED_SQL,
+        "ev_session_stats": _SESSION_SQL,
+    }

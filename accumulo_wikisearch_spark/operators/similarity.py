@@ -119,6 +119,95 @@ def topk_lsh(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed-cell re-rank
+# ---------------------------------------------------------------------------
+
+
+def _centroid_lit(centroids: list[tuple[int, list[float]]]) -> Column:
+    """Centroid set as ONE array<struct<cell,cvec>> literal. Kept to a single
+    compact expression (n_cells × dim literal leaves) so the Catalyst tree
+    stays small — a chained-``when`` argmax over per-centroid cosines
+    duplicates the cosine subtree per branch and blows up analysis."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+
+
+def _cell_scores(v: Column, cents: Column) -> Column:
+    """array<struct<s,cell>>: cosine of ``v`` against every centroid.
+    Higher-order ``transform`` — evaluated per row JVM-side, one cosine
+    expression in the plan regardless of n_cells."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(_cosine(v, c["cvec"]).alias("s"), c["cell"].alias("cell")),
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Assign each vector to its nearest centroid (coarse quantizer).
+
+    The centroid set is tiny and enters the plan as literals — a narrow map
+    over the corpus, NO shuffle (``array_max`` over struct scores is the
+    argmax). At 100 TB the assignment is one pass; a partitioned-by-cell
+    layout then makes each query touch only probed cells.
+    """
+    v = _as_double(F.col("embedding"))
+    best = F.array_max(_cell_scores(v, _centroid_lit(centroids)))
+    return emb.select(F.col("vec_id"), v.alias("v"), best["cell"].alias("cell"))
+
+
+def take_centroids(emb: DataFrame, n_cells: int = 16) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the first n_cells corpus vectors
+    (k-means init stand-in; a Lloyd refinement would slot in here)."""
+    rows = emb.orderBy("vec_id").limit(n_cells).collect()
+    return [(i, list(r["embedding"])) for i, r in enumerate(rows)]
+
+
+def topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k probing the ``nprobe`` nearest cells per query.
+
+    corpus→cell assignment shuffles once on cell; queries broadcast with
+    their probe lists; candidates ∝ corpus × (nprobe / n_cells).
+    """
+    cents = take_centroids(emb, n_cells)
+    corpus = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "cell"
+    )
+    qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+    # per-query probe cells: rank centroids by cosine, take nprobe
+    scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
+    probes = qv.select(
+        "query_id",
+        "qv",
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
+    ).select("query_id", "qv", F.explode(F.col("probes.cell")).alias("cell"))
+    scored = corpus.join(F.broadcast(probes), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
 
@@ -133,8 +222,9 @@ def queries():
         "ann_topk_bruteforce": lambda s, d: topk_bruteforce(
             _emb(s, d), self_queries(_emb(s, d))
         ),
-        # LSH variant: recall-bounded, no SQL oracle (rows-only check)
+        # LSH/IVF variants: recall-bounded, no SQL oracle (rows-only check)
         "ann_topk_lsh": lambda s, d: topk_lsh(_emb(s, d), self_queries(_emb(s, d))),
+        "ann_topk_ivf": lambda s, d: topk_ivf(_emb(s, d), self_queries(_emb(s, d))),
     }
 
 

@@ -338,11 +338,10 @@ class Planner:
                 out = fi.where(cond).join(F.broadcast(vals), "norm_value", "left_semi")
             else:
                 out = fi.where(cond & v.rlike(anchored))
-            if not (m_trail and False):
-                out = out.where(v.rlike(anchored))
-        return out.select("partition_id", "doc_id").dropDuplicates(
-            ["partition_id", "doc_id"]
-        )
+            out = out.where(v.rlike(anchored))
+        # no dedup: duplicates (multi-valued matches) are absorbed by the
+        # left-semi joins downstream — a shuffle saved per leaf
+        return out.select("partition_id", "doc_id")
 
     def _est(self, n: IxNode, card: dict) -> int:
         big = 1 << 60
@@ -394,7 +393,10 @@ class Planner:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            return out.dropDuplicates(["partition_id", "doc_id"])
+            # union kept duplicate-tolerant: the final docs_wide left-semi
+            # join dedups for free (each doc emitted at most once), so the
+            # OR needs no distinct shuffle (heap-merge union analogue, P4)
+            return out
         raise AssertionError(n)
 
 
