@@ -132,7 +132,13 @@ def build_index(
         .withColumn("field", F.lit("TEXT"))
         .select("partition_id", "field", "norm_value", "language", "doc_id")
     )
-    field_index = scalar_fi.unionByName(text_fi).distinct()
+    # No distinct() here: tokenize_col already emits distinct tokens per doc
+    # and each scalar field contributes exactly one row per (doc, field), so
+    # (field, norm_value, doc_id) rows are unique by construction — skipping
+    # the dedup avoids a full shuffle of the largest intermediate at scale.
+    # The guard below is what keeps that invariant true.
+    assert "TEXT" not in scalar_fields, "TEXT is reserved for tokenized body text"
+    field_index = scalar_fi.unionByName(text_fi)
 
     # --- global index with two-tier degradation (A1) -----------------------
     gi_keys = ["norm_value", "field", "partition_id", "language"]
