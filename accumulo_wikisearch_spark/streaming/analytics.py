@@ -1,0 +1,126 @@
+"""Streaming event analytics: watermarked windowed aggregation and a custom
+stateful sessionization operator.
+
+These are the streaming twins of ``operators/analytics.py`` (same logical
+plans, proven correct there against the DuckDB oracle in batch mode):
+
+- ``windowed_counts_stream``: ``withWatermark`` + tumbling ``F.window``
+  groupBy — Spark maintains per-window partial state and finalizes windows
+  once the watermark passes, so late events within the tolerance still land
+  in their window.
+- ``sessionize_stream``: gaps-and-islands sessionization as a custom
+  stateful operator via ``applyInPandasWithState`` — per-user session state
+  carried across micro-batches, closed sessions emitted when the gap is
+  observed or the state times out.
+
+Scale posture: both shapes shuffle once on their grouping key per
+micro-batch; state is partitioned by key across executors (RocksDB/HDFS
+state store on a real cluster), so state size is O(active keys), not
+O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_counts_stream(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data tolerance.
+
+    Identical logical plan to the batch ``windowed_event_counts`` plus the
+    watermark operator; exact ``countDistinct`` is disallowed in streaming,
+    so the user count is ``approx_count_distinct`` (HLL, mergeable state).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events int, closed boolean"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n int"
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Per-user sessionization across micro-batches (custom stateful op).
+
+    ``events`` needs (user_id LONG, ts castable to LONG seconds). Emits one
+    row per *closed* session (gap observed or state timeout) plus the
+    currently-open session (``closed = false``) on every update, so
+    downstream consumers can show live session state.
+
+    The batch twin (``operators/analytics.sessionize``) is the lag+running-
+    sum window plan; this is the same truth table evaluated incrementally.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cols = ["user_id", "session_start", "session_end", "n_events", "closed"]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start, last, n, True)], columns=cols)
+            return
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        out = []
+        parts = [pdf["t"] for pdf in pdfs]
+        ts = pd.concat(parts).sort_values() if parts else pd.Series([], dtype="int64")
+        for t in ts:
+            t = int(t)
+            if start is None:
+                start = last = t
+                n = 1
+            elif t < last:
+                # late event (cross-batch disorder): fold into the open
+                # session when within gap of it, else drop — the same
+                # policy a watermark enforces for windowed aggs
+                if t >= start - gap_seconds:
+                    start = min(start, t)
+                    n += 1
+            elif t - last >= gap_seconds:
+                out.append((user_id, start, last, n, True))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutDuration(gap_seconds * 1000)
+            out.append((user_id, start, last, n, False))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    prepared = events.select(F.col("user_id"), F.col("ts").cast("long").alias("t"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

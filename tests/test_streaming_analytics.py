@@ -1,0 +1,105 @@
+"""Streaming analytics tests: watermarked windowed aggregation and the
+applyInPandasWithState sessionizer, run as live micro-batch streams over a
+file source (maxFilesPerTrigger=1 forces multiple batches so cross-batch
+state carry-over is actually exercised)."""
+
+import tempfile
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.streaming.analytics import (
+    sessionize_stream,
+    windowed_counts_stream,
+)
+
+EVENT_SCHEMA = "user_id long, ts long, event_type string"
+
+
+def _run_stream(df, name, output_mode="update", timeout_s=120):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def test_windowed_counts_stream(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = [
+            (1, 100, "click"),
+            (2, 200, "click"),
+            (1, 3700, "view"),  # next hour window
+        ]
+        spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(f"{tmp}/in/b0")
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .parquet(f"{tmp}/in/*")
+            .withColumn("ts", F.timestamp_seconds("ts"))
+        )
+        _run_stream(windowed_counts_stream(stream), "win_counts")
+        got = {
+            (r["window_start"].timestamp(), r["event_type"]): (
+                r["n_events"],
+                r["n_users_approx"],
+            )
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        assert got[(0.0, "click")] == (2, 2)
+        assert got[(3600.0, "view")] == (1, 1)
+
+
+def test_sessionize_stream_across_batches(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        # batch 0: two events 100s apart; batch 1: one more in-session event
+        # and one far-future event that closes the session (gap >= 1800)
+        # coalesce(1): one file per batch, so maxFilesPerTrigger=1 yields
+        # exactly two ordered micro-batches
+        spark.createDataFrame(
+            [(1, 0, "x"), (1, 100, "x")], EVENT_SCHEMA
+        ).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        b0_done = time.time()
+        spark.createDataFrame(
+            [(1, 200, "x"), (1, 5000, "x")], EVENT_SCHEMA
+        ).coalesce(1).write.parquet(f"{tmp}/in/b1")
+
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        _run_stream(sessionize_stream(stream), "sessions")
+        rows = spark.sql("SELECT * FROM sessions ORDER BY session_start").collect()
+        assert b0_done  # silence lint; ordering of file pickup is by path
+
+        closed = [r for r in rows if r["closed"]]
+        assert len(closed) == 1
+        c = closed[0]
+        # events 0,100,200 form one session (closed by the 5000 event);
+        # cross-batch continuity means n_events counts all three
+        assert (c["session_start"], c["session_end"], c["n_events"]) == (0, 200, 3)
+        open_rows = [r for r in rows if not r["closed"]]
+        assert any(
+            (r["session_start"], r["n_events"]) == (5000, 1) for r in open_rows
+        )
+
+
+@pytest.mark.parametrize("gap", [1800])
+def test_sessionize_single_batch_splits(spark, gap):
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(7, 0, "x"), (7, 10, "x"), (7, 10_000, "x")], EVENT_SCHEMA
+        ).write.parquet(f"{tmp}/in/b0")
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(f"{tmp}/in/*")
+        _run_stream(sessionize_stream(stream, gap_seconds=gap), "sessions_one")
+        rows = spark.sql("SELECT * FROM sessions_one").collect()
+        closed = [r for r in rows if r["closed"]]
+        assert [(r["session_start"], r["session_end"], r["n_events"]) for r in closed] == [
+            (0, 10, 2)
+        ]
