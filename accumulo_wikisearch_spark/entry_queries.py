@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         analytics,
         dedup,
         multimodal,
+        relational,
         similarity,
         textstats,
     )
@@ -227,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textstats.queries())
     out.update(multimodal.queries())
     out.update(analytics.queries())
+    out.update(relational.queries())
     return out
 
 
@@ -261,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         analytics,
         dedup,
         multimodal,
+        relational,
         similarity,
         textstats,
     )
@@ -270,4 +273,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(textstats.oracle_sql())
     out.update(multimodal.oracle_sql())
     out.update(analytics.oracle_sql())
+    out.update(relational.oracle_sql())
     return out

@@ -1,0 +1,235 @@
+"""General relational analytics over the warehouse tables — the engine's
+join / aggregation / window surface, shaped after classic decision-support
+queries (scan-heavy agg, multi-way join with broadcast dims, semi-join
+EXISTS, per-group window top-k).
+
+The reference has no user-level joins or grouping (SURVEY.md §2.6); these
+operators are part of the engine's declared Spark-native extension surface,
+alongside the dedup/ANN/text operators.
+
+Scale notes, per query:
+- ``pricing_summary``: single scan of the fact table, filter pushed to
+  parquet, partial (map-side) aggregation; output cardinality = #(flag ×
+  status). The canonical 100 TB-friendly shape.
+- ``revenue_by_nation``: fact ⋈ facts shuffle on orderkey; all dimension
+  joins (customer→nation→region) are broadcasts — no shuffle for dims.
+- ``order_priority_count``: EXISTS via left-semi join, shuffle on orderkey
+  only; counts aggregate map-side.
+- ``top_customers_by_segment``: groupBy shuffle then a window over small
+  per-segment groups; rank cutoff prunes before the final projection.
+
+Monetary aggregates are integer cents (``round(x*100)::BIGINT`` per row
+before summing) so results are hash-exact across Spark and DuckDB — double
+summation order would otherwise differ in the last ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.session import tune_runtime
+
+# warehouse timestamps load as TIMESTAMP_NTZ; date bounds become NTZ
+# literals so comparisons stay pushdown-eligible
+
+
+def _ts(date_str: str) -> F.Column:
+    return F.lit(date_str).cast("timestamp_ntz")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_runtime(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """Per (returnflag, linestatus) rollup of shipped lineitems (Q1 shape)."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= _ts(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    from_date: str = "1996-01-01",
+    to_date: str = "1997-01-01",
+) -> DataFrame:
+    """Revenue per nation for one region and order-date year (Q5 shape).
+
+    Dimension chain region→nation→customer broadcast-joined; the only
+    shuffle is lineitem ⋈ orders on orderkey.
+    """
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name") == region_name)
+        .select("c_custkey", "n_name")
+    )
+    ords = orders.where(
+        (F.col("o_orderdate") >= _ts(from_date))
+        & (F.col("o_orderdate") < _ts(to_date))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select(
+            "l_orderkey",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev_cents"
+            ),
+        )
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+    )
+
+
+def order_priority_count(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    from_date: str = "1996-01-01",
+    to_date: str = "1996-04-01",
+) -> DataFrame:
+    """Orders per priority that have ≥1 lineitem (EXISTS → left-semi, Q4 shape)."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= _ts(from_date))
+        & (F.col("o_orderdate") < _ts(to_date))
+    )
+    with_items = ords.join(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey",
+        "left_semi",
+    )
+    return with_items.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def top_customers_by_segment(
+    orders: DataFrame, customer: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-k customers by total order value within each market segment
+    (groupBy + rank window; deterministic tie-break on custkey)."""
+    totals = (
+        orders.select("o_custkey", _cents(F.col("o_totalprice")).alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("total_cents"), F.count("*").alias("n_orders"))
+    )
+    ranked = totals.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        totals["o_custkey"] == customer["c_custkey"],
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_cents"), F.asc("c_custkey")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "total_cents",
+            "n_orders",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver registry
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "rel_pricing_summary": lambda s, d: pricing_summary(_t(s, d, "lineitem")),
+        "rel_revenue_by_nation": lambda s, d: revenue_by_nation(
+            _t(s, d, "lineitem"),
+            _t(s, d, "orders"),
+            _t(s, d, "customer"),
+            _t(s, d, "nation"),
+            _t(s, d, "region"),
+        ),
+        "rel_order_priority": lambda s, d: order_priority_count(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "rel_top_customers": lambda s, d: top_customers_by_segment(
+            _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+    }
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::BIGINT) AS sum_qty,
+  sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
+  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS sum_disc_cents,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_REVENUE_SQL = """
+SELECT n_name, sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+_TOPCUST_SQL = """
+WITH totals AS (
+  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) AS total_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, c_custkey, total_cents, n_orders,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY total_cents DESC, c_custkey ASC) AS rank
+  FROM totals JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, c_custkey, total_cents, n_orders, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def oracle_sql():
+    return {
+        "rel_pricing_summary": _PRICING_SQL,
+        "rel_revenue_by_nation": _REVENUE_SQL,
+        "rel_order_priority": _PRIORITY_SQL,
+        "rel_top_customers": _TOPCUST_SQL,
+    }

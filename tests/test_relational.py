@@ -1,0 +1,63 @@
+"""Relational analytics operator tests on tiny in-memory frames (the
+oracle gate covers the full parquet tables; these pin the semantics)."""
+
+import datetime
+
+from accumulo_wikisearch_spark.operators.relational import (
+    order_priority_count,
+    pricing_summary,
+    top_customers_by_segment,
+)
+
+TS = datetime.datetime
+
+
+def test_pricing_summary_cents_and_cutoff(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 2.0, 10.005, 0.0, "A", "F", TS(1996, 1, 1)),
+            (2, 3.0, 20.00, 0.5, "A", "F", TS(1996, 1, 2)),
+            (3, 1.0, 99.99, 0.0, "A", "F", TS(1999, 1, 1)),  # past cutoff
+        ],
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp_ntz",
+    )
+    r = pricing_summary(li).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["sum_qty"] == 5
+    # 10.005*100 rounds half-up to 1001; 20.0 → 2000
+    assert row["sum_base_cents"] == 1001 + 2000
+    assert row["sum_disc_cents"] == 1001 + 1000
+    assert row["count_order"] == 2
+
+
+def test_order_priority_semi_join(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", TS(1996, 2, 1)),
+            (2, "1-URGENT", TS(1996, 2, 2)),  # no lineitems → dropped
+            (3, "5-LOW", TS(1995, 1, 1)),  # out of window
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp_ntz",
+    )
+    li = spark.createDataFrame([(1,), (1,), (3,)], "l_orderkey long")
+    got = {r["o_orderpriority"]: r["order_count"] for r in order_priority_count(orders, li).collect()}
+    # order 1 counted ONCE despite two lineitems (semi-join, not inner)
+    assert got == {"1-URGENT": 1}
+
+
+def test_top_customers_rank_and_ties(spark):
+    orders = spark.createDataFrame(
+        [(10, 5.0), (10, 5.0), (20, 10.0), (30, 10.0), (40, 1.0)],
+        "o_custkey long, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(10, "SEG"), (20, "SEG"), (30, "SEG"), (40, "SEG")],
+        "c_custkey long, c_mktsegment string",
+    )
+    rows = top_customers_by_segment(orders, cust, k=3).collect()
+    ranked = sorted((r["rank"], r["c_custkey"]) for r in rows)
+    # 10 and 20 and 30 tie at 1000 cents; tie-break ascending custkey
+    assert ranked == [(1, 10), (2, 20), (3, 30)]
