@@ -155,6 +155,27 @@ def top_customers_by_segment(
     )
 
 
+def pricing_rollup(lineitem: DataFrame) -> DataFrame:
+    """Hierarchical subtotals over (returnflag, linestatus) via ROLLUP —
+    grand total + per-flag subtotals + leaf groups in one pass (one shuffle;
+    Spark expands grouping sets map-side). ``lvl`` = GROUPING_ID so the
+    subtotal rows are distinguishable from genuine NULL keys."""
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("count_order"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )
+
+
+def pricing_cube(lineitem: DataFrame) -> DataFrame:
+    """All 2^k grouping-set combinations over (returnflag, linestatus)."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("count_order"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
@@ -176,6 +197,8 @@ def queries():
         "rel_top_customers": lambda s, d: top_customers_by_segment(
             _t(s, d, "orders"), _t(s, d, "customer")
         ),
+        "rel_pricing_rollup": lambda s, d: pricing_rollup(_t(s, d, "lineitem")),
+        "rel_pricing_cube": lambda s, d: pricing_cube(_t(s, d, "lineitem")),
     }
 
 
@@ -226,10 +249,29 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::BIGINT) AS sum_qty,
+  count(*) AS count_order,
+  grouping(l_returnflag, l_linestatus)::INTEGER AS lvl
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::BIGINT) AS sum_qty,
+  count(*) AS count_order,
+  grouping(l_returnflag, l_linestatus)::INTEGER AS lvl
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def oracle_sql():
     return {
         "rel_pricing_summary": _PRICING_SQL,
         "rel_revenue_by_nation": _REVENUE_SQL,
         "rel_order_priority": _PRIORITY_SQL,
         "rel_top_customers": _TOPCUST_SQL,
+        "rel_pricing_rollup": _ROLLUP_SQL,
+        "rel_pricing_cube": _CUBE_SQL,
     }

@@ -82,6 +82,16 @@ def main() -> None:
     timed("text_quality", lambda: textstats.text_quality(docs).count())
     timed("doc_fingerprint", lambda: textstats.doc_fingerprint(docs).count())
 
+    from accumulo_wikisearch_spark.operators import analytics, relational
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    events = analytics.load_events(spark, sf_dir)
+    timed("rel_pricing_summary", lambda: relational.pricing_summary(lineitem).count())
+    timed(
+        "ev_windowed_counts",
+        lambda: analytics.windowed_event_counts(events).count(),
+    )
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
