@@ -84,9 +84,17 @@ _CMP = {
 }
 
 
-def compile_predicate(node: ast.Node, fields_col: Column | None = None) -> Column:
+def compile_predicate(
+    node: ast.Node,
+    fields_col: Column | None = None,
+    skip_fields: frozenset[str] = frozenset(),
+) -> Column:
     """Compile an AST into a boolean Column over the ``fields`` map column
-    of docs_wide (map<string, array<string>> of normalized values)."""
+    of docs_wide (map<string, array<string>> of normalized values).
+
+    ``skip_fields``: unevaluated fields (Q15) — positive comparisons on them
+    compile to TRUE because the caller guarantees the index semi-join already
+    enforced them exactly. Negated ops are never skipped."""
     fields = fields_col if fields_col is not None else F.col("fields")
 
     def go(n: ast.Node) -> Column:
@@ -110,6 +118,8 @@ def compile_predicate(node: ast.Node, fields_col: Column | None = None) -> Colum
             vals = F.flatten(F.map_values(fields))
             return F.coalesce(F.exists(vals, lambda v: v == F.lit(s)), F.lit(False))
         negated, pred = _value_pred(n)
+        if n.field in skip_fields and not negated and isinstance(n, ast.Cmp) and not n.abs:
+            return F.lit(True)
         vals = fields.getItem(n.field)
         any_match = F.coalesce(
             F.exists(vals, lambda v: F.coalesce(pred(v), F.lit(False))), F.lit(False)

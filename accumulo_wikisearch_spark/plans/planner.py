@@ -156,12 +156,21 @@ _RANGE_OPS = {ast.GT: ("lo", False), ast.GE: ("lo", True), ast.LT: ("hi", False)
 
 def reduce_to_index_tree(
     n: ast.Node, indexed: set[str], multi_value: frozenset[str]
-) -> Optional[IxNode]:
+) -> tuple[Optional[IxNode], bool]:
     """AND: keep drivable children (≥1 required); OR: all children must be
-    drivable, else the whole OR is not (AbstractQueryLogic.java:560-587)."""
+    drivable, else the whole OR is not (AbstractQueryLogic.java:560-587).
+
+    Returns ``(tree, exact)``: ``exact`` means the candidate set the tree
+    produces equals this subtree's true match set — no child was demoted to
+    event-side-only, no lone range bound dropped, no approximate leaf. When
+    the WHOLE query is exact, predicates on ``unevaluated_fields`` can be
+    trusted from the index and skipped at re-evaluation (Q15 —
+    AbstractQueryLogic.java:536-539, AbstractEvaluatingIterator.java:293-301).
+    """
     if isinstance(n, ast.And):
         pos: list[IxNode] = []
         neg: list[IxLeaf] = []
+        exact = True
         # fuse bounded range pairs per field (O8)
         bounds: dict[str, dict[str, tuple[str, bool]]] = {}
         for c in n.children:
@@ -174,37 +183,54 @@ def reduce_to_index_tree(
             ):
                 side, incl = _RANGE_OPS[c.op]
                 b = bounds.setdefault(c.field, {})
-                # keep the tightest bound if repeated
+                if side in b:
+                    # repeated same-side bound: the index leaf keeps only
+                    # one, so coverage is a superset — not exact
+                    exact = False
                 b[side] = (_norm_literal(c.literal), incl)
                 continue
-            sub = reduce_to_index_tree(c, indexed, multi_value)
+            sub, sub_exact = reduce_to_index_tree(c, indexed, multi_value)
             if sub is not None:
                 pos.append(sub)
+                exact = exact and sub_exact
             else:
                 nleaf = _negated_ix(c, indexed, multi_value)
                 if nleaf is not None:
-                    neg.append(nleaf)
+                    neg.append(nleaf)  # anti-join enforces NE exactly
+                else:
+                    exact = False  # demoted to event-side post-filter
         for fld, b in bounds.items():
             if "lo" in b and "hi" in b:
                 (lo, lo_i), (hi, hi_i) = b["lo"], b["hi"]
                 pos.append(
                     IxLeaf(fld, "range", lo=lo, hi=hi, lo_incl=lo_i, hi_incl=hi_i)
                 )
-            # unbounded side → event-side only (rejected from index path)
+            else:
+                # unbounded side → event-side only (RangeCalculator.java:495-498)
+                exact = False
         if not pos:
-            return None
-        return IxAnd(tuple(pos + neg)) if (len(pos) + len(neg)) > 1 else pos[0]
+            return None, False
+        tree = IxAnd(tuple(pos + neg)) if (len(pos) + len(neg)) > 1 else pos[0]
+        return tree, exact
     if isinstance(n, ast.Or):
         kids = []
+        exact = True
         for c in n.children:
-            sub = reduce_to_index_tree(c, indexed, multi_value)
+            sub, sub_exact = reduce_to_index_tree(c, indexed, multi_value)
             if sub is None:
-                return None
+                return None, False
             kids.append(sub)
-        return IxOr(tuple(kids)) if len(kids) > 1 else kids[0]
+            exact = exact and sub_exact
+        return (IxOr(tuple(kids)) if len(kids) > 1 else kids[0]), exact
     if isinstance(n, ast.Not):
-        return None
-    return _leaf_to_ix(n, indexed, multi_value)
+        return None, False
+    leaf = _leaf_to_ix(n, indexed, multi_value)
+    if leaf is None:
+        return None, False
+    # regex leaves are conservatively inexact (evaluator DOTALL/anchoring
+    # nuances); eq and fused ranges compare the same normalized values the
+    # evaluator sees, so they are exact
+    return leaf, leaf.kind != "regex"
 
 
 # ---------------------------------------------------------------------------
@@ -422,18 +448,25 @@ def run_query(
     planner = Planner(index, multi_value_fields, card_cache)
     nnf = to_nnf(node)
     nnf = planner.expand_unfielded(nnf, auths)
-    pred = compile_predicate(nnf)
     docs = index.docs_wide
     sec = F.col("language").isin(*auths) if auths else F.lit(True)
 
-    tree = None
+    tree, exact = None, False
     if force_path != "fullscan":
-        tree = reduce_to_index_tree(nnf, planner.indexed_fields(), multi_value_fields)
+        tree, exact = reduce_to_index_tree(
+            nnf, planner.indexed_fields(), multi_value_fields
+        )
     if tree is None or force_path == "fullscan":
-        result = docs.where(sec & pred)
+        result = docs.where(sec & compile_predicate(nnf))
         path = "fullscan"
     else:
         cand = planner.candidates(tree, auths)
+        # Q15: when the index tree covers the query exactly, predicates on
+        # unevaluated fields are trusted from the semi-join and skipped in
+        # the re-verify — the reference's TEXT optimization
+        # (AbstractQueryLogic.java:777-790)
+        skip = index.config.unevaluated_fields if exact else frozenset()
+        pred = compile_predicate(nnf, skip_fields=skip)
         result = docs.join(cand, ["partition_id", "doc_id"], "left_semi").where(
             sec & pred
         )

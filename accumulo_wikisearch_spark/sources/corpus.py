@@ -38,7 +38,9 @@ _ENGINES: dict[tuple, Wikisearch] = {}
 def get_engine(
     spark: SparkSession, sf_dir: str, config: EngineConfig | None = None
 ) -> Wikisearch:
-    config = config or EngineConfig()
+    # TEXT is unevaluated (trusted from the index when coverage is exact),
+    # matching the reference's query setup (Query.java:245 sets TEXT)
+    config = config or EngineConfig(unevaluated_fields=frozenset({"TEXT"}))
     key = ("documents", sf_dir, config)
     eng = _ENGINES.get(key)
     if eng is None:

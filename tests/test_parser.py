@@ -72,3 +72,35 @@ def test_nnf_demorgan():
 def test_nnf_flips_ranges():
     n = to_nnf(parse("not (A < '5')"))
     assert n == ast.Cmp("A", ">=", "5")
+
+
+def test_index_tree_exactness_flags():
+    # Q15 precondition: exact coverage iff no leaf was demoted/approximated
+    from accumulo_wikisearch_spark.plans.parser import parse
+    from accumulo_wikisearch_spark.plans.planner import reduce_to_index_tree, to_nnf
+
+    indexed = {"TEXT", "SOURCE", "NCHARS"}
+    mv = frozenset({"TEXT"})
+
+    def reduce(q):
+        return reduce_to_index_tree(to_nnf(parse(q)), indexed, mv)
+
+    t, exact = reduce("TEXT == 'a' and SOURCE == 'b'")
+    assert t is not None and exact
+    t, exact = reduce("TEXT == 'a' or (SOURCE == 'b' and TEXT == 'c')")
+    assert t is not None and exact
+    # NE on single-valued field → anti-join, still exact
+    t, exact = reduce("TEXT == 'a' and SOURCE != 'b'")
+    assert t is not None and exact
+    # regex leaf → drivable but approximate
+    t, exact = reduce("SOURCE =~ 'src1.*'")
+    assert t is not None and not exact
+    # unbounded range → demoted → inexact
+    t, exact = reduce("TEXT == 'a' and NCHARS > '100'")
+    assert t is not None and not exact
+    # bounded pair → exact
+    t, exact = reduce("NCHARS >= '100' and NCHARS < '200'")
+    assert t is not None and exact
+    # non-indexed field conjunct → demoted → inexact
+    t, exact = reduce("TEXT == 'a' and OTHER == 'x'")
+    assert t is not None and not exact
