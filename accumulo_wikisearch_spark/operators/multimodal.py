@@ -110,6 +110,75 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def resize_image(
+    media: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """Image resize stub — bytes in, (smaller) bytes out, 1:1 rows.
+
+    The real kernel is a per-row PIL/cv2 call inside the same mapInPandas;
+    the fake path truncates the payload deterministically so batch shapes
+    and downstream schema are exercised. No shuffle either way."""
+
+    def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height // 64  # stand-in compression factor
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(lambda b: bytes(b)[:target]),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    if fake:
+        return media.mapInPandas(fake_resize, RESIZED_SCHEMA)
+    raise NotImplementedError(
+        "image resize requires an imaging library (PIL/cv2) not present in "
+        "this container; wire the real kernel into the same mapInPandas shape"
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8, fake: bool = False
+) -> DataFrame:
+    """Video frame sampling stub — 1:N row expansion (one row per sampled
+    frame), the shape that matters for partition sizing: output rows ∝
+    payload size, so at scale the input should be repartitioned by size
+    before this pass to avoid straggler partitions.
+
+    Fake path slices the payload every ``every_n_bytes`` as stand-in
+    "frames"; a real kernel seeks keyframes with pyav/ffmpeg."""
+
+    def fake_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    if fake:
+        return media.mapInPandas(fake_sample, FRAME_SCHEMA)
+    raise NotImplementedError(
+        "frame sampling requires a video library (pyav/ffmpeg) not present "
+        "in this container; wire the real kernel into the same mapInPandas shape"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------

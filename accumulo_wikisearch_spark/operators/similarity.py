@@ -208,6 +208,31 @@ def topk_ivf(
 
 
 # ---------------------------------------------------------------------------
+# int8 quantization — the storage/compute scale path for embeddings
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    q[i] = round(x[i] / scale). 4× smaller storage and int-dot-product
+    re-rank at scale; one narrow pass, JVM-side (no UDF).
+
+    ``scale_e6`` is the scale in integer micro-units so the operator stays
+    hash-exact against the SQL oracle (float columns would hash-drift)."""
+    v = _as_double(F.col("embedding"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.when(
+        mx == 0, F.transform(v, lambda x: F.lit(0).cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.round(x / scale).cast("int")))
+    return emb.select(
+        "vec_id",
+        F.round(scale * 1_000_000).cast("long").alias("scale_e6"),
+        q.alias("q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
 
@@ -225,6 +250,7 @@ def queries():
         # LSH/IVF variants: recall-bounded, no SQL oracle (rows-only check)
         "ann_topk_lsh": lambda s, d: topk_lsh(_emb(s, d), self_queries(_emb(s, d))),
         "ann_topk_ivf": lambda s, d: topk_ivf(_emb(s, d), self_queries(_emb(s, d))),
+        "emb_quantize_int8": lambda s, d: quantize_int8(_emb(s, d)),
     }
 
 
@@ -246,5 +272,20 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= 10
 """
 
 
+_QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v
+)
+SELECT vec_id,
+  round(scale * 1000000)::BIGINT AS scale_e6,
+  CASE WHEN scale = 0 THEN list_transform(v, x -> 0::INTEGER)
+       ELSE list_transform(v, x -> round(x / scale)::INTEGER) END AS q
+FROM s
+"""
+
+
 def oracle_sql():
-    return {"ann_topk_bruteforce": _TOPK_SQL}
+    return {"ann_topk_bruteforce": _TOPK_SQL, "emb_quantize_int8": _QUANT_SQL}

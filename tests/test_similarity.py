@@ -63,3 +63,12 @@ def test_ivf_partial_probe_subset(emb):
     assert all(1 <= r["rank"] <= 10 for r in rows)
     # and substantially overlap the exact answer on this corpus
     assert len(_pairs(part) & full) >= 25
+
+def test_quantize_int8_roundtrip(emb):
+    q = similarity.quantize_int8(emb).collect()
+    assert len(q) == emb.count()
+    for r in q[:10]:
+        assert all(-127 <= x <= 127 for x in r["q"])
+        assert r["scale_e6"] >= 0
+    # max-|x| component must quantize to ±127 (symmetric scheme)
+    assert all(max(abs(x) for x in r["q"]) == 127 for r in q[:10] if r["scale_e6"] > 0)

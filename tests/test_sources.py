@@ -102,3 +102,19 @@ def test_multimodal_real_decode_raises(spark):
         assert False, "expected NotImplementedError"
     except NotImplementedError:
         pass
+
+
+def test_multimodal_resize_and_frames(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 1000), (2, "y" * 100)], "doc_id long, text string"
+    )
+    media = multimodal.attach_payload(docs, kind="video")
+    resized = {r["doc_id"]: r for r in multimodal.resize_image(media, 32, 32, fake=True).collect()}
+    assert resized[1]["width"] == 32 and len(resized[1]["payload"]) == 32 * 32 // 64
+    frames = multimodal.sample_frames(media, every_n_bytes=256, fake=True).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 1000 bytes → 3 frames; doc 2: 100 bytes → min 1 frame
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    assert by_doc[1][0]["frame_idx"] == 0 and len(bytes(by_doc[1][0]["frame"])) == 256
