@@ -41,8 +41,9 @@ class Wikisearch:
         config: EngineConfig | None = None,
         scalar_fields: dict[str, str] | None = None,
         text_col: str = "text",
+        unique_ids: bool = False,
     ) -> "Wikisearch":
-        return cls(build_index(articles, config, scalar_fields, text_col))
+        return cls(build_index(articles, config, scalar_fields, text_col, unique_ids))
 
     def query(
         self,

@@ -84,12 +84,21 @@ def build_index(
     config: EngineConfig | None = None,
     scalar_fields: dict[str, str] | None = None,
     text_col: str = "text",
+    unique_ids: bool = False,
 ) -> WikisearchIndex:
     """Build the full catalog from an articles DataFrame.
 
     ``articles`` must have ``id`` (long), ``language`` (string), ``text_col``
     (string, nullable), plus the columns named in ``scalar_fields``
     (field name → source column).
+
+    ``unique_ids=True`` declares that (id, language) pairs are unique in the
+    batch (true for all bundled corpus adapters). That makes field-index
+    rows unique by construction, so the dedup shuffle and the docs_wide
+    merge shuffle are both skipped — the scale path. With the default
+    (False), repeated (id, language) rows are the multi-valued-field
+    mechanism (EventFields SetMultimap, query/.../parser/EventFields.java:
+    38-41): values for the same field union per document.
     """
     config = config or EngineConfig()
     scalar_fields = scalar_fields or DEFAULT_SCALAR_FIELDS
@@ -132,13 +141,15 @@ def build_index(
         .withColumn("field", F.lit("TEXT"))
         .select("partition_id", "field", "norm_value", "language", "doc_id")
     )
-    # No distinct() here: tokenize_col already emits distinct tokens per doc
-    # and each scalar field contributes exactly one row per (doc, field), so
-    # (field, norm_value, doc_id) rows are unique by construction — skipping
-    # the dedup avoids a full shuffle of the largest intermediate at scale.
-    # The guard below is what keeps that invariant true.
+    # With unique_ids, tokenize_col's distinct tokens + one row per
+    # (doc, scalar field) make field_index rows unique by construction — no
+    # dedup shuffle of the largest intermediate. Otherwise repeated
+    # (id, language) article rows require a distinct() for set semantics
+    # (duplicate postings would inflate global-index counts).
     assert "TEXT" not in scalar_fields, "TEXT is reserved for tokenized body text"
     field_index = scalar_fi.unionByName(text_fi)
+    if not unique_ids:
+        field_index = field_index.distinct()
 
     # --- global index with two-tier degradation (A1) -----------------------
     gi_keys = ["norm_value", "field", "partition_id", "language"]
@@ -213,14 +224,65 @@ def build_index(
     # --- pivoted doc view for predicate evaluation (P7) --------------------
     # Reference: EvaluatingIterator aggregates a doc's cells into EventFields
     # then evaluates the full JEXL expr (AbstractEvaluatingIterator.java:138-157).
-    per_field = field_index.groupBy("partition_id", "language", "doc_id", "field").agg(
-        F.collect_list("norm_value").alias("vals")
+    # Built straight from the article row — map_from_entries over per-row
+    # arrays — NOT by re-aggregating the exploded field_index: that shape
+    # costs two wide shuffles (collect_list × 2) for data each doc already
+    # holds. Zero shuffles this way; values are the same normalized strings
+    # the field_index carries, so index path and evaluator stay symmetric.
+    entry_structs = [
+        F.struct(
+            F.lit("TEXT").alias("field"),
+            tokenize_col(F.col(text_col)).alias("vals"),
+        )
+    ] + [
+        F.struct(
+            F.lit(fname).alias("field"),
+            F.filter(
+                F.array(normalize_col(F.col(col).cast("string"))),
+                lambda x: x.isNotNull(),
+            ).alias("vals"),
+        )
+        for fname, col in scalar_fields.items()
+    ]
+    fields_map = F.map_from_entries(
+        F.filter(
+            F.array(*entry_structs),
+            lambda e: e["vals"].isNotNull() & (F.size(e["vals"]) > 0),
+        )
     )
-    docs_wide = per_field.groupBy("partition_id", "language", "doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("field"), F.col("vals")))
-        ).alias("fields")
-    )
+    per_row = base.select(
+        "partition_id", "language", "doc_id", fields_map.alias("fields")
+    ).where(F.size(F.map_keys(F.col("fields"))) > 0)
+    if unique_ids:
+        docs_wide = per_row  # zero-shuffle pivot
+    else:
+        # one shuffle: union duplicate-id rows' maps key-by-key with set
+        # semantics (SetMultimap). Still cheaper than re-aggregating the
+        # exploded EAV rows (one exchange of article-count rows vs two
+        # exchanges of token-count rows).
+        empty_arr = F.array().cast("array<string>")
+        docs_wide = (
+            per_row.groupBy("partition_id", "language", "doc_id")
+            .agg(F.collect_list("fields").alias("_maps"))
+            .select(
+                "partition_id",
+                "language",
+                "doc_id",
+                F.aggregate(
+                    F.col("_maps"),
+                    F.create_map().cast("map<string,array<string>>"),
+                    lambda acc, m: F.map_zip_with(
+                        acc,
+                        m,
+                        lambda _k, v1, v2: F.array_distinct(
+                            F.concat(
+                                F.coalesce(v1, empty_arr), F.coalesce(v2, empty_arr)
+                            )
+                        ),
+                    ),
+                ).alias("fields"),
+            )
+        )
 
     # --- document blobs (the `d` locality group, WikipediaMapper.java:210-214)
     documents = base.select(

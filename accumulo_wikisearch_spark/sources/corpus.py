@@ -45,7 +45,8 @@ def get_engine(
     eng = _ENGINES.get(key)
     if eng is None:
         articles = load_articles(spark, sf_dir)
-        eng = Wikisearch.ingest(articles, config, SCALAR_FIELDS)
+        # doc_id is unique in documents.parquet → zero-shuffle pivot path
+        eng = Wikisearch.ingest(articles, config, SCALAR_FIELDS, unique_ids=True)
         eng.index.persist()
         _ENGINES[key] = eng
     return eng
@@ -87,7 +88,7 @@ def get_events_engine(
     eng = _ENGINES.get(key)
     if eng is None:
         arts = load_event_articles(spark, sf_dir)
-        eng = Wikisearch.ingest(arts, config, EVENT_SCALAR_FIELDS)
+        eng = Wikisearch.ingest(arts, config, EVENT_SCALAR_FIELDS, unique_ids=True)
         eng.index.persist()
         _ENGINES[key] = eng
     return eng
