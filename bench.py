@@ -92,6 +92,33 @@ def main() -> None:
         lambda: analytics.windowed_event_counts(events).count(),
     )
 
+    # random-query load (BASELINE.md "1000 queries, 10 clients" analogue,
+    # scaled down): 24 distinct 2-3-term AND queries over 8 client threads;
+    # reported seconds → q/s = 24 / value. Spark's scheduler interleaves the
+    # independent jobs exactly like the reference's parallel BatchScanners.
+    import itertools
+    import random as _random
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ["the", "key", "fast", "line", "vector", "slow", "stream", "data",
+            "value", "index", "dup", "point", "node", "graph", "set", "map"]
+    rng = _random.Random(42)
+    batch = []
+    for terms in itertools.islice(itertools.combinations(pool, 3), 200):
+        batch.append(" and ".join(f"TEXT == '{t}'" for t in rng.sample(terms, rng.choice([2, 3]))))
+    rng.shuffle(batch)
+    batch = batch[:24]
+
+    def run_one(jexl):
+        return eng.query(jexl).count()
+
+    with ThreadPoolExecutor(max_workers=8) as ex:  # warm plan caches
+        list(ex.map(run_one, batch[:8]))
+    t = time.time()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(run_one, batch))
+    times["throughput_24q_8clients"] = round(time.time() - t, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
