@@ -116,7 +116,12 @@ def _perm_coeffs(num_hashes: int, seed: int = 1337) -> list[tuple[int, int]]:
 def _shingle_hash_sets(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, hs ARRAY<BIGINT>, n INT) — per-doc distinct shingle hashes,
     computed row-locally (split → transform → distinct), NO shuffle: the
-    whole shingling pipeline is a narrow map over the corpus scan."""
+    whole shingling pipeline is a narrow map over the corpus scan.
+
+    Hashing is native ``xxhash64`` (one JVM long op per shingle) rather than
+    the md5-hex→conv chain: the hash is internal to minhash — the oracle
+    verifies the resulting PAIR SET against exact Jaccard SQL, not the hash
+    values — so portability is not needed and the string codec cost is."""
     w = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.size(w) - k)
     sh = F.array_distinct(
@@ -125,9 +130,7 @@ def _shingle_hash_sets(docs: DataFrame, k: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
         )
     )
-    hs = F.array_distinct(
-        F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
-    )
+    hs = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
     return docs.where(F.size(w) >= k).select(
         "doc_id", hs.alias("hs"), F.size(hs).alias("n")
     )
@@ -148,7 +151,8 @@ def _sig_from_sets(num_hashes: int):
         F.array_min(
             F.transform(
                 F.col("hs"),
-                lambda x: ((x % _MERSENNE31) * F.lit(a) + F.lit(b)) % _MERSENNE31,
+                # pmod keeps xxhash64's negative values in [0, M31)
+                lambda x: (F.pmod(x, _MERSENNE31) * F.lit(a) + F.lit(b)) % _MERSENNE31,
             )
         )
         for (a, b) in coeffs
