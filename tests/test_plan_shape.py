@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: pin the plan *shapes* that matter at
+scale (documented in docs/PLAN_AUDIT.md) so a refactor that silently
+introduces a sort-merge join or an extra shuffle fails CI, not the 100 TB
+run."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    from accumulo_wikisearch_spark.sources.corpus import get_engine
+
+    return get_engine(spark, sf_dir)
+
+
+def test_and_query_is_broadcast_semi_chain(engine):
+    plan = _formatted(engine.query("TEXT == 'key' and TEXT == 'vector' and TEXT == 'the'"))
+    # three-term AND = ≥3 left-semi joins (2 intersects + doc fetch), all broadcast
+    assert plan.count("BroadcastHashJoin LeftSemi") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_leaf_scan_pushes_term_predicate(engine):
+    plan = _formatted(engine.query("TEXT == 'vector'"))
+    # the term literal must reach the field_index scan (cache-scan filter /
+    # parquet PushedFilters), not sit in a post-scan Filter only
+    assert "norm_value" in plan and "vector" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_or_union_has_no_distinct_shuffle(engine):
+    plan = _formatted(engine.query("TEXT == 'dup' or TEXT == 'vector'"))
+    # the OR is a duplicate-tolerant union: no aggregate-based dedup between
+    # the union and the semi-join (HashAggregate would betray a distinct)
+    assert "Union" in plan
+    assert plan.count("HashAggregate") == 0
+
+
+def test_index_build_docs_wide_no_shuffle(spark):
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import build_index
+
+    df = spark.createDataFrame(
+        [(1, "enwiki", "alpha beta", "t1")],
+        "id long, language string, text string, title string",
+    )
+    idx = build_index(
+        df, EngineConfig(num_partitions=1), {"ID": "id", "TITLE": "title"},
+        unique_ids=True,
+    )
+    plan = _formatted(idx.docs_wide)
+    # unique-ids pivot is a pure map over the scan: no exchange at all
+    assert "Exchange" not in plan
+
+
+def test_pricing_summary_pushes_date_filter(spark, sf_dir):
+    from accumulo_wikisearch_spark.operators.relational import pricing_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _formatted(pricing_summary(li))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # single aggregation exchange, no join
+    assert "Join" not in plan
