@@ -151,3 +151,27 @@ class Wikisearch:
             "partition_id", "language", "doc_id", "occurrences", "tf", "offsets"
         ).orderBy(F.desc("occurrences"), "doc_id")
         return out.limit(limit) if limit else out
+
+    def scored_search_multi(
+        self, terms: list[str], auths: list[str] | None = None, limit: int | None = None
+    ) -> DataFrame:
+        """Ranked AND search: docs containing ALL terms, ordered by total
+        term frequency (SURVEY §7 item 11 — TermWeight scoring composed
+        over terms). One posting scan + one groupBy on doc; the n_terms
+        equality filter is the AND, so no per-term join chain is needed —
+        the right shape when terms share the ranking aggregation anyway."""
+        ts = sorted({normalize_str(t) for t in terms})
+        ti = self.index.term_index.where(F.col("norm_value").isin(*ts))
+        if auths:
+            ti = ti.where(F.col("language").isin(*auths))
+        g = (
+            ti.groupBy("partition_id", "language", "doc_id")
+            .agg(
+                F.sum("occurrences").alias("total_occ"),
+                F.count_distinct("norm_value").alias("_n_terms"),
+            )
+            .where(F.col("_n_terms") == len(ts))
+            .select("partition_id", "language", "doc_id", "total_occ")
+            .orderBy(F.desc("total_occ"), "doc_id")
+        )
+        return g.limit(limit) if limit else g

@@ -172,6 +172,12 @@ def _ws_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.scored_search("dup").select("doc_id", F.col("occurrences").alias("occ"))
 
 
+def _ws_scored_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.scored_search_multi(["dup", "key"]).select("doc_id", "total_occ")
+
+
 def _ws_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """createDocument parity: result docs carry fields + content pointer."""
     tune_runtime(spark)
@@ -208,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _ws_query(jexl, auths)
     out["ws_content_fetch"] = _ws_content
     out["ws_scored_search"] = _ws_scored
+    out["ws_scored_multi"] = _ws_scored_multi
     out["ws_result_assembly"] = _ws_assembly
     out["ws_distinct_values"] = _ws_distinct_values
     out["ws_metadata_freq"] = _ws_metadata_freq
@@ -240,6 +247,11 @@ def oracle_sql() -> dict[str, str]:
     out["ws_scored_search"] = (
         f"SELECT doc_id, len(list_filter({TOK}, x -> x='dup')) AS occ "
         f"FROM documents WHERE list_contains({TOK},'dup')"
+    )
+    out["ws_scored_multi"] = (
+        f"SELECT doc_id, (len(list_filter({TOK}, x -> x='dup')) + "
+        f"len(list_filter({TOK}, x -> x='key')))::BIGINT AS total_occ "
+        f"FROM documents WHERE list_contains({TOK},'dup') AND list_contains({TOK},'key')"
     )
     out["ws_result_assembly"] = (
         "SELECT doc_id, lang AS language, "
