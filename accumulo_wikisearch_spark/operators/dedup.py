@@ -338,6 +338,7 @@ def queries():
         "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash_sig": lambda s, d: simhash(_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: simhash_pairs(_docs(s, d)),
         "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(_emb(s, d)),
     }
 
@@ -387,6 +388,34 @@ WHERE 100.0 * (
 """
 
 
+_SIMHASH_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_H.format(expr='tok')} AS hv FROM t WHERE len(tok) > 0),
+bm AS (
+  SELECT doc_id, j, SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, generate_series(0, 59) AS g(j)
+  GROUP BY doc_id, j
+),
+sigs AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sh
+  FROM bm GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, sh, j AS band, (sh >> (j * 15)) & 32767 AS bsig
+  FROM sigs, generate_series(0, 3) AS g(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, bit_count(xor(sa, sb))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 def oracle_sql():
     return {
         "dedup_exact": (
@@ -399,5 +428,6 @@ def oracle_sql():
         # construction, recall ≈1 at these jaccard levels (16 bands × 4 rows)
         "dedup_minhash_lsh": _SHINGLE_SQL,
         "dedup_simhash_sig": _SIMHASH_SQL,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_embedding_cosine": _EMB_COS_SQL,
     }
