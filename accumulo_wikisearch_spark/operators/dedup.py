@@ -15,9 +15,11 @@ Four tiers, from exact to approximate — each a pure DataFrame plan:
 - SimHash: 60-bit signature per doc (token-frequency weighted bit-majority
   vote); near-dup pairs findable by hamming distance on signature bands.
 
-All hashes are the portable md5-based ``hash60`` so every operator is
-oracle-checkable against DuckDB SQL computing the identical values.
-Jaccard thresholds are integer cross-multiplications (no float equality).
+Hashes whose VALUES are oracle-checked (simhash, fingerprints) use the
+portable md5-based ``hash60`` that DuckDB reproduces exactly; minhash's
+internal shingle hash is native ``xxhash64`` (only its pair SET is checked,
+against exact Jaccard SQL). Jaccard thresholds are integer
+cross-multiplications (no float equality).
 """
 
 from __future__ import annotations

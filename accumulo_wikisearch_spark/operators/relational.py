@@ -176,6 +176,37 @@ def pricing_cube(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def supplier_volume(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Shipped quantity per supplier nation — fact scan with two broadcast
+    dimension hops (supplier → nation), no fact shuffle before the agg."""
+    dims = supplier.join(
+        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", "n_name")
+    return (
+        lineitem.select("l_suppkey", F.col("l_quantity").cast("long").alias("qty"))
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(F.sum("qty").alias("sum_qty"), F.count("*").alias("n_items"))
+    )
+
+
+def brand_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Revenue cents and item count per part brand (fact ⋈ broadcast dim)."""
+    return (
+        lineitem.select(
+            "l_partkey", _cents(F.col("l_extendedprice")).alias("cents")
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(F.sum("cents").alias("revenue_cents"), F.count("*").alias("n_items"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
@@ -198,6 +229,12 @@ def queries():
             _t(s, d, "orders"), _t(s, d, "customer")
         ),
         "rel_pricing_rollup": lambda s, d: pricing_rollup(_t(s, d, "lineitem")),
+        "rel_supplier_volume": lambda s, d: supplier_volume(
+            _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
+        ),
+        "rel_brand_volume": lambda s, d: brand_volume(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
         "rel_pricing_cube": lambda s, d: pricing_cube(_t(s, d, "lineitem")),
     }
 
@@ -266,6 +303,22 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+_SUPPLIER_SQL = """
+SELECT n_name, sum(l_quantity::BIGINT) AS sum_qty, count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_BRAND_SQL = """
+SELECT p_brand, sum(round(l_extendedprice * 100)::BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def oracle_sql():
     return {
         "rel_pricing_summary": _PRICING_SQL,
@@ -273,5 +326,7 @@ def oracle_sql():
         "rel_order_priority": _PRIORITY_SQL,
         "rel_top_customers": _TOPCUST_SQL,
         "rel_pricing_rollup": _ROLLUP_SQL,
+        "rel_supplier_volume": _SUPPLIER_SQL,
+        "rel_brand_volume": _BRAND_SQL,
         "rel_pricing_cube": _CUBE_SQL,
     }
