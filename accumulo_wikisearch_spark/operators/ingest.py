@@ -202,19 +202,24 @@ def build_index(
     # --- term index for scored TEXT search (TermWeight, A2) ---------------
     # offsets = word positions; tf = occurrences / doc token count
     # (TermWeight.proto:25-28, TextIndexCombiner.java:40-106).
+    # doc length rides along from before the explode (size of the token
+    # array) instead of a second groupBy + join over the exploded rows —
+    # one shuffle total for the term index
+    all_toks = tokenize_col(F.col(text_col), distinct=False)
     tokens_pos = base.select(
         "partition_id",
         "language",
         "doc_id",
-        F.posexplode(tokenize_col(F.col(text_col), distinct=False)).alias("pos", "norm_value"),
+        F.size(all_toks).alias("_len"),
+        F.posexplode(all_toks).alias("pos", "norm_value"),
     )
-    term_index = tokens_pos.groupBy("partition_id", "language", "doc_id", "norm_value").agg(
-        F.count("*").alias("occurrences"),
-        F.sort_array(F.collect_list("pos")).alias("offsets"),
-    )
-    doc_len = tokens_pos.groupBy("doc_id").agg(F.count("*").alias("_len"))
     term_index = (
-        term_index.join(doc_len, "doc_id")
+        tokens_pos.groupBy("partition_id", "language", "doc_id", "norm_value")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.sort_array(F.collect_list("pos")).alias("offsets"),
+            F.first("_len").alias("_len"),
+        )
         .withColumn("tf", F.col("occurrences") / F.col("_len"))
         .select(
             "partition_id", "language", "doc_id", "norm_value", "occurrences", "tf", "offsets"
