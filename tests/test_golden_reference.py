@@ -1,0 +1,74 @@
+"""Golden parity with the reference's own end-to-end test.
+
+TestQueryLogic (query/src/test/hadoop2/.../logic/TestQueryLogic.java:87-477)
+ingests a 4-page Wikipedia XML fixture (titles Abacus, Acid, Asphalt,
+Acronym) through the real mapper into a MockInstance and asserts:
+
+- ``TITLE == 'asphalt' or TITLE == 'abacus' or TITLE == 'acid' or
+  TITLE == 'acronym'`` → 4 documents (TestQueryLogic.java:456-466)
+- ``TEXT == 'abacus'`` → 1 document (:468-475)
+
+This test reproduces the same shape end-to-end through OUR stack: XML
+chunker → article parser → index build → JEXL planner (index path) —
+fixture bodies are synthesized (not copied), titles and queries match the
+reference's.
+"""
+
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from accumulo_wikisearch_spark.api import Wikisearch
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.sources.xml import read_wikipedia_xml
+
+_PAGES = [
+    (1, "Abacus", "the abacus is an ancient calculating tool with beads"),
+    (2, "Acid", "an acid is a chemical species that donates protons"),
+    (3, "Asphalt", "asphalt is a sticky black form of petroleum"),
+    (4, "Acronym", "an acronym is a word formed from initial letters"),
+]
+
+_DUMP = "<mediawiki>" + "".join(
+    f"""<page><title>{t}</title><id>{i}</id><revision>
+<timestamp>2011-09-0{i}T00:00:00Z</timestamp><comment>c</comment>
+<text>{body}</text></revision></page>"""
+    for i, t, body in _PAGES
+) + "</mediawiki>"
+
+
+@pytest.fixture(scope="module")
+def wiki_engine(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        Path(f"{tmp}/enwiki-20110901-001.xml").write_text(_DUMP)
+        arts = read_wikipedia_xml(spark, tmp)
+        eng = Wikisearch.ingest(
+            arts,
+            EngineConfig(num_partitions=4),
+            scalar_fields={"ID": "id", "TITLE": "title"},
+        )
+        eng.index.persist()
+        yield eng
+
+
+def test_title_or_query_matches_reference(wiki_engine):
+    df, path = wiki_engine.query_with_path(
+        "TITLE == 'asphalt' or TITLE == 'abacus' or TITLE == 'acid' or TITLE == 'acronym'"
+    )
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == [1, 2, 3, 4]  # 4 docs, TestQueryLogic.java:456-466
+    assert path == "optimized"  # all OR'd terms indexed → index path
+
+
+def test_text_term_query_matches_reference(wiki_engine):
+    df, path = wiki_engine.query_with_path("TEXT == 'abacus'")
+    got = [r["doc_id"] for r in df.collect()]
+    assert got == [1]  # 1 doc, TestQueryLogic.java:468-475
+    assert path == "optimized"
+
+
+def test_auths_filter_on_reference_fixture(wiki_engine):
+    # the reference passes auths=enwiki; a disjoint auth set sees nothing
+    assert wiki_engine.query("TEXT == 'abacus'", auths=["dewiki"]).count() == 0
+    assert wiki_engine.query("TEXT == 'abacus'", auths=["enwiki"]).count() == 1
