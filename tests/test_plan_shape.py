@@ -71,3 +71,30 @@ def test_pricing_summary_pushes_date_filter(spark, sf_dir):
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
     # single aggregation exchange, no join
     assert "Join" not in plan
+
+
+def test_written_index_leaf_scan_pushdown(spark, tmp_path):
+    """The on-disk layout must give leaf scans parquet pushdown: the term
+    predicate reaches PushedFilters and partition pruning applies (the
+    sorted-RFile-analogue layout from write_index)."""
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import build_index, load_index, write_index
+
+    df = spark.createDataFrame(
+        [(i, "enwiki", f"tok{i} common", f"t{i}") for i in range(8)],
+        "id long, language string, text string, title string",
+    )
+    cfg = EngineConfig(num_partitions=4)
+    write_index(build_index(df, cfg, {"ID": "id", "TITLE": "title"}, unique_ids=True), str(tmp_path / "ix"))
+    idx = load_index(spark, str(tmp_path / "ix"), cfg)
+
+    from pyspark.sql import functions as F
+
+    leaf = idx.field_index.where(
+        (F.col("field") == "TEXT") & (F.col("norm_value") == "tok3")
+    ).select("partition_id", "doc_id")
+    plan = _formatted(leaf)
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "norm_value" in pushed and "tok3" in pushed
+    # correctness of the loaded leaf scan itself
+    assert [r["doc_id"] for r in leaf.collect()] == [3]
