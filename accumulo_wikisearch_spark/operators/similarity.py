@@ -162,11 +162,34 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> Data
     return emb.select(F.col("vec_id"), v.alias("v"), best["cell"].alias("cell"))
 
 
-def take_centroids(emb: DataFrame, n_cells: int = 16) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse centroids: the first n_cells corpus vectors
-    (k-means init stand-in; a Lloyd refinement would slot in here)."""
+def take_centroids(
+    emb: DataFrame, n_cells: int = 16, lloyd_iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: first n_cells corpus vectors as seeds
+    (k-means|| stand-in), refined with ``lloyd_iters`` Lloyd steps.
+
+    Each step is one distributed pass (assign via the literal-centroid map,
+    then groupBy(cell) → elementwise mean with ``posexplode``); only the
+    n_cells × dim centroid matrix is ever collected. Empty cells keep their
+    previous centroid."""
     rows = emb.orderBy("vec_id").limit(n_cells).collect()
-    return [(i, list(r["embedding"])) for i, r in enumerate(rows)]
+    cents = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)]
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(emb, cents)
+        means = (
+            assigned.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+            .select("cell", F.col("ms.m").alias("mean"))
+            .collect()
+        )
+        new = dict(cents)
+        for r in means:
+            new[r["cell"]] = [float(x) for x in r["mean"]]
+        cents = sorted(new.items())
+    return cents
 
 
 def topk_ivf(
