@@ -1,0 +1,70 @@
+"""Command-line serving front — the analogue of the reference's REST query
+endpoints (query-war web.xml:33-40: /Query?query=…&auths=…, /Content).
+
+Emits one JSON object per result row (Results/Document shape:
+AbstractQueryLogic.createDocument, AbstractQueryLogic.java:400-430).
+
+    python -m accumulo_wikisearch_spark.cli "TEXT == 'dup' and SOURCE == 'src3'"
+    python -m accumulo_wikisearch_spark.cli --auths en,fr "TEXT == 'dup'"
+    python -m accumulo_wikisearch_spark.cli --content "DOCUMENT:3/en/123"
+    python -m accumulo_wikisearch_spark.cli --scored dup --limit 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="wikisearch-spark", description=__doc__)
+    p.add_argument("query", nargs="?", help="JEXL boolean query expression")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="corpus dir")
+    p.add_argument("--auths", help="comma-separated language authorizations")
+    p.add_argument("--limit", type=int, default=0, help="max results (0 = all)")
+    p.add_argument("--content", metavar="POINTER", help="fetch DOCUMENT:partition/lang/id")
+    p.add_argument("--scored", metavar="TERM", help="ranked single-term search")
+    p.add_argument("--ids-only", action="store_true", help="emit doc ids, not documents")
+    return p
+
+
+def run(argv: list[str], out=sys.stdout) -> int:
+    args = build_parser().parse_args(argv)
+    if not (args.query or args.content or args.scored):
+        build_parser().print_usage(out)
+        return 2
+
+    from accumulo_wikisearch_spark.session import get_spark
+    from accumulo_wikisearch_spark.sources.corpus import get_engine
+
+    spark = get_spark("wikisearch-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = get_engine(spark, args.sf_dir)
+    auths = args.auths.split(",") if args.auths else None
+
+    if args.content:
+        df = eng.content(args.content, auths=auths)
+    elif args.scored:
+        df = eng.scored_search(args.scored, auths=auths).drop("offsets")
+    elif args.ids_only:
+        df = eng.query(args.query, auths=auths)
+    else:
+        df = eng.fetch_documents(eng.query(args.query, auths=auths))
+    if args.limit:
+        df = df.limit(args.limit)
+
+    n = 0
+    for row in df.toJSON().toLocalIterator():
+        print(row, file=out)
+        n += 1
+    print(json.dumps({"results": n}), file=sys.stderr)
+    return 0
+
+
+def main() -> None:  # pragma: no cover
+    raise SystemExit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,41 @@
+"""CLI serving front tests (the REST-endpoint analogue)."""
+
+import io
+import json
+
+
+def test_cli_query_ids(spark, sf_dir):
+    from accumulo_wikisearch_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(["--sf-dir", sf_dir, "--ids-only", "TEXT == 'dup'"], out=out)
+    assert rc == 0
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert rows and all("doc_id" in r for r in rows)
+
+
+def test_cli_content_pointer(spark, sf_dir):
+    from accumulo_wikisearch_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(["--sf-dir", sf_dir, "--content", "DOCUMENT:2/en/42"], out=out)
+    # pointer grammar parsed; row only if doc 42 is lang 'en' partition 2
+    assert rc == 0
+
+
+def test_cli_scored_with_limit(spark, sf_dir):
+    from accumulo_wikisearch_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(["--sf-dir", sf_dir, "--scored", "dup", "--limit", "3"], out=out)
+    assert rc == 0
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(rows) <= 3
+    occs = [r["occurrences"] for r in rows]
+    assert occs == sorted(occs, reverse=True)
+
+
+def test_cli_usage_without_args(spark):
+    from accumulo_wikisearch_spark.cli import run
+
+    assert run([], out=io.StringIO()) == 2
