@@ -20,6 +20,12 @@ portable md5-based ``hash60`` that DuckDB reproduces exactly; minhash's
 internal shingle hash is native ``xxhash64`` (only its pair SET is checked,
 against exact Jaccard SQL). Jaccard thresholds are integer
 cross-multiplications (no float equality).
+
+Algorithms follow the published constructions: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997) with LSH
+banding (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3), and
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002; Manku et al., WWW 2007 for the hamming search).
 """
 
 from __future__ import annotations

@@ -8,6 +8,11 @@
 
 Cosines are computed JVM-side with ``zip_with``/``aggregate`` over
 double-cast arrays — no Python UDF.
+
+The IVF variant follows the inverted-file construction of Sivic & Zisserman
+("Video Google", ICCV 2003) as popularized by FAISS (Johnson et al.,
+"Billion-scale similarity search with GPUs", 2017): coarse k-means cells +
+per-query nprobe probing; LSH is sign-random-projection (Charikar 2002).
 """
 
 from __future__ import annotations
