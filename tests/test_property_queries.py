@@ -25,6 +25,8 @@ leaf_st = st.one_of(
     st.sampled_from(SOURCES).map(lambda s: f"SOURCE == '{s}'"),
     st.sampled_from(SOURCES).map(lambda s: f"SOURCE != '{s}'"),
     st.sampled_from(LANGS).map(lambda l: f"LANG == '{l}'"),
+    # unfielded terms (Q9): planner expands across discovered fields
+    st.sampled_from(TOKENS).map(lambda t: f"'{t}'"),
     st.just("SOURCE =~ 'src1.*'"),
     st.just("SOURCE =~ '.*2'"),
     st.just("SOURCE >= 'src10' and SOURCE <= 'src15'"),
@@ -83,6 +85,14 @@ def to_sql(n: ast.Node) -> str:
         return f"(NOT {to_sql(n.child)})"
     if isinstance(n, ast.Between):
         return f"TRY_CAST(n_chars::VARCHAR AS DOUBLE) BETWEEN {n.lo} AND {n.hi}"
+    if isinstance(n, ast.Term):
+        # unfielded: some field (any of TEXT tokens or scalar event fields)
+        # has this exact normalized value (AbstractQueryLogic.java:601-633)
+        v = str(n.value).replace("'", "''")
+        return (
+            f"(list_contains({TOK}, '{v}') OR source = '{v}' OR lang = '{v}'"
+            f" OR n_chars::VARCHAR = '{v}' OR doc_id::VARCHAR = '{v}')"
+        )
     if isinstance(n, ast.Cmp):
         return leaf_sql(n)
     raise AssertionError(n)
