@@ -235,6 +235,63 @@ def topk_ivf(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame, path: str, n_cells: int = 16, lloyd_iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Persist the IVF layout: corpus partitioned by cell on disk, so a
+    query's nprobe cells are partition-pruned file reads (the ANN analogue
+    of the shard table's partition pruning). Returns the centroids — store
+    them beside the index (they are the 'coarse quantizer' metadata)."""
+    cents = take_centroids(emb, n_cells, lloyd_iters)
+    (
+        ivf_assign(emb, cents)
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def topk_ivf_on_disk(
+    spark: SparkSession,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a written IVF layout. The probe-cell filter is a
+    partition filter on the parquet read — only nprobe/n_cells of the
+    corpus files are touched (verify PartitionFilters in the plan)."""
+    corpus = spark.read.parquet(path).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "cell"
+    )
+    qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+    scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
+    probed = qv.select(
+        "query_id",
+        "qv",
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
+    ).select("query_id", "qv", F.explode(F.col("probes.cell")).alias("cell"))
+    # collect the (tiny) union of probed cells so the IN-filter prunes
+    # partitions at scan time; queries themselves broadcast into the join
+    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    scored = (
+        corpus.where(F.col("cell").isin(*cells))
+        .join(F.broadcast(probed), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8 quantization — the storage/compute scale path for embeddings
 # ---------------------------------------------------------------------------

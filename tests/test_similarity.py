@@ -72,3 +72,22 @@ def test_quantize_int8_roundtrip(emb):
         assert r["scale_e6"] >= 0
     # max-|x| component must quantize to ±127 (symmetric scheme)
     assert all(max(abs(x) for x in r["q"]) == 127 for r in q[:10] if r["scale_e6"] > 0)
+
+
+def test_ivf_on_disk_partition_pruning(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    cents = similarity.write_ivf_index(emb, path, n_cells=8, lloyd_iters=1)
+    q = similarity.self_queries(emb, n=3)
+    out = similarity.topk_ivf_on_disk(spark, path, cents, q, k=5, nprobe=8)
+    # nprobe == n_cells → probes every cell → must equal exact brute force
+    exact = similarity.topk_bruteforce(emb, q, k=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, exact.collect()))
+
+    # with nprobe < n_cells the scan must be partition-pruned
+    out2 = similarity.topk_ivf_on_disk(spark, path, cents, q, k=5, nprobe=2)
+    plan = out2._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in seg and out2.count() > 0
