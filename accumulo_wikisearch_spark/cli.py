@@ -26,12 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--content", metavar="POINTER", help="fetch DOCUMENT:partition/lang/id")
     p.add_argument("--scored", metavar="TERM", help="ranked single-term search")
     p.add_argument("--ids-only", action="store_true", help="emit doc ids, not documents")
+    p.add_argument("--serve", type=int, metavar="PORT", help="start the REST front on PORT and block")
     return p
 
 
 def run(argv: list[str], out=sys.stdout) -> int:
     args = build_parser().parse_args(argv)
-    if not (args.query or args.content or args.scored):
+    if not (args.query or args.content or args.scored or args.serve):
         build_parser().print_usage(out)
         return 2
 
@@ -42,6 +43,19 @@ def run(argv: list[str], out=sys.stdout) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     eng = get_engine(spark, args.sf_dir)
     auths = args.auths.split(",") if args.auths else None
+
+    if args.serve:
+        from accumulo_wikisearch_spark.serving import start_server
+
+        srv = start_server(eng, args.serve)
+        print(json.dumps({"serving": f"http://127.0.0.1:{srv.server_address[1]}"}), file=out)
+        try:
+            import threading
+
+            threading.Event().wait()  # block until killed
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
 
     if args.content:
         df = eng.content(args.content, auths=auths)
