@@ -185,9 +185,42 @@ FROM g GROUP BY doc_id
 """
 
 
+def _langid_sql() -> str:
+    # Exact SQL twin of the UDF heuristic, generated from the same _PROFILES
+    # so they cannot drift: non-overlapping substring counts via the
+    # replace() trick, argmax with first-language-wins tie-break (the UDF's
+    # strict `score > best` over dict order), all-zero → 'und'.
+    scores = {
+        lang: " + ".join(
+            f"(len(t) - len(replace(t, '{g}', ''))) // {len(g)}" for g in grams
+        )
+        for lang, grams in _PROFILES.items()
+    }
+    score_cols = ",\n    ".join(f"({e}) AS s_{lang}" for lang, e in scores.items())
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in _PROFILES) + ")"
+    branches = "\n    ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in _PROFILES
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), sc AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM s
+)
+SELECT doc_id, CASE
+    WHEN {m} = 0 THEN 'und'
+    {branches}
+  END AS pred_lang
+FROM sc
+"""
+
+
 def oracle_sql():
     return {
         "text_quality": _QUALITY_SQL,
         "token_counts": _TOKEN_SQL,
         "doc_fingerprint": _FP_SQL,
+        "lang_id": _langid_sql(),
     }

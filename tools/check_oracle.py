@@ -76,8 +76,10 @@ def main():
         if len(rows) != len(orows):
             problems.append(f"rowcount {len(rows)} vs {len(orows)}")
         if not problems:
+            # null-safe sort: None sorts after every value, equal to None
+            cell = lambda v: (v is None, 0 if v is None else v)
             key = lambda rws, cs: sorted(
-                tuple(x[1] for x in sorted(zip(cs, r))) for r in rws
+                tuple(cell(x[1]) for x in sorted(zip(cs, r))) for r in rws
             )
             if key(rows, cols) != key(orows, ocols):
                 problems.append("value mismatch")
