@@ -226,7 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         multimodal,
         relational,
+        sampling,
         similarity,
+        temporal,
         textstats,
     )
 
@@ -236,6 +238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.queries())
     out.update(analytics.queries())
     out.update(relational.queries())
+    out.update(temporal.queries())
+    out.update(sampling.queries())
     return out
 
 
@@ -276,7 +280,9 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         multimodal,
         relational,
+        sampling,
         similarity,
+        temporal,
         textstats,
     )
 
@@ -286,4 +292,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.oracle_sql())
     out.update(analytics.oracle_sql())
     out.update(relational.oracle_sql())
+    out.update(temporal.oracle_sql())
+    out.update(sampling.oracle_sql())
     return out

@@ -1,0 +1,130 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+All operators key off the portable 60-bit hash (functions/normalize.py:
+hash60_col), so they are (a) reproducible across runs and cluster sizes —
+membership depends only on the key value, never on partitioning or row
+order — and (b) exactly oracle-checkable in DuckDB with the same md5-prefix
+expression. This is the standard "hash the stable id" technique for
+train/holdout splits and per-source subsampling at corpus scale: a pure
+scan-local projection + filter, no shuffle, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.functions.normalize import HASH60_DUCKDB, hash60_col
+
+BUCKETS = 100
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 100): portable-hash of (salt ++ key)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hash60_col(F.concat(F.lit(salt), c.cast("string"))) % BUCKETS
+
+
+def hash_bucket_duckdb(key_expr: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_bucket` (for oracle SQL)."""
+    h = HASH60_DUCKDB.format(expr=f"concat('{salt}', ({key_expr})::VARCHAR)")
+    return f"({h} % {BUCKETS})"
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with the
+    given integer percentages (must sum to 100). Assignment is a pure
+    function of the key value — stable under reprocessing, new data lands
+    in the same proportions."""
+    if sum(weights.values()) != BUCKETS:
+        raise ValueError(f"weights must sum to {BUCKETS}: {weights}")
+    bucket = hash_bucket(key, salt)
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        expr = F.when(bucket < acc, name) if expr is None else expr.when(bucket < acc, name)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    fractions: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ``fractions[stratum]`` percent of each stratum (integer percent
+    per stratum value; unlisted strata keep ``default_pct``). Deterministic
+    per-key membership — the per-source/per-language downsampling step of a
+    corpus-mixing pipeline, as a scan-local filter."""
+    bucket = hash_bucket(key, salt)
+    pct = F.lit(default_pct)
+    for value, p in sorted(fractions.items()):
+        pct = F.when(F.col(stratum) == value, p).otherwise(pct)
+    return df.where(bucket < pct)
+
+
+# ---------------------------------------------------------------------------
+# driver registry
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 98, "val": 1, "test": 1}
+_STRATA_PCT = {"en": 50, "es": 25, "de": 20, "fr": 10, "zh": 5}
+
+
+def _split_entry(spark, sf_dir: str) -> DataFrame:
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs, "doc_id", _SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+def _stratified_entry(spark, sf_dir: str) -> DataFrame:
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, "doc_id", "lang", _STRATA_PCT, default_pct=2
+    ).select("doc_id", "lang")
+
+
+def queries():
+    return {
+        "sample_train_split": _split_entry,
+        "sample_stratified": _stratified_entry,
+    }
+
+
+def _split_sql() -> str:
+    b = hash_bucket_duckdb("doc_id", "split")
+    branches = []
+    acc = 0
+    for name, w in _SPLIT_WEIGHTS.items():
+        acc += w
+        branches.append(f"WHEN {b} < {acc} THEN '{name}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+def _stratified_sql() -> str:
+    b = hash_bucket_duckdb("doc_id", "sample")
+    pct = str(2)
+    for value, p in sorted(_STRATA_PCT.items()):
+        pct = f"CASE WHEN lang = '{value}' THEN {p} ELSE {pct} END"
+    return f"SELECT doc_id, lang FROM documents WHERE {b} < ({pct})"
+
+
+def oracle_sql():
+    return {
+        "sample_train_split": _split_sql(),
+        "sample_stratified": _stratified_sql(),
+    }
