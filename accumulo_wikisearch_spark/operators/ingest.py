@@ -56,14 +56,37 @@ class WikisearchIndex:
 
     _persisted: bool = False
     _indexed_cache: set[str] | None = None
+    # the tokenized article base shared by field_index and docs_wide; caching
+    # it makes the expensive tokenize pass run once across their
+    # materializations (None when the index was loaded from disk)
+    _tokenized: DataFrame | None = None
 
     def persist(self) -> "WikisearchIndex":
         if not self._persisted:
+            if self._tokenized is not None:
+                self._tokenized = self._tokenized.persist()
             self.field_index = self.field_index.persist()
             self.global_index = self.global_index.persist()
             self.docs_wide = self.docs_wide.persist()
             self.metadata = self.metadata.persist()
             self._persisted = True
+        return self
+
+    def materialize(self) -> "WikisearchIndex":
+        """Force-build the persisted serving tables in dependency order:
+        field_index first (fills the shared tokenized-base cache in the same
+        job), then global_index and docs_wide concurrently — both read only
+        cached inputs, so Spark runs the two independent jobs in parallel."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.persist()
+        self.field_index.count()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            list(ex.map(lambda df: df.count(), [self.global_index, self.docs_wide]))
+        if self._tokenized is not None:
+            # downstream tables are now cached themselves; drop the
+            # intermediate token cache
+            self._tokenized.unpersist()
         return self
 
     def indexed_fields(self) -> set[str]:
@@ -131,12 +154,15 @@ def build_index(
         "language",
         "doc_id",
     )
+    # one tokenize pass, shared: text_fi explodes _toks and docs_wide maps
+    # it, so caching `tokenized` (persist()) tokenizes the corpus once
+    tokenized = base.withColumn("_toks", tokenize_col(F.col(text_col)))
     text_fi = (
-        base.select(
+        tokenized.select(
             "partition_id",
             "language",
             "doc_id",
-            F.explode(tokenize_col(F.col(text_col))).alias("norm_value"),
+            F.explode(F.col("_toks")).alias("norm_value"),
         )
         .withColumn("field", F.lit("TEXT"))
         .select("partition_id", "field", "norm_value", "language", "doc_id")
@@ -237,7 +263,7 @@ def build_index(
     entry_structs = [
         F.struct(
             F.lit("TEXT").alias("field"),
-            tokenize_col(F.col(text_col)).alias("vals"),
+            F.col("_toks").alias("vals"),
         )
     ] + [
         F.struct(
@@ -255,7 +281,7 @@ def build_index(
             lambda e: e["vals"].isNotNull() & (F.size(e["vals"]) > 0),
         )
     )
-    per_row = base.select(
+    per_row = tokenized.select(
         "partition_id", "language", "doc_id", fields_map.alias("fields")
     ).where(F.size(F.map_keys(F.col("fields"))) > 0)
     if unique_ids:
@@ -304,6 +330,7 @@ def build_index(
         term_index=term_index,
         docs_wide=docs_wide,
         documents=documents,
+        _tokenized=tokenized,
     )
 
 

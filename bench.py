@@ -43,10 +43,9 @@ def main() -> None:
 
     t0 = time.time()
     eng = get_engine(spark, sf_dir)
-    # force-materialize the persisted index tables
-    eng.index.field_index.count()
-    eng.index.docs_wide.count()
-    eng.index.global_index.count()
+    # force-materialize the persisted index tables (shared-token cache +
+    # parallel independent jobs inside)
+    eng.index.materialize()
     times["index_build"] = round(time.time() - t0, 3)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
