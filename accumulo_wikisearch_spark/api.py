@@ -175,3 +175,43 @@ class Wikisearch:
             .orderBy(F.desc("total_occ"), "doc_id")
         )
         return g.limit(limit) if limit else g
+
+    def scored_search_tfidf(
+        self, terms: list[str], auths: list[str] | None = None, limit: int | None = None
+    ) -> DataFrame:
+        """Ranked AND search with IDF weighting: docs containing ALL terms,
+        scored by Σ_t floor(occ_t · (N+1) · 1000 / (df_t + 1)) — a
+        rational-idf TF-IDF kept in exact int64 arithmetic (no transcendental
+        functions), so scores are deterministic across engines.
+
+        df_t comes from the global index (posting counts summed over
+        partitions — the cardinalities the planner already uses, O3), N from
+        the cached corpus count; both sides of the plan are a broadcast join
+        against the per-term scan of the TermWeight index."""
+        ts = sorted({normalize_str(t) for t in terms})
+        n_total = self.index.doc_count()
+        ti = self.index.term_index.where(F.col("norm_value").isin(*ts))
+        if auths:
+            ti = ti.where(F.col("language").isin(*auths))
+        df_tbl = (
+            self.index.global_index.where(
+                (F.col("field") == "TEXT") & F.col("norm_value").isin(*ts)
+            )
+            .groupBy("norm_value")
+            .agg(F.sum("count").alias("df"))
+        )
+        scored = ti.join(F.broadcast(df_tbl), "norm_value").withColumn(
+            "w",
+            F.expr(f"(occurrences * {(n_total + 1) * 1000}L) div (df + 1)"),
+        )
+        g = (
+            scored.groupBy("partition_id", "language", "doc_id")
+            .agg(
+                F.sum("w").alias("score"),
+                F.count_distinct("norm_value").alias("_n_terms"),
+            )
+            .where(F.col("_n_terms") == len(ts))
+            .select("partition_id", "language", "doc_id", "score")
+            .orderBy(F.desc("score"), "doc_id")
+        )
+        return g.limit(limit) if limit else g

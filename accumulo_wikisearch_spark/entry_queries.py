@@ -178,6 +178,12 @@ def _ws_scored_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.scored_search_multi(["dup", "key"]).select("doc_id", "total_occ")
 
 
+def _ws_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.scored_search_tfidf(["dup", "key"]).select("doc_id", "score")
+
+
 def _ws_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """createDocument parity: result docs carry fields + content pointer."""
     tune_runtime(spark)
@@ -215,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_content_fetch"] = _ws_content
     out["ws_scored_search"] = _ws_scored
     out["ws_scored_multi"] = _ws_scored_multi
+    out["ws_tfidf_rank"] = _ws_tfidf
     out["ws_result_assembly"] = _ws_assembly
     out["ws_distinct_values"] = _ws_distinct_values
     out["ws_metadata_freq"] = _ws_metadata_freq
@@ -257,6 +264,25 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter({TOK}, x -> x='key')))::BIGINT AS total_occ "
         f"FROM documents WHERE list_contains({TOK},'dup') AND list_contains({TOK},'key')"
     )
+    # same rational-idf integer formula as scored_search_tfidf; df/N from a
+    # brute-force recount of the corpus (the golden-oracle pattern)
+    out["ws_tfidf_rank"] = f"""
+WITH d AS (SELECT doc_id, {TOK} AS toks FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+t(term) AS (VALUES ('dup'), ('key')),
+df AS (
+  SELECT term, count(*) AS df FROM d, t WHERE list_contains(toks, term) GROUP BY term
+),
+occ AS (
+  SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS occ
+  FROM d, t WHERE list_contains(toks, term)
+)
+SELECT o.doc_id,
+       SUM((o.occ * (n.n + 1) * 1000) // (df.df + 1))::BIGINT AS score
+FROM occ o JOIN df ON df.term = o.term CROSS JOIN n
+GROUP BY o.doc_id
+HAVING count(*) = 2
+"""
     out["ws_result_assembly"] = (
         "SELECT doc_id, lang AS language, "
         "'DOCUMENT:' || (doc_id % 8)::VARCHAR || '/' || lang || '/' || doc_id::VARCHAR AS pointer, "

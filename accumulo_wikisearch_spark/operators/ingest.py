@@ -89,6 +89,14 @@ class WikisearchIndex:
             self._tokenized.unpersist()
         return self
 
+    _doc_count: int | None = None
+
+    def doc_count(self) -> int:
+        """Corpus size N (for IDF weighting) — counted once per catalog."""
+        if self._doc_count is None:
+            self._doc_count = self.documents.count()
+        return self._doc_count
+
     def indexed_fields(self) -> set[str]:
         """Catalog lookup: which fields are indexed (findIndexedTerms,
         AbstractQueryLogic.java:500-524). Metadata is tiny — collected once

@@ -177,3 +177,40 @@ def test_multivalue_any_match_semantics(spark):
     # any-match: doc1 has v2 != v1 → matches; doc2 v3 != v1 → matches
     assert ids(eng.query("TITLE != 'v1'")) == [1, 2]
     assert ids(eng.query("not (TITLE == 'v1')")) == [1, 2]
+
+
+def test_tfidf_rank_weights_rare_terms_higher(engine):
+    """IDF weighting: a doc's per-term contribution is inversely monotone in
+    document frequency, and only docs containing ALL terms are returned."""
+    from pyspark.sql import functions as F
+
+    out = engine.scored_search_tfidf(["dup", "key"]).collect()
+    assert out, "fixture corpus contains dup∧key docs"
+    # every returned doc matches the boolean AND query
+    and_ids = {r["doc_id"] for r in engine.query("TEXT == 'dup' and TEXT == 'key'").collect()}
+    assert {r["doc_id"] for r in out} == and_ids
+    # scores strictly positive, sorted descending
+    scores = [r["score"] for r in out]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # reconstruct one doc's score from first principles
+    n_total = engine.index.doc_count()
+    ti = engine.index.term_index
+    r0 = out[0]
+    rows = ti.where(
+        (F.col("doc_id") == r0["doc_id"]) & F.col("norm_value").isin("dup", "key")
+    ).collect()
+    df_by_term = {
+        r["norm_value"]: r["df"]
+        for r in engine.index.global_index.where(
+            (F.col("field") == "TEXT") & F.col("norm_value").isin("dup", "key")
+        )
+        .groupBy("norm_value")
+        .agg(F.sum("count").alias("df"))
+        .collect()
+    }
+    expect = sum(
+        (r["occurrences"] * (n_total + 1) * 1000) // (df_by_term[r["norm_value"]] + 1)
+        for r in rows
+    )
+    assert r0["score"] == expect
