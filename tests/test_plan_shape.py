@@ -98,3 +98,42 @@ def test_written_index_leaf_scan_pushdown(spark, tmp_path):
     assert "norm_value" in pushed and "tok3" in pushed
     # correctness of the loaded leaf scan itself
     assert [r["doc_id"] for r in leaf.collect()] == [3]
+
+
+def test_bucketed_catalog_joins_without_exchange(spark, sf_dir, tmp_path_factory):
+    """The at-rest scale layout: field_index + docs_wide bucketed by doc_id
+    → the whole optimized AND path (posting intersects + doc fetch) plans
+    with ZERO shuffle exchanges even when broadcasts are disabled."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import (
+        load_index_bucketed,
+        write_index_bucketed,
+    )
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+
+    loc = str(tmp_path_factory.mktemp("bucketed_db"))
+    cfg = EngineConfig(broadcast_postings_max=0)  # force merge joins
+    idx = Wikisearch.ingest(
+        load_articles(spark, sf_dir), cfg, SCALAR_FIELDS, unique_ids=True
+    ).index
+    write_index_bucketed(idx, spark, db="ws_bucket_test", num_buckets=4, location=loc)
+    try:
+        eng = Wikisearch(load_index_bucketed(spark, "ws_bucket_test", cfg))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = eng.query("TEXT == 'dup' and TEXT == 'key'")
+            plan = _formatted(df)
+            assert "SortMergeJoin" in plan  # broadcasts really disabled
+            assert "Exchange" not in plan  # bucketing carries the join keys
+            # and the bucketed path returns the same docs as the in-memory one
+            from accumulo_wikisearch_spark.sources.corpus import get_engine
+
+            expect = {r["doc_id"] for r in get_engine(spark, sf_dir).query(
+                "TEXT == 'dup' and TEXT == 'key'").collect()}
+            assert {r["doc_id"] for r in df.collect()} == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS ws_bucket_test CASCADE")
