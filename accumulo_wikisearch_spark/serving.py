@@ -2,22 +2,118 @@
 service (query-war/src/main/webapp/WEB-INF/web.xml:33-40):
 
     GET /query?query=<jexl>&auths=en,fr[&limit=N][&ids=1]   (≈ /Query/json)
+    GET /query/{json|xml|yaml|html}?query=…                  (format routes,
+        the reference's ``/Query/{xml|json|yaml|html}``; Query.java:94-138
+        renders via JAXB/XSLT — here each format renders the same
+        Results→Document→Field shape)
     GET /content?pointer=DOCUMENT:partition/lang/id          (≈ /Content)
     GET /scored?term=<term>[&limit=N]
     GET /health
 
-Responses are JSON: {"results": [...], "count": N}. Stdlib ``http.server``
-only — serving is I/O-light (Spark does the work); a production deployment
-would front the same engine object with any ASGI server. The engine and its
-SparkSession are thread-safe for concurrent read queries (independent jobs
-against the shared cached catalog — the BatchScanner-pool analogue)."""
+Default responses are JSON: {"results": [...], "count": N}. Stdlib
+``http.server`` only — serving is I/O-light (Spark does the work); a
+production deployment would front the same engine object with any ASGI
+server. The engine and its SparkSession are thread-safe for concurrent read
+queries (independent jobs against the shared cached catalog — the
+BatchScanner-pool analogue)."""
 
 from __future__ import annotations
 
+import html as _html
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+from xml.etree import ElementTree as ET
+
+
+# --- format renderers (Results → bytes + content-type) ---------------------
+
+
+def _render_json(payload: dict) -> tuple[bytes, str]:
+    return json.dumps(payload).encode(), "application/json"
+
+
+def _render_xml(payload: dict) -> tuple[bytes, str]:
+    """<results count="N"><document>…<field name="…">value</field>…</document></results>
+    — the JAXB Results/Document/Field element shape (sample/Results.java)."""
+    root = ET.Element("results", {"count": str(payload.get("count", 0))})
+    for row in payload.get("results", []):
+        doc = ET.SubElement(root, "document")
+        for k, v in row.items():
+            if isinstance(v, dict):
+                for fk, fv in sorted(v.items()):
+                    f = ET.SubElement(doc, "field", {"name": fk})
+                    f.text = "" if fv is None else str(fv)
+            else:
+                f = ET.SubElement(doc, "field", {"name": k})
+                f.text = "" if v is None else str(v)
+    return ET.tostring(root, encoding="utf-8", xml_declaration=True), "application/xml"
+
+
+def _yaml_scalar(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return json.dumps(str(v))  # JSON string quoting is valid YAML
+
+
+def _render_yaml(payload: dict) -> tuple[bytes, str]:
+    lines = [f"count: {payload.get('count', 0)}", "results:"]
+    for row in payload.get("results", []):
+        first = True
+        for k, v in row.items():
+            prefix = "- " if first else "  "
+            first = False
+            if isinstance(v, dict):
+                lines.append(f"{prefix}{k}:")
+                for fk, fv in sorted(v.items()):
+                    lines.append(f"    {fk}: {_yaml_scalar(fv)}")
+            else:
+                lines.append(f"{prefix}{k}: {_yaml_scalar(v)}")
+        if first:  # empty row dict
+            lines.append("- {}")
+    return ("\n".join(lines) + "\n").encode(), "application/x-yaml"
+
+
+def _render_html(payload: dict) -> tuple[bytes, str]:
+    """Results table — the XSLT ui rendering analogue (ui.html)."""
+    rows = payload.get("results", [])
+    cols: list[str] = []
+    for row in rows:
+        for k in row:
+            if k not in cols:
+                cols.append(k)
+    esc = _html.escape
+    cells = []
+    for row in rows:
+        tds = []
+        for c in cols:
+            v = row.get(c)
+            if isinstance(v, dict):
+                v = "; ".join(f"{k}={vv}" for k, vv in sorted(v.items()))
+            tds.append(f"<td>{esc('' if v is None else str(v))}</td>")
+        cells.append("<tr>" + "".join(tds) + "</tr>")
+    body = (
+        f"<html><body><p>{payload.get('count', 0)} results</p>"
+        "<table border='1'><tr>"
+        + "".join(f"<th>{esc(c)}</th>" for c in cols)
+        + "</tr>"
+        + "".join(cells)
+        + "</table></body></html>"
+    )
+    return body.encode(), "text/html"
+
+
+_RENDERERS = {
+    "json": _render_json,
+    "xml": _render_xml,
+    "yaml": _render_yaml,
+    "html": _render_html,
+}
 
 
 def _rows(df, limit: int | None):
@@ -31,10 +127,10 @@ def make_handler(engine):
         def log_message(self, *a):  # quiet
             pass
 
-        def _send(self, code: int, payload: dict):
-            body = json.dumps(payload).encode()
+        def _send(self, code: int, payload: dict, fmt: str = "json"):
+            body, ctype = _RENDERERS[fmt](payload)
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -47,12 +143,17 @@ def make_handler(engine):
             try:
                 if u.path == "/health":
                     return self._send(200, {"status": "ok"})
-                if u.path == "/query":
+                if u.path == "/query" or u.path.startswith("/query/"):
+                    fmt = u.path[len("/query/"):] or "json"
+                    if fmt not in _RENDERERS:
+                        return self._send(404, {"error": f"no format {fmt}"})
                     df = engine.query(q["query"], auths=auths)
                     if not q.get("ids"):
                         df = engine.fetch_documents(df)
                     rows = _rows(df, limit)
-                    return self._send(200, {"results": rows, "count": len(rows)})
+                    return self._send(
+                        200, {"results": rows, "count": len(rows)}, fmt
+                    )
                 if u.path == "/content":
                     rows = _rows(engine.content(q["pointer"], auths=auths), limit)
                     return self._send(200, {"results": rows, "count": len(rows)})

@@ -62,3 +62,52 @@ def test_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{server}/nope")
     assert ei.value.code == 404
+
+
+def _get_raw(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+Q = "query=TEXT%20%3D%3D%20%27dup%27&ids=1&limit=2"
+
+
+def test_query_xml_format(server):
+    from xml.etree import ElementTree as ET
+
+    code, ctype, body = _get_raw(f"{server}/query/xml?{Q}")
+    assert code == 200 and ctype == "application/xml"
+    root = ET.fromstring(body)
+    assert root.tag == "results" and int(root.get("count")) <= 2
+    docs = root.findall("document")
+    assert len(docs) == int(root.get("count"))
+    assert all(f.get("name") for d in docs for f in d.findall("field"))
+
+
+def test_query_yaml_format(server):
+    code, ctype, body = _get_raw(f"{server}/query/yaml?{Q}")
+    assert code == 200 and ctype == "application/x-yaml"
+    text = body.decode()
+    assert text.startswith("count:") and "results:" in text
+    assert "- doc_id:" in text or "- partition_id:" in text
+
+
+def test_query_html_format(server):
+    code, ctype, body = _get_raw(f"{server}/query/html?{Q}")
+    assert code == 200 and ctype == "text/html"
+    text = body.decode()
+    assert "<table" in text and "<th>" in text and "results</p>" in text
+
+
+def test_query_json_format_route_matches_default(server):
+    _, out_default = _get(f"{server}/query?{Q}")
+    _, out_json = _get(f"{server}/query/json?{Q}")
+    assert out_default == out_json
+
+
+def test_query_unknown_format_404(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{server}/query/toml?{Q}")
+    assert ei.value.code == 404
