@@ -71,6 +71,16 @@ def main() -> None:
     for name, jexl in ws.items():
         timed(name, lambda jexl=jexl: eng.query(jexl).count())
 
+    timed(
+        "q_tfidf_rank",
+        lambda: eng.scored_search_tfidf(["dup", "key"]).count(),
+    )
+
+    from accumulo_wikisearch_spark.operators import temporal
+
+    tq = temporal.queries()
+    timed("ev_asof_last_click", lambda: tq["ev_asof_last_click"](spark, sf_dir).count())
+
     timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs).count())
     timed("dedup_simhash", lambda: dedup.simhash(docs).count())
@@ -117,6 +127,37 @@ def main() -> None:
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(run_one, batch))
     times["throughput_24q_8clients"] = round(time.time() - t, 3)
+
+    # queries during ingest (reference README.md:206-219: concurrent
+    # ingest@132 articles/s slowed queries to 1.5-12.2s): a writer thread
+    # continuously folds fresh article deltas into the global index (the
+    # LSM-combiner work) while the 8 headline queries run.
+    import threading
+
+    from accumulo_wikisearch_spark.operators.ingest import build_index
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+    from accumulo_wikisearch_spark.streaming.incremental import merge_global_index
+    from pyspark.sql import functions as F
+
+    stop = threading.Event()
+
+    def ingest_loop():
+        arts = load_articles(spark, sf_dir).limit(500)
+        i = 0
+        while not stop.is_set():
+            fresh = arts.withColumn("id", F.col("id") + 10_000_000 + i * 1000)
+            delta = build_index(fresh, eng.index.config, SCALAR_FIELDS, unique_ids=True)
+            merge_global_index(eng.index.global_index, delta.global_index).count()
+            i += 1
+
+    writer = threading.Thread(target=ingest_loop, daemon=True)
+    writer.start()
+    t = time.time()
+    for jexl in ws.values():
+        eng.query(jexl).count()
+    times["during_ingest_8q"] = round(time.time() - t, 3)
+    stop.set()
+    writer.join(timeout=120)
 
     total = round(sum(times.values()), 3)
     print(
