@@ -296,6 +296,62 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, band_bits: int = 15) ->
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, a: str = "a_id", b: str = "b_id", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for every pair endpoint, component = min node id
+    reachable — turns pairwise near-dup edges into canonical clusters (keep
+    one doc per component, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup clusters are shallow — a handful). Each round
+    is one shuffle on node id. For graphs with deep paths, switch to the
+    O(log n)-round star contractions of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SoCC 2014); the driver loop
+    structure is identical.
+    """
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).persist()
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "comp")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).persist()
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "node")
+            .where(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", "comp")
+
+
+def dedup_clusters(docs: DataFrame, k: int = 3, num: int = 4, den: int = 5) -> DataFrame:
+    """(doc_id, cluster_id) over n-gram-Jaccard near-dup components."""
+    comp = connected_components(ngram_jaccard_pairs(docs, k, num, den))
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").cast("long").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dups
 # ---------------------------------------------------------------------------
 
@@ -348,6 +404,7 @@ def queries():
         "dedup_simhash_sig": lambda s, d: simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: simhash_pairs(_docs(s, d)),
         "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(_emb(s, d)),
+        "dedup_cluster_components": lambda s, d: dedup_clusters(_docs(s, d)),
     }
 
 
@@ -424,6 +481,26 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
+# transitive closure by recursive CTE: comp labels flow along (symmetric)
+# edges; min reachable label per node = the component id — the same fixpoint
+# label propagation converges to.
+_CLUSTER_SQL = f"""
+WITH RECURSIVE
+p AS ({_SHINGLE_SQL}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM p
+  UNION
+  SELECT b_id, a_id FROM p
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(comp)::BIGINT AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def oracle_sql():
     return {
         "dedup_exact": (
@@ -438,4 +515,5 @@ def oracle_sql():
         "dedup_simhash_sig": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_embedding_cosine": _EMB_COS_SQL,
+        "dedup_cluster_components": _CLUSTER_SQL,
     }
