@@ -6,23 +6,29 @@ metadata struct; decode/resize/frame-sample run as Arrow-batched Python
 everything around them (filtering, joins, dedup by content hash) stays
 JVM-side on the metadata columns.
 
-The container has no media libraries, so the *decode kernels are stubs*
-(clearly marked, deterministic) — the Spark plumbing (schema, batch
-iteration, partition-size control) is real and tested:
+Decode kernels come in two tiers:
 
-- ``attach_payload``: makes a (doc_id, payload BINARY, meta STRUCT) frame.
-- ``payload_stats``: mapInPandas over binary payloads → per-item stats
-  (the shape of a real decode: bytes in, features out).
-- ``decode_image`` / ``extract_audio_features``: NotImplementedError stubs
-  wired with correct signatures + a ``fake=True`` deterministic path used
-  by tests to exercise batching.
+- REAL kernels for container-formats the stdlib can parse: BMP / PPM image
+  headers (``decode_image``) and RIFF/WAVE audio (``extract_audio_features``
+  — stdlib ``wave`` + numpy PCM stats). These run the same Arrow-batched
+  ``mapInPandas`` path a PIL/ffmpeg kernel would.
+- STUBS (clearly marked ``NotImplementedError``) for codec formats
+  (JPEG/PNG/mp4) whose libraries aren't in this container, each with a
+  ``fake=True`` deterministic path so batching/schema/joins are exercised.
+
+Also here: ``attach_payload`` (text corpus → binary payload + metadata
+frame) and ``payload_stats`` (bytes → features, the canonical decode shape).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -67,13 +73,51 @@ def payload_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(stats, STATS_SCHEMA)
 
 
+def _parse_image_header(b: bytes) -> tuple[int | None, int | None, int | None]:
+    """Pure-stdlib image header parse: BMP and binary PPM (P6).
+
+    Returns (width, height, channels); (None, None, None) for formats that
+    need a codec library (JPEG/PNG/...)."""
+    if len(b) >= 30 and b[:2] == b"BM":
+        # BITMAPINFOHEADER: int32 width @18, int32 height @22, uint16 bpp @28
+        width, height = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        return width, abs(height), max(1, bpp // 8)
+    if b[:2] == b"P6":
+        try:
+            # header tokens: P6 <width> <height> <maxval>, '#' comments allowed
+            toks: list[bytes] = []
+            for line in b[2:256].split(b"\n"):
+                toks.extend(line.split(b"#")[0].split())
+                if len(toks) >= 3:
+                    break
+            return int(toks[0]), int(toks[1]), 3
+        except (ValueError, IndexError):
+            return None, None, None
+    return None, None, None
+
+
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode → (width, height, channels).
 
-    STUB: no imaging library in this container. ``fake=True`` derives
-    deterministic pseudo-dimensions from the payload hash so the plumbing
-    (batching, schema, downstream joins) is exercised end-to-end.
+    REAL kernel for BMP / binary-PPM payloads (pure header parse — no
+    library needed); codec formats (JPEG/PNG) decode to nulls here and need
+    a PIL/cv2 kernel dropped into the same mapInPandas shape. ``fake=True``
+    derives deterministic pseudo-dimensions from the payload hash so
+    arbitrary payloads exercise the plumbing end-to-end.
     """
+
+    def real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_parse_image_header(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="Int32"),
+                    "channels": pd.Series([d[2] for d in dims], dtype="Int32"),
+                }
+            )
 
     def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,25 +133,58 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    if fake:
-        return media.mapInPandas(fake_decode, IMAGE_FEAT_SCHEMA)
-    raise NotImplementedError(
-        "image decode requires an imaging library (PIL/cv2) not present in "
-        "this container; wire the real kernel into the same mapInPandas shape"
-    )
+    return media.mapInPandas(fake_decode if fake else real_decode, IMAGE_FEAT_SCHEMA)
+
+
+AUDIO_FEAT_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_frames long, "
+    "duration_ms long, rms int"
+)
 
 
 def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Audio feature extraction stub — same contract as decode_image."""
+    """Audio features from RIFF/WAVE payloads — REAL kernel (stdlib ``wave``
+    + numpy over PCM16): sample rate, channels, frame count, duration, RMS
+    amplitude. Non-WAV / compressed payloads yield null features (an
+    ffmpeg-backed kernel drops into the same shape). ``fake=True`` keeps the
+    old byte-length heuristic for arbitrary payloads."""
     if fake:
         return payload_stats(media).select(
             "doc_id",
             (F.col("n_bytes") / 16000).alias("approx_seconds"),
         )
-    raise NotImplementedError(
-        "audio decode requires an audio library (soundfile/librosa) not "
-        "present in this container"
-    )
+
+    def wav_features(b: bytes):
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return (None, None, None, None, None)
+        try:
+            with wave.open(io.BytesIO(b)) as w:
+                rate, nch, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
+                width = w.getsampwidth()
+                pcm = w.readframes(nframes)
+            rms = None
+            if width == 2 and pcm:
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                rms = int(np.sqrt(np.mean(x * x)))
+            return (rate, nch, nframes, nframes * 1000 // rate if rate else None, rms)
+        except (wave.Error, EOFError, struct.error):
+            return (None, None, None, None, None)
+
+    def real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [wav_features(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series([f[0] for f in feats], dtype="Int32"),
+                    "n_channels": pd.Series([f[1] for f in feats], dtype="Int32"),
+                    "n_frames": pd.Series([f[2] for f in feats], dtype="Int64"),
+                    "duration_ms": pd.Series([f[3] for f in feats], dtype="Int64"),
+                    "rms": pd.Series([f[4] for f in feats], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(real, AUDIO_FEAT_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"

@@ -94,14 +94,63 @@ def test_multimodal_fake_decode_deterministic(spark):
     assert 1 <= a["width"] <= 1920
 
 
-def test_multimodal_real_decode_raises(spark):
-    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    media = multimodal.attach_payload(docs)
-    try:
-        multimodal.decode_image(media)
-        assert False, "expected NotImplementedError"
-    except NotImplementedError:
-        pass
+def _media_df(spark, payloads: dict[int, bytes]):
+    rows = [(i, bytearray(b), "media", len(b)) for i, b in payloads.items()]
+    return spark.createDataFrame(
+        rows, "doc_id long, payload binary, kind string, n_bytes long"
+    )
+
+
+def test_multimodal_real_bmp_and_ppm_decode(spark):
+    import struct
+
+    # minimal BMP: 'BM' + 16 filler + int32 w, int32 h @18/22, uint16 bpp @28
+    bmp = bytearray(40)
+    bmp[0:2] = b"BM"
+    struct.pack_into("<ii", bmp, 18, 640, -480)  # top-down BMPs have h < 0
+    struct.pack_into("<H", bmp, 28, 24)
+    ppm = b"P6\n# a comment\n320 200\n255\n" + b"\x00" * 10
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_image(
+            _media_df(spark, {1: bytes(bmp), 2: ppm, 3: b"\x89PNG not parsed"})
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (640, 480, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (320, 200, 3)
+    assert out[3]["width"] is None  # codec format → null features, no crash
+
+
+def test_multimodal_real_wav_features(spark):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    rate, n = 8000, 4000  # 0.5 s mono sine at full scale
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(30000 * math.sin(2 * math.pi * 440 * i / rate)))
+                for i in range(n)
+            )
+        )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.extract_audio_features(
+            _media_df(spark, {1: buf.getvalue(), 2: b"not audio at all"})
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1["sample_rate"], r1["n_channels"], r1["n_frames"]) == (rate, 1, n)
+    assert r1["duration_ms"] == 500
+    # RMS of a full-scale sine ≈ amplitude/√2
+    assert abs(r1["rms"] - 30000 / math.sqrt(2)) < 300
+    assert out[2]["sample_rate"] is None
 
 
 def test_multimodal_resize_and_frames(spark):
