@@ -212,6 +212,41 @@ def brand_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1995-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k unshipped orders by revenue for one market segment (Q3 shape):
+    broadcast the filtered customer dim, shuffle only lineitem ⋈ orders on
+    orderkey, then a global top-k (TakeOrderedAndProject — no full sort).
+    Tie-break by (order_date, orderkey) keeps the k-boundary deterministic."""
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < _ts(date)).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = lineitem.where(F.col("l_shipdate") > _ts(date)).select(
+        "l_orderkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("rev").alias("revenue_cents"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), "order_date", "orderkey")
+        .limit(k)
+    )
+
+
 def queries():
     return {
         "rel_pricing_summary": lambda s, d: pricing_summary(_t(s, d, "lineitem")),
@@ -236,6 +271,9 @@ def queries():
             _t(s, d, "lineitem"), _t(s, d, "part")
         ),
         "rel_pricing_cube": lambda s, d: pricing_cube(_t(s, d, "lineitem")),
+        "rel_shipping_priority": lambda s, d: shipping_priority(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
     }
 
 
@@ -319,6 +357,22 @@ GROUP BY p_brand
 """
 
 
+_SHIPPING_SQL = """
+SELECT l_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, order_date, orderkey
+LIMIT 10
+"""
+
+
 def oracle_sql():
     return {
         "rel_pricing_summary": _PRICING_SQL,
@@ -329,4 +383,5 @@ def oracle_sql():
         "rel_supplier_volume": _SUPPLIER_SQL,
         "rel_brand_volume": _BRAND_SQL,
         "rel_pricing_cube": _CUBE_SQL,
+        "rel_shipping_priority": _SHIPPING_SQL,
     }
