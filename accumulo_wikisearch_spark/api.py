@@ -176,6 +176,23 @@ class Wikisearch:
         )
         return g.limit(limit) if limit else g
 
+    def term_cardinalities(
+        self, terms: list[str], auths: list[str] | None = None
+    ) -> DataFrame:
+        """(term, field, n_docs) for each term across every field it appears
+        in — the corpus statistics table the reference publishes
+        (README.md:141-163: per-term cardinalities backing its benchmark) and
+        the same global-index aggregate the planner's AND-ordering uses (O3,
+        RangeCalculator.java:664-672). One pushed-down scan of the tiny
+        global-index slice; no corpus access."""
+        norm = sorted({normalize_str(t) for t in terms})
+        gi = self.index.global_index.where(F.col("norm_value").isin(*norm))
+        if auths:
+            gi = gi.where(F.col("language").isin(*auths))
+        return gi.groupBy(
+            F.col("norm_value").alias("term"), "field"
+        ).agg(F.sum("count").alias("n_docs"))
+
     def scored_search_tfidf(
         self, terms: list[str], auths: list[str] | None = None, limit: int | None = None
     ) -> DataFrame:

@@ -178,6 +178,12 @@ def _ws_scored_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.scored_search_multi(["dup", "key"]).select("doc_id", "total_occ")
 
 
+def _ws_term_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.term_cardinalities(["dup", "key", "the", "src3"])
+
+
 def _ws_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_runtime(spark)
     eng = get_engine(spark, sf_dir)
@@ -222,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_scored_search"] = _ws_scored
     out["ws_scored_multi"] = _ws_scored_multi
     out["ws_tfidf_rank"] = _ws_tfidf
+    out["ws_term_cardinalities"] = _ws_term_cards
     out["ws_result_assembly"] = _ws_assembly
     out["ws_distinct_values"] = _ws_distinct_values
     out["ws_metadata_freq"] = _ws_metadata_freq
@@ -282,6 +289,23 @@ SELECT o.doc_id,
 FROM occ o JOIN df ON df.term = o.term CROSS JOIN n
 GROUP BY o.doc_id
 HAVING count(*) = 2
+"""
+    # brute-force per-field doc counts (README.md:141-163 cardinality table)
+    out["ws_term_cardinalities"] = f"""
+WITH t(term) AS (VALUES ('dup'), ('key'), ('the'), ('src3')),
+c AS (
+  SELECT term, 'TEXT' AS field,
+         (SELECT count(*) FROM documents WHERE list_contains({TOK}, term)) AS n_docs FROM t
+  UNION ALL
+  SELECT term, 'SOURCE', (SELECT count(*) FROM documents WHERE source = term) FROM t
+  UNION ALL
+  SELECT term, 'LANG', (SELECT count(*) FROM documents WHERE lang = term) FROM t
+  UNION ALL
+  SELECT term, 'ID', (SELECT count(*) FROM documents WHERE doc_id::VARCHAR = term) FROM t
+  UNION ALL
+  SELECT term, 'NCHARS', (SELECT count(*) FROM documents WHERE n_chars::VARCHAR = term) FROM t
+)
+SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
 """
     out["ws_result_assembly"] = (
         "SELECT doc_id, lang AS language, "

@@ -30,6 +30,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def dedup_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: the first arrival of each content hash passes;
+    re-arrivals within the watermark horizon are dropped, and per-key state
+    is evicted once the watermark moves past it — bounded memory regardless
+    of stream length (``dropDuplicatesWithinWatermark``). This is the
+    streaming twin of ``operators/dedup.py:exact_duplicates`` for continuous
+    corpus ingestion: duplicates arriving close together (the common crawl /
+    re-scrape case) are suppressed online; a periodic batch pass catches
+    far-apart re-arrivals."""
+    keys = key_cols or ["content_hash"]
+    keyed = docs
+    if key_cols is None:
+        keyed = docs.withColumn("content_hash", F.md5("text"))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_counts_stream(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

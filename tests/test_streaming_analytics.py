@@ -103,3 +103,29 @@ def test_sessionize_single_batch_splits(spark, gap):
         assert [(r["session_start"], r["session_end"], r["n_events"]) for r in closed] == [
             (0, 10, 2)
         ]
+
+
+def test_dedup_stream_drops_rearrivals_across_batches(spark):
+    from accumulo_wikisearch_spark.streaming.analytics import dedup_stream
+
+    DOC_SCHEMA = "doc_id long, ts long, text string"
+    with tempfile.TemporaryDirectory() as tmp:
+        # batch 0: two distinct texts; batch 1: re-arrival of "alpha" (dup,
+        # within watermark) + one new text — maxFilesPerTrigger=1 forces the
+        # dedup state to carry across micro-batches
+        spark.createDataFrame(
+            [(1, 100, "alpha"), (2, 110, "beta")], DOC_SCHEMA
+        ).write.parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(
+            [(3, 120, "alpha"), (4, 130, "gamma")], DOC_SCHEMA
+        ).write.parquet(f"{tmp}/in/b1")
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+            .withColumn("ts", F.timestamp_seconds("ts"))
+        )
+        _run_stream(dedup_stream(stream), "dedup_out", output_mode="append")
+        rows = spark.sql("SELECT text FROM dedup_out").collect()
+        texts = sorted(r["text"] for r in rows)
+        assert texts == ["alpha", "beta", "gamma"]  # second 'alpha' dropped
