@@ -59,6 +59,26 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_stats_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-session stats via Spark's native ``F.session_window`` (merging
+    windows; the same operator the streaming engine uses for session
+    aggregation with watermark-evicted state). Semantics match
+    :func:`sessionize`: a new session starts when the gap to the previous
+    event is ≥ the gap duration (session windows are half-open
+    ``[start, last+gap)``). Outputs integers (epoch micros) for oracle
+    hash-stability."""
+    w = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+        )
+        .select("user_id", "session_start_us", "n_events", "span_us")
+    )
+
+
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-session stats: events per session, span seconds (integers)."""
     s = sessionize(events, gap_minutes)
@@ -84,9 +104,14 @@ def queries():
         tune_runtime(spark)
         return session_stats(load_events(spark, sf_dir))
 
+    def _sessions_native(spark, sf_dir):
+        tune_runtime(spark)
+        return session_stats_native(load_events(spark, sf_dir))
+
     return {
         "ev_windowed_counts": _windowed,
         "ev_session_stats": _sessions,
+        "ev_session_native": _sessions_native,
     }
 
 
@@ -123,8 +148,36 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+# micros-precision islands (session_window compares full-precision
+# timestamps, so the oracle must too — a floored-seconds gap would split
+# differently near the boundary)
+_SESSION_NATIVE_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+  FROM events
+),
+m AS (
+  SELECT user_id, t,
+         CASE WHEN pt IS NULL OR t - pt >= 1800000000 THEN 1 ELSE 0 END AS nw
+  FROM o
+),
+s AS (
+  SELECT user_id, t,
+         SUM(nw) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+)
+SELECT user_id, min(t)::BIGINT AS session_start_us,
+       count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS span_us
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def oracle_sql():
     return {
         "ev_windowed_counts": _WINDOWED_SQL,
         "ev_session_stats": _SESSION_SQL,
+        "ev_session_native": _SESSION_NATIVE_SQL,
     }

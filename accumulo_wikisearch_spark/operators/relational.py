@@ -247,6 +247,28 @@ def shipping_priority(
     )
 
 
+def price_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact discrete percentiles of price cents per returnflag —
+    ``percentile_disc`` picks actual data values (smallest with cume_dist ≥
+    p), so results are integers and engine-exact, unlike interpolated or
+    approximate quantiles. At 100 TB swap in ``approx_percentile`` for the
+    single-pass sketch when exactness isn't required; the exact form costs a
+    per-group sort."""
+    cents = _cents(F.col("l_extendedprice"))
+    df = lineitem.select("l_returnflag", cents.alias("cents"))
+    return df.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p50_cents"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p90_cents"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p99_cents"),
+    )
+
+
 def queries():
     return {
         "rel_pricing_summary": lambda s, d: pricing_summary(_t(s, d, "lineitem")),
@@ -274,6 +296,7 @@ def queries():
         "rel_shipping_priority": lambda s, d: shipping_priority(
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
+        "rel_price_percentiles": lambda s, d: price_percentiles(_t(s, d, "lineitem")),
     }
 
 
@@ -373,6 +396,18 @@ LIMIT 10
 """
 
 
+_PERCENTILE_SQL = """
+WITH c AS (
+  SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents FROM lineitem
+)
+SELECT l_returnflag,
+       quantile_disc(cents, 0.5)::BIGINT AS p50_cents,
+       quantile_disc(cents, 0.9)::BIGINT AS p90_cents,
+       quantile_disc(cents, 0.99)::BIGINT AS p99_cents
+FROM c GROUP BY l_returnflag
+"""
+
+
 def oracle_sql():
     return {
         "rel_pricing_summary": _PRICING_SQL,
@@ -384,4 +419,5 @@ def oracle_sql():
         "rel_brand_volume": _BRAND_SQL,
         "rel_pricing_cube": _CUBE_SQL,
         "rel_shipping_priority": _SHIPPING_SQL,
+        "rel_price_percentiles": _PERCENTILE_SQL,
     }
