@@ -25,6 +25,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=0, help="max results (0 = all)")
     p.add_argument("--content", metavar="POINTER", help="fetch DOCUMENT:partition/lang/id")
     p.add_argument("--scored", metavar="TERM", help="ranked single-term search")
+    p.add_argument(
+        "--tfidf", metavar="TERMS", help="comma-separated terms, IDF-weighted ranked AND search"
+    )
+    p.add_argument(
+        "--cardinalities",
+        metavar="TERMS",
+        help="comma-separated terms: per-field doc counts from the global index",
+    )
     p.add_argument("--ids-only", action="store_true", help="emit doc ids, not documents")
     p.add_argument("--serve", type=int, metavar="PORT", help="start the REST front on PORT and block")
     return p
@@ -32,7 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(argv: list[str], out=sys.stdout) -> int:
     args = build_parser().parse_args(argv)
-    if not (args.query or args.content or args.scored or args.serve):
+    if not (
+        args.query
+        or args.content
+        or args.scored
+        or args.serve
+        or args.tfidf
+        or args.cardinalities
+    ):
         build_parser().print_usage(out)
         return 2
 
@@ -61,6 +76,10 @@ def run(argv: list[str], out=sys.stdout) -> int:
         df = eng.content(args.content, auths=auths)
     elif args.scored:
         df = eng.scored_search(args.scored, auths=auths).drop("offsets")
+    elif args.tfidf:
+        df = eng.scored_search_tfidf(args.tfidf.split(","), auths=auths)
+    elif args.cardinalities:
+        df = eng.term_cardinalities(args.cardinalities.split(","), auths=auths)
     elif args.ids_only:
         df = eng.query(args.query, auths=auths)
     else:

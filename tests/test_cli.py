@@ -39,3 +39,27 @@ def test_cli_usage_without_args(spark):
     from accumulo_wikisearch_spark.cli import run
 
     assert run([], out=io.StringIO()) == 2
+
+
+def test_cli_tfidf(spark, sf_dir):
+    from accumulo_wikisearch_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(["--sf-dir", sf_dir, "--tfidf", "dup,key", "--limit", "5"], out=out)
+    assert rc == 0
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert rows and all("score" in r and "doc_id" in r for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_cardinalities(spark, sf_dir):
+    from accumulo_wikisearch_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(["--sf-dir", sf_dir, "--cardinalities", "dup,src3"], out=out)
+    assert rc == 0
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    got = {(r["term"], r["field"]) for r in rows}
+    assert ("dup", "TEXT") in got and ("src3", "SOURCE") in got
+    assert all(r["n_docs"] > 0 for r in rows)
