@@ -26,6 +26,11 @@ from accumulo_wikisearch_spark.functions.normalize import normalize_str
 # DOCUMENT:partition/lang/id — pointer grammar at ContentLogic.java:56
 _POINTER_RE = re.compile(r"^DOCUMENT:(\d+)/([^/]+)/(\d+)$")
 
+# TEXT_MATCH('<jexl>') / TEXT_MATCH("<jexl>") inside a SQL string
+_TEXT_MATCH_RE = re.compile(
+    r"TEXT_MATCH\(\s*(?:'((?:[^']|'')*)'|\"([^\"]*)\")\s*\)", re.IGNORECASE
+)
+
 
 class Wikisearch:
     def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
@@ -175,6 +180,47 @@ class Wikisearch:
             .orderBy(F.desc("total_occ"), "doc_id")
         )
         return g.limit(limit) if limit else g
+
+    def sql(self, query: str, auths: list[str] | None = None) -> DataFrame:
+        """``spark.sql`` over the catalog with ``TEXT_MATCH('<jexl>')``
+        predicate rewriting — the transparent-SQL integration SURVEY §4
+        flags as the optional stretch beyond plan-construction. A true
+        Catalyst rule would need Scala; the same effect is achieved by
+        rewriting the SQL text: each ``TEXT_MATCH`` call runs through the
+        full index planner (optimized path, cardinality ordering, auths) and
+        is substituted with a ``doc_id IN (SELECT …)`` semi-join against the
+        resulting candidate view — Catalyst then plans the IN-subquery as a
+        left-semi join like any other.
+
+        Catalog tables are exposed as views ``ws_documents``, ``ws_docs_wide``,
+        ``ws_field_index``, ``ws_global_index``, ``ws_metadata``,
+        ``ws_term_index``. JEXL single quotes are doubled per SQL convention:
+        ``TEXT_MATCH('TEXT == ''dup''')`` or use double quotes
+        ``TEXT_MATCH("TEXT == 'dup'")``.
+        """
+        spark = self.index.documents.sparkSession
+        for name, df in [
+            ("ws_documents", self.index.documents),
+            ("ws_docs_wide", self.index.docs_wide),
+            ("ws_field_index", self.index.field_index),
+            ("ws_global_index", self.index.global_index),
+            ("ws_metadata", self.index.metadata),
+            ("ws_term_index", self.index.term_index),
+        ]:
+            df.createOrReplaceTempView(name)
+
+        counter = [0]
+
+        def repl(m: re.Match) -> str:
+            jexl = m.group(1) if m.group(1) is not None else m.group(2)
+            jexl = jexl.replace("''", "'")
+            res = self.query(jexl, auths=auths)
+            counter[0] += 1
+            view = f"_ws_text_match_{counter[0]}"
+            res.select("doc_id").createOrReplaceTempView(view)
+            return f"doc_id IN (SELECT doc_id FROM {view})"
+
+        return spark.sql(_TEXT_MATCH_RE.sub(repl, query))
 
     def term_cardinalities(
         self, terms: list[str], auths: list[str] | None = None

@@ -184,6 +184,16 @@ def _ws_term_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.term_cardinalities(["dup", "key", "the", "src3"])
 
 
+def _ws_sql_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT doc_id FROM ws_documents "
+        "WHERE TEXT_MATCH('TEXT == ''dup'' and TEXT == ''key''') "
+        "AND length(text) > 200"
+    )
+
+
 def _ws_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_runtime(spark)
     eng = get_engine(spark, sf_dir)
@@ -229,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_scored_multi"] = _ws_scored_multi
     out["ws_tfidf_rank"] = _ws_tfidf
     out["ws_term_cardinalities"] = _ws_term_cards
+    out["ws_sql_text_match"] = _ws_sql_text_match
     out["ws_result_assembly"] = _ws_assembly
     out["ws_distinct_values"] = _ws_distinct_values
     out["ws_metadata_freq"] = _ws_metadata_freq
@@ -290,6 +301,10 @@ FROM occ o JOIN df ON df.term = o.term CROSS JOIN n
 GROUP BY o.doc_id
 HAVING count(*) = 2
 """
+    out["ws_sql_text_match"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
+        f"AND list_contains({TOK},'key') AND len(text) > 200"
+    )
     # brute-force per-field doc counts (README.md:141-163 cardinality table)
     out["ws_term_cardinalities"] = f"""
 WITH t(term) AS (VALUES ('dup'), ('key'), ('the'), ('src3')),

@@ -214,3 +214,37 @@ def test_tfidf_rank_weights_rare_terms_higher(engine):
         for r in rows
     )
     assert r0["score"] == expect
+
+
+def test_sql_text_match_rewrite(engine, duck):
+    """TEXT_MATCH('<jexl>') inside spark.sql runs the index planner and
+    composes with ordinary SQL predicates."""
+    out = engine.sql(
+        "SELECT doc_id FROM ws_documents "
+        "WHERE TEXT_MATCH('TEXT == ''dup'' and TEXT == ''key''') "
+        "AND length(text) > 200"
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    expect = {
+        r[0]
+        for r in duck.execute(
+            "SELECT doc_id FROM documents WHERE "
+            "list_contains(string_split(text,' '), 'dup') AND "
+            "list_contains(string_split(text,' '), 'key') AND len(text) > 200"
+        ).fetchall()
+    }
+    assert got == expect and got
+
+
+def test_sql_text_match_double_quotes_and_auths(engine):
+    a = engine.sql(
+        'SELECT doc_id FROM ws_documents WHERE TEXT_MATCH("TEXT == \'dup\'")',
+        auths=["en"],
+    )
+    b = engine.query("TEXT == 'dup'", auths=["en"])
+    assert {r["doc_id"] for r in a.collect()} == {r["doc_id"] for r in b.collect()}
+
+
+def test_sql_plain_passthrough(engine):
+    n = engine.sql("SELECT count(*) AS n FROM ws_metadata WHERE indexed").collect()[0]["n"]
+    assert n > 0
