@@ -82,3 +82,30 @@ def test_lookback_preserves_left_columns(frames):
     out = lookback_count(left, right, ["k"], "lts", "rts", lookback=40)
     assert set(out.columns) == {"k", "left_id", "lts", "n_matches"}
     assert out.count() == left.count()
+
+
+def test_asof_randomized_against_brute_force(spark):
+    """200×200 randomized fixture vs a brute-force reference that encodes
+    the documented semantics (backward inclusive, max-(payload) tie-break)."""
+    import random
+
+    rng = random.Random(7)
+    left_rows = [
+        (f"k{rng.randrange(8)}", i, rng.randrange(0, 500)) for i in range(200)
+    ]
+    right_rows = [
+        (f"k{rng.randrange(8)}", 1000 + i, rng.randrange(0, 500)) for i in range(200)
+    ]
+    left = spark.createDataFrame(left_rows, "k string, left_id long, lts long")
+    right = spark.createDataFrame(right_rows, "k string, right_id long, rts long")
+    got = {
+        r["left_id"]: (r["right_id"], r["rts"])
+        for r in asof_join(left, right, ["k"], "lts", "rts").collect()
+    }
+
+    for k, left_id, lts in left_rows:
+        cands = [(rid, rts) for (rk, rid, rts) in right_rows if rk == k and rts <= lts]
+        # latest rts wins (time-ordered window); at equal rts the payload
+        # struct (right_id, rts) breaks the tie → max right_id
+        expect = max(cands, key=lambda c: (c[1], c[0]), default=(None, None))
+        assert got[left_id] == expect, (k, left_id, lts, expect, got[left_id])
