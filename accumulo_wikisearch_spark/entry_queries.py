@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from accumulo_wikisearch_spark.operators import (
         analytics,
+        curation,
         dedup,
         multimodal,
         relational,
@@ -257,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textstats,
     )
 
+    out.update(curation.queries())
     out.update(dedup.queries())
     out.update(similarity.queries())
     out.update(textstats.queries())
@@ -342,6 +344,7 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
 
     from accumulo_wikisearch_spark.operators import (
         analytics,
+        curation,
         dedup,
         multimodal,
         relational,
@@ -351,6 +354,7 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         textstats,
     )
 
+    out.update(curation.oracle_sql())
     out.update(dedup.oracle_sql())
     out.update(similarity.oracle_sql())
     out.update(textstats.oracle_sql())

@@ -1,0 +1,279 @@
+"""Training-data curation operators: document chunking, benchmark
+decontamination, Gopher-style repetition filtering, and canonical-document
+selection after exact dedup.
+
+These extend the reference surface (SURVEY.md §2.6) with the corpus-prep
+steps an LLM pretraining pipeline runs at 100 TB:
+
+- ``chunk_documents`` — fixed-size token windows with stride (the unit a
+  tokenizer/packer consumes). Scan-local: explode of a per-row sequence,
+  no shuffle at all — linear over the corpus.
+- ``decontaminate`` — flag training docs that share any k-token shingle
+  with a (small) held-out eval set. The eval shingle set is broadcast, so
+  the 100 TB training side never shuffles: one scan + broadcast-hash
+  left-semi probe.
+- ``repetition_stats`` — top-bigram fraction (the Gopher repetition
+  heuristic); all built-in array expressions inside whole-stage codegen.
+- ``canonical_docs`` — one surviving doc per exact-content group
+  (min doc id), i.e. the keep-list exact dedup feeds downstream. One
+  hash-partitioned groupBy with map-side partial aggregation.
+
+All outputs are integer/string-valued and aliased to match the DuckDB
+oracles below (driver hash-compare contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.functions.normalize import HASH60_DUCKDB, hash60_col
+from accumulo_wikisearch_spark.session import tune_runtime
+
+
+def _toks(col: str = "text"):
+    return F.filter(F.split(F.col(col), " "), lambda t: F.length(t) > 0)
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
+    """Split each doc into token windows of ``size`` every ``stride`` tokens.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_hash) — one row per window;
+    the last window may be short. ``chunk_hash`` is the portable 60-bit hash
+    of the space-joined window (so downstream exact chunk-dedup is a plain
+    groupBy on it).
+    """
+    toks = _toks()
+    n = F.size(toks)
+    # last start is capped at n - size + stride: a window whose tokens are
+    # all inside the previous window would be redundant output. Explicit
+    # positive step: sequence(1, 0) would infer a NEGATIVE step, so empty
+    # docs are filtered out rather than passed to sequence.
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - size + stride), F.lit(stride)
+    )
+    rows = docs.where(n >= 1).select(
+        "doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), size)
+    return rows.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        hash60_col(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(1, len(toks) - 16) + 1, 48)) AS start
+  FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id,
+  ((start - 1) // 48)::INTEGER AS chunk_id,
+  len(toks[start:start+63])::INTEGER AS n_tokens,
+  {HASH60_DUCKDB.format(expr="array_to_string(toks[start:start+63], ' ')")} AS chunk_hash
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def _shingle_rows(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sh) — every k-token space-joined shingle of every doc."""
+    toks = _toks()
+    n = F.size(toks)
+    rows = docs.where(n >= k).select("doc_id", toks.alias("toks"))
+    sh = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.array_join(F.slice("toks", i, k), " "),
+        )
+    )
+    return rows.select("doc_id", sh.alias("sh"))
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame | None = None, k: int = 5, modulus: int = 97
+) -> DataFrame:
+    """Flag training docs sharing any k-token shingle with the eval set.
+
+    ``eval_docs`` defaults to ``doc_id % modulus == 0`` (a deterministic
+    held-out slice of the corpus, standing in for a benchmark suite).
+    Returns (doc_id, contaminated) over the TRAINING docs only.
+
+    Scale shape: the eval set is tiny relative to training data, so its
+    distinct shingles are broadcast; the training side is one scan + a
+    broadcast left-semi probe (no shuffle of the 100 TB side). The final
+    flag join is doc_id-keyed against an already-small hit list, also
+    broadcast.
+    """
+    if eval_docs is None:
+        eval_docs = docs.where(F.col("doc_id") % modulus == 0)
+        train = docs.where(F.col("doc_id") % modulus != 0)
+    else:
+        train = docs.join(eval_docs.select("doc_id"), "doc_id", "left_anti")
+    eval_sh = _shingle_rows(eval_docs, k).select("sh").distinct()
+    hits = (
+        _shingle_rows(train, k)
+        .join(F.broadcast(eval_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return train.select("doc_id").join(F.broadcast(hits), "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(0)).cast("int").alias("contaminated")
+    )
+
+
+_DECONTAM_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS s
+  FROM t, unnest(range(1, len(toks) - 3)) AS r(i)
+  WHERE len(toks) >= 5
+), hit AS (
+  SELECT DISTINCT a.doc_id
+  FROM sh a WHERE a.doc_id % 97 <> 0
+    AND a.s IN (SELECT s FROM sh WHERE doc_id % 97 = 0)
+)
+SELECT d.doc_id,
+  (d.doc_id IN (SELECT doc_id FROM hit))::INTEGER AS contaminated
+FROM documents d WHERE d.doc_id % 97 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Top-bigram multiplicity per doc (repetition heuristic à la Gopher).
+
+    Returns (doc_id, n_bigrams, top_bigram_cnt, repetitive) for docs with
+    ≥2 tokens; ``repetitive`` = top bigram covers ≥20% of all bigrams
+    (integer cross-multiplication — no floats). Entirely scan-local: the
+    max multiplicity is a run-length fold over the doc's own sorted bigram
+    array, not a cross-doc aggregation.
+    """
+    toks = _toks()
+    n = F.size(toks)
+    rows = docs.where(n >= 2).select("doc_id", toks.alias("toks"))
+    nb = F.size("toks") - 1
+    bigrams = F.zip_with(
+        F.slice("toks", 1, nb),
+        F.slice("toks", 2, nb),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    top = F.aggregate(
+        F.array_sort(bigrams),
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return rows.select(
+        "doc_id",
+        nb.cast("int").alias("n_bigrams"),
+        top.cast("int").alias("top_bigram_cnt"),
+        (top * 10 >= nb * 2).cast("int").alias("repetitive"),
+    )
+
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, len(toks) - 1 AS n_bigrams, toks[i] || ' ' || toks[i+1] AS g
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2
+), c AS (
+  SELECT doc_id, n_bigrams, g, count(*) AS cnt FROM b GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+  n_bigrams::INTEGER AS n_bigrams,
+  max(cnt)::INTEGER AS top_bigram_cnt,
+  (max(cnt) * 10 >= n_bigrams * 2)::INTEGER AS repetitive
+FROM c GROUP BY doc_id, n_bigrams
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonical selection
+# ---------------------------------------------------------------------------
+
+
+def canonical_docs(docs: DataFrame) -> DataFrame:
+    """One surviving doc per exact-content group: (canonical_id, n_members).
+
+    The keep-list exact dedup feeds a downstream pipeline; canonical = min
+    doc id of the group (deterministic). One groupBy on the content hash —
+    partial (map-side) aggregation does the heavy lifting before the
+    shuffle, so the exchange carries one row per distinct text.
+    """
+    return (
+        docs.groupBy(hash60_col("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select("canonical_id", "n_members")
+    )
+
+
+_CANONICAL_SQL = f"""
+SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_members
+FROM documents GROUP BY {HASH60_DUCKDB.format(expr="text")}
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver registry
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def queries():
+    return {
+        "cur_chunk_documents": lambda s, d: chunk_documents(_docs(s, d)),
+        "cur_decontaminate": lambda s, d: decontaminate(_docs(s, d)),
+        "cur_repetition_stats": lambda s, d: repetition_stats(_docs(s, d)),
+        "cur_canonical_docs": lambda s, d: canonical_docs(_docs(s, d)),
+    }
+
+
+def oracle_sql():
+    return {
+        "cur_chunk_documents": _CHUNK_SQL,
+        "cur_decontaminate": _DECONTAM_SQL,
+        "cur_repetition_stats": _REPETITION_SQL,
+        "cur_canonical_docs": _CANONICAL_SQL,
+    }

@@ -1,0 +1,80 @@
+"""Unit tests for the training-data curation operators (chunking,
+decontamination, repetition stats, canonical selection). The sf-corpus
+oracle equivalence is covered by the driver gate (tools/check_oracle.py);
+these pin the semantics on hand-built edge cases."""
+
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.operators.curation import (
+    canonical_docs,
+    chunk_documents,
+    decontaminate,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_sizes_and_stride(spark):
+    # 100 tokens, size 64 stride 48 → chunks at 1 and 49: sizes 64 and 52
+    text = " ".join(f"t{i}" for i in range(100))
+    out = chunk_documents(_docs(spark, [(1, text)])).orderBy("chunk_id").collect()
+    assert [(r.chunk_id, r.n_tokens) for r in out] == [(0, 64), (1, 52)]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    out = chunk_documents(_docs(spark, [(1, "a b c"), (2, ""), (3, "  ")])).collect()
+    assert [(r.doc_id, r.chunk_id, r.n_tokens) for r in out] == [(1, 0, 3)]
+
+
+def test_chunk_hash_identifies_equal_windows(spark):
+    df = _docs(spark, [(1, "x y z"), (2, "x y z"), (3, "x y q")])
+    out = chunk_documents(df).collect()
+    h = {r.doc_id: r.chunk_hash for r in out}
+    assert h[1] == h[2] and h[1] != h[3]
+
+
+def test_decontaminate_flags_shared_shingle(spark):
+    # doc 0 is eval (0 % 97 == 0); doc 1 shares its 5-gram, doc 2 doesn't
+    shared = "alpha beta gamma delta epsilon"
+    df = _docs(
+        spark,
+        [
+            (0, f"intro {shared} outro"),
+            (1, f"x {shared} y"),
+            (2, "one two three four five six"),
+        ],
+    )
+    got = {r.doc_id: r.contaminated for r in decontaminate(df).collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_decontaminate_explicit_eval_set(spark):
+    df = _docs(spark, [(10, "a b c d e f"), (11, "a b c d e g"), (12, "p q r s t u")])
+    ev = df.where(F.col("doc_id") == 10)
+    got = {r.doc_id: r.contaminated for r in decontaminate(df, eval_docs=ev).collect()}
+    # doc 11 shares shingle "a b c d e" with eval doc 10; doc 12 clean
+    assert got == {11: 1, 12: 0}
+
+
+def test_repetition_run_not_split_by_sort_neighbors(spark):
+    # "a b a b a b a" → bigrams: [a b]x3 + [b a]x3, n_bigrams=6, top=3
+    out = repetition_stats(_docs(spark, [(1, "a b a b a b a")])).collect()[0]
+    assert (out.n_bigrams, out.top_bigram_cnt, out.repetitive) == (6, 3, 1)
+
+
+def test_repetition_all_distinct(spark):
+    out = repetition_stats(_docs(spark, [(1, "a b c d e f g h i j k")])).collect()[0]
+    assert (out.n_bigrams, out.top_bigram_cnt, out.repetitive) == (10, 1, 0)
+
+
+def test_repetition_single_token_excluded(spark):
+    assert repetition_stats(_docs(spark, [(1, "solo")])).count() == 0
+
+
+def test_canonical_min_id_and_member_count(spark):
+    df = _docs(spark, [(5, "same"), (2, "same"), (9, "same"), (7, "other")])
+    got = {r.canonical_id: r.n_members for r in canonical_docs(df).collect()}
+    assert got == {2: 3, 7: 1}
