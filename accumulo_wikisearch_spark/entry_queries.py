@@ -256,9 +256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         temporal,
         textstats,
+        vocab,
     )
 
     out.update(curation.queries())
+    out.update(vocab.queries())
     out.update(dedup.queries())
     out.update(similarity.queries())
     out.update(textstats.queries())
@@ -352,9 +354,11 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         similarity,
         temporal,
         textstats,
+        vocab,
     )
 
     out.update(curation.oracle_sql())
+    out.update(vocab.oracle_sql())
     out.update(dedup.oracle_sql())
     out.update(similarity.oracle_sql())
     out.update(textstats.oracle_sql())
