@@ -111,14 +111,17 @@ def token_rarity(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, rarity): rarity = Σ over token instances of
     (corpus_docs // token_df) — high when a doc is full of rare tokens.
     An integer-exact stand-in for mean token surprisal (quality filter)."""
-    df_tbl = _doc_token_occ(docs).groupBy("token").agg(
-        F.count("*").cast("long").alias("df")
-    )
+    from pyspark.sql import Window
+
+    # one row per (doc, token) ⇒ count over the token partition IS the doc
+    # frequency; the window reuses the token-keyed exchange instead of a
+    # df-table self-join (one corpus scan and ~half the exchanges)
     n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
-    inst = _doc_token_occ(docs)
+    inst = _doc_token_occ(docs).withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
+    )
     return (
-        inst.join(df_tbl, "token")
-        .crossJoin(F.broadcast(n_docs))
+        inst.crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
             F.sum("occ").cast("int").alias("n_tokens"),

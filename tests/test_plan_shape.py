@@ -137,3 +137,54 @@ def test_bucketed_catalog_joins_without_exchange(spark, sf_dir, tmp_path_factory
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP DATABASE IF EXISTS ws_bucket_test CASCADE")
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    from accumulo_wikisearch_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted(decontaminate(docs))
+    # both the eval-shingle probe and the hit-flag join must broadcast —
+    # the (100 TB) training side never shuffles (formatted mode lists each
+    # node twice: tree + detail)
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_is_scan_local(spark, sf_dir):
+    from accumulo_wikisearch_spark.operators.curation import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted(chunk_documents(docs))
+    assert "Exchange" not in plan
+
+
+def test_repetition_stats_is_scan_local(spark, sf_dir):
+    from accumulo_wikisearch_spark.operators.curation import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted(repetition_stats(docs))
+    assert "Exchange" not in plan
+
+
+def test_vocab_counts_single_token_exchange(spark, sf_dir):
+    from accumulo_wikisearch_spark.operators.vocab import vocab_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted(vocab_counts(docs))
+    # one token-keyed exchange (×2: formatted tree + detail) fed by a
+    # partial (map-side) hash aggregate
+    assert plan.count("Exchange") == 2
+    assert "HashAggregate" in plan
+
+
+def test_token_rarity_reuses_token_exchange(spark, sf_dir):
+    from accumulo_wikisearch_spark.operators.vocab import token_rarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted(token_rarity(docs))
+    # df comes from a same-keys window over the token exchange, not a
+    # df-table self-join: no join on token at all, ≤4 exchanges total
+    # (formatted mode lists each node twice)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 8
