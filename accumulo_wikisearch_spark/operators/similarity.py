@@ -318,6 +318,71 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hybrid search (keyword index filter → embedding re-rank)
+# ---------------------------------------------------------------------------
+
+
+def hybrid_search(
+    candidates: DataFrame, emb: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Top-k by cosine among ``candidates`` (doc_id set from the keyword
+    index path) against the query doc's embedding — the composite
+    "similarity search over the inverted index" operator.
+
+    Scale shape: the candidate set is the OUTPUT of the boolean-index plan
+    (broadcast left-semi pruning already applied), so the cosine pass runs
+    over the filtered slice only; the single query vector is a broadcast
+    nested-loop of one row. One window top-k on a k-bounded slice.
+    """
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    corpus = emb.join(
+        candidates.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    ).where(F.col("vec_id") != query_vec_id)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        _cosine(F.col("qv"), _as_double(F.col("embedding"))).alias("cos"),
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_HYBRID_SQL = """
+WITH cand AS (
+  SELECT doc_id FROM documents
+  WHERE list_contains(string_split(text,' '), 'dup')
+), q AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 7
+), scored AS (
+  SELECT e.vec_id AS doc_id,
+    list_sum(list_transform(range(1, len(e.embedding)+1), i -> qv[i] * e.embedding[i]::DOUBLE))
+    / (sqrt(list_sum([x * x for x in qv]))
+       * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding]))) AS c
+  FROM embeddings e JOIN cand ON cand.doc_id = e.vec_id CROSS JOIN q
+  WHERE e.vec_id <> 7
+), ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS rank FROM scored
+)
+SELECT doc_id, rank::INTEGER AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+def _hybrid_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accumulo_wikisearch_spark.sources.corpus import get_engine
+
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return hybrid_search(
+        eng.query("TEXT == 'dup'").select("doc_id"), _emb(spark, sf_dir), query_vec_id=7
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
 
@@ -336,6 +401,7 @@ def queries():
         "ann_topk_lsh": lambda s, d: topk_lsh(_emb(s, d), self_queries(_emb(s, d))),
         "ann_topk_ivf": lambda s, d: topk_ivf(_emb(s, d), self_queries(_emb(s, d))),
         "emb_quantize_int8": lambda s, d: quantize_int8(_emb(s, d)),
+        "ann_hybrid_keyword": _hybrid_entry,
     }
 
 
@@ -373,4 +439,8 @@ FROM s
 
 
 def oracle_sql():
-    return {"ann_topk_bruteforce": _TOPK_SQL, "emb_quantize_int8": _QUANT_SQL}
+    return {
+        "ann_topk_bruteforce": _TOPK_SQL,
+        "emb_quantize_int8": _QUANT_SQL,
+        "ann_hybrid_keyword": _HYBRID_SQL,
+    }

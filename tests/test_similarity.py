@@ -91,3 +91,21 @@ def test_ivf_on_disk_partition_pruning(spark, emb, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "cell" in seg and out2.count() > 0
+
+
+def test_hybrid_search_ranks_only_candidates(spark):
+    from accumulo_wikisearch_spark.operators.similarity import hybrid_search
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # query doc
+            (1, [1.0, 0.1]),   # near, in candidates
+            (2, [0.0, 1.0]),   # far, in candidates
+            (3, [1.0, 0.01]),  # nearest but NOT a keyword candidate
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cand = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    out = hybrid_search(cand, emb, query_vec_id=0, k=5).collect()
+    # query doc excluded; non-candidate 3 excluded; nearer first
+    assert [(r.doc_id, r.rank) for r in out] == [(1, 1), (2, 2)]
