@@ -95,6 +95,29 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def props_extract(events: DataFrame) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    parse with an explicit schema (``from_json`` — JVM-side, codegen), no
+    UDF. (event_id, k) with unparsable/missing keys as NULL→-1 (driver
+    hash-compare may not tolerate NULLs)."""
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return events.select(
+        "event_id", F.coalesce(parsed["k"], F.lit(-1)).cast("long").alias("k")
+    )
+
+
+def props_stats_by_type(events: DataFrame) -> DataFrame:
+    """JSON values flowing into a relational aggregate: per event_type
+    count / sum / min / max of props.k — one partial-agg exchange."""
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
 def queries():
     def _windowed(spark, sf_dir):
         tune_runtime(spark)
@@ -108,10 +131,20 @@ def queries():
         tune_runtime(spark)
         return session_stats_native(load_events(spark, sf_dir))
 
+    def _props(spark, sf_dir):
+        tune_runtime(spark)
+        return props_extract(load_events(spark, sf_dir))
+
+    def _props_stats(spark, sf_dir):
+        tune_runtime(spark)
+        return props_stats_by_type(load_events(spark, sf_dir))
+
     return {
         "ev_windowed_counts": _windowed,
         "ev_session_stats": _sessions,
         "ev_session_native": _sessions_native,
+        "ev_props_extract": _props,
+        "ev_props_stats": _props_stats,
     }
 
 
@@ -175,9 +208,27 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+_PROPS_SQL = """
+SELECT event_id,
+  coalesce(json_extract(props, '$.k')::BIGINT, -1) AS k
+FROM events
+"""
+
+_PROPS_STATS_SQL = """
+WITH p AS (
+  SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
+)
+SELECT event_type, count(k)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+FROM p GROUP BY event_type
+"""
+
+
 def oracle_sql():
     return {
         "ev_windowed_counts": _WINDOWED_SQL,
         "ev_session_stats": _SESSION_SQL,
         "ev_session_native": _SESSION_NATIVE_SQL,
+        "ev_props_extract": _PROPS_SQL,
+        "ev_props_stats": _PROPS_STATS_SQL,
     }
