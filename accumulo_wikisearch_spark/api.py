@@ -181,6 +181,46 @@ class Wikisearch:
         )
         return g.limit(limit) if limit else g
 
+    def phrase_search(
+        self, terms: list[str], auths: list[str] | None = None
+    ) -> DataFrame:
+        """Exact phrase search via consecutive word offsets — the capability
+        the reference's TermWeight.Info word-offset lists exist to serve
+        (``ingest/src/main/protobuf/TermWeight.proto:25-28``,
+        ``TextIndexCombiner.java:40-106``); our term_index carries the same
+        offsets as a column.
+
+        Plan: per-term posting fetch with the term literal pushed to the
+        scan, folded left with (partition_id, language, doc_id)-keyed joins
+        — the AndIterator intersection plus position arithmetic. ``o``
+        tracks surviving phrase-start offsets; selective terms keep the
+        join broadcast-able. Returns (doc_id, n_matches).
+        """
+        ts = [normalize_str(t) for t in terms]
+        keys = ["partition_id", "language", "doc_id"]
+        ti = self.index.term_index
+        if auths:
+            ti = ti.where(F.col("language").isin(*auths))
+        cur = ti.where(F.col("norm_value") == ts[0]).select(
+            *keys, F.col("offsets").alias("o")
+        )
+        def _survives(shift: int):
+            # single-parameter lambda: a second parameter (even a default)
+            # would make PySpark pass the ARRAY INDEX into it
+            return lambda s: F.array_contains(F.col("o2"), s + F.lit(shift))
+
+        for i, t in enumerate(ts[1:], start=1):
+            nxt = ti.where(F.col("norm_value") == t).select(
+                *keys, F.col("offsets").alias("o2")
+            )
+            cur = (
+                cur.join(nxt, keys)
+                .withColumn("o", F.filter("o", _survives(i)))
+                .where(F.size("o") > 0)
+                .drop("o2")
+            )
+        return cur.select("doc_id", F.size("o").cast("long").alias("n_matches"))
+
     def sql(self, query: str, auths: list[str] | None = None) -> DataFrame:
         """``spark.sql`` over the catalog with ``TEXT_MATCH('<jexl>')``
         predicate rewriting — the transparent-SQL integration SURVEY §4

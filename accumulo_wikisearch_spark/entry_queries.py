@@ -178,6 +178,12 @@ def _ws_scored_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.scored_search_multi(["dup", "key"]).select("doc_id", "total_occ")
 
 
+def _ws_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.phrase_search(["order", "fast"])
+
+
 def _ws_term_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_runtime(spark)
     eng = get_engine(spark, sf_dir)
@@ -238,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_scored_search"] = _ws_scored
     out["ws_scored_multi"] = _ws_scored_multi
     out["ws_tfidf_rank"] = _ws_tfidf
+    out["ws_phrase_search"] = _ws_phrase
     out["ws_term_cardinalities"] = _ws_term_cards
     out["ws_sql_text_match"] = _ws_sql_text_match
     out["ws_result_assembly"] = _ws_assembly
@@ -304,6 +311,19 @@ SELECT o.doc_id,
 FROM occ o JOIN df ON df.term = o.term CROSS JOIN n
 GROUP BY o.doc_id
 HAVING count(*) = 2
+"""
+    # phrase = adjacent-position pairs; brute-force recount over the raw text
+    out["ws_phrase_search"] = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(list_filter(range(1, len(toks)), i ->
+        toks[i] = 'order' AND toks[i+1] = 'fast')) AS n_matches
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id, n_matches::BIGINT AS n_matches FROM m WHERE n_matches > 0
 """
     out["ws_sql_text_match"] = (
         f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "

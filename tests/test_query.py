@@ -248,3 +248,29 @@ def test_sql_text_match_double_quotes_and_auths(engine):
 def test_sql_plain_passthrough(engine):
     n = engine.sql("SELECT count(*) AS n FROM ws_metadata WHERE indexed").collect()[0]["n"]
     assert n > 0
+
+
+def test_phrase_search_adjacent_only(spark):
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.operators.ingest import build_index
+
+    arts = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox", "s"),
+            (2, "en", "quick the brown fox", "s"),      # words present, wrong order
+            (3, "en", "a quick brown thing quick brown", "s"),  # 2 matches
+            (4, "fr", "quick brown", "s"),
+        ],
+        "id long, language string, text string, source string",
+    )
+    idx = build_index(arts, EngineConfig(), {"SOURCE": "source"}, unique_ids=True)
+    eng = Wikisearch(idx)
+    got = {r.doc_id: r.n_matches for r in eng.phrase_search(["quick", "brown"]).collect()}
+    assert got == {1: 1, 3: 2, 4: 1}
+    # auths restrict languages
+    got_en = {r.doc_id for r in eng.phrase_search(["quick", "brown"], auths=["en"]).collect()}
+    assert got_en == {1, 3}
+    # three-term phrase
+    got3 = {r.doc_id: r.n_matches for r in eng.phrase_search(["quick", "brown", "fox"]).collect()}
+    assert got3 == {1: 1}
