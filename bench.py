@@ -75,6 +75,7 @@ def main() -> None:
         "q_tfidf_rank",
         lambda: eng.scored_search_tfidf(["dup", "key"]).count(),
     )
+    timed("q_phrase", lambda: eng.phrase_search(["order", "fast"]).count())
 
     from accumulo_wikisearch_spark.operators import temporal
 
@@ -90,6 +91,18 @@ def main() -> None:
     )
     timed("text_quality", lambda: textstats.text_quality(docs).count())
     timed("doc_fingerprint", lambda: textstats.doc_fingerprint(docs).count())
+
+    from accumulo_wikisearch_spark.operators import curation, vocab
+
+    timed("cur_chunk", lambda: curation.chunk_documents(docs).count())
+    timed("cur_decontaminate", lambda: curation.decontaminate(docs).count())
+    timed("vocab_counts", lambda: vocab.vocab_counts(docs).count())
+    timed(
+        "ann_hybrid",
+        lambda: similarity.hybrid_search(
+            eng.query("TEXT == 'dup'").select("doc_id"), emb, query_vec_id=7
+        ).count(),
+    )
 
     from accumulo_wikisearch_spark.operators import analytics, relational
 
