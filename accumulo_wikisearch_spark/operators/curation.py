@@ -223,6 +223,53 @@ FROM c GROUP BY doc_id, n_bigrams
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# patterns chosen from the Java-regex ∩ RE2 common subset so Spark and the
+# DuckDB oracle compile them identically
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+def redact_text(docs: DataFrame) -> DataFrame:
+    """Scrub emails and long digit runs (ids/phones) before training.
+
+    (doc_id, n_emails, n_longnums, redacted_hash) — counts of each PII
+    class plus the hash of the scrubbed text (so a changed redaction shows
+    up as a changed hash). Pure regexp built-ins inside codegen: scan-local,
+    zero shuffle — the shape of a 100 TB scrub pass.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_LONGNUM_RE)).cast("int").alias("n_longnums"),
+        hash60_col(redacted).alias("redacted_hash"),
+    )
+
+
+_REDACT_SQL = f"""
+WITH r AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_LONGNUM_RE}', '<NUM>', 'g') AS redacted
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_EMAIL_RE}'))::INTEGER AS n_emails,
+  len(regexp_extract_all(text, '{_LONGNUM_RE}'))::INTEGER AS n_longnums,
+  {HASH60_DUCKDB.format(expr="redacted")} AS redacted_hash
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # canonical selection
 # ---------------------------------------------------------------------------
 
@@ -267,6 +314,7 @@ def queries():
         "cur_decontaminate": lambda s, d: decontaminate(_docs(s, d)),
         "cur_repetition_stats": lambda s, d: repetition_stats(_docs(s, d)),
         "cur_canonical_docs": lambda s, d: canonical_docs(_docs(s, d)),
+        "cur_redact_text": lambda s, d: redact_text(_docs(s, d)),
     }
 
 
@@ -276,4 +324,5 @@ def oracle_sql():
         "cur_decontaminate": _DECONTAM_SQL,
         "cur_repetition_stats": _REPETITION_SQL,
         "cur_canonical_docs": _CANONICAL_SQL,
+        "cur_redact_text": _REDACT_SQL,
     }

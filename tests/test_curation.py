@@ -78,3 +78,21 @@ def test_canonical_min_id_and_member_count(spark):
     df = _docs(spark, [(5, "same"), (2, "same"), (9, "same"), (7, "other")])
     got = {r.canonical_id: r.n_members for r in canonical_docs(df).collect()}
     assert got == {2: 3, 7: 1}
+
+
+def test_redact_counts_and_hash_change(spark):
+    from accumulo_wikisearch_spark.operators.curation import redact_text
+
+    df = _docs(
+        spark,
+        [
+            (1, "contact bob@example.com or alice@test.org id 1234567 now"),
+            (2, "clean text with short 123 number"),
+            (3, "contact <EMAIL> or <EMAIL> id <NUM> now"),  # post-redaction twin of 1
+        ],
+    )
+    out = {r.doc_id: r for r in redact_text(df).collect()}
+    assert (out[1].n_emails, out[1].n_longnums) == (2, 1)
+    assert (out[2].n_emails, out[2].n_longnums) == (0, 0)
+    # doc 1 redacts INTO doc 3's text: hashes converge
+    assert out[1].redacted_hash == out[3].redacted_hash
