@@ -299,6 +299,83 @@ FROM documents GROUP BY {HASH60_DUCKDB.format(expr="text")}
 
 
 # ---------------------------------------------------------------------------
+# end-to-end keep list
+# ---------------------------------------------------------------------------
+
+
+def keep_list(docs: DataFrame) -> DataFrame:
+    """The composed curation pipeline: quality filter → exact dedup
+    (canonical per content group) → near-dup clustering (n-gram Jaccard ≥
+    0.8, keep the min doc of each component) → surviving doc ids.
+
+    Each stage consumes the previous stage's (shrinking) survivor set, so
+    the expensive pair generation runs only over quality-passing canonical
+    docs. Stages are the already-verified operators ``text_quality``,
+    ``canonical_docs``, ``ngram_jaccard_pairs`` and
+    ``connected_components`` — this entry checks their composition.
+    """
+    from accumulo_wikisearch_spark.operators import dedup, textstats
+
+    q = textstats.text_quality(docs).where(F.col("keep") == 1).select("doc_id")
+    kept = docs.join(q, "doc_id", "left_semi")
+    canon = kept.join(
+        canonical_docs(kept).select(F.col("canonical_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    comp = dedup.connected_components(dedup.ngram_jaccard_pairs(canon))
+    drop = comp.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return canon.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+_KEEP_SQL = """
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text FROM t
+  WHERE len(toks) >= 20
+    AND 10 * len(list_distinct(toks)) >= 4 * len(toks)
+    AND len(list_filter(toks, x -> x IN ('the','a','in','of'))) > 0
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+cd AS (SELECT q.doc_id, q.text FROM q JOIN canon USING (doc_id)),
+w AS (SELECT doc_id, string_split(text,' ') AS wl FROM cd),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)])) AS shingle
+  FROM w WHERE len(wl) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM common
+  JOIN cnt ca ON ca.doc_id = a_id
+  JOIN cnt cb ON cb.doc_id = b_id
+  WHERE 5 * common >= 4 * (ca.n + cb.n - common)
+),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+dropped AS (SELECT node FROM clusters WHERE node <> comp)
+SELECT doc_id FROM cd WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
 
@@ -315,6 +392,7 @@ def queries():
         "cur_repetition_stats": lambda s, d: repetition_stats(_docs(s, d)),
         "cur_canonical_docs": lambda s, d: canonical_docs(_docs(s, d)),
         "cur_redact_text": lambda s, d: redact_text(_docs(s, d)),
+        "cur_keep_list": lambda s, d: keep_list(_docs(s, d)),
     }
 
 
@@ -325,4 +403,5 @@ def oracle_sql():
         "cur_repetition_stats": _REPETITION_SQL,
         "cur_canonical_docs": _CANONICAL_SQL,
         "cur_redact_text": _REDACT_SQL,
+        "cur_keep_list": _KEEP_SQL,
     }

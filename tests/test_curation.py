@@ -96,3 +96,24 @@ def test_redact_counts_and_hash_change(spark):
     assert (out[2].n_emails, out[2].n_longnums) == (0, 0)
     # doc 1 redacts INTO doc 3's text: hashes converge
     assert out[1].redacted_hash == out[3].redacted_hash
+
+
+def test_keep_list_stages(spark):
+    from accumulo_wikisearch_spark.operators.curation import keep_list
+
+    stop = "the a in of"
+    good = " ".join(f"w{i}" for i in range(20))
+    # differs from doc 1 only in the final token: 1 of 22 shingles changes,
+    # shingle-jaccard 21/23 ≈ 0.91 > 0.8
+    near = f"{good} the a in zz"
+    df = _docs(
+        spark,
+        [
+            (1, f"{good} {stop}"),            # survives (min of near-dup cluster)
+            (2, f"{good} {stop}"),            # exact dup of 1 → dropped
+            (3, near),                        # near dup of 1 → dropped
+            (4, "too short"),                 # quality fail
+            (5, "unique " * 24 + stop),       # distinct-ratio fail (1 token repeated)
+        ],
+    )
+    assert {r.doc_id for r in keep_list(df).collect()} == {1}
