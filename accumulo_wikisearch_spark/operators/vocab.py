@@ -13,9 +13,11 @@ Scale shape:
   partial hash-agg shrinks it further map-side.
 - ``bigram_counts`` is the same shape over adjacent-token pairs (the
   count table a bigram LM / tokenizer merge step consumes).
-- ``token_rarity`` joins exploded tokens with the vocab's doc frequencies
-  (token-keyed shuffle join, AQE-eligible) and folds back per doc. Scores
-  are exact integers (N // df buckets), so the oracle hash-compares.
+- ``token_rarity`` joins per-doc token pairs with the vocab's doc
+  frequencies (token-keyed shuffle join — AQE splits skewed hot-token
+  partitions, which a token-partitioned window could not) and folds back
+  per doc. Scores are exact integers (N // df buckets), so the oracle
+  hash-compares.
 
 All outputs integer/string only, aliased identically in the DuckDB SQL.
 """
@@ -111,17 +113,17 @@ def token_rarity(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, rarity): rarity = Σ over token instances of
     (corpus_docs // token_df) — high when a doc is full of rare tokens.
     An integer-exact stand-in for mean token surprisal (quality filter)."""
-    from pyspark.sql import Window
-
-    # one row per (doc, token) ⇒ count over the token partition IS the doc
-    # frequency; the window reuses the token-keyed exchange instead of a
-    # df-table self-join (one corpus scan and ~half the exchanges)
+    # df via groupBy + token-keyed join, NOT a count window over the token
+    # partition: a window pins every instance of a hot token ("the" ≈ 60%
+    # of docs) into ONE task — unsplittable skew at 100 TB — while AQE can
+    # split a skewed join partition. The instance table is persisted so the
+    # corpus scan + array fold runs once for both sides.
     n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
-    inst = _doc_token_occ(docs).withColumn(
-        "df", F.count("*").over(Window.partitionBy("token"))
-    )
+    inst = _doc_token_occ(docs).persist()
+    df_tbl = inst.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     return (
-        inst.crossJoin(F.broadcast(n_docs))
+        inst.join(df_tbl, "token")
+        .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
             F.sum("occ").cast("int").alias("n_tokens"),
