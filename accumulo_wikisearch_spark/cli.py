@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--tfidf", metavar="TERMS", help="comma-separated terms, IDF-weighted ranked AND search"
     )
     p.add_argument(
+        "--phrase", metavar="TERMS", help="comma-separated terms, exact phrase search"
+    )
+    p.add_argument(
         "--cardinalities",
         metavar="TERMS",
         help="comma-separated terms: per-field doc counts from the global index",
@@ -46,6 +49,7 @@ def run(argv: list[str], out=sys.stdout) -> int:
         or args.scored
         or args.serve
         or args.tfidf
+        or args.phrase
         or args.cardinalities
     ):
         build_parser().print_usage(out)
@@ -78,6 +82,8 @@ def run(argv: list[str], out=sys.stdout) -> int:
         df = eng.scored_search(args.scored, auths=auths).drop("offsets")
     elif args.tfidf:
         df = eng.scored_search_tfidf(args.tfidf.split(","), auths=auths)
+    elif args.phrase:
+        df = eng.phrase_search(args.phrase.split(","), auths=auths)
     elif args.cardinalities:
         df = eng.term_cardinalities(args.cardinalities.split(","), auths=auths)
     elif args.ids_only:

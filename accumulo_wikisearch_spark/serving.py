@@ -8,6 +8,7 @@ service (query-war/src/main/webapp/WEB-INF/web.xml:33-40):
         Results→Document→Field shape)
     GET /content?pointer=DOCUMENT:partition/lang/id          (≈ /Content)
     GET /scored?term=<term>[&limit=N]
+    GET /phrase?terms=<t1,t2,…>[&limit=N]
     GET /health
 
 Default responses are JSON: {"results": [...], "count": N}. Stdlib
@@ -159,6 +160,10 @@ def make_handler(engine):
                     return self._send(200, {"results": rows, "count": len(rows)})
                 if u.path == "/scored":
                     df = engine.scored_search(q["term"], auths=auths).drop("offsets")
+                    rows = _rows(df, limit)
+                    return self._send(200, {"results": rows, "count": len(rows)})
+                if u.path == "/phrase":
+                    df = engine.phrase_search(q["terms"].split(","), auths=auths)
                     rows = _rows(df, limit)
                     return self._send(200, {"results": rows, "count": len(rows)})
                 return self._send(404, {"error": f"no route {u.path}"})

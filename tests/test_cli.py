@@ -63,3 +63,13 @@ def test_cli_cardinalities(spark, sf_dir):
     got = {(r["term"], r["field"]) for r in rows}
     assert ("dup", "TEXT") in got and ("src3", "SOURCE") in got
     assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_cli_phrase(spark, sf_dir):
+    from accumulo_wikisearch_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(["--sf-dir", sf_dir, "--phrase", "order,fast", "--limit", "3"], out=out)
+    assert rc == 0
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert all({"doc_id", "n_matches"} <= set(r) for r in rows)

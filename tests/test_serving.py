@@ -111,3 +111,9 @@ def test_query_unknown_format_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{server}/query/toml?{Q}")
     assert ei.value.code == 404
+
+
+def test_phrase_endpoint(server):
+    code, out = _get(f"{server}/phrase?terms=order,fast&limit=5")
+    assert code == 200
+    assert all({"doc_id", "n_matches"} <= set(r) for r in out["results"])
