@@ -1,0 +1,128 @@
+"""LSM catalog maintenance tests: delta flush, scan-time merge-read, and
+major compaction (the reference's minor/major compaction cycle with the
+combiner scopes of WikipediaIngester.java:98-135)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.api import Wikisearch
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.operators.compaction import (
+    compact_index,
+    delta_batches,
+    load_index_with_deltas,
+    merge_term_index,
+    stream_ingest_deltas,
+    write_delta,
+)
+from accumulo_wikisearch_spark.operators.ingest import build_index, load_index, write_index
+
+CFG = EngineConfig(num_partitions=1, uid_max=20)
+SF = {"ID": "id", "TITLE": "title"}
+SCHEMA = "id long, language string, text string, title string"
+
+
+def _arts(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    """Base index (docs 0-14, all containing 'tok') + two flushed deltas
+    (docs 15-24 'tok', doc 99 'alpha')."""
+    path = str(tmp_path / "index")
+    base = _arts(spark, [(i, "enwiki", "tok common", f"t{i}") for i in range(15)])
+    write_index(build_index(base, CFG, SF), path)
+    d1 = _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(15, 25)])
+    write_delta(build_index(d1, CFG, SF), path, 0)
+    d2 = _arts(spark, [(99, "enwiki", "alpha common", "t99")])
+    write_delta(build_index(d2, CFG, SF), path, 1)
+    return path
+
+
+def test_merge_read_sees_all_batches(spark, catalog):
+    idx = load_index_with_deltas(spark, catalog, CFG)
+    assert idx.documents.count() == 26
+    eng = Wikisearch(idx)
+    assert sorted(r["doc_id"] for r in eng.query("TEXT == 'alpha'").collect()) == [99]
+    assert eng.query("TEXT == 'tok'").count() == 25
+
+
+def test_merge_read_folds_combiner_state(spark, catalog):
+    # 'tok' crosses uid_max across base+delta → degraded at scan time
+    # (GlobalIndexUidCombiner algebra applied by the merge-read)
+    gi = load_index_with_deltas(spark, catalog, CFG).global_index
+    tok = gi.where((F.col("field") == "TEXT") & (F.col("norm_value") == "tok")).collect()[0]
+    assert tok["count"] == 25 and tok["ignore"] and tok["uids"] == []
+    com = gi.where((F.col("field") == "TEXT") & (F.col("norm_value") == "common")).collect()[0]
+    assert com["count"] == 16 and not com["ignore"] and len(com["uids"]) == 16
+
+
+def test_compact_rewrites_and_drops_deltas(spark, catalog):
+    stats = compact_index(spark, catalog, CFG)
+    assert stats["n_deltas"] == 2
+    assert delta_batches(spark, catalog) == []
+    idx = load_index(spark, catalog, CFG)
+    assert idx.documents.count() == 26
+    tok = idx.global_index.where(
+        (F.col("field") == "TEXT") & (F.col("norm_value") == "tok")
+    ).collect()[0]
+    assert tok["count"] == 25 and tok["ignore"]
+    # compacted catalog answers queries identically to the merge-read view
+    eng = Wikisearch(idx)
+    assert eng.query("TEXT == 'tok'").count() == 25
+    assert sorted(r["doc_id"] for r in eng.query("TEXT == 'common'").collect()) == sorted(
+        list(range(15)) + [99]
+    )
+
+
+def test_compact_is_idempotent(spark, catalog):
+    compact_index(spark, catalog, CFG)
+    stats = compact_index(spark, catalog, CFG)  # no deltas → pure rewrite
+    assert stats["n_deltas"] == 0
+    assert load_index(spark, catalog, CFG).documents.count() == 26
+
+
+def test_term_index_offsets_fold_sorted(spark):
+    # same (doc, term) across two flushes: offsets merge sorted, tf sums
+    # (TextIndexCombiner.java:40-106)
+    a = spark.createDataFrame(
+        [(0, "enwiki", 1, "tok", 2.0, [5, 9])],
+        "partition_id int, language string, doc_id long, norm_value string, tf double, offsets array<int>",
+    )
+    b = spark.createDataFrame(
+        [(0, "enwiki", 1, "tok", 1.0, [1, 7])],
+        "partition_id int, language string, doc_id long, norm_value string, tf double, offsets array<int>",
+    )
+    r = merge_term_index(a, b).collect()[0]
+    assert r["tf"] == 3.0 and r["offsets"] == [1, 5, 7, 9]
+
+
+def test_stream_ingest_deltas_flushes_per_batch(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/index"
+        base = _arts(spark, [(1, "enwiki", "alpha beta", "t1")])
+        write_index(build_index(base, CFG, SF), path)
+        _arts(spark, [(2, "enwiki", "alpha gamma", "t2")]).write.parquet(
+            f"{tmp}/incoming/b0"
+        )
+        q = (
+            stream_ingest_deltas(
+                spark.readStream.schema(SCHEMA).parquet(f"{tmp}/incoming/*"),
+                path,
+                CFG,
+                SF,
+                checkpoint=f"{tmp}/ckpt",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(delta_batches(spark, path)) == 1
+        idx = load_index_with_deltas(spark, path, CFG)
+        got = sorted(r["doc_id"] for r in Wikisearch(idx).query("TEXT == 'alpha'").collect())
+        assert got == [1, 2]
+        alpha = idx.global_index.where(F.col("norm_value") == "alpha").collect()[0]
+        assert alpha["count"] == 2 and sorted(alpha["uids"]) == ["1", "2"]
