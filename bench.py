@@ -172,6 +172,37 @@ def main() -> None:
     stop.set()
     writer.join(timeout=120)
 
+    # major compaction (reference README.md:94-99: full compaction ≈ 35 min
+    # for the loaded corpus): base catalog + 2 flushed deltas folded and
+    # rewritten into the sorted layout. Timed once, like the reference's
+    # one-shot number; corpus bounded so the entry stays proportionate.
+    import shutil
+    import tempfile
+
+    from accumulo_wikisearch_spark.operators import compaction
+
+    arts = load_articles(spark, sf_dir).limit(2000)
+    cdir = tempfile.mkdtemp(prefix="wikisearch-compact-")
+    try:
+        cpath = f"{cdir}/index"
+        from accumulo_wikisearch_spark.operators.ingest import write_index
+
+        write_index(
+            build_index(arts, eng.index.config, SCALAR_FIELDS, unique_ids=True), cpath
+        )
+        for b in range(2):
+            fresh = arts.limit(250).withColumn("id", F.col("id") + 20_000_000 + b * 1000)
+            compaction.write_delta(
+                build_index(fresh, eng.index.config, SCALAR_FIELDS, unique_ids=True),
+                cpath,
+                b,
+            )
+        t = time.time()
+        compaction.compact_index(spark, cpath, eng.index.config)
+        times["compaction_2deltas"] = round(time.time() - t, 3)
+    finally:
+        shutil.rmtree(cdir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
