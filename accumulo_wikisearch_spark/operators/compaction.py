@@ -63,6 +63,7 @@ def merge_term_index(old: DataFrame, delta: DataFrame) -> DataFrame:
         old.unionByName(delta)
         .groupBy(*TI_KEYS)
         .agg(
+            F.sum("occurrences").alias("occurrences"),
             F.sum("tf").alias("tf"),
             F.sort_array(F.flatten(F.collect_list("offsets"))).alias("offsets"),
         )

@@ -88,16 +88,22 @@ def test_compact_is_idempotent(spark, catalog):
 def test_term_index_offsets_fold_sorted(spark):
     # same (doc, term) across two flushes: offsets merge sorted, tf sums
     # (TextIndexCombiner.java:40-106)
-    a = spark.createDataFrame(
-        [(0, "enwiki", 1, "tok", 2.0, [5, 9])],
-        "partition_id int, language string, doc_id long, norm_value string, tf double, offsets array<int>",
+    schema = (
+        "partition_id int, language string, doc_id long, norm_value string, "
+        "occurrences bigint, tf double, offsets array<int>"
     )
-    b = spark.createDataFrame(
-        [(0, "enwiki", 1, "tok", 1.0, [1, 7])],
-        "partition_id int, language string, doc_id long, norm_value string, tf double, offsets array<int>",
-    )
+    a = spark.createDataFrame([(0, "enwiki", 1, "tok", 2, 0.5, [5, 9])], schema)
+    b = spark.createDataFrame([(0, "enwiki", 1, "tok", 1, 0.25, [1, 7])], schema)
     r = merge_term_index(a, b).collect()[0]
-    assert r["tf"] == 3.0 and r["offsets"] == [1, 5, 7, 9]
+    assert r["occurrences"] == 3 and r["tf"] == 0.75 and r["offsets"] == [1, 5, 7, 9]
+
+
+def test_compacted_catalog_serves_scored_search(spark, catalog):
+    # term_index survives the compaction fold with its full schema
+    compact_index(spark, catalog, CFG)
+    eng = Wikisearch(load_index(spark, catalog, CFG))
+    rows = eng.scored_search("common").collect()
+    assert len(rows) == 16 and all(r["tf"] > 0 for r in rows)
 
 
 def test_stream_ingest_deltas_flushes_per_batch(spark):
