@@ -318,3 +318,70 @@ class Wikisearch:
             .orderBy(F.desc("score"), "doc_id")
         )
         return g.limit(limit) if limit else g
+
+    def scored_search_bm25(
+        self, terms: list[str], auths: list[str] | None = None, limit: int | None = None
+    ) -> DataFrame:
+        """Ranked AND search with BM25 weighting (k1=1.2, b=0.75), kept in
+        exact int64 arithmetic. With A = total corpus tokens, N = corpus
+        docs, L = doc token count, the per-term contribution
+
+            idf · occ·(k1+1) / (occ + k1·(1-b+b·L·N/A))
+
+        clears denominators (×10A, rational idf (N+1)/(df+1) at scale 100)
+        into the single integer division
+
+            (2200·(N+1)·A·occ) div ((df+1)·(10A·occ + 3A + 9·N·L))
+
+        — no floats, no ln, so scores are bit-identical across engines. At
+        true 100 TB scale the constants outgrow int64; the same expression
+        runs in DECIMAL(38,0) unchanged.
+
+        Plan: one scan of the TermWeight index for the query terms; doc
+        lengths are computed only for the AND-surviving candidate docs
+        (semi-join back into the term index), not the whole corpus."""
+        ts = sorted({normalize_str(t) for t in terms})
+        n_total = self.index.doc_count()
+        a_total = self.index.token_count()
+        keys = ["partition_id", "language", "doc_id"]
+        ti_all = self.index.term_index
+        if auths:
+            ti_all = ti_all.where(F.col("language").isin(*auths))
+        ti = ti_all.where(F.col("norm_value").isin(*ts))
+        df_tbl = (
+            self.index.global_index.where(
+                (F.col("field") == "TEXT") & F.col("norm_value").isin(*ts)
+            )
+            .groupBy("norm_value")
+            .agg(F.sum("count").alias("df"))
+        )
+        cand = (
+            ti.groupBy(*keys)
+            .agg(F.count_distinct("norm_value").alias("_n"))
+            .where(F.col("_n") == len(ts))
+            .select(*keys)
+        )
+        doc_len = (
+            ti_all.join(F.broadcast(cand), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.sum("occurrences").alias("dl"))
+        )
+        c1 = 2200 * (n_total + 1) * a_total
+        scored = (
+            ti.join(F.broadcast(df_tbl), "norm_value")
+            .join(doc_len, keys)
+            .withColumn(
+                "w",
+                F.expr(
+                    f"({c1}L * occurrences) div "
+                    f"((df + 1) * ({10 * a_total}L * occurrences"
+                    f" + {3 * a_total}L + {9 * n_total}L * dl))"
+                ),
+            )
+        )
+        g = (
+            scored.groupBy(*keys)
+            .agg(F.sum("w").alias("score"))
+            .orderBy(F.desc("score"), "doc_id")
+        )
+        return g.limit(limit) if limit else g

@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--phrase", metavar="TERMS", help="comma-separated terms, exact phrase search"
     )
     p.add_argument(
+        "--bm25", metavar="TERMS", help="comma-separated terms, BM25-ranked AND search"
+    )
+    p.add_argument(
         "--cardinalities",
         metavar="TERMS",
         help="comma-separated terms: per-field doc counts from the global index",
@@ -50,6 +53,7 @@ def run(argv: list[str], out=sys.stdout) -> int:
         or args.serve
         or args.tfidf
         or args.phrase
+        or args.bm25
         or args.cardinalities
     ):
         build_parser().print_usage(out)
@@ -84,6 +88,8 @@ def run(argv: list[str], out=sys.stdout) -> int:
         df = eng.scored_search_tfidf(args.tfidf.split(","), auths=auths)
     elif args.phrase:
         df = eng.phrase_search(args.phrase.split(","), auths=auths)
+    elif args.bm25:
+        df = eng.scored_search_bm25(args.bm25.split(","), auths=auths)
     elif args.cardinalities:
         df = eng.term_cardinalities(args.cardinalities.split(","), auths=auths)
     elif args.ids_only:

@@ -206,6 +206,12 @@ def _ws_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.scored_search_tfidf(["dup", "key"]).select("doc_id", "score")
 
 
+def _ws_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.scored_search_bm25(["dup", "key"]).select("doc_id", "score")
+
+
 def _ws_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """createDocument parity: result docs carry fields + content pointer."""
     tune_runtime(spark)
@@ -244,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_scored_search"] = _ws_scored
     out["ws_scored_multi"] = _ws_scored_multi
     out["ws_tfidf_rank"] = _ws_tfidf
+    out["ws_bm25_rank"] = _ws_bm25
     out["ws_phrase_search"] = _ws_phrase
     out["ws_term_cardinalities"] = _ws_term_cards
     out["ws_sql_text_match"] = _ws_sql_text_match
@@ -311,6 +318,29 @@ SELECT o.doc_id,
 FROM occ o JOIN df ON df.term = o.term CROSS JOIN n
 GROUP BY o.doc_id
 HAVING count(*) = 2
+"""
+    # BM25 in the same exact-integer rational form as the Spark side:
+    # (2200·(N+1)·A·occ) // ((df+1)·(10A·occ + 3A + 9·N·L)) summed per doc
+    out["ws_bm25_rank"] = f"""
+WITH d AS (
+  SELECT doc_id, list_filter({TOK}, x -> x != '') AS toks FROM documents
+),
+s AS (SELECT count(*) AS n, sum(len(toks)) AS a FROM d),
+t(term) AS (VALUES ('dup'), ('key')),
+df AS (
+  SELECT term, count(*) AS df FROM d, t WHERE list_contains(toks, term) GROUP BY term
+),
+occ AS (
+  SELECT doc_id, len(toks) AS dl, term, len(list_filter(toks, x -> x = term)) AS occ
+  FROM d, t WHERE list_contains(toks, term)
+),
+w AS (
+  SELECT o.doc_id,
+         (2200 * (s.n + 1) * s.a * o.occ)
+           // ((df.df + 1) * (10 * s.a * o.occ + 3 * s.a + 9 * s.n * o.dl)) AS w
+  FROM occ o JOIN df ON df.term = o.term CROSS JOIN s
+)
+SELECT doc_id, SUM(w)::BIGINT AS score FROM w GROUP BY doc_id HAVING count(*) = 2
 """
     # phrase = adjacent-position pairs; brute-force recount over the raw text
     out["ws_phrase_search"] = f"""

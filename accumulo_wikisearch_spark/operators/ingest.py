@@ -97,6 +97,16 @@ class WikisearchIndex:
             self._doc_count = self.documents.count()
         return self._doc_count
 
+    _token_count: int | None = None
+
+    def token_count(self) -> int:
+        """Total corpus tokens A (for BM25 length normalization) — one
+        partial-aggregated scan of the TermWeight index, once per catalog."""
+        if self._token_count is None:
+            row = self.term_index.agg(F.sum("occurrences")).collect()[0]
+            self._token_count = int(row[0] or 0)
+        return self._token_count
+
     def indexed_fields(self) -> set[str]:
         """Catalog lookup: which fields are indexed (findIndexedTerms,
         AbstractQueryLogic.java:500-524). Metadata is tiny — collected once

@@ -9,6 +9,7 @@ service (query-war/src/main/webapp/WEB-INF/web.xml:33-40):
     GET /content?pointer=DOCUMENT:partition/lang/id          (≈ /Content)
     GET /scored?term=<term>[&limit=N]
     GET /phrase?terms=<t1,t2,…>[&limit=N]
+    GET /bm25?terms=<t1,t2,…>[&limit=N]
     GET /health
 
 Default responses are JSON: {"results": [...], "count": N}. Stdlib
@@ -164,6 +165,10 @@ def make_handler(engine):
                     return self._send(200, {"results": rows, "count": len(rows)})
                 if u.path == "/phrase":
                     df = engine.phrase_search(q["terms"].split(","), auths=auths)
+                    rows = _rows(df, limit)
+                    return self._send(200, {"results": rows, "count": len(rows)})
+                if u.path == "/bm25":
+                    df = engine.scored_search_bm25(q["terms"].split(","), auths=auths)
                     rows = _rows(df, limit)
                     return self._send(200, {"results": rows, "count": len(rows)})
                 return self._send(404, {"error": f"no route {u.path}"})

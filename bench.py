@@ -76,6 +76,7 @@ def main() -> None:
         lambda: eng.scored_search_tfidf(["dup", "key"]).count(),
     )
     timed("q_phrase", lambda: eng.phrase_search(["order", "fast"]).count())
+    timed("q_bm25_rank", lambda: eng.scored_search_bm25(["dup", "key"]).count())
 
     from accumulo_wikisearch_spark.operators import temporal
 

@@ -65,6 +65,16 @@ def test_cli_cardinalities(spark, sf_dir):
     assert all(r["n_docs"] > 0 for r in rows)
 
 
+def test_cli_bm25(spark, sf_dir):
+    from accumulo_wikisearch_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(["--sf-dir", sf_dir, "--bm25", "dup,key", "--limit", "3"], out=out)
+    assert rc == 0
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert rows and all({"doc_id", "score"} <= set(r) for r in rows)
+
+
 def test_cli_phrase(spark, sf_dir):
     from accumulo_wikisearch_spark.cli import run
 

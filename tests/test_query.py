@@ -216,6 +216,50 @@ def test_tfidf_rank_weights_rare_terms_higher(engine):
     assert r0["score"] == expect
 
 
+def test_bm25_rank_matches_first_principles(engine):
+    """BM25 integer formula: reconstruct the top doc's score from raw
+    occurrence/df/length counts; AND semantics and descending order hold."""
+    from pyspark.sql import functions as F
+
+    out = engine.scored_search_bm25(["dup", "key"]).collect()
+    assert out
+    and_ids = {r["doc_id"] for r in engine.query("TEXT == 'dup' and TEXT == 'key'").collect()}
+    assert {r["doc_id"] for r in out} == and_ids
+    scores = [r["score"] for r in out]
+    assert all(s > 0 for s in scores) and scores == sorted(scores, reverse=True)
+
+    n = engine.index.doc_count()
+    a = engine.index.token_count()
+    ti = engine.index.term_index
+    r0 = out[0]
+    dl = (
+        ti.where(F.col("doc_id") == r0["doc_id"])
+        .agg(F.sum("occurrences"))
+        .collect()[0][0]
+    )
+    rows = ti.where(
+        (F.col("doc_id") == r0["doc_id"]) & F.col("norm_value").isin("dup", "key")
+    ).collect()
+    df_by_term = {
+        r["norm_value"]: r["df"]
+        for r in engine.index.global_index.where(
+            (F.col("field") == "TEXT") & F.col("norm_value").isin("dup", "key")
+        )
+        .groupBy("norm_value")
+        .agg(F.sum("count").alias("df"))
+        .collect()
+    }
+    expect = sum(
+        (2200 * (n + 1) * a * r["occurrences"])
+        // (
+            (df_by_term[r["norm_value"]] + 1)
+            * (10 * a * r["occurrences"] + 3 * a + 9 * n * dl)
+        )
+        for r in rows
+    )
+    assert r0["score"] == expect
+
+
 def test_sql_text_match_rewrite(engine, duck):
     """TEXT_MATCH('<jexl>') inside spark.sql runs the index planner and
     composes with ordinary SQL predicates."""

@@ -113,6 +113,12 @@ def test_query_unknown_format_404(server):
     assert ei.value.code == 404
 
 
+def test_bm25_endpoint(server):
+    code, out = _get(f"{server}/bm25?terms=dup,key&limit=5")
+    assert code == 200
+    assert out["results"] and all({"doc_id", "score"} <= set(r) for r in out["results"])
+
+
 def test_phrase_endpoint(server):
     code, out = _get(f"{server}/phrase?terms=order,fast&limit=5")
     assert code == 200
