@@ -385,3 +385,42 @@ class Wikisearch:
             .orderBy(F.desc("score"), "doc_id")
         )
         return g.limit(limit) if limit else g
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        auths: list[str] | None = None,
+        top_terms: int = 16,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Similar-document retrieval over the inverted index: take the seed
+        doc's ``top_terms`` rarest TEXT terms (lowest document frequency —
+        the most discriminative ones, deterministic tie-break on the term),
+        then rank other docs by the summed rational idf of the terms they
+        share: Σ ((N+1)·1000) div (df+1). The shared-rare-term candidate
+        join is the classic more-like-this construction (Lucene's MLT shape)
+        on our global/TermWeight index.
+
+        Fully distributed: the seed's term list and the per-term df table
+        stay DataFrames (broadcast — ≤ seed-term-count rows); candidates come
+        from one pushed-down scan of the term index."""
+        n_total = self.index.doc_count()
+        ti = self.index.term_index
+        if auths:
+            ti = ti.where(F.col("language").isin(*auths))
+        seed_terms = ti.where(F.col("doc_id") == doc_id).select("norm_value")
+        df_tbl = (
+            self.index.global_index.where(F.col("field") == "TEXT")
+            .join(F.broadcast(seed_terms), "norm_value")
+            .groupBy("norm_value")
+            .agg(F.sum("count").alias("df"))
+        )
+        top = df_tbl.orderBy("df", "norm_value").limit(top_terms)
+        cand = ti.join(F.broadcast(top), "norm_value").where(F.col("doc_id") != doc_id)
+        g = (
+            cand.withColumn("w", F.expr(f"({(n_total + 1) * 1000}L) div (df + 1)"))
+            .groupBy("partition_id", "language", "doc_id")
+            .agg(F.sum("w").alias("score"), F.count("*").alias("n_shared"))
+            .orderBy(F.desc("score"), "doc_id")
+        )
+        return g.limit(limit) if limit else g

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--bm25", metavar="TERMS", help="comma-separated terms, BM25-ranked AND search"
     )
     p.add_argument(
+        "--more-like", metavar="DOC_ID", type=int, help="similar docs by shared rare terms"
+    )
+    p.add_argument(
         "--cardinalities",
         metavar="TERMS",
         help="comma-separated terms: per-field doc counts from the global index",
@@ -54,6 +57,7 @@ def run(argv: list[str], out=sys.stdout) -> int:
         or args.tfidf
         or args.phrase
         or args.bm25
+        or args.more_like is not None
         or args.cardinalities
     ):
         build_parser().print_usage(out)
@@ -90,6 +94,8 @@ def run(argv: list[str], out=sys.stdout) -> int:
         df = eng.phrase_search(args.phrase.split(","), auths=auths)
     elif args.bm25:
         df = eng.scored_search_bm25(args.bm25.split(","), auths=auths)
+    elif args.more_like is not None:
+        df = eng.more_like_this(args.more_like, auths=auths)
     elif args.cardinalities:
         df = eng.term_cardinalities(args.cardinalities.split(","), auths=auths)
     elif args.ids_only:

@@ -212,6 +212,12 @@ def _ws_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.scored_search_bm25(["dup", "key"]).select("doc_id", "score")
 
 
+def _ws_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.more_like_this(7).select("doc_id", "score", "n_shared")
+
+
 def _ws_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """createDocument parity: result docs carry fields + content pointer."""
     tune_runtime(spark)
@@ -251,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_scored_multi"] = _ws_scored_multi
     out["ws_tfidf_rank"] = _ws_tfidf
     out["ws_bm25_rank"] = _ws_bm25
+    out["ws_more_like_this"] = _ws_more_like_this
     out["ws_phrase_search"] = _ws_phrase
     out["ws_term_cardinalities"] = _ws_term_cards
     out["ws_sql_text_match"] = _ws_sql_text_match
@@ -341,6 +348,29 @@ w AS (
   FROM occ o JOIN df ON df.term = o.term CROSS JOIN s
 )
 SELECT doc_id, SUM(w)::BIGINT AS score FROM w GROUP BY doc_id HAVING count(*) = 2
+"""
+    # more-like-this: seed doc 7's 16 rarest terms (df, term tie-break),
+    # candidates ranked by summed rational idf of shared terms
+    out["ws_more_like_this"] = f"""
+WITH d AS (
+  SELECT doc_id, list_filter({TOK}, x -> x != '') AS toks FROM documents
+),
+n AS (SELECT count(*) AS n FROM documents),
+seed AS (SELECT DISTINCT unnest(toks) AS term FROM d WHERE doc_id = 7),
+tok_docs AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM d),
+df AS (
+  SELECT term, count(*) AS df FROM tok_docs
+  WHERE term IN (SELECT term FROM seed) GROUP BY term
+),
+top AS (SELECT term, df FROM df ORDER BY df, term LIMIT 16),
+cand AS (
+  SELECT d.doc_id, t.df FROM d JOIN top t ON list_contains(d.toks, t.term)
+  WHERE d.doc_id != 7
+)
+SELECT doc_id,
+       SUM(((n.n + 1) * 1000) // (df + 1))::BIGINT AS score,
+       count(*)::BIGINT AS n_shared
+FROM cand CROSS JOIN n GROUP BY doc_id
 """
     # phrase = adjacent-position pairs; brute-force recount over the raw text
     out["ws_phrase_search"] = f"""

@@ -75,6 +75,17 @@ def test_cli_bm25(spark, sf_dir):
     assert rows and all({"doc_id", "score"} <= set(r) for r in rows)
 
 
+def test_cli_more_like(spark, sf_dir):
+    from accumulo_wikisearch_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(["--sf-dir", sf_dir, "--more-like", "7", "--limit", "3"], out=out)
+    assert rc == 0
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert rows and all({"doc_id", "score", "n_shared"} <= set(r) for r in rows)
+    assert all(r["doc_id"] != 7 for r in rows)
+
+
 def test_cli_phrase(spark, sf_dir):
     from accumulo_wikisearch_spark.cli import run
 

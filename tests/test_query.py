@@ -260,6 +260,27 @@ def test_bm25_rank_matches_first_principles(engine):
     assert r0["score"] == expect
 
 
+def test_more_like_this_excludes_seed_and_ranks_by_shared_rarity(engine):
+    from pyspark.sql import functions as F
+
+    out = engine.more_like_this(7).collect()
+    assert out and all(r["doc_id"] != 7 for r in out)
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_shared"] <= 16 for r in out)
+    # every candidate truly shares ≥1 of the seed's terms
+    seed_terms = {
+        r["norm_value"]
+        for r in engine.index.term_index.where(F.col("doc_id") == 7).collect()
+    }
+    top = out[0]
+    cand_terms = {
+        r["norm_value"]
+        for r in engine.index.term_index.where(F.col("doc_id") == top["doc_id"]).collect()
+    }
+    assert seed_terms & cand_terms
+
+
 def test_sql_text_match_rewrite(engine, duck):
     """TEXT_MATCH('<jexl>') inside spark.sql runs the index planner and
     composes with ordinary SQL predicates."""
