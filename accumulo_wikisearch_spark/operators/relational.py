@@ -269,6 +269,50 @@ def price_percentiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Histogram of customers by order count, INCLUDING zero-order customers
+    (Q13 shape): left outer join then two aggregations. The outer join
+    shuffles on custkey once; the second groupBy is over ≤ max-order-count
+    rows per task — negligible. The classic shape for 'how engaged is the
+    customer base' at any scale."""
+    per_cust = (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#4"
+) -> DataFrame:
+    """Revenue from unusually small orders of one brand's parts (Q17 shape):
+    lineitems with quantity below 20% of that part's average quantity.
+
+    The per-part average is a window over the same partkey shuffle the join
+    needs — no second pass, no correlated subquery. The threshold compares
+    in exact integers (5·qty·cnt < sum_qty ⟺ qty < avg/5 for integral
+    quantities), so the row set is engine-exact — a float average would
+    disagree in the last ulp at the boundary."""
+    items = lineitem.join(
+        F.broadcast(part.where(F.col("p_brand") == brand).select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    stats = items.withColumn("_cnt", F.count("*").over(w)).withColumn(
+        "_sum_qty", F.sum(F.col("l_quantity").cast("long")).over(w)
+    )
+    small = stats.where(
+        5 * F.col("l_quantity").cast("long") * F.col("_cnt") < F.col("_sum_qty")
+    )
+    return small.agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("small_qty_rev_cents"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def queries():
     return {
         "rel_pricing_summary": lambda s, d: pricing_summary(_t(s, d, "lineitem")),
@@ -297,6 +341,12 @@ def queries():
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
         "rel_price_percentiles": lambda s, d: price_percentiles(_t(s, d, "lineitem")),
+        "rel_cust_order_dist": lambda s, d: customer_order_distribution(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "rel_small_qty_revenue": lambda s, d: small_quantity_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
     }
 
 
@@ -408,6 +458,29 @@ FROM c GROUP BY l_returnflag
 """
 
 
+_CUSTDIST_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+_SMALLQTY_SQL = """
+WITH items AS (
+  SELECT l_partkey, l_quantity::BIGINT AS qty, l_extendedprice,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt,
+         sum(l_quantity::BIGINT) OVER (PARTITION BY l_partkey) AS sum_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4'
+)
+SELECT sum(round(l_extendedprice * 100)::BIGINT) AS small_qty_rev_cents,
+       count(*) AS n_items
+FROM items WHERE 5 * qty * cnt < sum_qty
+"""
+
+
 def oracle_sql():
     return {
         "rel_pricing_summary": _PRICING_SQL,
@@ -420,4 +493,6 @@ def oracle_sql():
         "rel_pricing_cube": _CUBE_SQL,
         "rel_shipping_priority": _SHIPPING_SQL,
         "rel_price_percentiles": _PERCENTILE_SQL,
+        "rel_cust_order_dist": _CUSTDIST_SQL,
+        "rel_small_qty_revenue": _SMALLQTY_SQL,
     }

@@ -4,8 +4,10 @@ oracle gate covers the full parquet tables; these pin the semantics)."""
 import datetime
 
 from accumulo_wikisearch_spark.operators.relational import (
+    customer_order_distribution,
     order_priority_count,
     pricing_summary,
+    small_quantity_revenue,
     top_customers_by_segment,
 )
 
@@ -61,3 +63,25 @@ def test_top_customers_rank_and_ties(spark):
     ranked = sorted((r["rank"], r["c_custkey"]) for r in rows)
     # 10 and 20 and 30 tie at 1000 cents; tie-break ascending custkey
     assert ranked == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_customer_order_distribution_counts_zero_order_customers(spark):
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 1), (102, 2)], "o_orderkey long, o_custkey long"
+    )
+    got = {r["c_count"]: r["custdist"] for r in customer_order_distribution(cust, orders).collect()}
+    # customer 3 has no orders → bucket 0 exists (left outer, count of non-null)
+    assert got == {2: 1, 1: 1, 0: 1}
+
+
+def test_small_quantity_revenue_exact_threshold(spark):
+    # part 1: quantities 1, 10, 10 → avg 7, qty < avg/5 = 1.4 → only qty=1
+    # (exact form: 5*qty*cnt < sum_qty → 5*1*3=15 < 21 ✓; 5*10*3=150 ✗)
+    li = spark.createDataFrame(
+        [(1, 1.0, 10.0), (1, 10.0, 10.0), (1, 10.0, 10.0), (2, 1.0, 99.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame([(1, "Brand#4"), (2, "Brand#9")], "p_partkey long, p_brand string")
+    r = small_quantity_revenue(li, part, brand="Brand#4").collect()[0]
+    assert r["n_items"] == 1 and r["small_qty_rev_cents"] == 1000
