@@ -193,6 +193,30 @@ def _count_files(spark: SparkSession, path: str) -> int:
     return n
 
 
+def catalog_stats(spark: SparkSession, path: str) -> list[dict]:
+    """Per-table stats of a written catalog: rows, on-disk bytes, part files.
+
+    The reference README records exactly this (wiki 47.3 GB, wikiIndex
+    5.1 GB, wikiReverseIndex 5.5 GB — a ≈6:1 size increase over the input,
+    ``README.md:112-120``); this is our measured analogue for capacity
+    planning, plus the small-file count that tells you when to compact."""
+    out = []
+    for name in _ALL_TABLES:
+        tpath = f"{path}/{name}"
+        fs, hpath, _ = _fs(spark, tpath)
+        if not fs.exists(hpath):
+            continue
+        out.append(
+            {
+                "table": name,
+                "n_rows": spark.read.parquet(tpath).count(),
+                "bytes": fs.getContentSummary(hpath).getLength(),
+                "files": _count_files(spark, tpath),
+            }
+        )
+    return out
+
+
 def stream_ingest_deltas(
     stream_articles: DataFrame,
     index_path: str,

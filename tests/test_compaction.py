@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from accumulo_wikisearch_spark.api import Wikisearch
 from accumulo_wikisearch_spark.config import EngineConfig
 from accumulo_wikisearch_spark.operators.compaction import (
+    catalog_stats,
     compact_index,
     delta_batches,
     load_index_with_deltas,
@@ -104,6 +105,20 @@ def test_compacted_catalog_serves_scored_search(spark, catalog):
     eng = Wikisearch(load_index(spark, catalog, CFG))
     rows = eng.scored_search("common").collect()
     assert len(rows) == 16 and all(r["tf"] > 0 for r in rows)
+
+
+def test_catalog_stats_reports_all_tables(spark, catalog):
+    stats = {s["table"]: s for s in catalog_stats(spark, catalog)}
+    assert set(stats) == {
+        "doc_fields", "field_index", "docs_wide", "documents",
+        "global_index", "reverse_index", "metadata", "term_index",
+    }
+    assert stats["documents"]["n_rows"] == 15  # base only; deltas not counted
+    assert all(s["bytes"] > 0 and s["files"] >= 1 for s in stats.values())
+    # compaction folds deltas in and the stats see the merged base
+    compact_index(spark, catalog, CFG)
+    after = {s["table"]: s for s in catalog_stats(spark, catalog)}
+    assert after["documents"]["n_rows"] == 26
 
 
 def test_stream_ingest_deltas_flushes_per_batch(spark):

@@ -188,3 +188,18 @@ def test_token_rarity_skew_safe_shape(spark, sf_dir):
     # the instance table is cache-reused, not re-scanned
     assert "Window" not in plan
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_bm25_joins_stay_broadcast(engine):
+    plan = _formatted(engine.scored_search_bm25(["dup", "key"]))
+    # df table and candidate semi-join broadcast; no sort-merge anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_more_like_this_broadcasts_seed_and_top_terms(engine):
+    plan = _formatted(engine.more_like_this(7))
+    # seed-term join and top-term candidate join both broadcast (≤16 rows)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
