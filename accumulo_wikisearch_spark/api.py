@@ -79,6 +79,20 @@ class Wikisearch:
             self._card_cache,
         )
 
+    def explain_query(self, expr: str, auths: list[str] | None = None) -> dict:
+        """Planner introspection: which path a query takes and why (index
+        tree, exact-coverage flag, per-term cardinality estimates). See
+        ``plans/planner.py:explain_plan``."""
+        from accumulo_wikisearch_spark.plans.planner import explain_plan
+
+        return explain_plan(
+            self.index,
+            parser.parse(expr),
+            auths,
+            self.multi_value_fields,
+            self._card_cache,
+        )
+
     def content(self, pointer: str, auths: list[str] | None = None) -> DataFrame:
         """Fetch a document body by DOCUMENT:partition/lang/id pointer —
         a partition-pruned point read (ContentLogic.java:66-107)."""

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated terms: per-field doc counts from the global index",
     )
     p.add_argument("--ids-only", action="store_true", help="emit doc ids, not documents")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the planner's decision for the query instead of running it",
+    )
     p.add_argument("--serve", type=int, metavar="PORT", help="start the REST front on PORT and block")
     return p
 
@@ -82,6 +87,13 @@ def run(argv: list[str], out=sys.stdout) -> int:
             threading.Event().wait()  # block until killed
         except KeyboardInterrupt:
             srv.shutdown()
+        return 0
+
+    if args.explain:
+        if not args.query:
+            build_parser().print_usage(out)
+            return 2
+        print(json.dumps(eng.explain_query(args.query, auths=auths)), file=out)
         return 0
 
     if args.content:

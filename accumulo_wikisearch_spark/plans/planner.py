@@ -435,6 +435,37 @@ def _is_neg(n) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def explain_plan(
+    index: WikisearchIndex,
+    node: ast.Node,
+    auths: list[str] | None = None,
+    multi_value_fields: frozenset[str] = frozenset({"TEXT"}),
+    card_cache: dict | None = None,
+) -> dict:
+    """Describe the plan :func:`run_query` would choose, without executing:
+    chosen path, rewritten NNF, reduced index tree, exact-coverage flag
+    (gates the Q15 unevaluated-fields skip), and per-term cardinality
+    estimates from the global index (the numbers driving AND ordering and
+    broadcast decisions — the observable analogue of the reference's
+    RangeCalculator plan state, RangeCalculator.java:281-556)."""
+    planner = Planner(index, multi_value_fields, card_cache)
+    nnf = planner.expand_unfielded(to_nnf(node), auths)
+    tree, exact = reduce_to_index_tree(
+        nnf, planner.indexed_fields(), multi_value_fields
+    )
+    out = {
+        "path": "fullscan" if tree is None else "optimized",
+        "nnf": repr(nnf),
+        "index_tree": None if tree is None else repr(tree),
+        "exact_coverage": bool(exact),
+        "cardinalities": {},
+    }
+    if tree is not None:
+        card = planner.estimate_eq_cardinalities(tree, auths)
+        out["cardinalities"] = {f"{f}=={v}": n for (f, v), n in sorted(card.items())}
+    return out
+
+
 def run_query(
     index: WikisearchIndex,
     node: ast.Node,

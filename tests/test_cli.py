@@ -75,6 +75,16 @@ def test_cli_bm25(spark, sf_dir):
     assert rows and all({"doc_id", "score"} <= set(r) for r in rows)
 
 
+def test_cli_explain(spark, sf_dir):
+    from accumulo_wikisearch_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(["--sf-dir", sf_dir, "--explain", "TEXT == 'dup' and TEXT == 'key'"], out=out)
+    assert rc == 0
+    plan = json.loads(out.getvalue())
+    assert plan["path"] == "optimized" and plan["cardinalities"]
+
+
 def test_cli_more_like(spark, sf_dir):
     from accumulo_wikisearch_spark.cli import run
 

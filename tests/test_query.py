@@ -281,6 +281,16 @@ def test_more_like_this_excludes_seed_and_ranks_by_shared_rarity(engine):
     assert seed_terms & cand_terms
 
 
+def test_explain_query_reports_path_and_cardinalities(engine):
+    ex = engine.explain_query("TEXT == 'dup' and TEXT == 'key'")
+    assert ex["path"] == "optimized" and ex["exact_coverage"]
+    assert ex["index_tree"] and "dup" in ex["index_tree"]
+    assert ex["cardinalities"].get("TEXT==dup", 0) > 0
+    # unbounded lone range → planner refuses the index path
+    ex2 = engine.explain_query("NCHARS > '100'")
+    assert ex2["path"] == "fullscan" and ex2["index_tree"] is None
+
+
 def test_sql_text_match_rewrite(engine, duck):
     """TEXT_MATCH('<jexl>') inside spark.sql runs the index planner and
     composes with ordinary SQL predicates."""
