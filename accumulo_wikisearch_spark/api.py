@@ -93,7 +93,40 @@ class Wikisearch:
             self._card_cache,
         )
 
-    def content(self, pointer: str, auths: list[str] | None = None) -> DataFrame:
+    def count_only(self, expr: str, auths: list[str] | None = None) -> DataFrame:
+        """Count matching docs, answering from the global index ALONE when
+        possible: a single exact-covering equality leaf needs only the
+        O(#partitions × #languages) posting rows for that term — sum their
+        counts, never touching postings or documents. An index-only
+        aggregate the reference cannot do (its counts live in the same scan
+        as the doc fetch); at 100 TB this is the difference between reading
+        a few KB and running the query.
+
+        Requires the engine's unique-ids corpus contract (duplicate article
+        ids inflate global-index counts — the multimap semantics); any other
+        query shape falls back to counting the full query result. Returns a
+        one-row DataFrame (n BIGINT) either way."""
+        from accumulo_wikisearch_spark.plans.planner import (
+            IxLeaf,
+            Planner,
+            reduce_to_index_tree,
+            to_nnf,
+        )
+
+        node = parser.parse(expr)
+        planner = Planner(self.index, self.multi_value_fields, self._card_cache)
+        nnf = planner.expand_unfielded(to_nnf(node), auths)
+        tree, exact = reduce_to_index_tree(
+            nnf, planner.indexed_fields(), self.multi_value_fields
+        )
+        if exact and isinstance(tree, IxLeaf) and tree.kind == "eq" and not tree.negated:
+            gi = self.index.global_index.where(
+                (F.col("field") == tree.field) & (F.col("norm_value") == tree.value)
+            )
+            if auths:
+                gi = gi.where(F.col("language").isin(*auths))
+            return gi.agg(F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("n"))
+        return self.query(expr, auths=auths).agg(F.count("*").cast("long").alias("n"))
         """Fetch a document body by DOCUMENT:partition/lang/id pointer —
         a partition-pruned point read (ContentLogic.java:66-107)."""
         m = _POINTER_RE.match(pointer)

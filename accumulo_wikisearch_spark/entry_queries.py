@@ -218,6 +218,12 @@ def _ws_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.more_like_this(7).select("doc_id", "score", "n_shared")
 
 
+def _ws_count_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.count_only("TEXT == 'dup'")
+
+
 def _ws_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """createDocument parity: result docs carry fields + content pointer."""
     tune_runtime(spark)
@@ -258,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_tfidf_rank"] = _ws_tfidf
     out["ws_bm25_rank"] = _ws_bm25
     out["ws_more_like_this"] = _ws_more_like_this
+    out["ws_count_fast"] = _ws_count_fast
     out["ws_phrase_search"] = _ws_phrase
     out["ws_term_cardinalities"] = _ws_term_cards
     out["ws_sql_text_match"] = _ws_sql_text_match
@@ -349,6 +356,10 @@ w AS (
 )
 SELECT doc_id, SUM(w)::BIGINT AS score FROM w GROUP BY doc_id HAVING count(*) = 2
 """
+    # index-only count: must equal a brute-force recount of the corpus
+    out["ws_count_fast"] = (
+        f"SELECT count(*)::BIGINT AS n FROM documents WHERE list_contains({TOK},'dup')"
+    )
     # more-like-this: seed doc 7's 16 rarest terms (df, term tie-break),
     # candidates ranked by summed rational idf of shared terms
     out["ws_more_like_this"] = f"""

@@ -291,6 +291,23 @@ def test_explain_query_reports_path_and_cardinalities(engine):
     assert ex2["path"] == "fullscan" and ex2["index_tree"] is None
 
 
+def test_count_only_index_fast_path_matches_query(engine):
+    # single exact-covering EQ: answered from global-index counts alone
+    fast = engine.count_only("TEXT == 'dup'").collect()[0]["n"]
+    assert fast == engine.query("TEXT == 'dup'").count()
+    # the fast path's plan never joins candidates into docs_wide
+    plan = engine.count_only("TEXT == 'dup'")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    # auths restrict the summed postings
+    fast_en = engine.count_only("TEXT == 'dup'", auths=["en"]).collect()[0]["n"]
+    assert fast_en == engine.query("TEXT == 'dup'", auths=["en"]).count()
+    # non-single-leaf shapes fall back to counting the real result
+    both = engine.count_only("TEXT == 'dup' and TEXT == 'key'").collect()[0]["n"]
+    assert both == engine.query("TEXT == 'dup' and TEXT == 'key'").count()
+    # missing term → 0, not an empty frame
+    assert engine.count_only("TEXT == 'zzznotaterm'").collect()[0]["n"] == 0
+
+
 def test_sql_text_match_rewrite(engine, duck):
     """TEXT_MATCH('<jexl>') inside spark.sql runs the index planner and
     composes with ordinary SQL predicates."""
