@@ -384,17 +384,17 @@ class Wikisearch:
         true 100 TB scale the constants outgrow int64; the same expression
         runs in DECIMAL(38,0) unchanged.
 
-        Plan: one scan of the TermWeight index for the query terms; doc
-        lengths are computed only for the AND-surviving candidate docs
-        (semi-join back into the term index), not the whole corpus."""
+        Plan: ONE scan of the TermWeight index for the query terms (doc
+        lengths ride on the posting rows — the index's doc-length sidecar),
+        one broadcast of the ≤|terms| df rows, one groupBy on doc. The AND
+        is the n-distinct-terms filter on the same aggregation."""
         ts = sorted({normalize_str(t) for t in terms})
         n_total = self.index.doc_count()
         a_total = self.index.token_count()
         keys = ["partition_id", "language", "doc_id"]
-        ti_all = self.index.term_index
+        ti = self.index.term_index.where(F.col("norm_value").isin(*ts))
         if auths:
-            ti_all = ti_all.where(F.col("language").isin(*auths))
-        ti = ti_all.where(F.col("norm_value").isin(*ts))
+            ti = ti.where(F.col("language").isin(*auths))
         df_tbl = (
             self.index.global_index.where(
                 (F.col("field") == "TEXT") & F.col("norm_value").isin(*ts)
@@ -402,33 +402,23 @@ class Wikisearch:
             .groupBy("norm_value")
             .agg(F.sum("count").alias("df"))
         )
-        cand = (
-            ti.groupBy(*keys)
-            .agg(F.count_distinct("norm_value").alias("_n"))
-            .where(F.col("_n") == len(ts))
-            .select(*keys)
-        )
-        doc_len = (
-            ti_all.join(F.broadcast(cand), keys, "left_semi")
-            .groupBy(*keys)
-            .agg(F.sum("occurrences").alias("dl"))
-        )
         c1 = 2200 * (n_total + 1) * a_total
-        scored = (
-            ti.join(F.broadcast(df_tbl), "norm_value")
-            .join(doc_len, keys)
-            .withColumn(
-                "w",
-                F.expr(
-                    f"({c1}L * occurrences) div "
-                    f"((df + 1) * ({10 * a_total}L * occurrences"
-                    f" + {3 * a_total}L + {9 * n_total}L * dl))"
-                ),
-            )
+        scored = ti.join(F.broadcast(df_tbl), "norm_value").withColumn(
+            "w",
+            F.expr(
+                f"({c1}L * occurrences) div "
+                f"((df + 1) * ({10 * a_total}L * occurrences"
+                f" + {3 * a_total}L + {9 * n_total}L * doc_len))"
+            ),
         )
         g = (
             scored.groupBy(*keys)
-            .agg(F.sum("w").alias("score"))
+            .agg(
+                F.sum("w").alias("score"),
+                F.count_distinct("norm_value").alias("_n_terms"),
+            )
+            .where(F.col("_n_terms") == len(ts))
+            .select(*keys, "score")
             .orderBy(F.desc("score"), "doc_id")
         )
         return g.limit(limit) if limit else g

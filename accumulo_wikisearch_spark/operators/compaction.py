@@ -66,6 +66,9 @@ def merge_term_index(old: DataFrame, delta: DataFrame) -> DataFrame:
             F.sum("occurrences").alias("occurrences"),
             F.sum("tf").alias("tf"),
             F.sort_array(F.flatten(F.collect_list("offsets"))).alias("offsets"),
+            # re-ingest of the same doc appends content (multimap semantics):
+            # the doc's token count grows with it
+            F.sum("doc_len").alias("doc_len"),
         )
     )
 

@@ -50,7 +50,7 @@ class WikisearchIndex:
     global_index: DataFrame  # (norm_value, field, partition_id, language, count, uids, ignore)
     reverse_index: DataFrame  # same, norm_value reversed
     metadata: DataFrame  # (field, language, indexed, normalizer)
-    term_index: DataFrame  # (partition_id, language, doc_id, norm_value, tf, offsets)
+    term_index: DataFrame  # (partition_id, language, doc_id, norm_value, occurrences, tf, offsets, doc_len)
     docs_wide: DataFrame  # (partition_id, language, doc_id, fields MAP<STRING,ARRAY<STRING>>)
     documents: DataFrame  # (partition_id, language, doc_id, text)
 
@@ -266,7 +266,18 @@ def build_index(
         )
         .withColumn("tf", F.col("occurrences") / F.col("_len"))
         .select(
-            "partition_id", "language", "doc_id", "norm_value", "occurrences", "tf", "offsets"
+            "partition_id",
+            "language",
+            "doc_id",
+            "norm_value",
+            "occurrences",
+            "tf",
+            "offsets",
+            # per-doc token count, denormalized onto every posting row: BM25
+            # length normalization reads it for free instead of re-aggregating
+            # doc lengths at query time (the standard doc-length sidecar of an
+            # IR index, folded into the posting rows)
+            F.col("_len").cast("long").alias("doc_len"),
         )
     )
 

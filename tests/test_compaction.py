@@ -91,12 +91,13 @@ def test_term_index_offsets_fold_sorted(spark):
     # (TextIndexCombiner.java:40-106)
     schema = (
         "partition_id int, language string, doc_id long, norm_value string, "
-        "occurrences bigint, tf double, offsets array<int>"
+        "occurrences bigint, tf double, offsets array<int>, doc_len long"
     )
-    a = spark.createDataFrame([(0, "enwiki", 1, "tok", 2, 0.5, [5, 9])], schema)
-    b = spark.createDataFrame([(0, "enwiki", 1, "tok", 1, 0.25, [1, 7])], schema)
+    a = spark.createDataFrame([(0, "enwiki", 1, "tok", 2, 0.5, [5, 9], 4)], schema)
+    b = spark.createDataFrame([(0, "enwiki", 1, "tok", 1, 0.25, [1, 7], 4)], schema)
     r = merge_term_index(a, b).collect()[0]
     assert r["occurrences"] == 3 and r["tf"] == 0.75 and r["offsets"] == [1, 5, 7, 9]
+    assert r["doc_len"] == 8
 
 
 def test_compacted_catalog_serves_scored_search(spark, catalog):

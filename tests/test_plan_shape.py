@@ -190,11 +190,12 @@ def test_token_rarity_skew_safe_shape(spark, sf_dir):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
 
 
-def test_bm25_joins_stay_broadcast(engine):
+def test_bm25_is_single_scan_single_shuffle(engine):
     plan = _formatted(engine.scored_search_bm25(["dup", "key"]))
-    # df table and candidate semi-join broadcast; no sort-merge anywhere
+    # one posting scan + broadcast df join + one groupBy: doc lengths ride on
+    # the posting rows, so there is no second aggregation or semi-join
     assert "BroadcastHashJoin" in plan
-    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "LeftSemi" not in plan
     assert "SortMergeJoin" not in plan
 
 
