@@ -10,6 +10,8 @@ service (query-war/src/main/webapp/WEB-INF/web.xml:33-40):
     GET /scored?term=<term>[&limit=N]
     GET /phrase?terms=<t1,t2,…>[&limit=N]
     GET /bm25?terms=<t1,t2,…>[&limit=N]
+    GET /morelike?doc_id=<id>[&limit=N]
+    GET /explain?query=<jexl>
     GET /health
 
 Default responses are JSON: {"results": [...], "count": N}. Stdlib
@@ -171,6 +173,12 @@ def make_handler(engine):
                     df = engine.scored_search_bm25(q["terms"].split(","), auths=auths)
                     rows = _rows(df, limit)
                     return self._send(200, {"results": rows, "count": len(rows)})
+                if u.path == "/morelike":
+                    df = engine.more_like_this(int(q["doc_id"]), auths=auths)
+                    rows = _rows(df, limit)
+                    return self._send(200, {"results": rows, "count": len(rows)})
+                if u.path == "/explain":
+                    return self._send(200, engine.explain_query(q["query"], auths=auths))
                 return self._send(404, {"error": f"no route {u.path}"})
             except KeyError as e:
                 return self._send(400, {"error": f"missing parameter {e}"})

@@ -119,6 +119,18 @@ def test_bm25_endpoint(server):
     assert out["results"] and all({"doc_id", "score"} <= set(r) for r in out["results"])
 
 
+def test_morelike_endpoint(server):
+    code, out = _get(f"{server}/morelike?doc_id=7&limit=5")
+    assert code == 200
+    assert out["results"] and all(r["doc_id"] != 7 for r in out["results"])
+
+
+def test_explain_endpoint(server):
+    code, out = _get(f"{server}/explain?query=" + urllib.parse.quote("TEXT == 'dup'"))
+    assert code == 200
+    assert out["path"] == "optimized" and out["exact_coverage"]
+
+
 def test_phrase_endpoint(server):
     code, out = _get(f"{server}/phrase?terms=order,fast&limit=5")
     assert code == 200
