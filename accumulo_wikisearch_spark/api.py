@@ -127,6 +127,8 @@ class Wikisearch:
                 gi = gi.where(F.col("language").isin(*auths))
             return gi.agg(F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("n"))
         return self.query(expr, auths=auths).agg(F.count("*").cast("long").alias("n"))
+
+    def content(self, pointer: str, auths: list[str] | None = None) -> DataFrame:
         """Fetch a document body by DOCUMENT:partition/lang/id pointer —
         a partition-pruned point read (ContentLogic.java:66-107)."""
         m = _POINTER_RE.match(pointer)
@@ -220,7 +222,10 @@ class Wikisearch:
             ti.groupBy("partition_id", "language", "doc_id")
             .agg(
                 F.sum("occurrences").alias("total_occ"),
-                F.count_distinct("norm_value").alias("_n_terms"),
+                # (doc, term) posting rows are unique by construction (build groupBy
+                # / compaction re-fold), so a plain count IS the distinct-term
+                # count — avoids the two-phase distinct aggregation
+                F.count("*").alias("_n_terms"),
             )
             .where(F.col("_n_terms") == len(ts))
             .select("partition_id", "language", "doc_id", "total_occ")
@@ -358,7 +363,10 @@ class Wikisearch:
             scored.groupBy("partition_id", "language", "doc_id")
             .agg(
                 F.sum("w").alias("score"),
-                F.count_distinct("norm_value").alias("_n_terms"),
+                # (doc, term) posting rows are unique by construction (build groupBy
+                # / compaction re-fold), so a plain count IS the distinct-term
+                # count — avoids the two-phase distinct aggregation
+                F.count("*").alias("_n_terms"),
             )
             .where(F.col("_n_terms") == len(ts))
             .select("partition_id", "language", "doc_id", "score")
@@ -415,7 +423,10 @@ class Wikisearch:
             scored.groupBy(*keys)
             .agg(
                 F.sum("w").alias("score"),
-                F.count_distinct("norm_value").alias("_n_terms"),
+                # (doc, term) posting rows are unique by construction (build groupBy
+                # / compaction re-fold), so a plain count IS the distinct-term
+                # count — avoids the two-phase distinct aggregation
+                F.count("*").alias("_n_terms"),
             )
             .where(F.col("_n_terms") == len(ts))
             .select(*keys, "score")
