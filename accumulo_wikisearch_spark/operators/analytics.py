@@ -118,6 +118,31 @@ def props_stats_by_type(events: DataFrame) -> DataFrame:
     )
 
 
+def retention_cohorts(events: DataFrame, week_seconds: int = 604800) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week, with
+    distinct-user counts at each week offset — the standard engagement
+    triangle of a training-data/product pipeline.
+
+    One user-keyed shuffle builds each user's distinct active weeks
+    (array_distinct inside the aggregate — no second distinct exchange); the
+    cohort week is the array min, so no window re-partition; the final
+    groupBy counts rows that are distinct (user, week) pairs by
+    construction. Integer week arithmetic (timestamp truncated to seconds)
+    keeps results engine-exact."""
+    wk = F.expr(f"CAST(ts AS LONG) div {week_seconds}")
+    per_user = (
+        events.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.array_distinct(F.collect_list("wk")).alias("wks"))
+    )
+    exploded = per_user.select(
+        F.array_min("wks").alias("cohort_week"), F.explode("wks").alias("wk")
+    )
+    return exploded.groupBy(
+        "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+
+
 def queries():
     def _windowed(spark, sf_dir):
         tune_runtime(spark)
@@ -139,12 +164,17 @@ def queries():
         tune_runtime(spark)
         return props_stats_by_type(load_events(spark, sf_dir))
 
+    def _retention(spark, sf_dir):
+        tune_runtime(spark)
+        return retention_cohorts(load_events(spark, sf_dir))
+
     return {
         "ev_windowed_counts": _windowed,
         "ev_session_stats": _sessions,
         "ev_session_native": _sessions_native,
         "ev_props_extract": _props,
         "ev_props_stats": _props_stats,
+        "ev_retention_cohorts": _retention,
     }
 
 
@@ -224,6 +254,18 @@ FROM p GROUP BY event_type
 """
 
 
+_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, floor(epoch(ts))::BIGINT // 604800 AS wk FROM events
+),
+c AS (
+  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_week FROM uw
+)
+SELECT cohort_week, (wk - cohort_week) AS week_offset, count(*)::BIGINT AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
 def oracle_sql():
     return {
         "ev_windowed_counts": _WINDOWED_SQL,
@@ -231,4 +273,5 @@ def oracle_sql():
         "ev_session_native": _SESSION_NATIVE_SQL,
         "ev_props_extract": _PROPS_SQL,
         "ev_props_stats": _PROPS_STATS_SQL,
+        "ev_retention_cohorts": _RETENTION_SQL,
     }
