@@ -76,6 +76,41 @@ def windowed_counts_stream(
     )
 
 
+def attribution_join_stream(
+    clicks: DataFrame,
+    errors: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each error joined to the same user's
+    clicks in the preceding ``lookback`` — the streaming twin of the batch
+    lookback join (``operators/temporal.py:clicks_before_errors``).
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so Spark can size the join state and evict rows once
+    the watermark passes — the canonical bounded-state stream-stream join.
+    At scale, state is partitioned by the equality key (user_id)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    e = errors.withWatermark("ts", watermark).select(
+        "user_id", F.col("ts").alias("error_ts"), F.col("event_id").alias("error_id")
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return e.join(c, cond, "inner").select(
+        "user_id", "error_id", "error_ts", "click_id", "click_ts"
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start long, session_end long, n_events int, closed boolean"
 )

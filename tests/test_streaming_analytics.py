@@ -129,3 +129,26 @@ def test_dedup_stream_drops_rearrivals_across_batches(spark):
         rows = spark.sql("SELECT text FROM dedup_out").collect()
         texts = sorted(r["text"] for r in rows)
         assert texts == ["alpha", "beta", "gamma"]  # second 'alpha' dropped
+
+
+def test_attribution_join_stream_interval_bounds(spark):
+    from accumulo_wikisearch_spark.streaming.analytics import attribution_join_stream
+
+    EV = "user_id long, ts long, event_id long, event_type string"
+    with tempfile.TemporaryDirectory() as tmp:
+        # user 1: clicks at 100 (within 10 min of error@500) and at 5000
+        # (AFTER the error — excluded); user 2: click 40 min before the
+        # error — outside the lookback
+        spark.createDataFrame(
+            [(1, 100, 11, "click"), (1, 5000, 12, "click"), (2, 100, 21, "click")], EV
+        ).write.parquet(f"{tmp}/clicks/b0")
+        spark.createDataFrame(
+            [(1, 500, 91, "error"), (2, 2500, 92, "error")], EV
+        ).write.parquet(f"{tmp}/errors/b0")
+        mk = lambda p: (
+            spark.readStream.schema(EV).parquet(p).withColumn("ts", F.timestamp_seconds("ts"))
+        )
+        out = attribution_join_stream(mk(f"{tmp}/clicks/*"), mk(f"{tmp}/errors/*"))
+        _run_stream(out, "attrib", output_mode="append")
+        rows = spark.sql("SELECT error_id, click_id FROM attrib").collect()
+        assert {(r["error_id"], r["click_id"]) for r in rows} == {(91, 11)}
