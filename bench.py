@@ -77,6 +77,7 @@ def main() -> None:
     )
     timed("q_phrase", lambda: eng.phrase_search(["order", "fast"]).count())
     timed("q_bm25_rank", lambda: eng.scored_search_bm25(["dup", "key"]).count())
+    timed("q_count_fast", lambda: eng.count_only("TEXT == 'the'").collect())
 
     from accumulo_wikisearch_spark.operators import temporal
 
