@@ -128,6 +128,24 @@ class Wikisearch:
             return gi.agg(F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("n"))
         return self.query(expr, auths=auths).agg(F.count("*").cast("long").alias("n"))
 
+    def query_page(
+        self,
+        expr: str,
+        auths: list[str] | None = None,
+        after_doc_id: int | None = None,
+        page_size: int = 100,
+    ) -> DataFrame:
+        """Keyset pagination over query results: docs ordered by doc_id,
+        strictly after ``after_doc_id``. Keyset (not OFFSET) because a page
+        deep into OFFSET re-ranks everything before it; the keyset predicate
+        composes with the index path and prunes like any other filter. The
+        reference's web UI pages the same way implicitly (Accumulo scans
+        resume from the last returned key)."""
+        df = self.query(expr, auths=auths)
+        if after_doc_id is not None:
+            df = df.where(F.col("doc_id") > after_doc_id)
+        return df.orderBy("doc_id").limit(page_size)
+
     def content(self, pointer: str, auths: list[str] | None = None) -> DataFrame:
         """Fetch a document body by DOCUMENT:partition/lang/id pointer —
         a partition-pruned point read (ContentLogic.java:66-107)."""

@@ -224,6 +224,12 @@ def _ws_count_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.count_only("TEXT == 'dup'")
 
 
+def _ws_query_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    eng = get_engine(spark, sf_dir)
+    return eng.query_page("TEXT == 'dup'", after_doc_id=50, page_size=10).select("doc_id")
+
+
 def _ws_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """createDocument parity: result docs carry fields + content pointer."""
     tune_runtime(spark)
@@ -265,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_bm25_rank"] = _ws_bm25
     out["ws_more_like_this"] = _ws_more_like_this
     out["ws_count_fast"] = _ws_count_fast
+    out["ws_query_page"] = _ws_query_page
     out["ws_phrase_search"] = _ws_phrase
     out["ws_term_cardinalities"] = _ws_term_cards
     out["ws_sql_text_match"] = _ws_sql_text_match
@@ -356,6 +363,11 @@ w AS (
 )
 SELECT doc_id, SUM(w)::BIGINT AS score FROM w GROUP BY doc_id HAVING count(*) = 2
 """
+    # keyset page: 10 docs strictly after doc 50, ordered by doc_id
+    out["ws_query_page"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
+        "AND doc_id > 50 ORDER BY doc_id LIMIT 10"
+    )
     # index-only count: must equal a brute-force recount of the corpus
     out["ws_count_fast"] = (
         f"SELECT count(*)::BIGINT AS n FROM documents WHERE list_contains({TOK},'dup')"

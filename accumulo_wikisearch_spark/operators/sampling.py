@@ -97,6 +97,56 @@ def _stratified_entry(spark, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    key: str = "doc_id",
+    salt: str = "shard",
+) -> list[dict]:
+    """Export a curated corpus as deterministic training shards: shard =
+    portable-hash(key) % n_shards, written as ``shard=<i>/`` parquet
+    partitions, plus a manifest (per-shard doc count and an order-invariant
+    content checksum — the XOR-fold of row key-hashes). Re-running on
+    the same corpus reproduces byte-identical shard membership regardless of
+    cluster size or row order — the property a resumable training-data
+    delivery needs. One hash projection + one shuffle on the shard key."""
+    h = hash60_col(F.concat(F.lit(salt), F.col(key).cast("string")))
+    sharded = docs.withColumn("shard", (h % n_shards).cast("int"))
+    (
+        sharded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    written = (
+        sharded.sparkSession.read.parquet(path)
+        .select("shard", hash60_col(F.col(key).cast("string")).alias("_h"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # XOR-fold: order-invariant and overflow-free
+            F.expr("bit_xor(_h)").alias("checksum"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = [
+        {"shard": r["shard"], "n_docs": r["n_docs"], "checksum": r["checksum"]}
+        for r in written
+    ]
+    import json
+
+    sc = sharded.sparkSession.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_MANIFEST.json")
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    out.close()
+    return manifest
+
+
 def queries():
     return {
         "sample_train_split": _split_entry,

@@ -62,3 +62,19 @@ def test_salt_changes_membership(ids):
     a = {r["key"] for r in stratified_sample(ids, "key", "lang", {"en": 50, "de": 50}, salt="s1").collect()}
     b = {r["key"] for r in stratified_sample(ids, "key", "lang", {"en": 50, "de": 50}, salt="s2").collect()}
     assert a != b  # different salts draw different (deterministic) samples
+
+
+def test_write_training_shards_deterministic_manifest(spark, sf_dir, tmp_path):
+    from accumulo_wikisearch_spark.operators.sampling import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1 = write_training_shards(docs, str(tmp_path / "a"), n_shards=4)
+    m2 = write_training_shards(docs, str(tmp_path / "b"), n_shards=4)
+    assert m1 == m2  # membership independent of run/order
+    assert sum(s["n_docs"] for s in m1) == docs.count()
+    assert {s["shard"] for s in m1} <= set(range(4))
+    back = spark.read.parquet(str(tmp_path / "a"))
+    assert back.select("doc_id").distinct().count() == docs.count()
+    import json
+    man = json.loads(open(tmp_path / "a" / "_MANIFEST.json").read())
+    assert man == m1
