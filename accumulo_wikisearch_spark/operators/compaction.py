@@ -131,23 +131,43 @@ def load_index_with_deltas(
         return index
     rd = spark.read.parquet
 
-    def stacked(name: str) -> DataFrame:
-        return rd(*[f"{path}/deltas/{b}/{name}" for b in batches])
+    def stacked(name: str) -> DataFrame | None:
+        # a delete-only batch has just a tombstones table — skip absent dirs
+        paths = []
+        for b in batches:
+            fs, hpath, _ = _fs(spark, f"{path}/deltas/{b}/{name}")
+            if fs.exists(hpath):
+                paths.append(f"{path}/deltas/{b}/{name}")
+        return rd(*paths) if paths else None
 
+    if all(stacked(name) is None for name in _ALL_TABLES):
+        merged = index
+    else:
+        merged = _fold_deltas(index, stacked, config)
+    tombs = _stacked_tombstones(spark, path, batches)
+    return apply_tombstones(merged, tombs) if tombs is not None else merged
+
+
+def _fold_deltas(index: WikisearchIndex, stacked, config: EngineConfig) -> WikisearchIndex:
+    def u(old: DataFrame, name: str) -> DataFrame:
+        d = stacked(name)
+        return old.unionByName(d) if d is not None else old
+
+    def fold(old: DataFrame, name: str, fn) -> DataFrame:
+        d = stacked(name)
+        return fn(old, d) if d is not None else old
+
+    gi = lambda old, d: merge_global_index(old, d, config.uid_max)
     return WikisearchIndex(
         config=config,
-        doc_fields=index.doc_fields.unionByName(stacked("doc_fields")),
-        field_index=index.field_index.unionByName(stacked("field_index")),
-        global_index=merge_global_index(
-            index.global_index, stacked("global_index"), config.uid_max
-        ),
-        reverse_index=merge_global_index(
-            index.reverse_index, stacked("reverse_index"), config.uid_max
-        ),
-        metadata=merge_metadata(index.metadata, stacked("metadata")),
-        term_index=merge_term_index(index.term_index, stacked("term_index")),
-        docs_wide=index.docs_wide.unionByName(stacked("docs_wide")),
-        documents=index.documents.unionByName(stacked("documents")),
+        doc_fields=u(index.doc_fields, "doc_fields"),
+        field_index=u(index.field_index, "field_index"),
+        global_index=fold(index.global_index, "global_index", gi),
+        reverse_index=fold(index.reverse_index, "reverse_index", gi),
+        metadata=fold(index.metadata, "metadata", merge_metadata),
+        term_index=fold(index.term_index, "term_index", merge_term_index),
+        docs_wide=u(index.docs_wide, "docs_wide"),
+        documents=u(index.documents, "documents"),
     )
 
 
@@ -156,27 +176,41 @@ def compact_index(
 ) -> dict[str, int]:
     """Major compaction: fold base + deltas, rewrite the sorted base layout,
     drop the delta directories. Returns ``{n_deltas, files_before,
-    files_after}`` (part-file counts for the field_index table).
+    files_after}`` (part-file counts across the catalog).
 
-    The merged tables are materialized (cache + full count) *before* the
-    overwrite because their lineage reads the very files being replaced —
-    the same reason Accumulo compacts to a tmp file then swaps."""
+    Writes go to ``_compact_tmp`` first, then swap into place — Accumulo's
+    compact-to-tmp-then-rename, and the only safe order: the merged lineage
+    reads the very files being replaced, and caching is NOT a snapshot
+    (Spark invalidates path-derived caches on overwrite, silently
+    recomputing from half-rewritten state)."""
     config = config or EngineConfig()
     batches = delta_batches(spark, path)
     merged = load_index_with_deltas(spark, path, config)
+    if _stacked_tombstones(spark, path, batches) is not None:
+        # deletes happened: advisory postings are stale — rebuild them
+        # exactly from the tombstone-applied field index
+        merged.global_index = rebuild_global_index(merged.field_index, config.uid_max)
+        merged.reverse_index = rebuild_global_index(
+            merged.field_index, config.uid_max, reverse=True
+        )
     files_before = _count_files(spark, path) + _count_files(spark, f"{path}/deltas")
 
+    tmp = f"{path}/_compact_tmp"
+    write_index(merged, tmp)
+    fs, _, jvm = _fs(spark, path)
+    HPath = jvm.org.apache.hadoop.fs.Path
     for name in _ALL_TABLES:
-        df = getattr(merged, name).persist()
-        df.count()
-        setattr(merged, name, df)
-    write_index(merged, path)
-    for name in _ALL_TABLES:
-        getattr(merged, name).unpersist()
-
-    fs, dpath, _ = _fs(spark, f"{path}/deltas")
+        old = HPath(f"{path}/{name}")
+        if fs.exists(old):
+            fs.delete(old, True)
+        fs.rename(HPath(f"{tmp}/{name}"), old)
+    fs.delete(HPath(tmp), True)
+    dpath = HPath(f"{path}/deltas")
     if fs.exists(dpath):
         fs.delete(dpath, True)
+    # invalidate cached plans over the replaced files (rename does not
+    # trigger Spark's automatic overwrite invalidation)
+    spark.catalog.refreshByPath(path)
     return {
         "n_deltas": len(batches),
         "files_before": files_before,
@@ -194,6 +228,87 @@ def _count_files(spark: SparkSession, path: str) -> int:
         if it.next().getPath().getName().startswith("part-"):
             n += 1
     return n
+
+
+def write_tombstones(doc_ids: DataFrame, path: str, batch_id: int | str) -> None:
+    """Flush a deletion batch: doc ids whose documents are removed from the
+    catalog — Accumulo's delete markers, which likewise shadow cells at
+    merge time rather than rewriting files. ``doc_ids`` needs a ``doc_id``
+    column."""
+    base = f"{path}/deltas/{batch_id}"
+    doc_ids.select("doc_id").write.mode("overwrite").parquet(f"{base}/tombstones")
+
+
+def _stacked_tombstones(
+    spark: SparkSession, path: str, batches: list[str]
+) -> DataFrame | None:
+    tpaths = []
+    for b in batches:
+        fs, hpath, _ = _fs(spark, f"{path}/deltas/{b}/tombstones")
+        if fs.exists(hpath):
+            tpaths.append(f"{path}/deltas/{b}/tombstones")
+    if not tpaths:
+        return None
+    return spark.read.parquet(*tpaths).select("doc_id").distinct()
+
+
+def apply_tombstones(index: WikisearchIndex, tombstones: DataFrame) -> WikisearchIndex:
+    """Shadow deleted docs out of the doc-level tables (broadcast anti-join
+    — the tombstone set is delete-batch-sized). The global/reverse index is
+    left stale, exactly like the reference: its postings are ADVISORY
+    (candidates are always verified against the event data, so deleted docs
+    cannot appear in results; only cardinality estimates and count_only
+    drift). :func:`compact_index` rebuilds them exactly."""
+    t = F.broadcast(tombstones)
+    anti = lambda df: df.join(t, "doc_id", "left_anti")
+    return WikisearchIndex(
+        config=index.config,
+        doc_fields=anti(index.doc_fields),
+        field_index=anti(index.field_index),
+        global_index=index.global_index,
+        reverse_index=index.reverse_index,
+        metadata=index.metadata,
+        term_index=anti(index.term_index),
+        docs_wide=anti(index.docs_wide),
+        documents=anti(index.documents),
+    )
+
+
+def rebuild_global_index(
+    field_index: DataFrame, uid_max: int = 20, reverse: bool = False
+) -> DataFrame:
+    """Recompute exact global-index postings from the (tombstone-applied)
+    field index — the compaction-time correction that makes advisory
+    postings exact again after deletes. Same one-exchange bounded-uid shape
+    as the initial build: the rank window shares the groupBy keys, so no
+    uid set materializes beyond uid_max+1."""
+    from pyspark.sql import Window
+
+    keys = ["norm_value", "field", "partition_id", "language"]
+    src = field_index
+    if reverse:
+        src = src.withColumn("norm_value", F.reverse(F.col("norm_value")))
+    w = Window.partitionBy(*keys).orderBy("doc_id")
+    ranked = src.select(*keys, "doc_id").withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(*keys)
+        .agg(
+            F.count("*").alias("count"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rk") <= uid_max + 1, F.col("doc_id")))
+            ).alias("_uids"),
+        )
+        .select(
+            *keys,
+            "count",
+            F.when(
+                F.col("count") > uid_max, F.array().cast("array<string>")
+            )
+            .otherwise(F.transform("_uids", lambda x: x.cast("string")))
+            .alias("uids"),
+            (F.col("count") > uid_max).alias("ignore"),
+        )
+    )
 
 
 def catalog_stats(spark: SparkSession, path: str) -> list[dict]:

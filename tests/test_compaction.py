@@ -12,6 +12,7 @@ from accumulo_wikisearch_spark.config import EngineConfig
 from accumulo_wikisearch_spark.operators.compaction import (
     catalog_stats,
     compact_index,
+    write_tombstones,
     delta_batches,
     load_index_with_deltas,
     merge_term_index,
@@ -148,3 +149,28 @@ def test_stream_ingest_deltas_flushes_per_batch(spark):
         assert got == [1, 2]
         alpha = idx.global_index.where(F.col("norm_value") == "alpha").collect()[0]
         assert alpha["count"] == 2 and sorted(alpha["uids"]) == ["1", "2"]
+
+
+def test_tombstones_shadow_docs_and_compaction_rebuilds_exact(spark, catalog):
+    # delete doc 3 (base, has tok+common) and doc 99 (delta, alpha+common)
+    write_tombstones(spark.createDataFrame([(3,), (99,)], "doc_id long"), catalog, 2)
+    idx = load_index_with_deltas(spark, catalog, CFG)
+    eng = Wikisearch(idx)
+    assert eng.query("TEXT == 'alpha'").count() == 0
+    assert 3 not in {r["doc_id"] for r in eng.query("TEXT == 'tok'").collect()}
+    assert idx.documents.count() == 24
+    # scored search no longer surfaces deleted docs
+    assert 3 not in {r["doc_id"] for r in eng.scored_search("common").collect()}
+
+    compact_index(spark, catalog, CFG)
+    idx2 = load_index(spark, catalog, CFG)
+    gi = idx2.global_index
+    com = gi.where((F.col("field") == "TEXT") & (F.col("norm_value") == "common")).collect()[0]
+    # advisory postings rebuilt EXACTLY: 16 - both deleted docs = 14
+    assert com["count"] == 14 and not com["ignore"] and len(com["uids"]) == 14
+    tok = gi.where((F.col("field") == "TEXT") & (F.col("norm_value") == "tok")).collect()[0]
+    assert tok["count"] == 24 and tok["ignore"] and tok["uids"] == []
+    assert gi.where(F.col("norm_value") == "alpha").count() == 0
+    # reverse index rebuilt too (reversed 'alpha' gone)
+    assert idx2.reverse_index.where(F.col("norm_value") == "ahpla").count() == 0
+    assert Wikisearch(idx2).query("TEXT == 'common'").count() == 14
