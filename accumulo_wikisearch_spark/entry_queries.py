@@ -304,7 +304,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.queries())
     out.update(temporal.queries())
     out.update(sampling.queries())
-    return out
+    # The driver's correctness gate checks registry entries in insertion
+    # order and may truncate (r01 stopped at the first 50, leaving 36
+    # entries unverified).  Register the entries that lack a green
+    # CORRECTNESS row FIRST so they are guaranteed a check this round;
+    # the r01-verified entries follow in their original relative order.
+    not_yet_verified = {k: v for k, v in out.items() if k not in _VERIFIED_R01}
+    verified = {k: v for k, v in out.items() if k in _VERIFIED_R01}
+    return {**not_yet_verified, **verified}
+
+
+# Registry entries with a green row in CORRECTNESS_r01.json (driver checked
+# exactly the first 50 entries of the r01 registry order).
+_VERIFIED_R01 = frozenset(
+    [
+        *WS_QUERIES.keys(),
+        "ws_content_fetch",
+        "ws_scored_search",
+        "ws_scored_multi",
+        "ws_tfidf_rank",
+        "ws_bm25_rank",
+        "ws_more_like_this",
+        "ws_count_fast",
+        "ws_query_page",
+        "ws_phrase_search",
+        "ws_term_cardinalities",
+        "ws_sql_text_match",
+        "ws_result_assembly",
+        "ws_distinct_values",
+        "ws_metadata_freq",
+        *EV_QUERIES.keys(),
+        "cur_chunk_documents",
+        "cur_decontaminate",
+        "cur_repetition_stats",
+        "cur_canonical_docs",
+        "cur_redact_text",
+        "cur_keep_list",
+        "vocab_counts",
+        "vocab_bigram_counts",
+        "vocab_token_rarity",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+    ]
+)
 
 
 def oracle_sql() -> dict[str, str]:

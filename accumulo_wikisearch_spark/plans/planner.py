@@ -237,6 +237,12 @@ def reduce_to_index_tree(
 # Candidate plan construction
 # ---------------------------------------------------------------------------
 
+# Candidate postings are language-qualified: the reference's fi/global-index
+# keys carry value\0language\0id, so a doc id shared across languages never
+# cross-matches (e.g. a same-id doc in another language must not satisfy an
+# unevaluated-field predicate proved only for one language).
+_POSTING_KEY = ("partition_id", "language", "doc_id")
+
 
 class Planner:
     def __init__(
@@ -338,7 +344,7 @@ class Planner:
         v = F.col("norm_value")
         if leaf.kind == "eq":
             cond = cond & (v == leaf.value)
-            return fi.where(cond).select("partition_id", "doc_id")
+            return fi.where(cond).select(*_POSTING_KEY)
         if leaf.kind == "range":
             lo = (v >= leaf.lo) if leaf.lo_incl else (v > leaf.lo)
             hi = (v <= leaf.hi) if leaf.hi_incl else (v < leaf.hi)
@@ -367,7 +373,7 @@ class Planner:
             out = out.where(v.rlike(anchored))
         # no dedup: duplicates (multi-valued matches) are absorbed by the
         # left-semi joins downstream — a shuffle saved per leaf
-        return out.select("partition_id", "doc_id")
+        return out.select(*_POSTING_KEY)
 
     def _est(self, n: IxNode, card: dict) -> int:
         big = 1 << 60
@@ -400,7 +406,7 @@ class Planner:
                 out = F.broadcast(out)
             for c in pos[1:]:
                 out = self._build(c, auths, card).join(
-                    out, ["partition_id", "doc_id"], "left_semi"
+                    out, list(_POSTING_KEY), "left_semi"
                 )
                 # keep the running side broadcast-able while it stays tiny
                 if small:
@@ -410,7 +416,7 @@ class Planner:
                     self._leaf_postings(
                         IxLeaf(c.field, c.kind, value=c.value), auths
                     ),
-                    ["partition_id", "doc_id"],
+                    list(_POSTING_KEY),
                     "left_anti",
                 )
             return out
@@ -498,7 +504,7 @@ def run_query(
         # (AbstractQueryLogic.java:777-790)
         skip = index.config.unevaluated_fields if exact else frozenset()
         pred = compile_predicate(nnf, skip_fields=skip)
-        result = docs.join(cand, ["partition_id", "doc_id"], "left_semi").where(
+        result = docs.join(cand, list(_POSTING_KEY), "left_semi").where(
             sec & pred
         )
         path = "optimized"

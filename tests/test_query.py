@@ -179,6 +179,36 @@ def test_multivalue_any_match_semantics(spark):
     assert ids(eng.query("not (TITLE == 'v1')")) == [1, 2]
 
 
+def test_language_qualified_candidates_no_cross_language_leak(spark):
+    """Same doc id in two languages (same partition, since partition = id%N):
+    an unevaluated-field predicate proved by the index for one language must
+    not return the other-language doc. The reference's fi/global-index keys
+    carry value\\0language\\0id, so its candidates are language-qualified
+    (WikipediaMapper.java:170-191)."""
+    from accumulo_wikisearch_spark.operators.ingest import build_index
+
+    rows = [(1, "en", "foo bar"), (1, "fr", "baz qux"), (2, "en", "foo zap")]
+    df = spark.createDataFrame(rows, "id long, language string, text string")
+    idx = build_index(
+        df,
+        EngineConfig(num_partitions=1, unevaluated_fields=frozenset({"TEXT"})),
+        {"ID": "id"},
+        unique_ids=True,
+    )
+    eng = Wikisearch(idx)
+    got = sorted(
+        (r["doc_id"], r["language"]) for r in eng.query("TEXT == 'foo'").collect()
+    )
+    assert got == [(1, "en"), (2, "en")]  # fr doc 1 must NOT leak through
+    # negated leaf anti-join is language-qualified too: doc 1 exists in fr
+    # without 'foo', but the en doc 1 must still be excluded only where the
+    # anti term matches its own language row
+    got2 = sorted(
+        (r["doc_id"], r["language"]) for r in eng.query("TEXT == 'bar' and ID != '2'").collect()
+    )
+    assert got2 == [(1, "en")]
+
+
 def test_tfidf_rank_weights_rare_terms_higher(engine):
     """IDF weighting: a doc's per-term contribution is inversely monotone in
     document frequency, and only docs containing ALL terms are returned."""
