@@ -17,11 +17,9 @@ from accumulo_wikisearch_spark.session import tune_runtime
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ts is nanos-since-epoch LONG under nanosAsLong (see session.py)
-    # integer `div`, not `/`: float division of an ~1e18 nanos value loses
-    # precision below double's 53-bit mantissa
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from accumulo_wikisearch_spark.sources.events import read_events
+
+    return read_events(spark, sf_dir).drop("ts_us")
 
 
 def windowed_event_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:

@@ -352,16 +352,16 @@ def queries():
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-  sum(l_quantity::BIGINT) AS sum_qty,
-  sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
-  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS sum_disc_cents,
+  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS sum_disc_cents,
   count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
 
 _REVENUE_SQL = """
-SELECT n_name, sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS revenue_cents
+SELECT n_name, sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -382,7 +382,7 @@ GROUP BY o_orderpriority
 
 _TOPCUST_SQL = """
 WITH totals AS (
-  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) AS total_cents,
+  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
          count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 ),
@@ -399,7 +399,7 @@ FROM ranked WHERE rank <= 3
 
 _ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
-  sum(l_quantity::BIGINT) AS sum_qty,
+  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
   count(*) AS count_order,
   grouping(l_returnflag, l_linestatus)::INTEGER AS lvl
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -407,7 +407,7 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 _CUBE_SQL = """
 SELECT l_returnflag, l_linestatus,
-  sum(l_quantity::BIGINT) AS sum_qty,
+  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
   count(*) AS count_order,
   grouping(l_returnflag, l_linestatus)::INTEGER AS lvl
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -415,7 +415,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 _SUPPLIER_SQL = """
-SELECT n_name, sum(l_quantity::BIGINT) AS sum_qty, count(*) AS n_items
+SELECT n_name, sum(l_quantity::BIGINT)::BIGINT AS sum_qty, count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
@@ -423,7 +423,7 @@ GROUP BY n_name
 """
 
 _BRAND_SQL = """
-SELECT p_brand, sum(round(l_extendedprice * 100)::BIGINT) AS revenue_cents,
+SELECT p_brand, sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -433,7 +433,7 @@ GROUP BY p_brand
 _SHIPPING_SQL = """
 SELECT l_orderkey AS orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS revenue_cents
+       sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -471,11 +471,11 @@ _SMALLQTY_SQL = """
 WITH items AS (
   SELECT l_partkey, l_quantity::BIGINT AS qty, l_extendedprice,
          count(*) OVER (PARTITION BY l_partkey) AS cnt,
-         sum(l_quantity::BIGINT) OVER (PARTITION BY l_partkey) AS sum_qty
+         (sum(l_quantity::BIGINT) OVER (PARTITION BY l_partkey))::BIGINT AS sum_qty
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_brand = 'Brand#4'
 )
-SELECT sum(round(l_extendedprice * 100)::BIGINT) AS small_qty_rev_cents,
+SELECT sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS small_qty_rev_cents,
        count(*) AS n_items
 FROM items WHERE 5 * qty * cnt < sum_qty
 """

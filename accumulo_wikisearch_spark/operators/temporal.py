@@ -144,10 +144,10 @@ def _raw_events(spark, sf_dir: str) -> DataFrame:
     from accumulo_wikisearch_spark.session import tune_runtime
 
     tune_runtime(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ts is nanos-since-epoch LONG (nanosAsLong, session.py); integer div to
-    # micros — exact, and identical to DuckDB's epoch_us(ts)
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    from accumulo_wikisearch_spark.sources.events import read_events
+
+    # ts_us is exact integer micros — identical to DuckDB's epoch_us(ts)
+    return read_events(spark, sf_dir)
 
 
 def _errors(ev: DataFrame) -> DataFrame:

@@ -67,9 +67,10 @@ EVENT_SCALAR_FIELDS = {
 
 
 def load_event_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ts arrives as nanos-since-epoch LONG (spark.sql.legacy.parquet.nanosAsLong)
-    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    from accumulo_wikisearch_spark.sources.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    ts = F.col("ts")
     return ev.select(
         F.col("event_id").alias("id"),
         F.lit("default").alias("language"),

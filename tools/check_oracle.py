@@ -22,9 +22,29 @@ TABLES = [
 
 
 def norm_cell(v):
+    """Dtype-strict canonical cell: the driver's compare hashes pandas values,
+    so int64 123 vs HUGEINT-as-float 123.0 MUST be treated as a mismatch here
+    too, and unhashable cells (ndarray/list) must fail loudly."""
+    if v is None:
+        return None
+    # numpy scalar -> python scalar (keeps int/float distinction)
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            v = v.item()
+        except (ValueError, AttributeError):
+            pass
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
-        return round(v, 9)
-    return v
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        raise TypeError(
+            f"unhashable array cell {type(v).__name__} — the driver's canon "
+            "crashes on these; flatten or stringify the column"
+        )
+    return ("o", v)
 
 
 def main():
