@@ -203,13 +203,19 @@ def topk_ivf(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
+    lloyd_iters: int = 2,
 ) -> DataFrame:
     """ANN top-k probing the ``nprobe`` nearest cells per query.
 
     corpus→cell assignment shuffles once on cell; queries broadcast with
     their probe lists; candidates ∝ corpus × (nprobe / n_cells).
+
+    ``lloyd_iters=0`` keeps the seed centroids (first n_cells vectors)
+    verbatim — fully replicable in ANSI SQL, which is how the driver's
+    oracle checks this operator end-to-end; the Lloyd-refined path is
+    covered by pytest recall assertions.
     """
-    cents = take_centroids(emb, n_cells)
+    cents = take_centroids(emb, n_cells, lloyd_iters)
     corpus = ivf_assign(emb, cents).select(
         F.col("vec_id").alias("neighbor_id"), "v", "cell"
     )
@@ -302,8 +308,10 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     q[i] = round(x[i] / scale). 4× smaller storage and int-dot-product
     re-rank at scale; one narrow pass, JVM-side (no UDF).
 
-    ``scale_e6`` is the scale in integer micro-units so the operator stays
-    hash-exact against the SQL oracle (float columns would hash-drift)."""
+    ``scale_e6`` is the scale in integer micro-units and ``q_csv`` the
+    quantized vector as a comma-joined integer string, so the operator stays
+    hash-exact against the SQL oracle (float or array columns would
+    hash-drift — the driver's canonicalizer cannot hash array cells)."""
     v = _as_double(F.col("embedding"))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = mx / F.lit(127.0)
@@ -313,7 +321,7 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(scale * 1_000_000).cast("long").alias("scale_e6"),
-        q.alias("q"),
+        F.array_join(q.cast("array<string>"), ",").alias("q_csv"),
     )
 
 
@@ -397,9 +405,13 @@ def queries():
         "ann_topk_bruteforce": lambda s, d: topk_bruteforce(
             _emb(s, d), self_queries(_emb(s, d))
         ),
-        # LSH/IVF variants: recall-bounded, no SQL oracle (rows-only check)
+        # LSH/IVF are approximate vs brute force but fully DETERMINISTIC
+        # given the seeded planes / seed centroids — their oracles replay
+        # the same construction in SQL (plane literals, lloyd_iters=0).
         "ann_topk_lsh": lambda s, d: topk_lsh(_emb(s, d), self_queries(_emb(s, d))),
-        "ann_topk_ivf": lambda s, d: topk_ivf(_emb(s, d), self_queries(_emb(s, d))),
+        "ann_topk_ivf": lambda s, d: topk_ivf(
+            _emb(s, d), self_queries(_emb(s, d)), lloyd_iters=0
+        ),
         "emb_quantize_int8": lambda s, d: quantize_int8(_emb(s, d)),
         "ann_hybrid_keyword": _hybrid_entry,
     }
@@ -432,15 +444,105 @@ s AS (
 )
 SELECT vec_id,
   round(scale * 1000000)::BIGINT AS scale_e6,
-  CASE WHEN scale = 0 THEN list_transform(v, x -> 0::INTEGER)
-       ELSE list_transform(v, x -> round(x / scale)::INTEGER) END AS q
+  array_to_string(
+    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::INTEGER)
+         ELSE list_transform(v, x -> round(x / scale)::INTEGER) END,
+    ',') AS q_csv
 FROM s
+"""
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine matching ``_cosine`` term-for-term: same element order,
+    same left-to-right summation (list_sum ≡ F.aggregate left fold), so the
+    doubles are bit-identical across engines (proven by ann_topk_bruteforce
+    hash-matching its oracle)."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), j -> {a}[j] * {b}[j]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x*x))))"
+    )
+
+
+def _lsh_sql(nbits: int = 8, dim: int = 64, k: int = 10, nq: int = 5) -> str:
+    """Replay of topk_lsh in SQL: the seeded hyperplanes enter as literals
+    (repr() round-trips doubles exactly), buckets as sign-bit sums."""
+    planes = _hyperplanes(dim, nbits)
+    vals = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+p(i, pv) AS (VALUES
+  {vals}),
+dots AS (
+  SELECT e.vec_id, p.i,
+    list_sum(list_transform(range(1, {dim + 1}), j -> e.v[j] * p.pv[j])) AS dot
+  FROM e CROSS JOIN p
+),
+b AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id
+),
+eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < {nq}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_cos_sql("q.qv", "c.v", dim)} AS cos
+  FROM eb c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_sql(
+    n_cells: int = 16, nprobe: int = 4, dim: int = 64, k: int = 10, nq: int = 5
+) -> str:
+    """Replay of topk_ivf(lloyd_iters=0): seed centroids are the first
+    n_cells corpus vectors; cell assignment is argmax cosine with Spark's
+    array_max tie-break (higher score, then higher cell)."""
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < {n_cells}),
+sc AS (
+  SELECT e.vec_id, e.v, c.cell, {_cos_sql("e.v", "c.cvec", dim)} AS s
+  FROM e CROSS JOIN c
+),
+asn AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM sc WHERE vec_id < {nq}
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id, {_cos_sql("qp.qv", "a.v", dim)} AS cos
+  FROM asn a JOIN qp ON a.cell = qp.cell AND a.vec_id <> qp.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
 """
 
 
 def oracle_sql():
     return {
         "ann_topk_bruteforce": _TOPK_SQL,
+        "ann_topk_lsh": _lsh_sql(),
+        "ann_topk_ivf": _ivf_sql(),
         "emb_quantize_int8": _QUANT_SQL,
         "ann_hybrid_keyword": _HYBRID_SQL,
     }
