@@ -305,49 +305,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(temporal.queries())
     out.update(sampling.queries())
     # The driver's correctness gate checks registry entries in insertion
-    # order and may truncate (r01 stopped at the first 50, leaving 36
-    # entries unverified).  Register the entries that lack a green
-    # CORRECTNESS row FIRST so they are guaranteed a check this round;
-    # the r01-verified entries follow in their original relative order.
-    not_yet_verified = {k: v for k, v in out.items() if k not in _VERIFIED_R01}
-    verified = {k: v for k, v in out.items() if k in _VERIFIED_R01}
-    return {**not_yet_verified, **verified}
+    # order and truncates (50 entries per round in r01/r02, vs 86
+    # registered).  Order the registry as a freshness scheduler so the
+    # window sweeps ALL entries across rounds instead of re-checking the
+    # same prefix forever:
+    #   1. entries whose most recent driver check failed or errored
+    #      (must be re-verified before anything else),
+    #   2. entries never driver-checked,
+    #   3. everything else, stalest check first (so a green entry rotates
+    #      to the back and comes around again within ~2 rounds).
+    # The ranking is recomputed from the CORRECTNESS_r*.json files on
+    # every call — nothing is hardcoded, renamed/new entries land in
+    # class 2 automatically.
+    order = _verification_order(list(out.keys()))
+    return {k: out[k] for k in order}
 
 
-# Registry entries with a green row in CORRECTNESS_r01.json (driver checked
-# exactly the first 50 entries of the r01 registry order).
-_VERIFIED_R01 = frozenset(
-    [
-        *WS_QUERIES.keys(),
-        "ws_content_fetch",
-        "ws_scored_search",
-        "ws_scored_multi",
-        "ws_tfidf_rank",
-        "ws_bm25_rank",
-        "ws_more_like_this",
-        "ws_count_fast",
-        "ws_query_page",
-        "ws_phrase_search",
-        "ws_term_cardinalities",
-        "ws_sql_text_match",
-        "ws_result_assembly",
-        "ws_distinct_values",
-        "ws_metadata_freq",
-        *EV_QUERIES.keys(),
-        "cur_chunk_documents",
-        "cur_decontaminate",
-        "cur_repetition_stats",
-        "cur_canonical_docs",
-        "cur_redact_text",
-        "cur_keep_list",
-        "vocab_counts",
-        "vocab_bigram_counts",
-        "vocab_token_rarity",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-    ]
-)
+def _verification_order(names: list[str]) -> list[str]:
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    last_checked: dict[str, int] = {}
+    last_green: dict[str, bool] = {}
+    rounds = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    for p in rounds:
+        n = int(re.search(r"r(\d+)", p.name).group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            last_checked[name] = n
+            err = row.get("err")
+            # err == "no_oracle" is the driver's intentional rows-only
+            # check succeeding, not a failure
+            failed = (
+                (err is not None and err != "no_oracle")
+                or row.get("rows_match") is False
+                or row.get("schema_match") is False
+                or row.get("hash_match") is False
+            )
+            last_green[name] = not failed
+
+    def rank(item: tuple[int, str]):
+        idx, name = item
+        if name in last_checked and not last_green[name]:
+            cls = 0
+        elif name not in last_checked:
+            cls = 1
+        else:
+            cls = 2
+        return (cls, last_checked.get(name, 0), idx)
+
+    return [name for _, name in sorted(enumerate(names), key=rank)]
 
 
 def oracle_sql() -> dict[str, str]:
