@@ -38,6 +38,13 @@ class Wikisearch:
         self.multi_value_fields = multi_value_fields
         # shared cardinality cache across queries (plan-cache analogue, O12)
         self._card_cache: dict = {}
+        # full plan cache: (expr, auths, force_path) → (DataFrame, path).
+        # DataFrames are immutable logical plans, so re-serving one skips
+        # parse + planner round-trips + py4j plan construction entirely —
+        # the reference's LRU of parsed queries (QueryParser cache, R1)
+        # extended to the whole plan. Bounded FIFO.
+        self._plan_cache: dict = {}
+        self._plan_cache_max = 256
 
     @classmethod
     def ingest(
@@ -50,6 +57,25 @@ class Wikisearch:
     ) -> "Wikisearch":
         return cls(build_index(articles, config, scalar_fields, text_col, unique_ids))
 
+    def _planned(
+        self, expr: str, auths: list[str] | None, force_path: str | None
+    ) -> tuple[DataFrame, str]:
+        key = (expr, tuple(sorted(auths)) if auths else None, force_path)
+        hit = self._plan_cache.get(key)
+        if hit is None:
+            hit = run_query(
+                self.index,
+                parser.parse(expr),
+                auths,
+                force_path,
+                self.multi_value_fields,
+                self._card_cache,
+            )
+            if len(self._plan_cache) >= self._plan_cache_max:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = hit
+        return hit
+
     def query(
         self,
         expr: str,
@@ -57,27 +83,12 @@ class Wikisearch:
         force_path: str | None = None,
     ) -> DataFrame:
         """Boolean query → matching docs (partition_id, language, doc_id)."""
-        df, _ = run_query(
-            self.index,
-            parser.parse(expr),
-            auths,
-            force_path,
-            self.multi_value_fields,
-            self._card_cache,
-        )
-        return df
+        return self._planned(expr, auths, force_path)[0]
 
     def query_with_path(
         self, expr: str, auths: list[str] | None = None
     ) -> tuple[DataFrame, str]:
-        return run_query(
-            self.index,
-            parser.parse(expr),
-            auths,
-            None,
-            self.multi_value_fields,
-            self._card_cache,
-        )
+        return self._planned(expr, auths, None)
 
     def explain_query(self, expr: str, auths: list[str] | None = None) -> dict:
         """Planner introspection: which path a query takes and why (index

@@ -22,7 +22,13 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class EngineConfig:
     num_partitions: int = 8
-    uid_max: int = 20
+    # Two-tier degradation threshold (GlobalIndexUidCombiner.java:40 uses
+    # MAX=20, sized for Accumulo cell economics). A parquet uid array of 64
+    # longs is ~1 KB per posting row — negligible — and widens the exact
+    # tier so rare-to-mid terms resolve via the driver doc-range path
+    # (see exact_uid_total_max) instead of a field_index scan. Semantics
+    # are identical to the reference at any value of uid_max.
+    uid_max: int = 64
     # None → every field is indexed (our default corpus indexes everything).
     indexed_fields: frozenset[str] | None = None
     unevaluated_fields: frozenset[str] = field(default_factory=frozenset)
@@ -31,6 +37,15 @@ class EngineConfig:
     # doc-range vs whole-partition-range two-tier plan
     # (RangeCalculator.java:683-705).
     broadcast_postings_max: int = 200_000
+    # Ceiling on posting rows materialized driver-side from the global
+    # index's exact-uid tier (GlobalIndexUidCombiner ≤ uid_max uids per
+    # (term, field, partition, language) row). Below this, a rare term's
+    # candidates come straight from the already-collected uid lists —
+    # no field_index scan, and an all-rare-term query collapses to one
+    # pruned filter on docs_wide (RangeCalculator.java:683-705 turning
+    # posting lists into doc ranges). The cap bounds driver memory and
+    # IN-list size at high partition counts.
+    exact_uid_total_max: int = 4096
     normalizer: str = "LcNoDiacritics"
 
     def is_indexed(self, fld: str) -> bool:

@@ -425,11 +425,11 @@ def write_index_bucketed(
     location: str | None = None,
 ) -> None:
     """Persist the catalog as BUCKETED tables: ``field_index`` and
-    ``docs_wide`` bucketed by ``(partition_id, doc_id)`` — the exact key set
-    every posting intersection and the final doc-fetch semi-join cluster on
-    (Spark's default co-partition check requires ALL cluster keys, so a
-    doc_id-only bucketing would still shuffle) — with one shared bucket
-    count. The whole optimized query path then runs with ZERO shuffle
+    ``docs_wide`` bucketed by ``(partition_id, language, doc_id)`` — the
+    exact language-qualified posting key every posting intersection and the
+    final doc-fetch semi-join cluster on (Spark's default co-partition check
+    requires ALL cluster keys, so bucketing on any subset would still
+    shuffle) — with one shared bucket count. The whole optimized query path then runs with ZERO shuffle
     exchanges (only cheap in-partition sorts for the merge joins).
 
     This is the 100 TB layout: the reference gets the same effect from
@@ -443,14 +443,14 @@ def write_index_bucketed(
     (
         index.field_index.write.mode("overwrite")
         .format("parquet")
-        .bucketBy(num_buckets, "partition_id", "doc_id")
+        .bucketBy(num_buckets, "partition_id", "language", "doc_id")
         .sortBy("field", "norm_value")
         .saveAsTable(f"{db}.field_index")
     )
     (
         index.docs_wide.write.mode("overwrite")
         .format("parquet")
-        .bucketBy(num_buckets, "partition_id", "doc_id")
+        .bucketBy(num_buckets, "partition_id", "language", "doc_id")
         .sortBy("doc_id")
         .saveAsTable(f"{db}.docs_wide")
     )

@@ -243,6 +243,58 @@ def reduce_to_index_tree(
 # unevaluated-field predicate proved only for one language).
 _POSTING_KEY = ("partition_id", "language", "doc_id")
 
+_POSTING_SCHEMA = "partition_id int, language string, doc_id long"
+
+
+def _literal_postings_df(spark, keys) -> DataFrame:
+    """Posting keys as a pure-JVM VALUES LocalRelation. createDataFrame from
+    a Python list plans as Scan ExistingRDD — every use launches a Python
+    worker round-trip; a SQL VALUES literal stays a LocalRelation, folds
+    into broadcasts for free, and runs no job at all."""
+    rows = ",".join(
+        "({},'{}',{})".format(p, lang.replace("'", "''"), d) for p, lang, d in keys
+    )
+    return spark.sql(
+        "SELECT CAST(p AS INT) AS partition_id, l AS language, "
+        f"CAST(d AS BIGINT) AS doc_id FROM (VALUES {rows}) AS t(p, l, d)"
+    )
+
+
+def _keys_filter(keys):
+    """Pushable predicate matching exactly a driver-side posting-key set:
+    per (partition, language) group an IN-list on doc_id — partition
+    pruning and row-group min/max skipping both engage, and no join or
+    broadcast is needed at all. Built as ONE SQL string → ONE py4j call;
+    composing it from Column objects marshals every literal individually
+    (~1 ms each — 0.5 s of pure driver overhead for a 500-key set)."""
+    by_pl: dict[tuple, list] = {}
+    for p, lang, d in keys:
+        by_pl.setdefault((p, lang), []).append(d)
+    parts = []
+    for (p, lang), ds in sorted(by_pl.items()):
+        esc = lang.replace("'", "''")
+        ids = ",".join(str(d) for d in sorted(ds))
+        parts.append(
+            f"(partition_id = {p} AND language = '{esc}' AND doc_id IN ({ids}))"
+        )
+    return F.expr(" OR ".join(parts)) if parts else F.lit(False)
+
+
+@dataclass(frozen=True)
+class TermInfo:
+    """Per-(field, value) global-index summary for one auths context.
+
+    ``postings`` is the EXACT posting set — (partition_id, language,
+    doc_id) tuples straight from the ≤uid_max uid lists — when every
+    matching global-index row is in the exact tier (``ignore=false``,
+    GlobalIndexUidCombiner.java:38-96) and the total stays under
+    ``EngineConfig.exact_uid_total_max``; ``None`` means the term is in
+    the IGNORE tier (or over the cap) and candidates must come from a
+    field_index scan (RangeCalculator.java:683-705's two-tier choice)."""
+
+    count: int
+    postings: tuple | None
+
 
 class Planner:
     def __init__(
@@ -268,17 +320,35 @@ class Planner:
         terms = {n.value for n in ast.walk(node) if isinstance(n, ast.Term)}
         if not terms:
             return node
-        gi = self.index.global_index
         norm = {t: _norm_literal(t) for t in terms}
-        cond = F.col("norm_value").isin(*sorted(set(norm.values())))
-        if auths:
-            cond = cond & F.col("language").isin(*auths)
-        hits = (
-            gi.where(cond).select("norm_value", "field").distinct().collect()
-        )  # tiny: ≤ #fields × #terms rows
-        by_val: dict[str, list[str]] = {}
-        for r in hits:
-            by_val.setdefault(r["norm_value"], []).append(r["field"])
+        auths_key = tuple(sorted(auths)) if auths else None
+        need = sorted(
+            v
+            for v in set(norm.values())
+            if ("__unfielded__", v, auths_key) not in self.card_cache
+        )
+        if need:
+            # ONE job serves both field discovery and the count/uid prefetch
+            # for every (field, value) pair the expansion can produce: the
+            # rows prime the cardinality cache, so estimate_eq_cardinalities
+            # finds everything cached and the query runs no second metadata
+            # job (the reference batches the same lookups in
+            # getTermIndexInformation, AbstractQueryLogic.java:601-633).
+            rows = self._gi_rows(
+                F.col("norm_value").isin(*need), auths
+            )  # tiny: ≤ #fields × #partitions × #languages × #terms rows
+            self._prime_cache(rows, auths)
+            fields_of: dict[str, set[str]] = {v: set() for v in need}
+            for r in rows:
+                fields_of[r["norm_value"]].add(r["field"])
+            for v, flds in fields_of.items():
+                self.card_cache[("__unfielded__", v, auths_key)] = tuple(
+                    sorted(flds)
+                )
+        by_val = {
+            v: self.card_cache[("__unfielded__", v, auths_key)]
+            for v in set(norm.values())
+        }
 
         def rewrite(n: ast.Node) -> ast.Node:
             if isinstance(n, ast.Term):
@@ -298,13 +368,53 @@ class Planner:
 
         return rewrite(node)
 
-    # -- cardinality estimates (O3) ----------------------------------------
-    def estimate_eq_cardinalities(self, tree: IxNode, auths: list[str] | None) -> dict[tuple[str, str], int]:
+    # -- cardinality + exact-uid estimates (O3 + O4) ------------------------
+    def _gi_rows(self, cond, auths: list[str] | None) -> list:
+        if auths:
+            cond = cond & F.col("language").isin(*auths)
+        return (
+            self.index.global_index.where(cond)
+            .select(
+                "field", "norm_value", "partition_id", "language",
+                "count", "uids", "ignore",
+            )
+            .collect()
+        )
+
+    def _prime_cache(self, rows: list, auths: list[str] | None) -> None:
+        """Fold collected global-index rows into TermInfo cache entries.
+        Postings come straight from the exact-uid tier when every row for
+        the (field, value) has ignore=false and the total is under the cap."""
+        auths_key = tuple(sorted(auths)) if auths else None
+        cap = self.index.config.exact_uid_total_max
+        agg: dict[tuple[str, str], list] = {}
+        for r in rows:
+            agg.setdefault((r["field"], r["norm_value"]), []).append(r)
+        for (f, v), rs in agg.items():
+            if (f, v, auths_key) in self.card_cache:
+                continue
+            total = int(sum(r["count"] for r in rs))
+            postings = None
+            if total <= cap and all(not r["ignore"] for r in rs):
+                postings = tuple(
+                    (r["partition_id"], r["language"], int(u))
+                    for r in rs
+                    for u in r["uids"]
+                )
+            self.card_cache[(f, v, auths_key)] = TermInfo(total, postings)
+
+    def eq_term_info(
+        self, tree: IxNode, auths: list[str] | None
+    ) -> dict[tuple[str, str], TermInfo]:
+        """TermInfo for every eq leaf (negated included — the anti-join side
+        profits from literal postings the same way). One batched collect for
+        all uncached pairs; a pair absent from the global index caches as an
+        exact-empty posting set (matches nothing)."""
         pairs = set()
 
         def collect(n):
             if isinstance(n, IxLeaf):
-                if n.kind == "eq" and not n.negated:
+                if n.kind == "eq":
                     pairs.add((n.field, n.value))
             elif isinstance(n, (IxAnd, IxOr)):
                 for c in n.children:
@@ -318,22 +428,102 @@ class Planner:
             p for p in sorted(pairs) if (p[0], p[1], auths_key) not in self.card_cache
         ]
         if missing:
-            gi = self.index.global_index
             cond = F.concat_ws("\u0000", "field", "norm_value").isin(
                 *[f"{f}\u0000{v}" for f, v in missing]
             )
-            if auths:
-                cond = cond & F.col("language").isin(*auths)
-            rows = (
-                gi.where(cond)
-                .groupBy("field", "norm_value")
-                .agg(F.sum("count").alias("n"))
-                .collect()
-            )
-            found = {(r["field"], r["norm_value"]): r["n"] for r in rows}
+            self._prime_cache(self._gi_rows(cond, auths), auths)
             for f, v in missing:
-                self.card_cache[(f, v, auths_key)] = found.get((f, v), 0)
+                self.card_cache.setdefault((f, v, auths_key), TermInfo(0, ()))
         return {(f, v): self.card_cache[(f, v, auths_key)] for f, v in pairs}
+
+    def estimate_eq_cardinalities(
+        self, tree: IxNode, auths: list[str] | None
+    ) -> dict[tuple[str, str], int]:
+        return {k: t.count for k, t in self.eq_term_info(tree, auths).items()}
+
+    # -- driver-side candidates from the exact-uid tier (O4) ----------------
+    def driver_candidates(self, tree: IxNode, auths: list[str] | None) -> set | None:
+        """Candidate keys computed entirely from exact-uid posting lists —
+        boolean set algebra over the already-collected uids, no Spark job.
+        Returns None when any leaf needs a field_index scan (IGNORE tier,
+        range/regex leaf) or the result outgrows the cap; otherwise this is
+        the reference's doc-range path (RangeCalculator.java:683-705,
+        QueryLogic.java:171-186) and the query needs no posting joins.
+
+        Gated on ``broadcast_postings_max > 0``: literal candidate sets are
+        a broadcast-family strategy, and disabling broadcasts (bucketed
+        merge-join-only deployments) disables them too."""
+        if self.index.config.broadcast_postings_max <= 0:
+            return None
+        infos = self.eq_term_info(tree, auths)
+        out = self._driver_keys(tree, infos)
+        if out is None or len(out) > self.index.config.exact_uid_total_max:
+            return None
+        return out
+
+    def best_exact_anchor(self, tree: IxNode, auths: list[str] | None) -> set | None:
+        """Smallest fully-exact positive conjunct of a top-level AND.
+
+        Its posting keys are a SUPERSET of the query's match set, so the
+        query can run as one docs_wide fetch-by-keys with the FULL predicate
+        re-verified event-side — the reference's shape for a rare term ANDed
+        with common terms: rare-term doc ranges drive the scan, the
+        EvaluatingIterator applies the whole expression
+        (RangeCalculator.java:683-705 + AbstractEvaluatingIterator.java:138-157).
+        Returns None when no conjunct resolves from the exact-uid tier."""
+        if self.index.config.broadcast_postings_max <= 0:
+            return None
+        if not isinstance(tree, IxAnd):
+            return None
+        infos = self.eq_term_info(tree, auths)
+        best = None
+        for c in tree.children:
+            if _is_neg(c):
+                continue
+            s = self._driver_keys(c, infos)
+            if s is not None and (best is None or len(s) < len(best)):
+                best = s
+        if best is None or len(best) > self.index.config.exact_uid_total_max:
+            return None
+        return best
+
+    def _driver_keys(self, n: IxNode, infos: dict) -> set | None:
+        if isinstance(n, IxLeaf):
+            if n.kind != "eq" or n.negated:
+                return None
+            info = infos.get((n.field, n.value))
+            if info is None or info.postings is None:
+                return None
+            return set(info.postings)
+        if isinstance(n, IxAnd):
+            pos: list[set] = []
+            neg: list[set] = []
+            for c in n.children:
+                if _is_neg(c):
+                    info = infos.get((c.field, c.value))
+                    if info is None or info.postings is None:
+                        return None
+                    neg.append(set(info.postings))
+                else:
+                    s = self._driver_keys(c, infos)
+                    if s is None:
+                        return None
+                    pos.append(s)
+            if not pos:
+                return None
+            out = set.intersection(*pos)
+            for s in neg:
+                out -= s
+            return out
+        if isinstance(n, IxOr):
+            parts = []
+            for c in n.children:
+                s = self._driver_keys(c, infos)
+                if s is None:
+                    return None
+                parts.append(s)
+            return set().union(*parts)
+        return None
 
     # -- leaf postings ------------------------------------------------------
     def _leaf_postings(self, leaf: IxLeaf, auths: list[str] | None) -> DataFrame:
@@ -343,6 +533,21 @@ class Planner:
             cond = cond & F.col("language").isin(*auths)
         v = F.col("norm_value")
         if leaf.kind == "eq":
+            # exact-uid tier: the posting list is already in the driver —
+            # emit it as a literal local relation instead of scanning
+            # field_index (zero scan tasks; trivially broadcast-able).
+            # Skipped when broadcasts are disabled: a literal side would
+            # need an Exchange, breaking bucketed zero-shuffle plans.
+            auths_key = tuple(sorted(auths)) if auths else None
+            info = self.card_cache.get((leaf.field, leaf.value, auths_key))
+            if (
+                self.index.config.broadcast_postings_max > 0
+                and isinstance(info, TermInfo)
+                and info.postings is not None
+            ):
+                if not info.postings:
+                    return fi.where(F.lit(False)).select(*_POSTING_KEY)
+                return _literal_postings_df(fi.sparkSession, info.postings)
             cond = cond & (v == leaf.value)
             return fi.where(cond).select(*_POSTING_KEY)
         if leaf.kind == "range":
@@ -375,53 +580,32 @@ class Planner:
         # left-semi joins downstream — a shuffle saved per leaf
         return out.select(*_POSTING_KEY)
 
-    def _est(self, n: IxNode, card: dict) -> int:
+    def _est(self, n: IxNode, infos: dict) -> int:
         big = 1 << 60
         if isinstance(n, IxLeaf):
             if n.kind == "eq":
-                return card.get((n.field, n.value), 0)
+                info = infos.get((n.field, n.value))
+                return info.count if info is not None else 0
             return big
         if isinstance(n, IxAnd):
-            ests = [self._est(c, card) for c in n.children if not _is_neg(c)]
+            ests = [self._est(c, infos) for c in n.children if not _is_neg(c)]
             return min(ests) if ests else big
         if isinstance(n, IxOr):
-            return sum(self._est(c, card) for c in n.children)
+            return sum(self._est(c, infos) for c in n.children)
         return big
 
     def candidates(self, tree: IxNode, auths: list[str] | None) -> DataFrame:
-        card = self.estimate_eq_cardinalities(tree, auths)
-        return self._build(tree, auths, card)
+        infos = self.eq_term_info(tree, auths)
+        return self._build(tree, auths, infos)
 
-    def _build(self, n: IxNode, auths, card) -> DataFrame:
+    def _empty_postings(self) -> DataFrame:
+        return self.index.field_index.where(F.lit(False)).select(*_POSTING_KEY)
+
+    def _build(self, n: IxNode, auths, infos) -> DataFrame:
         if isinstance(n, IxLeaf):
             return self._leaf_postings(n, auths)
-        if isinstance(n, IxAnd):
-            pos = [c for c in n.children if not _is_neg(c)]
-            neg = [c for c in n.children if _is_neg(c)]
-            # cheapest conjunct first (RangeCalculator.java:784-843)
-            pos.sort(key=lambda c: self._est(c, card))
-            out = self._build(pos[0], auths, card)
-            small = self._est(pos[0], card) <= self.index.config.broadcast_postings_max
-            if small:
-                out = F.broadcast(out)
-            for c in pos[1:]:
-                out = self._build(c, auths, card).join(
-                    out, list(_POSTING_KEY), "left_semi"
-                )
-                # keep the running side broadcast-able while it stays tiny
-                if small:
-                    out = F.broadcast(out)
-            for c in neg:
-                out = out.join(
-                    self._leaf_postings(
-                        IxLeaf(c.field, c.kind, value=c.value), auths
-                    ),
-                    list(_POSTING_KEY),
-                    "left_anti",
-                )
-            return out
         if isinstance(n, IxOr):
-            parts = [self._build(c, auths, card) for c in n.children]
+            parts = [self._build(c, auths, infos) for c in n.children]
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -429,7 +613,75 @@ class Planner:
             # join dedups for free (each doc emitted at most once), so the
             # OR needs no distinct shuffle (heap-merge union analogue, P4)
             return out
-        raise AssertionError(n)
+        assert isinstance(n, IxAnd), n
+        pos = [c for c in n.children if not _is_neg(c)]
+        neg = [c for c in n.children if _is_neg(c)]
+        use_exact = self.index.config.broadcast_postings_max > 0
+
+        # split positive conjuncts: subtrees fully resolved from the
+        # exact-uid tier intersect DRIVER-SIDE; the rest scan field_index
+        exact_sets: list[set] = []
+        scan_children: list = []
+        for c in pos:
+            s = self._driver_keys(c, infos) if use_exact else None
+            if s is not None:
+                exact_sets.append(s)
+            else:
+                scan_children.append(c)
+        keys = set.intersection(*exact_sets) if exact_sets else None
+
+        # negated leaves with exact postings subtract driver-side (or as a
+        # pushed NOT-filter); the rest stay anti-joins
+        neg_scan: list = []
+        neg_keys: set = set()
+        for c in neg:
+            info = infos.get((c.field, c.value)) if use_exact else None
+            if info is not None and info.postings is not None:
+                neg_keys |= set(info.postings)
+            else:
+                neg_scan.append(c)
+        if keys is not None:
+            keys -= neg_keys
+            neg_keys = set()
+            if not keys:
+                return self._empty_postings()
+
+        if not scan_children:
+            # everything exact: a single literal relation (run_query's
+            # driver_candidates usually short-circuits before this point)
+            out = _literal_postings_df(
+                self.index.field_index.sparkSession, sorted(keys)
+            )
+        else:
+            # cheapest scan conjunct first (RangeCalculator.java:784-843);
+            # the driver-exact intersection pushes INTO that scan as a
+            # filter, so the exact terms cost no join at all — the AND
+            # collapses into the leaf scan (doc-range semantics, O4)
+            scan_children.sort(key=lambda c: self._est(c, infos))
+            est0 = self._est(scan_children[0], infos)
+            out = self._build(scan_children[0], auths, infos)
+            if keys is not None:
+                out = out.where(_keys_filter(keys))
+                est0 = min(est0, len(keys))
+            small = est0 <= self.index.config.broadcast_postings_max
+            if small:
+                out = F.broadcast(out)
+            for c in scan_children[1:]:
+                out = self._build(c, auths, infos).join(
+                    out, list(_POSTING_KEY), "left_semi"
+                )
+                # keep the running side broadcast-able while it stays tiny
+                if small:
+                    out = F.broadcast(out)
+            if neg_keys:
+                out = out.where(~_keys_filter(neg_keys))
+        for c in neg_scan:
+            out = out.join(
+                self._leaf_postings(IxLeaf(c.field, c.kind, value=c.value), auths),
+                list(_POSTING_KEY),
+                "left_anti",
+            )
+        return out
 
 
 def _is_neg(n) -> bool:
@@ -465,10 +717,25 @@ def explain_plan(
         "index_tree": None if tree is None else repr(tree),
         "exact_coverage": bool(exact),
         "cardinalities": {},
+        # True when every leaf resolves from the exact-uid tier and the
+        # query will run as ONE pruned filter on docs_wide — no posting
+        # joins, no field_index scan (the doc-range plan, O4)
+        "uid_shortcircuit": False,
     }
     if tree is not None:
-        card = planner.estimate_eq_cardinalities(tree, auths)
-        out["cardinalities"] = {f"{f}=={v}": n for (f, v), n in sorted(card.items())}
+        infos = planner.eq_term_info(tree, auths)
+        out["cardinalities"] = {
+            f"{f}=={v}": t.count for (f, v), t in sorted(infos.items())
+        }
+        out["uid_shortcircuit"] = planner.driver_candidates(tree, auths) is not None
+        anchor = (
+            None
+            if out["uid_shortcircuit"]
+            else planner.best_exact_anchor(tree, auths)
+        )
+        # an AND anchored on a rare conjunct's exact postings: one pruned
+        # docs_wide fetch + full event-side re-verify, no posting joins
+        out["uid_anchor_size"] = None if anchor is None else len(anchor)
     return out
 
 
@@ -497,15 +764,39 @@ def run_query(
         result = docs.where(sec & compile_predicate(nnf))
         path = "fullscan"
     else:
-        cand = planner.candidates(tree, auths)
         # Q15: when the index tree covers the query exactly, predicates on
         # unevaluated fields are trusted from the semi-join and skipped in
         # the re-verify — the reference's TEXT optimization
         # (AbstractQueryLogic.java:777-790)
         skip = index.config.unevaluated_fields if exact else frozenset()
         pred = compile_predicate(nnf, skip_fields=skip)
-        result = docs.join(cand, list(_POSTING_KEY), "left_semi").where(
-            sec & pred
-        )
+        keys = planner.driver_candidates(tree, auths)
+        if keys is not None:
+            # O4 doc-range plan: every leaf resolved from the exact-uid
+            # tier, so the candidate set is already in the driver. The
+            # query is ONE job — a pushed-down filter on docs_wide (the
+            # per-(partition, language) doc_id IN-lists prune partitions
+            # and skip row groups); no field_index scan, no join, no
+            # shuffle (RangeCalculator.java:683-705 turning ≤uid_max
+            # posting lists into direct doc ranges).
+            if not keys:
+                result = docs.where(F.lit(False))
+            else:
+                result = docs.where(_keys_filter(keys) & sec & pred)
+        else:
+            anchor = planner.best_exact_anchor(tree, auths)
+            if anchor is not None:
+                # rare-conjunct anchor: candidates = the rare term's exact
+                # postings (a superset of the matches); ONE pruned fetch of
+                # docs_wide with the FULL predicate re-verified — no Q15
+                # skip here, the other conjuncts are only proven event-side
+                result = docs.where(
+                    _keys_filter(anchor) & sec & compile_predicate(nnf)
+                ) if anchor else docs.where(F.lit(False))
+            else:
+                cand = planner.candidates(tree, auths)
+                result = docs.join(cand, list(_POSTING_KEY), "left_semi").where(
+                    sec & pred
+                )
         path = "optimized"
     return result.select("partition_id", "language", "doc_id"), path

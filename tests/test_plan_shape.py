@@ -23,23 +23,41 @@ def engine(spark, sf_dir):
     return get_engine(spark, sf_dir)
 
 
-def test_and_query_is_broadcast_semi_chain(engine):
-    plan = _formatted(engine.query("TEXT == 'key' and TEXT == 'vector' and TEXT == 'the'"))
+@pytest.fixture(scope="module")
+def scan_engine(spark, sf_dir):
+    """Engine with the exact-uid literal path disabled — pins the
+    field_index SCAN plan shapes (which common/IGNORE-tier terms take at
+    real scale) even on the tiny test corpus where every term would
+    otherwise fit the uid tier."""
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.sources.corpus import get_engine
+
+    return get_engine(
+        spark,
+        sf_dir,
+        EngineConfig(unevaluated_fields=frozenset({"TEXT"}), exact_uid_total_max=0),
+    )
+
+
+def test_and_query_is_broadcast_semi_chain(scan_engine):
+    plan = _formatted(
+        scan_engine.query("TEXT == 'key' and TEXT == 'vector' and TEXT == 'the'")
+    )
     # three-term AND = ≥3 left-semi joins (2 intersects + doc fetch), all broadcast
     assert plan.count("BroadcastHashJoin LeftSemi") >= 3
     assert "SortMergeJoin" not in plan
 
 
-def test_leaf_scan_pushes_term_predicate(engine):
-    plan = _formatted(engine.query("TEXT == 'vector'"))
+def test_leaf_scan_pushes_term_predicate(scan_engine):
+    plan = _formatted(scan_engine.query("TEXT == 'vector'"))
     # the term literal must reach the field_index scan (cache-scan filter /
     # parquet PushedFilters), not sit in a post-scan Filter only
     assert "norm_value" in plan and "vector" in plan
     assert "SortMergeJoin" not in plan
 
 
-def test_or_union_has_no_distinct_shuffle(engine):
-    plan = _formatted(engine.query("TEXT == 'dup' or TEXT == 'vector'"))
+def test_or_union_has_no_distinct_shuffle(scan_engine):
+    plan = _formatted(scan_engine.query("TEXT == 'dup' or TEXT == 'vector'"))
     # the OR is a duplicate-tolerant union: no aggregate-based dedup between
     # the union and the semi-join (HashAggregate would betray a distinct)
     assert "Union" in plan
@@ -137,6 +155,87 @@ def test_bucketed_catalog_joins_without_exchange(spark, sf_dir, tmp_path_factory
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP DATABASE IF EXISTS ws_bucket_test CASCADE")
+
+
+def test_rare_eq_uid_shortcircuit_no_field_index_scan(engine):
+    """Exact-uid tier (O4): a rare term's candidates come straight from the
+    ≤uid_max posting lists already collected from the global index — the
+    plan reads ONLY docs_wide (pruned scan + broadcast literal semi-join),
+    never field_index (RangeCalculator.java:683-705)."""
+    ex = engine.explain_query("SOURCE == 'src5'")
+    assert ex["path"] == "optimized" and ex["uid_shortcircuit"]
+    df = engine.query("SOURCE == 'src5'")
+    plan = _formatted(df)
+    # the whole query is ONE pushed-down filter on docs_wide: no join of
+    # any kind, and no field_index leaf scan (its norm_value predicate
+    # would betray one — docs_wide carries no norm_value column)
+    assert "Join" not in plan
+    assert "norm_value" not in plan
+    expect = {
+        r["doc_id"]
+        for r in engine.query("SOURCE == 'src5'", force_path="fullscan").collect()
+    }
+    assert {r["doc_id"] for r in df.collect()} == expect
+
+
+def test_uid_shortcircuit_and_or_not_driver_side(engine):
+    """Boolean combinations of exact-tier terms resolve entirely in the
+    driver (set algebra over uid lists, one Spark job total), including
+    the anti-join side of NE — and match the brute-force path."""
+    for jexl in [
+        "TEXT == 'dup' and SOURCE == 'src3'",
+        "SOURCE == 'src5' or SOURCE == 'src7'",
+        "TEXT == 'dup' and SOURCE != 'src3'",
+    ]:
+        ex = engine.explain_query(jexl)
+        assert ex["uid_shortcircuit"], jexl
+        got = {r["doc_id"] for r in engine.query(jexl).collect()}
+        expect = {
+            r["doc_id"]
+            for r in engine.query(jexl, force_path="fullscan").collect()
+        }
+        assert got == expect, jexl
+
+
+def test_tier_boundary_ignore_vs_exact(spark):
+    """Two-tier behavior around uid_max, on a corpus built so one term is
+    IGNORE-tier and one exact-tier: the common term keeps the field_index
+    scan path; an AND mixing tiers uses a literal VALUES relation for the
+    exact leaf while the common term stays a pushed scan predicate."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+
+    df = spark.createDataFrame(
+        [
+            (i, "en", "common " + ("needle" if i % 7 == 3 else "filler"), str(i))
+            for i in range(40)
+        ],
+        "id long, language string, text string, title string",
+    )
+    eng = Wikisearch.ingest(
+        df, EngineConfig(num_partitions=2, uid_max=4), {"ID": "id"}, unique_ids=True
+    )
+    # 'common': 20 docs per partition > uid_max=4 → IGNORE tier
+    ex = eng.explain_query("TEXT == 'common'")
+    assert ex["path"] == "optimized" and not ex["uid_shortcircuit"]
+    # 'needle': ≤4 docs per partition → exact tier, full short-circuit
+    ex2 = eng.explain_query("TEXT == 'needle'")
+    assert ex2["uid_shortcircuit"]
+    # mixed AND: no full short-circuit, but the rare conjunct ANCHORS the
+    # query — docs_wide fetched by its exact posting keys, full predicate
+    # re-verified event-side. No field_index scan, no join of any kind.
+    jexl = "TEXT == 'needle' and TEXT == 'common'"
+    ex3 = eng.explain_query(jexl)
+    assert not ex3["uid_shortcircuit"]
+    assert ex3["uid_anchor_size"] == 6  # needle docs: i % 7 == 3, i < 40
+    plan = _formatted(eng.query(jexl))
+    assert "Join" not in plan
+    assert "norm_value" not in plan  # no field_index scan
+    # and both paths agree with brute force
+    for q in ["TEXT == 'needle'", jexl]:
+        got = {r["doc_id"] for r in eng.query(q).collect()}
+        exp = {r["doc_id"] for r in eng.query(q, force_path="fullscan").collect()}
+        assert got == exp, q
 
 
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir):

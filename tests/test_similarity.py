@@ -65,13 +65,18 @@ def test_ivf_partial_probe_subset(emb):
     assert len(_pairs(part) & full) >= 25
 
 def test_quantize_int8_roundtrip(emb):
-    q = similarity.quantize_int8(emb).collect()
-    assert len(q) == emb.count()
-    for r in q[:10]:
-        assert all(-127 <= x <= 127 for x in r["q"])
+    rows = similarity.quantize_int8(emb).collect()
+    assert len(rows) == emb.count()
+    parsed = [[int(x) for x in r["q_csv"].split(",")] for r in rows[:10]]
+    for r, q in zip(rows[:10], parsed):
+        assert all(-127 <= x <= 127 for x in q)
         assert r["scale_e6"] >= 0
     # max-|x| component must quantize to ±127 (symmetric scheme)
-    assert all(max(abs(x) for x in r["q"]) == 127 for r in q[:10] if r["scale_e6"] > 0)
+    assert all(
+        max(abs(x) for x in q) == 127
+        for r, q in zip(rows[:10], parsed)
+        if r["scale_e6"] > 0
+    )
 
 
 def test_ivf_on_disk_partition_pruning(spark, emb, tmp_path):
