@@ -93,6 +93,13 @@ WS_QUERIES: dict[str, tuple[str, list[str] | None, str]] = {
         None,
         "source>='src18'",
     ),
+    # OR mixing an indexed term with a non-drivable branch (lone range
+    # bound) → dual-path union (index branch + filtered fullscan)
+    "ws_mixed_or_dualpath": (
+        "TEXT == 'dup' or SOURCE >= 'src18'",
+        None,
+        f"(list_contains({TOK},'dup') OR source>='src18')",
+    ),
     "ws_between_fn": (
         "f:between(NCHARS, 100, 300) and TEXT == 'dup'",
         None,

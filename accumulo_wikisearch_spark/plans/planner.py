@@ -711,8 +711,17 @@ def explain_plan(
     tree, exact = reduce_to_index_tree(
         nnf, planner.indexed_fields(), multi_value_fields
     )
+    path = "fullscan" if tree is None else "optimized"
+    if tree is None and isinstance(nnf, ast.Or):
+        kinds = {
+            reduce_to_index_tree(c, planner.indexed_fields(), multi_value_fields)[0]
+            is not None
+            for c in nnf.children
+        }
+        if kinds == {True, False}:
+            path = "dualpath"
     out = {
-        "path": "fullscan" if tree is None else "optimized",
+        "path": path,
         "nnf": repr(nnf),
         "index_tree": None if tree is None else repr(tree),
         "exact_coverage": bool(exact),
@@ -760,6 +769,29 @@ def run_query(
         tree, exact = reduce_to_index_tree(
             nnf, planner.indexed_fields(), multi_value_fields
         )
+    if tree is None and force_path != "fullscan" and isinstance(nnf, ast.Or):
+        # Dual-path mixed OR (AbstractQueryLogic.java:560-587, :826-908):
+        # instead of demoting the whole query, run the index path for the
+        # drivable branches and a fullscan filtered to ONLY the non-indexed
+        # predicate, then union + dedup. At scale the fullscan side is
+        # unavoidable (the predicate has no index), but the indexed
+        # branches stop paying for it.
+        drivable, rest = [], []
+        for c in nnf.children:
+            sub, _ = reduce_to_index_tree(
+                c, planner.indexed_fields(), multi_value_fields
+            )
+            (drivable if sub is not None else rest).append(c)
+        if drivable and rest:
+            ix_node = drivable[0] if len(drivable) == 1 else ast.Or(tuple(drivable))
+            ix_df, _ = run_query(
+                index, ix_node, auths, None, multi_value_fields, card_cache
+            )
+            rest_node = rest[0] if len(rest) == 1 else ast.Or(tuple(rest))
+            rest_df = docs.where(sec & compile_predicate(rest_node)).select(
+                "partition_id", "language", "doc_id"
+            )
+            return ix_df.unionByName(rest_df).distinct(), "dualpath"
     if tree is None or force_path == "fullscan":
         result = docs.where(sec & compile_predicate(nnf))
         path = "fullscan"

@@ -131,13 +131,15 @@ def test_content_fetch(engine, duck):
     assert engine.content(wrong).count() == 0
 
 
-def test_mixed_index_or_forces_fullscan(spark, sf_dir, duck):
-    # OR with a non-indexed field cannot ride the index
-    # (AbstractQueryLogic.java:560-587)
+def test_mixed_index_or_runs_dual_path(spark, sf_dir, duck):
+    # OR mixing indexed and non-indexed branches runs BOTH paths and unions
+    # (AbstractQueryLogic.java:560-587, :826-908): the indexed branch rides
+    # the index, the fullscan filters only the non-indexed predicate
     cfg = EngineConfig(num_partitions=4, indexed_fields=frozenset({"TEXT", "LANG"}))
     eng = Wikisearch.ingest(load_articles(spark, sf_dir), cfg, SCALAR_FIELDS)
     df, path = eng.query_with_path("TEXT == 'dup' or SOURCE == 'src3'")
-    assert path == "fullscan"
+    assert path == "dualpath"
+    assert "Union" in df._jdf.queryExecution().optimizedPlan().toString()
     got = sorted(r["doc_id"] for r in df.collect())
     want = sorted(
         r[0]
@@ -207,6 +209,30 @@ def test_language_qualified_candidates_no_cross_language_leak(spark):
         (r["doc_id"], r["language"]) for r in eng.query("TEXT == 'bar' and ID != '2'").collect()
     )
     assert got2 == [(1, "en")]
+    # discriminating case: the negated value matches doc 1 ONLY in fr. A
+    # (partition, doc_id)-keyed anti-join would wrongly drop the en row
+    # too; the language-qualified key must keep it.
+    rows3 = [
+        (1, "en", "foo bar", "keep"),
+        (1, "fr", "foo qux", "drop"),
+        (2, "en", "foo zap", "keep"),
+    ]
+    df3 = spark.createDataFrame(
+        rows3, "id long, language string, text string, title string"
+    )
+    eng3 = Wikisearch(
+        build_index(
+            df3,
+            EngineConfig(num_partitions=1),
+            {"ID": "id", "TITLE": "title"},
+            unique_ids=True,
+        )
+    )
+    got3 = sorted(
+        (r["doc_id"], r["language"])
+        for r in eng3.query("TEXT == 'foo' and TITLE != 'drop'").collect()
+    )
+    assert got3 == [(1, "en"), (2, "en")]  # en doc 1 survives, fr doc 1 dropped
 
 
 def test_tfidf_rank_weights_rare_terms_higher(engine):
