@@ -47,6 +47,11 @@ class EngineConfig:
     # IN-list size at high partition counts.
     exact_uid_total_max: int = 4096
     normalizer: str = "LcNoDiacritics"
+    # TEXT tokenizer: "whitespace" (default; matches the synthetic corpus
+    # and the DuckDB oracles) or "word" — punctuation-aware letters+digits
+    # runs, the reference's Lucene WikipediaTokenizer intent
+    # (WikipediaMapper.java:154-167).
+    tokenizer: str = "whitespace"
 
     def is_indexed(self, fld: str) -> bool:
         return self.indexed_fields is None or fld in self.indexed_fields

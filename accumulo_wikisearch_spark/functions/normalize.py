@@ -12,10 +12,14 @@ Reference semantics reproduced here:
   ``WikipediaMapper.java:154-167``).
 
 Everything here stays JVM-side (built-in functions, whole-stage codegen) —
-no Python UDF in the hot path. The diacritics strip is a static char-map
-``F.translate`` covering Latin-1 Supplement + Latin Extended-A, which is
-exact for the corpora we ingest; a full-Unicode pandas-UDF variant would be
-a drop-in replacement if ever needed.
+no Python UDF in the hot path. The diacritics strip is full-Unicode while
+remaining pure Catalyst: a static ``F.translate`` map of every BMP
+precomposed character whose canonical decomposition strips to a single base
+char (Latin-1 through Latin Extended Additional, Greek Extended, Cyrillic —
+the same set ``LcNoDiacriticsNormalizer``'s NFD pass handles), followed by
+a ``regexp_replace`` that removes free-standing combining marks (decomposed
+input). Byte-identical to the Python twin ``normalize_str`` (NFD → strip
+marks → NFC → lower) for all canonical single-base decompositions.
 """
 
 from __future__ import annotations
@@ -27,11 +31,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _build_accent_map() -> tuple[str, str]:
-    """Static translate map: accented char -> base char, for U+00C0..U+024F."""
+@lru_cache(maxsize=1)
+def _accent_map() -> tuple[str, str]:
+    """Translate map: precomposed char -> base char, across the whole BMP
+    (LcNoDiacriticsNormalizer.java:37-47 does the same strip via NFD; a
+    char map keeps it inside whole-stage codegen)."""
     src = []
     dst = []
-    for cp in range(0xC0, 0x250):
+    for cp in range(0xC0, 0x10000):
         ch = chr(cp)
         decomp = unicodedata.normalize("NFD", ch)
         stripped = "".join(c for c in decomp if not unicodedata.combining(c))
@@ -41,13 +48,36 @@ def _build_accent_map() -> tuple[str, str]:
     return "".join(src), "".join(dst)
 
 
-_ACCENT_SRC, _ACCENT_DST = _build_accent_map()
+@lru_cache(maxsize=1)
+def _combining_mark_class() -> str:
+    """Regex character class of BMP combining marks (for decomposed input —
+    a bare mark following an unaccented base char)."""
+    ranges = []
+    start = prev = None
+    for cp in range(0x0300, 0x10000):
+        if unicodedata.combining(chr(cp)):
+            if start is None:
+                start = prev = cp
+            elif cp == prev + 1:
+                prev = cp
+            else:
+                ranges.append((start, prev))
+                start = prev = cp
+    if start is not None:
+        ranges.append((start, prev))
+    body = "".join(
+        f"\\u{a:04X}-\\u{b:04X}" if a != b else f"\\u{a:04X}" for a, b in ranges
+    )
+    return f"[{body}]"
 
 
 def normalize_col(col: Column | str) -> Column:
     """Spark-side LcNoDiacritics: strip diacritics then lowercase."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.translate(c, _ACCENT_SRC, _ACCENT_DST))
+    src, dst = _accent_map()
+    return F.lower(
+        F.regexp_replace(F.translate(c, src, dst), _combining_mark_class(), "")
+    )
 
 
 @lru_cache(maxsize=4096)
@@ -58,16 +88,27 @@ def normalize_str(value: str) -> str:
     return unicodedata.normalize("NFC", stripped).lower()
 
 
-# Token pattern: runs of whitespace separate tokens. The corpus is
-# whitespace-delimited; the reference's WikipediaTokenizer is richer but the
-# *semantics* we reproduce is "distinct normalized tokens per document".
+# Token split patterns by tokenizer mode:
+# - "whitespace": runs of whitespace separate tokens — matches the
+#   synthetic corpus AND the DuckDB oracles (string_split(text, ' ')),
+#   so it is the default for hash parity.
+# - "word": punctuation-aware word splitting (letters+digits runs), the
+#   intent of the reference's Lucene WikipediaTokenizer
+#   (WikipediaMapper.java:154-167, :226-234): "abacus," and "abacus."
+#   index as the token "abacus". Digits kept; underscores split.
 TOKEN_SPLIT_RE = r"\s+"
+_SPLIT_BY_MODE = {
+    "whitespace": TOKEN_SPLIT_RE,
+    "word": r"[^\p{L}\p{N}]+",
+}
 
 
-def tokenize_col(col: Column | str, distinct: bool = True) -> Column:
+def tokenize_col(
+    col: Column | str, distinct: bool = True, mode: str = "whitespace"
+) -> Column:
     """Array of (distinct) normalized tokens of a text column."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(normalize_col(c), TOKEN_SPLIT_RE)
+    toks = F.split(normalize_col(c), _SPLIT_BY_MODE[mode])
     toks = F.filter(toks, lambda t: F.length(t) > 0)
     return F.array_distinct(toks) if distinct else toks
 

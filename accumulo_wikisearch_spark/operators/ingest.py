@@ -174,7 +174,9 @@ def build_index(
     )
     # one tokenize pass, shared: text_fi explodes _toks and docs_wide maps
     # it, so caching `tokenized` (persist()) tokenizes the corpus once
-    tokenized = base.withColumn("_toks", tokenize_col(F.col(text_col)))
+    tokenized = base.withColumn(
+        "_toks", tokenize_col(F.col(text_col), mode=config.tokenizer)
+    )
     text_fi = (
         tokenized.select(
             "partition_id",
@@ -249,7 +251,7 @@ def build_index(
     # doc length rides along from before the explode (size of the token
     # array) instead of a second groupBy + join over the exploded rows —
     # one shuffle total for the term index
-    all_toks = tokenize_col(F.col(text_col), distinct=False)
+    all_toks = tokenize_col(F.col(text_col), distinct=False, mode=config.tokenizer)
     tokens_pos = base.select(
         "partition_id",
         "language",

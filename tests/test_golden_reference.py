@@ -72,3 +72,67 @@ def test_auths_filter_on_reference_fixture(wiki_engine):
     # the reference passes auths=enwiki; a disjoint auth set sees nothing
     assert wiki_engine.query("TEXT == 'abacus'", auths=["dewiki"]).count() == 0
     assert wiki_engine.query("TEXT == 'abacus'", auths=["enwiki"]).count() == 1
+
+
+def test_word_tokenizer_strips_punctuation(spark):
+    """EngineConfig(tokenizer="word"): 'abacus,' and 'abacus.' index as the
+    token 'abacus' (WikipediaTokenizer intent, WikipediaMapper.java:154-167);
+    the default whitespace tokenizer keeps the punctuation glued on."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+
+    rows = [
+        (1, "en", "I bought an abacus, yesterday."),
+        (2, "en", "the abacus. was broken"),
+        (3, "en", "plain abacus here"),
+        (4, "en", "nothing relevant (42)"),
+    ]
+    df = spark.createDataFrame(rows, "id long, language string, text string")
+    word = Wikisearch.ingest(
+        df, EngineConfig(num_partitions=2, tokenizer="word"), {"ID": "id"},
+        unique_ids=True,
+    )
+    ids = lambda e, q, **kw: sorted(r["doc_id"] for r in e.query(q, **kw).collect())
+    assert ids(word, "TEXT == 'abacus'") == [1, 2, 3]
+    assert ids(word, "TEXT == 'abacus'", force_path="fullscan") == [1, 2, 3]
+    assert ids(word, "TEXT == '42'") == [4]  # digits kept
+    ws = Wikisearch.ingest(
+        df, EngineConfig(num_partitions=2), {"ID": "id"}, unique_ids=True
+    )
+    assert ids(ws, "TEXT == 'abacus'") == [3]  # 'abacus,' != 'abacus'
+
+
+def test_full_unicode_diacritics_normalization(spark):
+    """Beyond Latin Extended-A: Greek, Cyrillic, Vietnamese (Latin Extended
+    Additional) and decomposed inputs all normalize identically on the index
+    path, the fullscan path, and the Python literal twin
+    (LcNoDiacriticsNormalizer.java:37-47)."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.functions.normalize import normalize_str
+
+    rows = [
+        (1, "el", "ύδωρ flows"),      # ύδωρ (precomposed Greek)
+        (2, "ru", "йогурт here"),  # йогурт (й = и + breve)
+        (3, "vi", "phở bò soup"),                # phở (Latin Ext. Additional)
+        (4, "en", "café decomposed"),                # cafe + combining acute
+    ]
+    df = spark.createDataFrame(rows, "id long, language string, text string")
+    eng = Wikisearch.ingest(
+        df, EngineConfig(num_partitions=2), {"ID": "id"}, unique_ids=True
+    )
+    ids = lambda q, **kw: sorted(r["doc_id"] for r in eng.query(q, **kw).collect())
+    # query literals run through normalize_str; stored values through
+    # normalize_col — both must land on the same bytes
+    for jexl, want in [
+        ("TEXT == 'υδωρ'", [1]),   # υδωρ (stripped)
+        ("TEXT == 'ύδωρ'", [1]),   # ύδωρ (accented literal)
+        ("TEXT == 'иогурт'", [2]),  # иогурт
+        ("TEXT == 'pho'", [3]),
+        ("TEXT == 'cafe'", [4]),
+    ]:
+        assert ids(jexl) == want, jexl
+        assert ids(jexl, force_path="fullscan") == want, jexl
+    # the Python twin agrees with itself on tricky singletons
+    assert normalize_str("ύδωρ") == "υδωρ"
+    assert normalize_str("café") == "cafe"
