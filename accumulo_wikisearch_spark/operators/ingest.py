@@ -69,6 +69,10 @@ class WikisearchIndex:
             self.global_index = self.global_index.persist()
             self.docs_wide = self.docs_wide.persist()
             self.metadata = self.metadata.persist()
+            # term_index is a serving table too (scored/BM25/phrase search
+            # re-read it per query); without persistence every ranked query
+            # re-tokenizes the corpus
+            self.term_index = self.term_index.persist()
             self._persisted = True
         return self
 
@@ -76,7 +80,10 @@ class WikisearchIndex:
         """Force-build the persisted serving tables in dependency order:
         field_index first (fills the shared tokenized-base cache in the same
         job), then global_index and docs_wide concurrently — both read only
-        cached inputs, so Spark runs the two independent jobs in parallel."""
+        cached inputs, so Spark runs the two independent jobs in parallel.
+        term_index stays lazy: it persists on the FIRST ranked query (warm
+        protocol) instead of taxing every index build with its occurrence
+        shuffle — boolean-only workloads never pay for it."""
         from concurrent.futures import ThreadPoolExecutor
 
         self.persist()
