@@ -277,7 +277,12 @@ def _keys_filter(keys):
         parts.append(
             f"(partition_id = {p} AND language = '{esc}' AND doc_id IN ({ids}))"
         )
-    return F.expr(" OR ".join(parts)) if parts else F.lit(False)
+    if not parts:
+        return F.lit(False)
+    # cheap global doc_id gate first: one InSet probe rejects almost every
+    # row before the per-(partition, language) branch list is evaluated
+    all_ids = ",".join(str(d) for d in sorted({k[2] for k in keys}))
+    return F.expr(f"doc_id IN ({all_ids}) AND ({' OR '.join(parts)})")
 
 
 @dataclass(frozen=True)
