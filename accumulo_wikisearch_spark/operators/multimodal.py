@@ -191,14 +191,78 @@ RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 
+def _decode_pixels(b: bytes) -> tuple[np.ndarray, str] | None:
+    """Decode BMP (24-bit uncompressed) or binary-PPM payload to an
+    (H, W, 3) uint8 array. None for codec formats (JPEG/PNG/...)."""
+    if b[:2] == b"P6":
+        try:
+            pos, toks = 2, []
+            while len(toks) < 3:
+                # skip whitespace + '#' comments, collect header tokens
+                while pos < len(b) and b[pos : pos + 1].isspace():
+                    pos += 1
+                if b[pos : pos + 1] == b"#":
+                    pos = b.index(b"\n", pos) + 1
+                    continue
+                end = pos
+                while end < len(b) and not b[end : end + 1].isspace():
+                    end += 1
+                toks.append(b[pos:end])
+                pos = end
+            pos += 1  # single whitespace after maxval
+            w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+            if maxval != 255:
+                return None
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+            return px.reshape(h, w, 3).copy(), "ppm"
+        except (ValueError, IndexError):
+            return None
+    if len(b) >= 54 and b[:2] == b"BM":
+        try:
+            off = struct.unpack_from("<I", b, 10)[0]
+            w, h = struct.unpack_from("<ii", b, 18)
+            bpp = struct.unpack_from("<H", b, 28)[0]
+            comp = struct.unpack_from("<I", b, 30)[0]
+            if bpp != 24 or comp != 0 or w <= 0:
+                return None
+            stride = (w * 3 + 3) & ~3
+            flip = h > 0
+            h = abs(h)
+            rows = np.frombuffer(
+                b, dtype=np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            return (rows[::-1] if flip else rows).copy(), "bmp"
+        except (ValueError, struct.error):
+            return None
+    return None
+
+
+def _encode_pixels(px: np.ndarray, fmt: str) -> bytes:
+    h, w, _ = px.shape
+    if fmt == "ppm":
+        return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1].reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI" + "IiiHHIIiiII",
+        b"BM", 54 + stride * h, 0, 0, 54,
+        40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+    )
+    return header + rows.tobytes()
+
+
 def resize_image(
     media: DataFrame, width: int = 224, height: int = 224, fake: bool = False
 ) -> DataFrame:
-    """Image resize stub — bytes in, (smaller) bytes out, 1:1 rows.
+    """Image resize — bytes in, resized bytes out, 1:1 rows, no shuffle.
 
-    The real kernel is a per-row PIL/cv2 call inside the same mapInPandas;
-    the fake path truncates the payload deterministically so batch shapes
-    and downstream schema are exercised. No shuffle either way."""
+    REAL kernel (pure numpy nearest-neighbor) for the formats this
+    container can honestly decode: 24-bit uncompressed BMP and binary PPM;
+    the output re-encodes in the input's format. Codec payloads (JPEG/PNG)
+    yield null payloads — a PIL/cv2 call drops into the same per-row slot.
+    ``fake=True`` keeps the deterministic truncation stand-in for arbitrary
+    payloads."""
 
     def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height // 64  # stand-in compression factor
@@ -212,12 +276,29 @@ def resize_image(
                 }
             )
 
-    if fake:
-        return media.mapInPandas(fake_resize, RESIZED_SCHEMA)
-    raise NotImplementedError(
-        "image resize requires an imaging library (PIL/cv2) not present in "
-        "this container; wire the real kernel into the same mapInPandas shape"
-    )
+    def real_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for b in pdf["payload"]:
+                dec = _decode_pixels(bytes(b))
+                if dec is None:
+                    payloads.append(None)
+                    continue
+                px, fmt = dec
+                h0, w0, _ = px.shape
+                ri = (np.arange(height) * h0) // height
+                ci = (np.arange(width) * w0) // width
+                payloads.append(_encode_pixels(px[ri][:, ci], fmt))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(fake_resize if fake else real_resize, RESIZED_SCHEMA)
 
 
 def sample_frames(

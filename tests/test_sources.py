@@ -167,3 +167,40 @@ def test_multimodal_resize_and_frames(spark):
     # doc 1: 1000 bytes → 3 frames; doc 2: 100 bytes → min 1 frame
     assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
     assert by_doc[1][0]["frame_idx"] == 0 and len(bytes(by_doc[1][0]["frame"])) == 256
+
+
+def test_multimodal_real_resize_roundtrip(spark):
+    """REAL nearest-neighbor resize on decodable formats: a 4x4 PPM and a
+    4x2 BMP shrink to 2x2, pixels matching the numpy reference; codec
+    payloads yield null (a PIL kernel slots into the same shape)."""
+    import numpy as np
+    import struct as _s
+
+    # 4x4 PPM with distinct pixel values 0..47
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    ppm = b"P6\n4 4\n255\n" + px.tobytes()
+    # 4x2 bottom-up BMP (24bpp): rows padded to 4 bytes (4*3=12, already aligned)
+    bpx = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    header = _s.pack(
+        "<2sIHHI" + "IiiHHIIiiII",
+        b"BM", 54 + 24, 0, 0, 54, 40, 4, 2, 1, 24, 0, 24, 0, 0, 0, 0,
+    )
+    bmp = header + bpx[::-1].tobytes()
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_image(
+            _media_df(spark, {1: ppm, 2: bmp, 3: b"\x89PNG nope"}), 2, 2
+        ).collect()
+    }
+    # PPM: rows/cols 0,2 of the source under nearest-neighbor (i*4)//2
+    got = multimodal._decode_pixels(bytes(out[1]["payload"]))
+    assert got is not None and got[1] == "ppm"
+    ri = (np.arange(2) * 4) // 2
+    assert (got[0] == px[ri][:, ri]).all()
+    # BMP: round-trips through the bottom-up padded encoding
+    got2 = multimodal._decode_pixels(bytes(out[2]["payload"]))
+    assert got2 is not None and got2[1] == "bmp"
+    ri2 = (np.arange(2) * 2) // 2
+    ci2 = (np.arange(2) * 4) // 2
+    assert (got2[0] == bpx[ri2][:, ci2]).all()
+    assert out[3]["payload"] is None  # codec format → null, no crash
