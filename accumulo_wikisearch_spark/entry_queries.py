@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vocab,
     )
 
+    from accumulo_wikisearch_spark.streaming import analytics as streaming_analytics
+
     out.update(curation.queries())
     out.update(vocab.queries())
     out.update(dedup.queries())
@@ -311,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.queries())
     out.update(temporal.queries())
     out.update(sampling.queries())
+    out.update(streaming_analytics.queries())
     # The driver's correctness gate checks registry entries in insertion
     # order and truncates (50 entries per round in r01/r02, vs 86
     # registered).  Order the registry as a freshness scheduler so the
@@ -529,6 +532,8 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         vocab,
     )
 
+    from accumulo_wikisearch_spark.streaming import analytics as streaming_analytics
+
     out.update(curation.oracle_sql())
     out.update(vocab.oracle_sql())
     out.update(dedup.oracle_sql())
@@ -539,4 +544,5 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out.update(relational.oracle_sql())
     out.update(temporal.oracle_sql())
     out.update(sampling.oracle_sql())
+    out.update(streaming_analytics.oracle_sql())
     return out

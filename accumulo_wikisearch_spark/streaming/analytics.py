@@ -180,3 +180,68 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         "update",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# driver registry: batch-replay of the streaming plan
+# ---------------------------------------------------------------------------
+
+
+def replay_windowed_counts(spark, sf_dir: str):
+    """Run ``windowed_counts_stream`` as a REAL structured-streaming query
+    over the events parquet (file source, availableNow trigger, memory
+    sink) and return the finalized result — end-of-stream state must equal
+    the batch aggregation, which is exactly what the driver's SQL oracle
+    checks. This is the streaming correctness gate the pytest suite runs
+    in-process, promoted to a driver-checked entry (approx-distinct column
+    dropped: HLL state is not hash-stable across partitionings)."""
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource needs a DIRECTORY; stage the single parquet file
+    # behind a symlink in a temp dir (read-only testdata stays untouched)
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="ev-stream-replay-")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    ev = spark.readStream.schema(sch).parquet(stage)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        # nanos-since-epoch LONG (see sources/events.py)
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_counts_stream(ev).select(
+        F.unix_timestamp("window_start").cast("long").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    name = "ev_stream_windowed_replay_sink"
+    spark.catalog.dropTempView(name)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_REPLAY_SQL = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def queries():
+    return {"ev_stream_windowed_replay": replay_windowed_counts}
+
+
+def oracle_sql():
+    return {"ev_stream_windowed_replay": _REPLAY_SQL}
