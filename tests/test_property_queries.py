@@ -120,3 +120,41 @@ def test_random_query_three_way_equivalence(engine, duck, q):
         r["doc_id"] for r in engine.query(q, force_path="fullscan").collect()
     )
     assert got_fs == want, f"fullscan != duckdb for {q!r}"
+
+
+@pytest.fixture(scope="module")
+def scan_only_engine(spark, sf_dir):
+    """Engine with the exact-uid doc-range plans disabled
+    (exact_uid_total_max=0): every query exercises the field_index
+    scan/join machinery, which IGNORE-tier terms take at real scale. On
+    the tiny test corpus uid_max=64 would otherwise route nearly every
+    random query through the driver-side paths, starving the joins of
+    fuzz coverage."""
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.sources.corpus import get_engine
+
+    return get_engine(
+        spark,
+        sf_dir,
+        EngineConfig(unevaluated_fields=frozenset({"TEXT"}), exact_uid_total_max=0),
+    )
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=query_st)
+def test_random_query_scan_path_equivalence(scan_only_engine, duck, q):
+    nnf = to_nnf(parse(q))
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT doc_id FROM documents WHERE {to_sql(nnf)}"
+        ).fetchall()
+    )
+    got_ix, path = scan_only_engine.query_with_path(q)
+    got_ix = sorted(r["doc_id"] for r in got_ix.collect())
+    assert got_ix == want, f"scan path ({path}) != duckdb for {q!r}"
