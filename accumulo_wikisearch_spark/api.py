@@ -33,6 +33,12 @@ _TEXT_MATCH_RE = re.compile(
 
 
 class Wikisearch:
+    """Facade over ONE immutable catalog. The cardinality/uid-posting and
+    plan caches assume the index never changes underneath them — all
+    incremental paths (streaming merge, compaction, deltas) construct NEW
+    WikisearchIndex instances; wrap those in a fresh Wikisearch rather
+    than swapping tables on a live engine."""
+
     def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
         self.index = index
         self.multi_value_fields = multi_value_fields

@@ -375,55 +375,68 @@ def build_index(
 def write_index(index: WikisearchIndex, path: str) -> None:
     """Persist the catalog, laid out for 100 TB reads: partition-pruned by
     ``partition_id``, sorted within files by (field, norm_value) so per-term
-    scans hit few row groups (sorted bulk load analogue, SURVEY §4 O19)."""
-    (
-        index.field_index.repartition("partition_id")
-        .sortWithinPartitions("field", "norm_value")
+    scans hit few row groups (sorted bulk load analogue, SURVEY §4 O19).
+
+    The eight table writes are INDEPENDENT jobs submitted from worker
+    threads, so the scheduler overlaps them (they share the one tokenize
+    pass through the persisted base); on a cluster this is the difference
+    between 8 sequential write barriers and one."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        lambda: (
+            index.field_index.repartition("partition_id")
+            .sortWithinPartitions("field", "norm_value")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{path}/field_index")
+        ),
+        lambda: (
+            index.global_index.repartition(F.col("field"))
+            .sortWithinPartitions("norm_value")
+            .write.mode("overwrite")
+            .parquet(f"{path}/global_index")
+        ),
+        lambda: (
+            index.reverse_index.repartition(F.col("field"))
+            .sortWithinPartitions("norm_value")
+            .write.mode("overwrite")
+            .parquet(f"{path}/reverse_index")
+        ),
+        lambda: index.metadata.coalesce(1)
         .write.mode("overwrite")
-        .partitionBy("partition_id")
-        .parquet(f"{path}/field_index")
-    )
-    (
-        index.global_index.repartition(F.col("field"))
-        .sortWithinPartitions("norm_value")
-        .write.mode("overwrite")
-        .parquet(f"{path}/global_index")
-    )
-    (
-        index.reverse_index.repartition(F.col("field"))
-        .sortWithinPartitions("norm_value")
-        .write.mode("overwrite")
-        .parquet(f"{path}/reverse_index")
-    )
-    index.metadata.coalesce(1).write.mode("overwrite").parquet(f"{path}/metadata")
-    (
-        index.doc_fields.repartition("partition_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .partitionBy("partition_id")
-        .parquet(f"{path}/doc_fields")
-    )
-    (
-        index.term_index.repartition("partition_id")
-        .sortWithinPartitions("norm_value")
-        .write.mode("overwrite")
-        .partitionBy("partition_id")
-        .parquet(f"{path}/term_index")
-    )
-    (
-        index.docs_wide.repartition("partition_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .partitionBy("partition_id")
-        .parquet(f"{path}/docs_wide")
-    )
-    (
-        index.documents.repartition("partition_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .partitionBy("partition_id")
-        .parquet(f"{path}/documents")
-    )
+        .parquet(f"{path}/metadata"),
+        lambda: (
+            index.doc_fields.repartition("partition_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{path}/doc_fields")
+        ),
+        lambda: (
+            index.term_index.repartition("partition_id")
+            .sortWithinPartitions("norm_value")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{path}/term_index")
+        ),
+        lambda: (
+            index.docs_wide.repartition("partition_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{path}/docs_wide")
+        ),
+        lambda: (
+            index.documents.repartition("partition_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{path}/documents")
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda w: w(), writes))
 
 
 def write_index_bucketed(
