@@ -143,6 +143,15 @@ class Wikisearch:
             if auths:
                 gi = gi.where(F.col("language").isin(*auths))
             return gi.agg(F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("n"))
+        if exact and tree is not None:
+            # any exact-covering tree whose leaves all sit in the exact-uid
+            # tier: the boolean algebra already ran driver-side — the count
+            # is the key-set size, ZERO Spark jobs (beyond the cached
+            # metadata lookup)
+            keys = planner.driver_candidates(tree, auths)
+            if keys is not None:
+                spark = self.index.global_index.sparkSession
+                return spark.sql(f"SELECT CAST({len(keys)} AS BIGINT) AS n")
         return self.query(expr, auths=auths).agg(F.count("*").cast("long").alias("n"))
 
     def query_page(

@@ -422,3 +422,18 @@ def test_phrase_search_adjacent_only(spark):
     # three-term phrase
     got3 = {r.doc_id: r.n_matches for r in eng.phrase_search(["quick", "brown", "fox"]).collect()}
     assert got3 == {1: 1}
+
+
+def test_count_only_uid_tree_answers_driver_side(engine):
+    """count_only on an exact-covering boolean tree whose leaves all sit in
+    the exact-uid tier: the count is the driver-side key-set size — the
+    plan touches no catalog table at all."""
+    jexl = "TEXT == 'dup' and SOURCE != 'src3'"
+    df = engine.count_only(jexl)
+    assert df.collect()[0]["n"] == engine.query(jexl).count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan and "parquet" not in plan
+    # OR shape too
+    jexl2 = "SOURCE == 'src5' or SOURCE == 'src7'"
+    df2 = engine.count_only(jexl2)
+    assert df2.collect()[0]["n"] == engine.query(jexl2).count()
