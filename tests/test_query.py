@@ -151,6 +151,19 @@ def test_mixed_index_or_runs_dual_path(spark, sf_dir, duck):
     # AND with one indexed conjunct still optimizes
     df2, path2 = eng.query_with_path("TEXT == 'dup' and SOURCE == 'src3'")
     assert path2 == "optimized"
+    # row-level security applies on BOTH dual-path branches
+    got_en = sorted(
+        r["doc_id"]
+        for r in eng.query("TEXT == 'dup' or SOURCE == 'src3'", auths=["en"]).collect()
+    )
+    want_en = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT doc_id FROM documents WHERE (list_contains({TOK},'dup') "
+            "OR source='src3') AND lang = 'en'"
+        ).fetchall()
+    )
+    assert got_en == want_en
 
 
 def test_empty_result_unknown_term(engine):
