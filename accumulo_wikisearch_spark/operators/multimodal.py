@@ -352,7 +352,22 @@ def queries():
             "doc_id", "n_bytes"
         )
 
-    return {"mm_payload_stats": _mm_stats}
+    def _mm_decode(spark, sf_dir):
+        # end-to-end check of the REAL decode kernel: per-doc PPM payloads
+        # with dimensions derived from doc fields, parsed back out of the
+        # binary by the mapInPandas header parser; the oracle predicts the
+        # dims straight from the fields, so a parse bug breaks the match
+        tune_runtime(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        header = F.format_string(
+            "P6\n%d %d\n255\n",
+            (F.col("n_chars") % 64 + 1).cast("int"),
+            (F.col("doc_id") % 32 + 1).cast("int"),
+        )
+        media = docs.select("doc_id", F.encode(header, "UTF-8").alias("payload"))
+        return decode_image(media)
+
+    return {"mm_payload_stats": _mm_stats, "mm_decode_image": _mm_decode}
 
 
 def oracle_sql():
@@ -360,5 +375,10 @@ def oracle_sql():
     return {
         "mm_payload_stats": (
             "SELECT doc_id, octet_length(encode(text))::INTEGER AS n_bytes FROM documents"
-        )
+        ),
+        "mm_decode_image": (
+            "SELECT doc_id, (n_chars % 64 + 1)::INTEGER AS width, "
+            "(doc_id % 32 + 1)::INTEGER AS height, 3::INTEGER AS channels "
+            "FROM documents"
+        ),
     }
