@@ -352,6 +352,35 @@ def queries():
             "doc_id", "n_bytes"
         )
 
+    def _mm_audio(spark, sf_dir):
+        # end-to-end WAV round trip: silent PCM16 payloads built row-wise
+        # (stdlib wave writer) with rate/length derived from doc fields,
+        # parsed back by the real wave+numpy kernel; the oracle predicts
+        # every feature (incl. integer duration math, rms=0 for silence)
+        # straight from the fields
+        tune_runtime(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                    rate = 8000 + int(doc_id % 4) * 4000
+                    frames = (int(n_chars) % 100 + 1) * 10
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(rate)
+                        w.writeframes(b"\x00" * (frames * 2))
+                    payloads.append(buf.getvalue())
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        media = docs.mapInPandas(build, "doc_id long, payload binary")
+        return extract_audio_features(media)
+
     def _mm_decode(spark, sf_dir):
         # end-to-end check of the REAL decode kernel: per-doc PPM payloads
         # with dimensions derived from doc fields, parsed back out of the
@@ -367,7 +396,11 @@ def queries():
         media = docs.select("doc_id", F.encode(header, "UTF-8").alias("payload"))
         return decode_image(media)
 
-    return {"mm_payload_stats": _mm_stats, "mm_decode_image": _mm_decode}
+    return {
+        "mm_payload_stats": _mm_stats,
+        "mm_decode_image": _mm_decode,
+        "mm_audio_features": _mm_audio,
+    }
 
 
 def oracle_sql():
@@ -381,4 +414,13 @@ def oracle_sql():
             "(doc_id % 32 + 1)::INTEGER AS height, 3::INTEGER AS channels "
             "FROM documents"
         ),
+        "mm_audio_features": """
+SELECT doc_id,
+  (8000 + (doc_id % 4) * 4000)::INTEGER AS sample_rate,
+  1::INTEGER AS n_channels,
+  ((n_chars % 100 + 1) * 10)::BIGINT AS n_frames,
+  (((n_chars % 100 + 1) * 10) * 1000 // (8000 + (doc_id % 4) * 4000))::BIGINT AS duration_ms,
+  0::INTEGER AS rms
+FROM documents
+""",
     }
