@@ -12,9 +12,13 @@ Decode kernels come in two tiers:
   headers (``decode_image``) and RIFF/WAVE audio (``extract_audio_features``
   — stdlib ``wave`` + numpy PCM stats). These run the same Arrow-batched
   ``mapInPandas`` path a PIL/ffmpeg kernel would.
-- STUBS (clearly marked ``NotImplementedError``) for codec formats
-  (JPEG/PNG/mp4) whose libraries aren't in this container, each with a
-  ``fake=True`` deterministic path so batching/schema/joins are exercised.
+- REAL kernels likewise for resize (numpy nearest-neighbor over decoded
+  BMP/PPM pixels) and frame sampling (raw PPM frame streams — ffmpeg's
+  codec-free image2pipe container).
+- Codec formats (JPEG/PNG/mp4) whose libraries aren't in this container
+  yield null features / zero rows — a PIL/cv2/pyav call drops into the
+  same per-row slot; every operator also has a ``fake=True`` deterministic
+  path so batching/schema/joins are exercisable on arbitrary payloads.
 
 Also here: ``attach_payload`` (text corpus → binary payload + metadata
 frame) and ``payload_stats`` (bytes → features, the canonical decode shape).
@@ -301,16 +305,56 @@ def resize_image(
     return media.mapInPandas(fake_resize if fake else real_resize, RESIZED_SCHEMA)
 
 
+def _split_ppm_stream(b: bytes) -> list[bytes]:
+    """Split a raw PPM frame stream (concatenated P6 images — ffmpeg's
+    image2pipe rawvideo-ish container) into standalone frame payloads."""
+    frames = []
+    pos = 0
+    while b[pos : pos + 2] == b"P6":
+        toks: list[int] = []
+        cur = pos + 2
+        while len(toks) < 3:
+            while cur < len(b) and b[cur : cur + 1].isspace():
+                cur += 1
+            if b[cur : cur + 1] == b"#":
+                cur = b.index(b"\n", cur) + 1
+                continue
+            end = cur
+            while end < len(b) and not b[end : end + 1].isspace():
+                end += 1
+            toks.append(int(b[cur:end]))
+            cur = end
+        cur += 1  # single whitespace after maxval
+        w, h, maxval = toks
+        if maxval != 255:
+            break
+        end = cur + w * h * 3
+        if end > len(b):
+            break
+        frames.append(b[pos:end])
+        pos = end
+    return frames
+
+
 def sample_frames(
-    media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8, fake: bool = False
+    media: DataFrame,
+    every_n_frames: int = 2,
+    max_frames: int = 8,
+    fake: bool = False,
+    every_n_bytes: int = 256,
 ) -> DataFrame:
-    """Video frame sampling stub — 1:N row expansion (one row per sampled
+    """Video frame sampling — 1:N row expansion (one row per sampled
     frame), the shape that matters for partition sizing: output rows ∝
     payload size, so at scale the input should be repartitioned by size
     before this pass to avoid straggler partitions.
 
-    Fake path slices the payload every ``every_n_bytes`` as stand-in
-    "frames"; a real kernel seeks keyframes with pyav/ffmpeg."""
+    REAL kernel for raw PPM frame streams (concatenated P6 images — the
+    codec-free container ffmpeg's image2pipe emits): every
+    ``every_n_frames``-th frame is re-emitted as a standalone PPM payload,
+    up to ``max_frames``. Codec containers (mp4/webm) yield zero rows — a
+    pyav/ffmpeg demuxer drops into the same per-payload slot. The fake
+    path slices the payload every ``every_n_bytes`` as stand-in frames for
+    arbitrary payloads."""
 
     def fake_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -329,12 +373,26 @@ def sample_frames(
                 }
             )
 
-    if fake:
-        return media.mapInPandas(fake_sample, FRAME_SCHEMA)
-    raise NotImplementedError(
-        "frame sampling requires a video library (pyav/ffmpeg) not present "
-        "in this container; wire the real kernel into the same mapInPandas shape"
-    )
+    def real_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                all_frames = _split_ppm_stream(bytes(payload))
+                for i, fr in enumerate(all_frames[:: max(1, every_n_frames)]):
+                    if i >= max_frames:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(fake_sample if fake else real_sample, FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

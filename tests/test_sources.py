@@ -204,3 +204,26 @@ def test_multimodal_real_resize_roundtrip(spark):
     ci2 = (np.arange(2) * 4) // 2
     assert (got2[0] == bpx[ri2][:, ci2]).all()
     assert out[3]["payload"] is None  # codec format → null, no crash
+
+
+def test_multimodal_real_ppm_stream_frame_sampling(spark):
+    """REAL frame sampling over a raw PPM frame stream: every 2nd of 5
+    frames comes back as a standalone pixel-exact PPM; codec payloads
+    yield zero rows."""
+    import numpy as np
+
+    frames = []
+    for i in range(5):
+        px = np.full((2, 2, 3), i * 10, dtype=np.uint8)
+        frames.append(b"P6\n2 2\n255\n" + px.tobytes())
+    stream = b"".join(frames)
+    out = multimodal.sample_frames(
+        _media_df(spark, {1: stream, 2: b"\x00\x00\x00 ftypmp42 not raw"}),
+        every_n_frames=2,
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    got = [bytes(r["frame"]) for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])]
+    assert got == [frames[0], frames[2], frames[4]]
+    assert 2 not in by_doc  # codec container -> zero rows, no crash
