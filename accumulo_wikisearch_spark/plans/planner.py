@@ -788,10 +788,19 @@ def run_query(
             )
             (drivable if sub is not None else rest).append(c)
         if drivable and rest:
+            # The branch node is ALREADY normalized+expanded; re-running it
+            # through run_query would apply to_nnf a second time, and the
+            # Not(Or(eq...)) wrappers unfielded expansion leaves behind
+            # would flip into any-match NE leaves — a DIFFERENT truth table
+            # for multi-valued fields ("none matches" vs "some other value
+            # exists"). Execute the branch inline instead.
             ix_node = drivable[0] if len(drivable) == 1 else ast.Or(tuple(drivable))
-            ix_df, _ = run_query(
-                index, ix_node, auths, None, multi_value_fields, card_cache
+            ix_tree, ix_exact = reduce_to_index_tree(
+                ix_node, planner.indexed_fields(), multi_value_fields
             )
+            ix_df = _optimized_result(
+                planner, index, docs, sec, ix_tree, ix_node, ix_exact, auths
+            ).select("partition_id", "language", "doc_id")
             rest_node = rest[0] if len(rest) == 1 else ast.Or(tuple(rest))
             rest_df = docs.where(sec & compile_predicate(rest_node)).select(
                 "partition_id", "language", "doc_id"
@@ -801,39 +810,50 @@ def run_query(
         result = docs.where(sec & compile_predicate(nnf))
         path = "fullscan"
     else:
-        # Q15: when the index tree covers the query exactly, predicates on
-        # unevaluated fields are trusted from the semi-join and skipped in
-        # the re-verify — the reference's TEXT optimization
-        # (AbstractQueryLogic.java:777-790)
-        skip = index.config.unevaluated_fields if exact else frozenset()
-        pred = compile_predicate(nnf, skip_fields=skip)
-        keys = planner.driver_candidates(tree, auths)
-        if keys is not None:
-            # O4 doc-range plan: every leaf resolved from the exact-uid
-            # tier, so the candidate set is already in the driver. The
-            # query is ONE job — a pushed-down filter on docs_wide (the
-            # per-(partition, language) doc_id IN-lists prune partitions
-            # and skip row groups); no field_index scan, no join, no
-            # shuffle (RangeCalculator.java:683-705 turning ≤uid_max
-            # posting lists into direct doc ranges).
-            if not keys:
-                result = docs.where(F.lit(False))
-            else:
-                result = docs.where(_keys_filter(keys) & sec & pred)
-        else:
-            anchor = planner.best_exact_anchor(tree, auths)
-            if anchor is not None:
-                # rare-conjunct anchor: candidates = the rare term's exact
-                # postings (a superset of the matches); ONE pruned fetch of
-                # docs_wide with the FULL predicate re-verified — no Q15
-                # skip here, the other conjuncts are only proven event-side
-                result = docs.where(
-                    _keys_filter(anchor) & sec & compile_predicate(nnf)
-                ) if anchor else docs.where(F.lit(False))
-            else:
-                cand = planner.candidates(tree, auths)
-                result = docs.join(cand, list(_POSTING_KEY), "left_semi").where(
-                    sec & pred
-                )
+        result = _optimized_result(planner, index, docs, sec, tree, nnf, exact, auths)
         path = "optimized"
     return result.select("partition_id", "language", "doc_id"), path
+
+
+def _optimized_result(
+    planner: Planner,
+    index: WikisearchIndex,
+    docs: DataFrame,
+    sec,
+    tree: IxNode,
+    node: ast.Node,
+    exact: bool,
+    auths: list[str] | None,
+) -> DataFrame:
+    """Index-path execution for a reduced tree + its (normalized, expanded)
+    predicate node — shared by the main optimized path and each dual-path
+    branch."""
+    # Q15: when the index tree covers the query exactly, predicates on
+    # unevaluated fields are trusted from the semi-join and skipped in
+    # the re-verify — the reference's TEXT optimization
+    # (AbstractQueryLogic.java:777-790)
+    skip = index.config.unevaluated_fields if exact else frozenset()
+    pred = compile_predicate(node, skip_fields=skip)
+    keys = planner.driver_candidates(tree, auths)
+    if keys is not None:
+        # O4 doc-range plan: every leaf resolved from the exact-uid
+        # tier, so the candidate set is already in the driver. The
+        # query is ONE job — a pushed-down filter on docs_wide (the
+        # per-(partition, language) doc_id IN-lists prune partitions
+        # and skip row groups); no field_index scan, no join, no
+        # shuffle (RangeCalculator.java:683-705 turning ≤uid_max
+        # posting lists into direct doc ranges).
+        if not keys:
+            return docs.where(F.lit(False))
+        return docs.where(_keys_filter(keys) & sec & pred)
+    anchor = planner.best_exact_anchor(tree, auths)
+    if anchor is not None:
+        # rare-conjunct anchor: candidates = the rare term's exact
+        # postings (a superset of the matches); ONE pruned fetch of
+        # docs_wide with the FULL predicate re-verified — no Q15
+        # skip here, the other conjuncts are only proven event-side
+        if not anchor:
+            return docs.where(F.lit(False))
+        return docs.where(_keys_filter(anchor) & sec & compile_predicate(node))
+    cand = planner.candidates(tree, auths)
+    return docs.join(cand, list(_POSTING_KEY), "left_semi").where(sec & pred)

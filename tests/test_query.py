@@ -450,3 +450,19 @@ def test_count_only_uid_tree_answers_driver_side(engine):
     jexl2 = "SOURCE == 'src5' or SOURCE == 'src7'"
     df2 = engine.count_only(jexl2)
     assert df2.collect()[0]["n"] == engine.query(jexl2).count()
+
+
+def test_dualpath_negated_term_branch_multivalue_truth_table(engine):
+    """Regression (hypothesis-found): a dual-path OR whose drivable branch
+    contains a Not(expanded-Term) wrapper must NOT re-normalize the branch
+    — a second to_nnf pass would flip Not(TEXT == x) into any-match
+    TEXT != x, changing 'no token matches' into 'some other token exists'
+    for multi-valued fields."""
+    q = "not ((SOURCE == 'src3') and ((TEXT != 'batch') or ('batch')))"
+    df, path = engine.query_with_path(q)
+    assert path == "dualpath"
+    got = sorted(r["doc_id"] for r in df.collect())
+    want = sorted(
+        r["doc_id"] for r in engine.query(q, force_path="fullscan").collect()
+    )
+    assert got == want
