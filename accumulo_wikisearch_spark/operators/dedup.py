@@ -103,7 +103,11 @@ def _pairs_with_jaccard(sh: DataFrame, num: int, den: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, num: int = 4, den: int = 5, max_df: int = 10_000
+    docs: DataFrame,
+    k: int = 3,
+    num: int = 4,
+    den: int = 5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs: word-k-gram Jaccard ≥ num/den (default 0.8), computed
     over shingles with document frequency ≤ ``max_df``.
@@ -113,12 +117,17 @@ def ngram_jaccard_pairs(
     emit ~10^12 rows from the inverted self-join. Dropping shingles above
     ``max_df`` BEFORE the join (and from the per-doc set sizes, so Jaccard
     stays a true set similarity on the filtered space) bounds the join at
-    O(sum df²) with df ≤ max_df. Boilerplate shingles carry no similarity
-    signal, so recall loss is confined to pairs whose overlap is pure
-    boilerplate — pairs minhash would bucket together anyway. The cap is a
+    O(sum df²) with df ≤ max_df. NOTE the cap changes the similarity being
+    measured, in both directions: removing a hot shingle shrinks numerator
+    AND union, so filtered-space Jaccard can be higher or lower than raw
+    Jaccard — pairs may be added as well as dropped relative to
+    ``max_df=None``. Pass ``max_df=None`` for exact raw-Jaccard semantics
+    (quadratic in hot-shingle df — unsafe at scale). The cap is a
     deterministic part of the operator's definition and is replayed
     identically by the SQL oracle."""
     sh = _shingles(docs, k)
+    if max_df is None:
+        return _pairs_with_jaccard(sh, num, den)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))

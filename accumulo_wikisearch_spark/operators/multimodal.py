@@ -313,17 +313,22 @@ def _split_ppm_stream(b: bytes) -> list[bytes]:
     while b[pos : pos + 2] == b"P6":
         toks: list[int] = []
         cur = pos + 2
-        while len(toks) < 3:
-            while cur < len(b) and b[cur : cur + 1].isspace():
-                cur += 1
-            if b[cur : cur + 1] == b"#":
-                cur = b.index(b"\n", cur) + 1
-                continue
-            end = cur
-            while end < len(b) and not b[end : end + 1].isspace():
-                end += 1
-            toks.append(int(b[cur:end]))
-            cur = end
+        try:
+            while len(toks) < 3:
+                while cur < len(b) and b[cur : cur + 1].isspace():
+                    cur += 1
+                if b[cur : cur + 1] == b"#":
+                    cur = b.index(b"\n", cur) + 1
+                    continue
+                end = cur
+                while end < len(b) and not b[end : end + 1].isspace():
+                    end += 1
+                toks.append(int(b[cur:end]))
+                cur = end
+        except (ValueError, IndexError):
+            # truncated/malformed header: undecodable payloads yield the
+            # frames parsed so far, never a job-failing exception
+            break
         cur += 1  # single whitespace after maxval
         w, h, maxval = toks
         if maxval != 255:

@@ -61,7 +61,11 @@ def topk_bruteforce(
 
 
 def self_queries(emb: DataFrame, n: int = 5) -> DataFrame:
-    """First n corpus vectors as the query set (deterministic)."""
+    """First n corpus vectors as the query set (deterministic).
+
+    Uses ``vec_id < n`` — engine and SQL oracles rely on the test corpus's
+    contiguous-from-0 vec_id contract here (TESTDATA embeddings satisfy
+    it); centroid CELL labels do NOT assume it (row_number both sides)."""
     return emb.where(F.col("vec_id") < n).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -504,11 +508,18 @@ def _ivf_sql(
     n_cells: int = 16, nprobe: int = 4, dim: int = 64, k: int = 10, nq: int = 5
 ) -> str:
     """Replay of topk_ivf(lloyd_iters=0): seed centroids are the first
-    n_cells corpus vectors; cell assignment is argmax cosine with Spark's
-    array_max tie-break (higher score, then higher cell)."""
+    n_cells corpus vectors ORDERED BY vec_id, labeled 0..n_cells-1 exactly
+    as take_centroids enumerates them (row_number, NOT the raw vec_id —
+    the two only coincide for contiguous-from-0 id spaces); cell
+    assignment is argmax cosine with Spark's array_max tie-break (higher
+    score, then higher cell)."""
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-c AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < {n_cells}),
+c AS (
+  SELECT cell, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM e
+  ) WHERE cell < {n_cells}
+),
 sc AS (
   SELECT e.vec_id, e.v, c.cell, {_cos_sql("e.v", "c.cvec", dim)} AS s
   FROM e CROSS JOIN c

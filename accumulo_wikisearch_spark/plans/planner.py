@@ -246,13 +246,23 @@ _POSTING_KEY = ("partition_id", "language", "doc_id")
 _POSTING_SCHEMA = "partition_id int, language string, doc_id long"
 
 
+def _sql_str(s: str) -> str:
+    """Escape an arbitrary string for splicing into a Spark SQL single-quoted
+    literal.  Spark's default parser (escapedStringLiterals=false) treats
+    backslash as an escape character, so a trailing ``\\`` in data would eat
+    the closing quote if only quotes were doubled — escape backslashes FIRST,
+    then single quotes.  Language values come from data, so they are
+    arbitrary."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _literal_postings_df(spark, keys) -> DataFrame:
     """Posting keys as a pure-JVM VALUES LocalRelation. createDataFrame from
     a Python list plans as Scan ExistingRDD — every use launches a Python
     worker round-trip; a SQL VALUES literal stays a LocalRelation, folds
     into broadcasts for free, and runs no job at all."""
     rows = ",".join(
-        "({},'{}',{})".format(p, lang.replace("'", "''"), d) for p, lang, d in keys
+        "({},'{}',{})".format(p, _sql_str(lang), d) for p, lang, d in keys
     )
     return spark.sql(
         "SELECT CAST(p AS INT) AS partition_id, l AS language, "
@@ -272,7 +282,7 @@ def _keys_filter(keys):
         by_pl.setdefault((p, lang), []).append(d)
     parts = []
     for (p, lang), ds in sorted(by_pl.items()):
-        esc = lang.replace("'", "''")
+        esc = _sql_str(lang)
         ids = ",".join(str(d) for d in sorted(ds))
         parts.append(
             f"(partition_id = {p} AND language = '{esc}' AND doc_id IN ({ids}))"

@@ -466,3 +466,30 @@ def test_dualpath_negated_term_branch_multivalue_truth_table(engine):
         r["doc_id"] for r in engine.query(q, force_path="fullscan").collect()
     )
     assert got == want
+
+
+def test_posting_literal_sql_escapes_backslash_and_quote(spark):
+    """Language values are arbitrary data; a value ending in a backslash or
+    containing quotes must neither break the VALUES parse nor shift rows
+    (Spark's default parser treats backslash as an escape in literals)."""
+    from accumulo_wikisearch_spark.plans.planner import (
+        _keys_filter,
+        _literal_postings_df,
+    )
+
+    keys = [(0, "en\\", 1), (1, "o'brien\\'", 2), (2, 'w"x\\\\', 3)]
+    got = {
+        (r["partition_id"], r["language"], r["doc_id"])
+        for r in _literal_postings_df(spark, keys).collect()
+    }
+    assert got == set(keys)
+
+    df = spark.createDataFrame(
+        [(p, l, d) for p, l, d in keys] + [(0, "en", 1), (1, "o'brien", 2)],
+        "partition_id int, language string, doc_id long",
+    )
+    kept = {
+        (r["partition_id"], r["language"], r["doc_id"])
+        for r in df.where(_keys_filter(keys)).collect()
+    }
+    assert kept == set(keys)

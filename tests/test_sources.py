@@ -227,3 +227,24 @@ def test_multimodal_real_ppm_stream_frame_sampling(spark):
     got = [bytes(r["frame"]) for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])]
     assert got == [frames[0], frames[2], frames[4]]
     assert 2 not in by_doc  # codec container -> zero rows, no crash
+
+
+def test_ppm_stream_malformed_header_yields_no_crash():
+    """A payload starting 'P6' but truncated/malformed mid-header must not
+    raise (sample_frames' contract: undecodable payloads yield zero rows);
+    frames parsed before the corruption are kept."""
+    import numpy as np
+
+    # truncated immediately after magic
+    assert multimodal._split_ppm_stream(b"P6") == []
+    # header cut mid-token
+    assert multimodal._split_ppm_stream(b"P6\n2 2") == []
+    # comment with no trailing newline -> b.index raises internally, caught
+    assert multimodal._split_ppm_stream(b"P6\n# no newline") == []
+    # non-numeric dimension token
+    assert multimodal._split_ppm_stream(b"P6\nxx 2\n255\n" + b"\x00" * 12) == []
+    # one good frame, then garbage header: good frame survives
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = b"P6\n2 2\n255\n" + px.tobytes()
+    out = multimodal._split_ppm_stream(good + b"P6\n2 ")
+    assert out == [good]
