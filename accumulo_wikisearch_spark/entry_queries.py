@@ -327,11 +327,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The ranking is recomputed from the CORRECTNESS_r*.json files on
     # every call — nothing is hardcoded, renamed/new entries land in
     # class 2 automatically.
-    order = _verification_order(list(out.keys()))
+    order = _verification_order(list(out.keys()), set(oracle_sql().keys()))
     return {k: out[k] for k in order}
 
 
-def _verification_order(names: list[str]) -> list[str]:
+def _verification_order(names: list[str], has_oracle: frozenset | set = frozenset()) -> list[str]:
     import json
     import re
     from pathlib import Path
@@ -357,9 +357,14 @@ def _verification_order(names: list[str]) -> list[str]:
             last_checked[name] = n
             err = row.get("err")
             # err == "no_oracle" is the driver's intentional rows-only
-            # check succeeding, not a failure
+            # check succeeding, not a failure — UNLESS the entry now HAS
+            # an oracle_sql twin: then the oracle has never been
+            # driver-verified and the entry must lead the window until a
+            # real hash-checked row lands (the ann_topk_lsh/ivf case).
+            rows_only_pending = err == "no_oracle" and name in has_oracle
             failed = (
                 (err is not None and err != "no_oracle")
+                or rows_only_pending
                 or row.get("rows_match") is False
                 or row.get("schema_match") is False
                 or row.get("hash_match") is False
