@@ -61,12 +61,26 @@ class WikisearchIndex:
     # materializations (None when the index was loaded from disk)
     _tokenized: DataFrame | None = None
 
-    def persist(self) -> "WikisearchIndex":
+    def persist(self, serving_partitions: int | None = None) -> "WikisearchIndex":
+        """Cache the serving tables.  ``serving_partitions`` right-sizes the
+        per-query docs_wide scan: the BUILD wants full-width parallelism
+        (tokenize is CPU-bound), but a small corpus served at build width
+        pays ~cores fixed task costs per query — latency and multi-client
+        throughput both degrade (measured 6× on 8 clients at width 32 vs
+        4).  One tiny shuffle here narrows only the cached copy; the wide
+        build lineage is untouched.  Only ever narrows — at real scale the
+        caller passes a width ≥ the data's own split count and this is a
+        no-op."""
         if not self._persisted:
             if self._tokenized is not None:
                 self._tokenized = self._tokenized.persist()
             self.field_index = self.field_index.persist()
             self.global_index = self.global_index.persist()
+            if (
+                serving_partitions is not None
+                and serving_partitions < self.docs_wide.rdd.getNumPartitions()
+            ):
+                self.docs_wide = self.docs_wide.repartition(serving_partitions)
             self.docs_wide = self.docs_wide.persist()
             self.metadata = self.metadata.persist()
             # term_index is a serving table too (scored/BM25/phrase search

@@ -271,28 +271,40 @@ def _literal_postings_df(spark, keys) -> DataFrame:
 
 
 def _keys_filter(keys):
-    """Pushable predicate matching exactly a driver-side posting-key set:
-    per (partition, language) group an IN-list on doc_id — partition
-    pruning and row-group min/max skipping both engage, and no join or
-    broadcast is needed at all. Built as ONE SQL string → ONE py4j call;
-    composing it from Column objects marshals every literal individually
-    (~1 ms each — 0.5 s of pure driver overhead for a 500-key set)."""
-    by_pl: dict[tuple, list] = {}
-    for p, lang, d in keys:
-        by_pl.setdefault((p, lang), []).append(d)
-    parts = []
-    for (p, lang), ds in sorted(by_pl.items()):
-        esc = _sql_str(lang)
-        ids = ",".join(str(d) for d in sorted(ds))
-        parts.append(
-            f"(partition_id = {p} AND language = '{esc}' AND doc_id IN ({ids}))"
-        )
-    if not parts:
+    """Pushable predicate matching exactly a driver-side posting-key set.
+
+    Shape: three SIMPLE single-column IN gates (each independently
+    pushable — ``partition_id IN`` prunes partitions, ``doc_id IN`` skips
+    row groups via parquet min/max, ``language IN`` prunes the colf) plus,
+    only when the gates' cartesian product over-approximates the key set,
+    one exact tuple-membership check ``(partition_id, language, doc_id)
+    IN ((...))`` that OptimizeIn turns into a single InSet hash probe.
+    The earlier per-(partition, language) OR-of-conjunction chain was
+    neither pushable (mixed partition/data columns per disjunct) nor
+    cheap to evaluate (O(groups) branch tests per row); the gate+InSet
+    form is O(1) per row after the gates. Built as ONE SQL string → ONE
+    py4j call; composing it from Column objects marshals every literal
+    individually (~1 ms each — 0.5 s of pure driver overhead for a
+    500-key set)."""
+    if not keys:
         return F.lit(False)
-    # cheap global doc_id gate first: one InSet probe rejects almost every
-    # row before the per-(partition, language) branch list is evaluated
-    all_ids = ",".join(str(d) for d in sorted({k[2] for k in keys}))
-    return F.expr(f"doc_id IN ({all_ids}) AND ({' OR '.join(parts)})")
+    ks = sorted(set(keys))
+    parts = sorted({p for p, _, _ in ks})
+    langs = sorted({l for _, l, _ in ks})
+    ids = sorted({d for _, _, d in ks})
+    gates = [
+        "partition_id IN ({})".format(",".join(str(p) for p in parts)),
+        "language IN ({})".format(",".join(f"'{_sql_str(l)}'" for l in langs)),
+        "doc_id IN ({})".format(",".join(str(d) for d in ids)),
+    ]
+    if len(parts) * len(langs) * len(ids) > len(ks):
+        # struct IN does not coerce element-wise: doc_id literals must be
+        # BIGINT (L suffix) to match the column struct's type exactly
+        tuples = ",".join(
+            f"({p},'{_sql_str(l)}',{d}L)" for p, l, d in ks
+        )
+        gates.append(f"(partition_id, language, doc_id) IN ({tuples})")
+    return F.expr(" AND ".join(gates))
 
 
 @dataclass(frozen=True)
