@@ -202,6 +202,24 @@ def _sig_from_sets(num_hashes: int):
     return F.array(*mins)
 
 
+def _cap_band_groups(
+    banded: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Deterministic skew guard for band self-joins: drop rows of any band
+    group larger than ``max_bucket`` BEFORE the join, bounding it at
+    O(rows · max_bucket) without relying on AQE skew handling. The window
+    shuffles on the same keys the join uses, so the partitioning is
+    reused, not an extra exchange."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bsz", F.count("*").over(w))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -209,12 +227,22 @@ def minhash_lsh_pairs(
     bands: int = 16,
     num: int = 4,
     den: int = 5,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     band-bucket self-join emits candidates (linear shuffle at scale); each
     candidate pair is then exactly verified, so precision is 1.0 and recall
     is the LSH catch probability (≈0.9998 at j=0.8 with 16×4 bands).
+
+    ``max_bucket`` deterministically drops (band, bsig) groups above the
+    cap before the self-join (see :func:`_cap_band_groups`). A group that
+    hot is near-always mass near-duplication — a cluster of >max_bucket
+    mutually-similar docs collides in EVERY band, so the cap loses it
+    entirely; byte-identical mass dups belong to the exact-dedup pre-pass.
+    The sf-scale oracle corpus never approaches the cap, so the exact-
+    Jaccard oracle (which cannot replay the cap) stays consistent at check
+    scale; at production scale the cap is part of the operator contract.
     """
     rows = num_hashes // bands
     sets = _shingle_hash_sets(docs, k).withColumn(
@@ -233,6 +261,7 @@ def minhash_lsh_pairs(
     banded = sets.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc_id", "b.band", "b.bsig"
     )
+    banded = _cap_band_groups(banded, ["band", "bsig"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -292,12 +321,20 @@ def simhash(docs: DataFrame) -> DataFrame:
     return docs.where(n > 0).select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, band_bits: int = 15) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int = 15,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
     Banding: split the 60-bit signature into 4×15-bit bands — any pair with
     hamming ≤ 3 agrees exactly on ≥1 band (pigeonhole), so the band join is
     a complete candidate generator; candidates are verified with popcount.
+    ``max_bucket`` is the deterministic skew guard (:func:`_cap_band_groups`
+    — same mass-dup caveat as minhash), replayed identically by the SQL
+    oracle's QUALIFY clause.
     """
     sig = simhash(docs)
     nbands = SIMHASH_BITS // band_bits
@@ -312,6 +349,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, band_bits: int = 15) ->
     banded = sig.select("doc_id", "simhash", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc_id", "simhash", "b.band", "b.bsig"
     )
+    banded = _cap_band_groups(banded, ["band", "bsig"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -419,7 +457,7 @@ def embedding_near_dup_pairs_exact(emb: DataFrame, threshold_pct: int = 90) -> D
     )
 
 
-_EMB_BANDS, _EMB_RBITS, _EMB_DIM = 16, 6, 64
+_EMB_BANDS, _EMB_RBITS, _EMB_DIM = 16, 12, 64
 
 
 @lru_cache(maxsize=1)
@@ -434,40 +472,89 @@ def _dedup_planes() -> tuple:
     )
 
 
-def _band_bucket(v, planes) -> F.Column:
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
+def _band_buckets_udf():
+    """Arrow-vectorized band signatures: ONE float64 matmul per batch
+    against the (bands·rbits)×dim plane matrix, then bit-packed per band.
+    The earlier per-plane ``aggregate(zip_with(...))`` Catalyst expression
+    evaluated bands·rbits·dim interpreted lambda calls per ROW (~12k) —
+    higher-order functions don't codegen their lambdas, so this is the
+    documented pandas-UDF exception, ~100× the throughput.  Built lazily
+    (pandas_udf needs an active session)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.array(_dedup_planes(), dtype=np.float64).T  # (dim, b·r)
+
+    # no pd.Series annotations: postponed evaluation (future annotations)
+    # turns them into strings pandas_udf can't resolve
+    @pandas_udf("array<long>")
+    def buckets(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+        S = (V @ planes_t) > 0  # (n, bands·rbits)
+        S = S.reshape(len(V), _EMB_BANDS, _EMB_RBITS)
+        B = np.zeros((len(V), _EMB_BANDS), dtype=np.int64)
+        for r in range(_EMB_RBITS):
+            B |= S[:, :, r].astype(np.int64) << r
+        return pd.Series(list(B))
+
+    return buckets
 
 
-def embedding_near_dup_pairs(emb: DataFrame, threshold_pct: int = 90) -> DataFrame:
+def _cos_pairs_udf():
+    """Vectorized exact-cosine verify over candidate pairs (two array
+    columns → double), Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / den)
+
+    return cos
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold_pct: int = 90, max_bucket: int | None = 4096
+) -> DataFrame:
     """Pairs with cosine ≥ threshold_pct/100 via banded sign-LSH candidates
     + exact cosine verification (Charikar 2002 banding; same construction
     as minhash_lsh_pairs).
 
-    Scale shape: signatures are a narrow map (no shuffle); the candidate
-    self-join keys on (band, bucket) — linear in collisions instead of the
-    n² cross product; the exact verify runs only on candidates. Recall for
-    cos ≥ 0.9 pairs is 1-(1-p^r)^b ≈ 0.9997 (p ≈ 0.857, r=6, b=16); the
-    banding is deterministic (seeded planes) and replayed identically by
-    the SQL oracle, so the driver check stays hash-exact at any recall."""
-    planes = _dedup_planes()
+    Scale shape: signatures are a narrow Arrow-vectorized map (no
+    shuffle); the candidate self-join keys on (band, bucket) — linear in
+    collisions instead of the n² cross product; the exact verify runs only
+    on candidates. r=12 bits/band (4096 buckets) keeps random collisions
+    ≈ n²/2¹² per band; recall for cos ≥ 0.9 pairs is 1-(1-p^r)^b ≈ 0.93
+    (p ≈ 0.857), ≈ 0.996 at cos ≥ 0.95. ``max_bucket`` is the
+    deterministic skew guard: any (band, bucket) group larger than the cap
+    is dropped from THAT band before the self-join (other bands still see
+    its members), bounding the join at O(b · n · max_bucket) regardless of
+    data — no reliance on AQE skew handling. Caveat: a cluster of
+    near-identical vectors larger than the cap collides in EVERY band and
+    is lost entirely — identical-payload mass duplication belongs to the
+    exact-dedup pre-pass (hash the vector bytes), not the LSH path. The
+    banding and the cap are deterministic and replayed identically by the
+    SQL oracle, so the driver check stays hash-exact at any recall."""
     v = _vecs(emb)
-    buckets = F.array(
-        *[
-            _band_bucket(F.col("v"), planes[bd * _EMB_RBITS : (bd + 1) * _EMB_RBITS])
-            for bd in range(_EMB_BANDS)
-        ]
-    )
-    e = v.select("vec_id", F.posexplode(buckets).alias("band", "bucket"))
+    sig = v.select("vec_id", "v", _band_buckets_udf()(F.col("v")).alias("bks"))
+    e = sig.select("vec_id", F.posexplode("bks").alias("band", "bucket"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        e = (
+            e.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = e.alias("a")
     b = e.alias("b")
     cand = (
@@ -485,7 +572,10 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold_pct: int = 90) -> DataFra
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")
-        .where(F.lit(100.0) * _cos(F.col("av"), F.col("bv")) >= F.lit(float(threshold_pct)))
+        .where(
+            F.lit(100.0) * _cos_pairs_udf()(F.col("av"), F.col("bv"))
+            >= F.lit(float(threshold_pct))
+        )
         .select("a_id", "b_id")
     )
 
@@ -555,10 +645,11 @@ SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS 
 FROM b GROUP BY doc_id
 """
 
-def _emb_lsh_sql(threshold_pct: int = 90) -> str:
+def _emb_lsh_sql(threshold_pct: int = 90, max_bucket: int | None = 4096) -> str:
     """Replay of embedding_near_dup_pairs in SQL: same rounded plane
     literals, same band/bit indexing (band = i // rbits, bit = i % rbits),
-    same exact-cosine verify — deterministic at any recall."""
+    same per-(band, bucket) size cap, same exact-cosine verify —
+    deterministic at any recall."""
     planes = _dedup_planes()
     vals = ",\n  ".join(
         f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
@@ -578,10 +669,14 @@ dots AS (
     list_sum(list_transform(range(1, {_EMB_DIM + 1}), j -> e.v[j] * p.pv[j])) AS dot
   FROM e CROSS JOIN p
 ),
-bb AS (
+bb0 AS (
   SELECT vec_id, i // {_EMB_RBITS} AS band,
     sum(CASE WHEN dot > 0 THEN (1::BIGINT << (i % {_EMB_RBITS})) ELSE 0 END)::BIGINT AS bucket
   FROM dots GROUP BY vec_id, i // {_EMB_RBITS}
+),
+bb AS (
+  SELECT vec_id, band, bucket FROM bb0
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket if max_bucket is not None else 1 << 62}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -608,9 +703,13 @@ sigs AS (
   SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sh
   FROM bm GROUP BY doc_id
 ),
-banded AS (
+banded0 AS (
   SELECT doc_id, sh, j AS band, (sh >> (j * 15)) & 32767 AS bsig
   FROM sigs, generate_series(0, 3) AS g(j)
+),
+banded AS (
+  SELECT doc_id, sh, band, bsig FROM banded0
+  QUALIFY count(*) OVER (PARTITION BY band, bsig) <= 4096
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb

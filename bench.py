@@ -60,13 +60,22 @@ def main() -> None:
         "q_or_eq": "SOURCE == 'src3' or SOURCE == 'src7'",
         "q_wildcard": "SOURCE =~ 'src1.*'",
         "q_unfielded": "'dup'",
+        # dual-path mixed OR: indexed branch + filtered fullscan union
+        "q_mixed_or": "TEXT == 'dup' or SOURCE >= 'src18'",
     }
 
-    def timed(name, thunk):
+    def timed(name, thunk, reps: int = 3):
+        """Warm once, then report the MEDIAN of ``reps`` timed runs —
+        single-shot numbers at these latencies (0.1-0.5 s) carry ±50%
+        GC/scheduler noise, which made round-over-round regressions
+        indistinguishable from drift."""
         thunk()  # warm
-        t = time.time()
-        thunk()
-        times[name] = round(time.time() - t, 3)
+        xs = []
+        for _ in range(reps):
+            t = time.time()
+            thunk()
+            xs.append(time.time() - t)
+        times[name] = round(sorted(xs)[len(xs) // 2], 3)
 
     for name, jexl in ws.items():
         timed(name, lambda jexl=jexl: eng.query(jexl).count())
@@ -91,8 +100,17 @@ def main() -> None:
         "ann_topk",
         lambda: similarity.topk_bruteforce(emb, similarity.self_queries(emb)).count(),
     )
+    timed(
+        "dedup_embedding_banded",
+        lambda: dedup.embedding_near_dup_pairs(emb).count(),
+    )
     timed("text_quality", lambda: textstats.text_quality(docs).count())
     timed("doc_fingerprint", lambda: textstats.doc_fingerprint(docs).count())
+
+    from accumulo_wikisearch_spark.operators import multimodal
+
+    mm_media = multimodal.queries()["mm_decode_image"]
+    timed("mm_decode_image", lambda: mm_media(spark, sf_dir).count())
 
     from accumulo_wikisearch_spark.operators import curation, vocab
 

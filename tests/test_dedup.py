@@ -87,3 +87,44 @@ def test_ngram_jaccard_df_cap_drops_boilerplate(spark):
     assert loose.count() == 15  # all pairs share the boilerplate
     capped = ngram_jaccard_pairs(docs, num=1, den=5, max_df=5)
     assert capped.count() == 0  # boilerplate shingles (df=6) dropped
+
+
+def test_band_bucket_cap_bounds_hot_groups(spark):
+    """Adversarial hot bucket: a large cluster of identical items collides
+    in EVERY band; the deterministic max_bucket cap drops those groups
+    before the self-join (bounding it without AQE), while max_bucket=None
+    preserves the full pair set."""
+    import random
+
+    from accumulo_wikisearch_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    rng = random.Random(11)
+    hot_vec = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [(i, hot_vec) for i in range(30)]
+    # plus one isolated near-dup pair that must SURVIVE the cap
+    a = [rng.gauss(0, 1) for _ in range(64)]
+    rows += [(100, a), (101, [x + rng.gauss(0, 0.01) for x in a])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = sorted(
+        map(tuple, embedding_near_dup_pairs(emb, 95, max_bucket=10).collect())
+    )
+    assert (100, 101) in capped  # small-bucket pair survives
+    assert not any(b < 100 for _, b in capped)  # hot cluster dropped
+    full = embedding_near_dup_pairs(emb, 95, max_bucket=None).count()
+    assert full >= 30 * 29 // 2  # uncapped finds the whole hot cluster
+
+    text_rows = [(i, "all work and no play makes jack a dull boy " * 3) for i in range(30)]
+    # long shared prefix + one differing final word → shingle jaccard ≈ 0.86
+    near = "completely different content about sparks embers ash flame glow " * 4
+    text_rows += [(100, near + "three"), (101, near + "four")]
+    docs = spark.createDataFrame(text_rows, "doc_id long, text string")
+    mh = sorted(map(tuple, minhash_lsh_pairs(docs, max_bucket=10).collect()))
+    assert (100, 101) in mh
+    assert not any(b < 100 for _, b in mh)
+    sh = simhash_pairs(docs, max_bucket=10).select("a_id", "b_id").collect()
+    assert not any(r["b_id"] < 100 for r in sh)
+    assert simhash_pairs(docs, max_bucket=None).count() >= 30 * 29 // 2
