@@ -47,11 +47,13 @@ class EngineConfig:
     # IN-list size at high partition counts.
     exact_uid_total_max: int = 4096
     normalizer: str = "LcNoDiacritics"
-    # TEXT tokenizer: "whitespace" (default; matches the synthetic corpus
-    # and the DuckDB oracles) or "word" — punctuation-aware letters+digits
+    # TEXT tokenizer: "word" (default) — punctuation-aware letters+digits
     # runs, the reference's Lucene WikipediaTokenizer intent
-    # (WikipediaMapper.java:154-167).
-    tokenizer: str = "whitespace"
+    # (WikipediaMapper.java:154-167): "abacus," and "abacus." index as the
+    # token "abacus". "whitespace" is the compat mode (split on whitespace
+    # runs only). On the all-lowercase-alnum synthetic corpus the two are
+    # identical, so the DuckDB oracles hold under either.
+    tokenizer: str = "word"
 
     def is_indexed(self, fld: str) -> bool:
         return self.indexed_fields is None or fld in self.indexed_fields
