@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from accumulo_wikisearch_spark.session import tune_runtime
 from accumulo_wikisearch_spark.sources.corpus import get_engine, get_events_engine
 
-TOK = "string_split(text,' ')"
+# Oracle twin of the engine's default "word" tokenizer (letters+digits
+# runs; see functions/normalize.py). The synthetic corpus is all-lowercase
+# alnum + spaces, where this equals whitespace splitting — stated here so
+# the oracle stays truthful if the corpus ever grows punctuation.
+TOK = "regexp_split_to_array(text, '[^a-z0-9]+')"
 
 # name → (jexl, auths, duckdb_where)
 WS_QUERIES: dict[str, tuple[str, list[str] | None, str]] = {

@@ -71,13 +71,14 @@ def normalize_str(value: str) -> str:
 
 
 # Token split patterns by tokenizer mode:
-# - "whitespace": runs of whitespace separate tokens — matches the
-#   synthetic corpus AND the DuckDB oracles (string_split(text, ' ')),
-#   so it is the default for hash parity.
-# - "word": punctuation-aware word splitting (letters+digits runs), the
-#   intent of the reference's Lucene WikipediaTokenizer
-#   (WikipediaMapper.java:154-167, :226-234): "abacus," and "abacus."
-#   index as the token "abacus". Digits kept; underscores split.
+# - "word" (the EngineConfig default): punctuation-aware word splitting
+#   (letters+digits runs), the intent of the reference's Lucene
+#   WikipediaTokenizer (WikipediaMapper.java:154-167, :226-234):
+#   "abacus," and "abacus." index as the token "abacus". Digits kept;
+#   underscores split.
+# - "whitespace": runs of whitespace separate tokens — the compat mode.
+#   On the all-lowercase-alnum synthetic corpus the two modes tokenize
+#   identically, which keeps the DuckDB oracles valid under either.
 TOKEN_SPLIT_RE = r"\s+"
 _SPLIT_BY_MODE = {
     "whitespace": TOKEN_SPLIT_RE,

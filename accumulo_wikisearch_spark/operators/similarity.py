@@ -303,6 +303,109 @@ def topk_ivf_on_disk(
 
 
 # ---------------------------------------------------------------------------
+# Lloyd-refined IVF, integer-exact — the driver-checkable refinement path
+# ---------------------------------------------------------------------------
+
+
+def _quantized_vecs(emb: DataFrame) -> DataFrame:
+    """int8-quantized vectors as whole-number doubles (quantize_int8's
+    formula: scale = max|x|/127, q = round(x/scale)). Whole-number inputs
+    make every downstream sum EXACT in double (|Σ| « 2⁵³, no rounding), so
+    aggregation order stops mattering — the property that lets Lloyd
+    refinement be deterministic across engines and partitionings."""
+    v = _as_double(F.col("embedding"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.when(mx == 0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale))
+    )
+    return emb.select("vec_id", q.alias("v"))
+
+
+def take_centroids_lloyd_exact(
+    q8: DataFrame, n_cells: int = 16, lloyd_iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd refinement over quantized vectors.
+
+    Float k-means means are partial-aggregation-order dependent, so a
+    refined-centroid plan can't be replayed bit-exactly by a SQL oracle.
+    Quantized (whole-number) vectors fix that: per-(cell, dim) sums are
+    exact, and the centroid component is floor(sum / count) — integer
+    math both engines agree on. Each step is one distributed pass; only
+    the n_cells × dim centroid matrix is collected. Empty cells keep
+    their previous centroid (same convention as take_centroids)."""
+    rows = q8.orderBy("vec_id").limit(n_cells).collect()
+    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+    for _ in range(lloyd_iters):
+        assigned = q8.select(
+            "v",
+            F.array_max(_cell_scores(F.col("v"), _centroid_lit(cents)))[
+                "cell"
+            ].alias("cell"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.floor(F.sum("x") / F.count("*")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+            .select("cell", F.col("ms.m").alias("mean"))
+            .collect()
+        )
+        new = dict(cents)
+        for r in means:
+            new[r["cell"]] = [float(x) for x in r["mean"]]
+        cents = sorted(new.items())
+    return cents
+
+
+def topk_ivf_lloyd_exact(
+    emb: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+    nq: int = 5,
+) -> DataFrame:
+    """IVF top-k with Lloyd-REFINED centroids, end-to-end deterministic:
+    quantized corpus (int8 grid), integer-exact refinement
+    (:func:`take_centroids_lloyd_exact`), then the same probe/re-rank
+    shape as :func:`topk_ivf`. Everything downstream of the exact sums is
+    a fixed-order expression (sequential-fold cosines both engines
+    evaluate identically), so the whole operator is SQL-replayable —
+    closing the lloyd_iters>0 oracle gap."""
+    q8 = _quantized_vecs(emb)
+    cents = take_centroids_lloyd_exact(q8, n_cells, lloyd_iters)
+    corpus = q8.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        F.array_max(_cell_scores(F.col("v"), _centroid_lit(cents)))["cell"].alias(
+            "cell"
+        ),
+    )
+    qv = q8.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
+    probes = qv.select(
+        "query_id",
+        "qv",
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
+    ).select("query_id", "qv", F.explode(F.col("probes.cell")).alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 quantization — the storage/compute scale path for embeddings
 # ---------------------------------------------------------------------------
 
@@ -416,6 +519,10 @@ def queries():
         "ann_topk_ivf": lambda s, d: topk_ivf(
             _emb(s, d), self_queries(_emb(s, d)), lloyd_iters=0
         ),
+        # Lloyd-REFINED IVF is driver-checkable via the integer-exact
+        # variant: quantized corpus makes the per-cell means deterministic,
+        # so 2 refinement steps unroll into oracle CTEs
+        "ann_topk_ivf_lloyd": lambda s, d: topk_ivf_lloyd_exact(_emb(s, d)),
         "emb_quantize_int8": lambda s, d: quantize_int8(_emb(s, d)),
         "ann_hybrid_keyword": _hybrid_entry,
     }
@@ -549,11 +656,91 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k
 """
 
 
+def _ivf_lloyd_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    nq: int = 5,
+    lloyd_iters: int = 2,
+) -> str:
+    """Replay of topk_ivf_lloyd_exact: quantize (round(x/(max|x|/127))),
+    seed centroids = first n_cells quantized vectors (row_number labels),
+    then ``lloyd_iters`` refinement steps unrolled as CTE pairs
+    (assign → per-dim floor(sum/count) mean, empty cells keep the previous
+    centroid), final assignment + probe + exact re-rank. All sums are over
+    whole-number doubles → exact → engine-order-independent."""
+
+    def assign(prev: str, extra: str = "") -> str:
+        cos = _cos_sql("q8.v", f"{prev}.cvec", dim)
+        return f"""(
+    SELECT vec_id, v, cell FROM (
+      SELECT q8.vec_id, q8.v, {prev}.cell,
+        row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cos} DESC, {prev}.cell DESC) AS rn
+      FROM q8 CROSS JOIN {prev}{extra}
+    ) WHERE rn = 1
+  )"""
+
+    sql = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+         THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+    END AS v
+  FROM e
+),
+c0 AS (
+  SELECT cell, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM q8
+  ) WHERE cell < {n_cells}
+)"""
+    prev = "c0"
+    for it in range(1, lloyd_iters + 1):
+        sql += f""",
+a{it} AS {assign(prev)},
+m{it} AS (
+  SELECT cell, j, floor(sum(v[j]) / count(*)) AS m
+  FROM a{it}, range(1, {dim + 1}) AS r(j) GROUP BY cell, j
+),
+c{it} AS (
+  SELECT {prev}.cell, COALESCE(mm.cvec, {prev}.cvec) AS cvec
+  FROM {prev} LEFT JOIN (
+    SELECT cell, list(m ORDER BY j) AS cvec FROM m{it} GROUP BY cell
+  ) mm ON mm.cell = {prev}.cell
+)"""
+        prev = f"c{it}"
+    cosf = _cos_sql("q8.v", f"{prev}.cvec", dim)
+    sql += f""",
+fa AS {assign(prev)},
+qp AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT q8.vec_id, q8.v, {prev}.cell,
+      row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cosf} DESC, {prev}.cell DESC) AS rn
+    FROM q8 CROSS JOIN {prev} WHERE q8.vec_id < {nq}
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id, {_cos_sql("qp.qv", "a.v", dim)} AS cos
+  FROM fa a JOIN qp ON a.cell = qp.cell AND a.vec_id <> qp.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
+"""
+    return sql
+
+
 def oracle_sql():
     return {
         "ann_topk_bruteforce": _TOPK_SQL,
         "ann_topk_lsh": _lsh_sql(),
         "ann_topk_ivf": _ivf_sql(),
+        "ann_topk_ivf_lloyd": _ivf_lloyd_sql(),
         "emb_quantize_int8": _QUANT_SQL,
         "ann_hybrid_keyword": _HYBRID_SQL,
     }

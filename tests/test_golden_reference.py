@@ -75,9 +75,10 @@ def test_auths_filter_on_reference_fixture(wiki_engine):
 
 
 def test_word_tokenizer_strips_punctuation(spark):
-    """EngineConfig(tokenizer="word"): 'abacus,' and 'abacus.' index as the
-    token 'abacus' (WikipediaTokenizer intent, WikipediaMapper.java:154-167);
-    the default whitespace tokenizer keeps the punctuation glued on."""
+    """The DEFAULT tokenizer is "word": 'abacus,' and 'abacus.' index as
+    the token 'abacus' (WikipediaTokenizer intent,
+    WikipediaMapper.java:154-167); the "whitespace" compat mode keeps the
+    punctuation glued on."""
     from accumulo_wikisearch_spark.api import Wikisearch
     from accumulo_wikisearch_spark.config import EngineConfig
 
@@ -89,15 +90,18 @@ def test_word_tokenizer_strips_punctuation(spark):
     ]
     df = spark.createDataFrame(rows, "id long, language string, text string")
     word = Wikisearch.ingest(
-        df, EngineConfig(num_partitions=2, tokenizer="word"), {"ID": "id"},
-        unique_ids=True,
+        df, EngineConfig(num_partitions=2), {"ID": "id"}, unique_ids=True
     )
+    assert word.index.config.tokenizer == "word"  # the shipped default
     ids = lambda e, q, **kw: sorted(r["doc_id"] for r in e.query(q, **kw).collect())
     assert ids(word, "TEXT == 'abacus'") == [1, 2, 3]
     assert ids(word, "TEXT == 'abacus'", force_path="fullscan") == [1, 2, 3]
     assert ids(word, "TEXT == '42'") == [4]  # digits kept
     ws = Wikisearch.ingest(
-        df, EngineConfig(num_partitions=2), {"ID": "id"}, unique_ids=True
+        df,
+        EngineConfig(num_partitions=2, tokenizer="whitespace"),
+        {"ID": "id"},
+        unique_ids=True,
     )
     assert ids(ws, "TEXT == 'abacus'") == [3]  # 'abacus,' != 'abacus'
 

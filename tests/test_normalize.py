@@ -47,3 +47,4 @@ def test_hash60_matches_duckdb(spark, duck):
         ).fetchone()[0]
         assert got[v] == want, v
         assert got[v] >= 0
+

@@ -114,3 +114,24 @@ def test_hybrid_search_ranks_only_candidates(spark):
     out = hybrid_search(cand, emb, query_vec_id=0, k=5).collect()
     # query doc excluded; non-candidate 3 excluded; nearer first
     assert [(r.doc_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_ivf_lloyd_exact_is_deterministic_across_partitionings(spark):
+    """The integer-exact Lloyd refinement must yield identical centroids
+    (hence identical top-k) regardless of how the corpus is partitioned —
+    the property that makes lloyd_iters>0 oracle-checkable."""
+    from accumulo_wikisearch_spark.operators.similarity import (
+        _quantized_vecs,
+        take_centroids_lloyd_exact,
+        topk_ivf_lloyd_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = take_centroids_lloyd_exact(_quantized_vecs(emb), 8, 2)
+    c2 = take_centroids_lloyd_exact(_quantized_vecs(emb.repartition(13)), 8, 2)
+    assert c1 == c2
+    r1 = sorted(map(tuple, topk_ivf_lloyd_exact(emb, n_cells=8).collect()))
+    r2 = sorted(
+        map(tuple, topk_ivf_lloyd_exact(emb.repartition(7), n_cells=8).collect())
+    )
+    assert r1 == r2 and len(r1) > 0
