@@ -216,8 +216,10 @@ def topk_ivf(
 
     ``lloyd_iters=0`` keeps the seed centroids (first n_cells vectors)
     verbatim — fully replicable in ANSI SQL, which is how the driver's
-    oracle checks this operator end-to-end; the Lloyd-refined path is
-    covered by pytest recall assertions.
+    oracle checks this operator end-to-end. The float Lloyd-refined path
+    here is covered by pytest recall assertions (float means are partial-
+    aggregation-order dependent, so not bit-replayable); the DETERMINISTIC
+    refined path with its own oracle is :func:`topk_ivf_lloyd_exact`.
     """
     cents = take_centroids(emb, n_cells, lloyd_iters)
     corpus = ivf_assign(emb, cents).select(
