@@ -61,7 +61,11 @@ class WikisearchIndex:
     # materializations (None when the index was loaded from disk)
     _tokenized: DataFrame | None = None
 
-    def persist(self, serving_partitions: int | None = None) -> "WikisearchIndex":
+    def persist(
+        self,
+        serving_partitions: int | None = None,
+        current_partitions: int | None = None,
+    ) -> "WikisearchIndex":
         """Cache the serving tables.  ``serving_partitions`` right-sizes the
         per-query docs_wide scan: the BUILD wants full-width parallelism
         (tokenize is CPU-bound), but a small corpus served at build width
@@ -70,17 +74,25 @@ class WikisearchIndex:
         4).  One tiny shuffle here narrows only the cached copy; the wide
         build lineage is untouched.  Only ever narrows — at real scale the
         caller passes a width ≥ the data's own split count and this is a
-        no-op."""
+        no-op.  ``current_partitions`` lets the caller supply the known
+        input width (docs_wide inherits it through the narrow pivot) —
+        probing ``docs_wide.rdd.getNumPartitions()`` here would force a
+        full driver-side analysis of the pivot plan (~3 s with the
+        Unicode translate literals) just to read a number the caller
+        already has."""
         if not self._persisted:
             if self._tokenized is not None:
                 self._tokenized = self._tokenized.persist()
             self.field_index = self.field_index.persist()
             self.global_index = self.global_index.persist()
-            if (
-                serving_partitions is not None
-                and serving_partitions < self.docs_wide.rdd.getNumPartitions()
-            ):
-                self.docs_wide = self.docs_wide.repartition(serving_partitions)
+            if serving_partitions is not None:
+                cur = (
+                    current_partitions
+                    if current_partitions is not None
+                    else self.docs_wide.rdd.getNumPartitions()
+                )
+                if serving_partitions < cur:
+                    self.docs_wide = self.docs_wide.repartition(serving_partitions)
             self.docs_wide = self.docs_wide.persist()
             self.metadata = self.metadata.persist()
             # term_index is a serving table too (scored/BM25/phrase search

@@ -52,6 +52,8 @@ def _widen(df: DataFrame) -> DataFrame:
     penalizing it."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    # cheap probe: the plan here is a bare scan+select, so the .rdd
+    # conversion costs ~ms (unlike probing a built index plan)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -88,7 +90,12 @@ def get_engine(
         articles = load_articles(spark, sf_dir)
         # doc_id is unique in documents.parquet → zero-shuffle pivot path
         eng = Wikisearch.ingest(articles, config, SCALAR_FIELDS, unique_ids=True)
-        eng.index.persist(_serving_width(f"{sf_dir}/documents.parquet", spark))
+        # docs_wide inherits articles' width through the narrow pivot —
+        # pass it so persist() needn't analyze the pivot plan to learn it
+        eng.index.persist(
+            _serving_width(f"{sf_dir}/documents.parquet", spark),
+            current_partitions=articles.rdd.getNumPartitions(),
+        )
         _ENGINES[key] = eng
     return eng
 
@@ -133,6 +140,9 @@ def get_events_engine(
     if eng is None:
         arts = load_event_articles(spark, sf_dir)
         eng = Wikisearch.ingest(arts, config, EVENT_SCALAR_FIELDS, unique_ids=True)
-        eng.index.persist(_serving_width(f"{sf_dir}/events.parquet", spark))
+        eng.index.persist(
+            _serving_width(f"{sf_dir}/events.parquet", spark),
+            current_partitions=arts.rdd.getNumPartitions(),
+        )
         _ENGINES[key] = eng
     return eng
