@@ -297,28 +297,54 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 60
 
 
+def _simhash_udf():
+    """Arrow-vectorized 60-bit simhash.  The earlier pure-Catalyst form
+    built a 60-branch expression tree (one filter+when per bit) whose
+    per-JOB analysis alone cost ~2 s — plan size, not data, was the
+    bottleneck, so task parallelism couldn't help.  One small UDF node
+    keeps analysis O(1); inside, the bit-majority is a numpy matrix op.
+    hash60 (md5 → first 15 hex chars → int) is reproduced bit-exactly by
+    hashlib, so the VALUES stay oracle-checkable.  Built lazily
+    (pandas_udf needs an active session)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    @pandas_udf("long")
+    def sh(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [w for w in t.split(" ") if w]
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    for w in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+            out[i] = (((2 * ones > len(hs)).astype(np.int64)) << shifts).sum()
+        return pd.Series(out)
+
+    return sh
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash BIGINT) — 60-bit frequency-weighted bit-majority
     signature over tokens, portable (md5-based) for oracle checking.
 
-    Shuffle-free: token hashes and all 60 bit-majorities are per-row array
-    expressions — a narrow map over the corpus scan (the right shape for a
-    100 TB pass)."""
+    Shuffle-free: one Arrow-batched map over the corpus scan (the right
+    shape for a 100 TB pass); empty-token docs are dropped JVM-side before
+    the UDF sees them."""
     toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
-    hs = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    return docs.where(F.size(toks) > 0).select(
+        "doc_id", _simhash_udf()(F.col("text")).alias("simhash")
     )
-    n = F.size(hs)
-    sim: Column = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        ones = F.size(
-            F.filter(hs, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
-        )
-        # majority vote: (+1 per set bit, -1 per clear bit) > 0 ⟺ 2*ones > n
-        sim = sim + F.when(
-            F.lit(2) * ones > n, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return docs.where(n > 0).select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -336,7 +362,11 @@ def simhash_pairs(
     — same mass-dup caveat as minhash), replayed identically by the SQL
     oracle's QUALIFY clause.
     """
-    sig = simhash(docs)
+    # persist the signatures: the self-join references them on BOTH sides
+    # and projection collapse would otherwise inline the 60-bit majority
+    # expression into every band branch of each side (~10× recompute —
+    # measured 22 s vs 2 s at sf0.1); same scoped-persist as minhash's sets
+    sig = simhash(docs).persist()
     nbands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
     band_cols = [
