@@ -188,18 +188,18 @@ def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 64) -> Dat
 
 
 def _sig_from_sets(num_hashes: int):
+    """64-permutation signature as ONE ``F.expr`` SQL string.  Composing
+    it Column-by-Column issued hundreds of py4j calls (~1.5 s of pure
+    driver time per plan construction — measured as the dominant cost of
+    minhash_lsh_pairs at small sf); one string is one py4j round-trip and
+    the JVM SQL parser handles the rest."""
     coeffs = _perm_coeffs(num_hashes)
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("hs"),
-                # pmod keeps xxhash64's negative values in [0, M31)
-                lambda x: (F.pmod(x, _MERSENNE31) * F.lit(a) + F.lit(b)) % _MERSENNE31,
-            )
-        )
+    mins = ",".join(
+        # pmod keeps xxhash64's negative values in [0, M31)
+        f"array_min(transform(hs, x -> (pmod(x, {_MERSENNE31}) * {a}L + {b}L) % {_MERSENNE31}))"
         for (a, b) in coeffs
-    ]
-    return F.array(*mins)
+    )
+    return F.expr(f"array({mins})")
 
 
 def _cap_band_groups(
