@@ -404,10 +404,19 @@ def write_index(index: WikisearchIndex, path: str) -> None:
     scans hit few row groups (sorted bulk load analogue, SURVEY §4 O19).
 
     The eight table writes are INDEPENDENT jobs submitted from worker
-    threads, so the scheduler overlaps them (they share the one tokenize
-    pass through the persisted base); on a cluster this is the difference
-    between 8 sequential write barriers and one."""
+    threads, so the scheduler overlaps them; on a cluster this is the
+    difference between 8 sequential write barriers and one.  The shared
+    tokenized base is persisted for the duration of the writes (and
+    released afterwards if it wasn't cached before) — without this every
+    table write re-runs the tokenize pass."""
     from concurrent.futures import ThreadPoolExecutor
+
+    tok = index._tokenized
+    tok_was_cached = tok is not None and tok.storageLevel.useMemory
+    if tok is not None and not tok_was_cached:
+        # materialize BEFORE the parallel writes: concurrent first-touch
+        # of a lazy cache makes each thread compute its own partitions
+        tok.persist().count()
 
     writes = [
         lambda: (
@@ -461,8 +470,12 @@ def write_index(index: WikisearchIndex, path: str) -> None:
             .parquet(f"{path}/documents")
         ),
     ]
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        list(ex.map(lambda w: w(), writes))
+    try:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(lambda w: w(), writes))
+    finally:
+        if tok is not None and not tok_was_cached:
+            tok.unpersist()
 
 
 def write_index_bucketed(
