@@ -198,38 +198,68 @@ def replay_windowed_counts(spark, sf_dir: str):
     from accumulo_wikisearch_spark.session import tune_runtime
 
     tune_runtime(spark)
-    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # FileStreamSource needs a DIRECTORY; stage the single parquet file
-    # behind a symlink in a temp dir (read-only testdata stays untouched)
+    ev = _staged_events_stream(spark, sf_dir)
+    out = windowed_counts_stream(ev).select(
+        F.unix_timestamp("window_start").cast("long").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    return _run_to_table(spark, out, "ev_stream_windowed_replay_sink", "complete")
+
+
+def _staged_events_stream(spark, sf_dir: str, copies: int = 1):
+    """events.parquet as a file-source stream; ``copies>1`` symlinks the
+    file several times so every event arrives that many times — the
+    deterministic duplicate generator for the streaming-dedup gate
+    (read-only testdata stays untouched)."""
     import os
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="ev-stream-replay-")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
-    )
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="ev-stream-stage-")
+    for i in range(copies):
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            f"{stage}/events_{i}.parquet",
+        )
     ev = spark.readStream.schema(sch).parquet(stage)
     if dict(ev.dtypes)["ts"] == "bigint":
         # nanos-since-epoch LONG (see sources/events.py)
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    out = windowed_counts_stream(ev).select(
-        F.unix_timestamp("window_start").cast("long").alias("window_start"),
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
-    )
-    name = "ev_stream_windowed_replay_sink"
+    return ev
+
+
+def _run_to_table(spark, out, name: str, output_mode: str):
     spark.catalog.dropTempView(name)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def replay_stream_dedup(spark, sf_dir: str):
+    """Run ``dedup_stream`` as a real structured-streaming query over the
+    events parquet staged TWICE (every event arrives twice, possibly in
+    different micro-batches) and return the surviving rows — exactly one
+    per event_id, which is what the batch-DISTINCT oracle checks. The
+    watermark delay exceeds the corpus's whole time span, so no dedup
+    state is evicted mid-replay and the result is deterministic; in
+    production the delay is the dedup horizon and state stays bounded."""
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    ev = _staged_events_stream(spark, sf_dir, copies=2)
+    out = dedup_stream(
+        ev, ts_col="ts", watermark="3650 days", key_cols=["event_id"]
+    ).select("event_id", "event_type", "user_id")
+    return _run_to_table(spark, out, "ev_stream_dedup_replay_sink", "append")
 
 
 _REPLAY_SQL = """
@@ -238,10 +268,20 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
 FROM events GROUP BY 1, 2
 """
 
+_DEDUP_REPLAY_SQL = """
+SELECT event_id, event_type, user_id FROM events
+"""
+
 
 def queries():
-    return {"ev_stream_windowed_replay": replay_windowed_counts}
+    return {
+        "ev_stream_windowed_replay": replay_windowed_counts,
+        "ev_stream_dedup_replay": replay_stream_dedup,
+    }
 
 
 def oracle_sql():
-    return {"ev_stream_windowed_replay": _REPLAY_SQL}
+    return {
+        "ev_stream_windowed_replay": _REPLAY_SQL,
+        "ev_stream_dedup_replay": _DEDUP_REPLAY_SQL,
+    }
