@@ -24,7 +24,7 @@ oracles below (driver hash-compare contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from accumulo_wikisearch_spark.functions.normalize import HASH60_DUCKDB, hash60_col
@@ -378,6 +378,62 @@ SELECT doc_id FROM cd WHERE doc_id NOT IN (SELECT node FROM dropped)
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 2048, shard_col: str = "source"
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences: within each
+    shard (``shard_col`` group), docs in doc_id order accumulate token
+    counts, and a doc joins sequence ``floor(start_offset / budget)`` —
+    contiguous deterministic packing, the unit a pretraining dataloader
+    consumes. Output: (doc_id, shard, seq_id, start_offset, n_tokens).
+
+    Scale shape: ONE window cumsum per shard partition (shuffle on the
+    shard key only) — no global sort; shards pack independently, exactly
+    how a 100 TB corpus is packed per input shard in practice. Docs longer
+    than the budget still get a deterministic home (they straddle
+    sequences; the dataloader's truncation policy is out of scope).
+    Deterministic and fully SQL-replayable — no RNG, no floats."""
+    n = F.size(_toks()).cast("long")
+    w = Window.partitionBy(shard_col).orderBy("doc_id")
+    start = (F.sum(n).over(w) - n).alias("start_offset")
+    return (
+        docs.where(F.size(_toks()) > 0)
+        .select(
+            "doc_id",
+            F.col(shard_col).alias("shard"),
+            n.alias("n_tokens"),
+            start,
+        )
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("start_offset") / budget).cast("long").alias("seq_id"),
+            "start_offset",
+            "n_tokens",
+        )
+    )
+
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, source AS shard,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) AS start_offset
+  FROM t
+)
+SELECT doc_id, shard, (start_offset // 2048)::BIGINT AS seq_id,
+       start_offset::BIGINT AS start_offset, n_tokens
+FROM c
+"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +449,7 @@ def queries():
         "cur_canonical_docs": lambda s, d: canonical_docs(_docs(s, d)),
         "cur_redact_text": lambda s, d: redact_text(_docs(s, d)),
         "cur_keep_list": lambda s, d: keep_list(_docs(s, d)),
+        "cur_pack_sequences": lambda s, d: pack_sequences(_docs(s, d)),
     }
 
 
@@ -404,4 +461,5 @@ def oracle_sql():
         "cur_canonical_docs": _CANONICAL_SQL,
         "cur_redact_text": _REDACT_SQL,
         "cur_keep_list": _KEEP_SQL,
+        "cur_pack_sequences": _PACK_SQL,
     }

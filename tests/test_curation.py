@@ -117,3 +117,30 @@ def test_keep_list_stages(spark):
         ],
     )
     assert {r.doc_id for r in keep_list(df).collect()} == {1}
+
+
+def test_pack_sequences_contiguous_budget(spark):
+    """Hand-checked packing: per-shard cumulative token offsets assign each
+    doc to floor(start/budget); shards pack independently."""
+    from accumulo_wikisearch_spark.operators.curation import pack_sequences
+
+    rows = [
+        (1, "a", "w " * 5),   # 5 toks, start 0  -> seq 0
+        (2, "a", "w " * 4),   # start 5          -> seq 0
+        (3, "a", "w " * 4),   # start 9          -> seq 1
+        (4, "a", "w " * 9),   # start 13         -> seq 1 (straddles)
+        (5, "b", "w " * 7),   # start 0          -> seq 0 (own shard)
+        (6, "b", ""),         # empty -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["start_offset"], r["n_tokens"])
+        for r in pack_sequences(docs, budget=8).collect()
+    }
+    assert got == {
+        1: ("a", 0, 0, 5),
+        2: ("a", 0, 5, 4),
+        3: ("a", 1, 9, 4),
+        4: ("a", 1, 13, 9),
+        5: ("b", 0, 0, 7),
+    }
