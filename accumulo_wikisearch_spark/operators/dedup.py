@@ -471,6 +471,37 @@ def _cos(a, b):
     return dot / (norm(a) * norm(b))
 
 
+def exact_vector_duplicates(emb: DataFrame) -> DataFrame:
+    """Byte-identical embedding vectors: (vec_id, canonical_id) — the
+    exact-dedup PRE-PASS the banded near-dup's ``max_bucket`` caveat
+    points at (a >cap cluster of identical vectors collides in every LSH
+    band and must be removed here first).
+
+    canonical = min vec_id of the identical-vector group; rows whose
+    vector is unique are not emitted (same contract as
+    :func:`exact_duplicates` on text). Grouping is on the raw float
+    array — exact bit equality, no tolerance. At 100 TB pre-hash the
+    vector bytes (xxhash64) so the shuffle key is 8 bytes instead of the
+    vector; the window below shuffles the full vector, correct and
+    simplest at oracle scale."""
+    w = Window.partitionBy(F.col("embedding"))
+    return (
+        emb.select(
+            "vec_id", F.min("vec_id").over(w).alias("canonical_id")
+        )
+        .where(F.col("vec_id") != F.col("canonical_id"))
+        .select("vec_id", "canonical_id")
+    )
+
+
+_EXACT_VEC_SQL = """
+SELECT vec_id, canonical_id FROM (
+  SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS canonical_id
+  FROM embeddings
+) WHERE vec_id <> canonical_id
+"""
+
+
 def embedding_near_dup_pairs_exact(emb: DataFrame, threshold_pct: int = 90) -> DataFrame:
     """Pairs of embeddings with cosine ≥ threshold_pct/100 — brute-force
     all-pairs. O(n²): the correctness oracle and recall baseline ONLY; the
@@ -633,6 +664,7 @@ def queries():
         "dedup_simhash_sig": lambda s, d: simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: simhash_pairs(_docs(s, d)),
         "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(_emb(s, d)),
+        "dedup_exact_embedding": lambda s, d: exact_vector_duplicates(_emb(s, d)),
         "dedup_cluster_components": lambda s, d: dedup_clusters(_docs(s, d)),
     }
 
@@ -785,5 +817,6 @@ def oracle_sql():
         "dedup_simhash_sig": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_embedding_cosine": _emb_lsh_sql(),
+        "dedup_exact_embedding": _EXACT_VEC_SQL,
         "dedup_cluster_components": _CLUSTER_SQL,
     }

@@ -128,3 +128,15 @@ def test_band_bucket_cap_bounds_hot_groups(spark):
     sh = simhash_pairs(docs, max_bucket=10).select("a_id", "b_id").collect()
     assert not any(r["b_id"] < 100 for r in sh)
     assert simhash_pairs(docs, max_bucket=None).count() >= 30 * 29 // 2
+
+
+def test_exact_vector_duplicates(spark):
+    """Bit-identical vectors collapse to min-id canonical; near-identical
+    (but not equal) vectors do not."""
+    from accumulo_wikisearch_spark.operators.dedup import exact_vector_duplicates
+
+    v = [float(i) for i in range(8)]
+    rows = [(3, v), (1, v), (7, v), (9, [x + 1e-6 for x in v]), (2, [0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(map(tuple, exact_vector_duplicates(emb).collect()))
+    assert got == [(3, 1), (7, 1)]
