@@ -27,16 +27,21 @@ def _serving_width(parquet_path: str, spark: SparkSession) -> int:
     only-narrow gate makes this a no-op."""
     import os
 
-    p = parquet_path
-    if os.path.isdir(p):
-        nbytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(p)
-            for f in fs
-        )
-    else:
-        nbytes = os.path.getsize(p)
     cores = spark.sparkContext.defaultParallelism
+    p = parquet_path
+    try:
+        if os.path.isdir(p):
+            nbytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
+        else:
+            nbytes = os.path.getsize(p)
+    except OSError:
+        # non-local filesystem (s3/hdfs URI): size unknown — return the
+        # cap; persist()'s only-narrow gate then makes this a no-op
+        return cores
     return max(1, min(cores, (nbytes * 4) // (32 << 20)))
 
 

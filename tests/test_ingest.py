@@ -130,3 +130,19 @@ def test_partition_assignment(tiny_index):
     # partition = id % num_partitions (WikipediaMapper.java:114-117)
     rows = tiny_index.field_index.select("partition_id").distinct().collect()
     assert {r["partition_id"] for r in rows} == {0}
+
+
+def test_serving_width_sizing(spark, tmp_path):
+    """Data-sized serving width: tiny corpus -> 1; huge estimate -> capped
+    at cores; unknown (non-local path) -> cores, so the only-narrow gate
+    makes it a no-op."""
+    from accumulo_wikisearch_spark.sources.corpus import _serving_width
+
+    cores = spark.sparkContext.defaultParallelism
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert _serving_width(str(small), spark) == 1
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x" * (64 << 20))  # 64MB * 4 / 32MB = 8 partitions
+    assert _serving_width(str(big), spark) == min(cores, 8)
+    assert _serving_width("s3://bucket/table.parquet", spark) == cores
