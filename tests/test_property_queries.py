@@ -158,3 +158,37 @@ def test_random_query_scan_path_equivalence(scan_only_engine, duck, q):
     got_ix, path = scan_only_engine.query_with_path(q)
     got_ix = sorted(r["doc_id"] for r in got_ix.collect())
     assert got_ix == want, f"scan path ({path}) != duckdb for {q!r}"
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    q=query_st,
+    auths=st.lists(
+        st.sampled_from(LANGS + ["de", "es"]), min_size=1, max_size=3, unique=True
+    ),
+)
+def test_random_query_auths_equivalence(engine, duck, q, auths):
+    """Row-level security fuzz: auths must prune identically on the index
+    path, the fullscan path, and BOTH branches of dual-path mixed ORs
+    (the r3 bug class: auths enforced on one branch only)."""
+    nnf = to_nnf(parse(q))
+    al = ",".join(f"'{a}'" for a in sorted(auths))
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT doc_id FROM documents WHERE ({to_sql(nnf)}) AND lang IN ({al})"
+        ).fetchall()
+    )
+    got_ix, path = engine.query_with_path(q, auths=list(auths))
+    got_ix = sorted(r["doc_id"] for r in got_ix.collect())
+    assert got_ix == want, f"index path ({path}) auths={auths} != duckdb for {q!r}"
+    got_fs = sorted(
+        r["doc_id"]
+        for r in engine.query(q, auths=list(auths), force_path="fullscan").collect()
+    )
+    assert got_fs == want, f"fullscan auths={auths} != duckdb for {q!r}"
