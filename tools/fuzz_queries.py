@@ -55,12 +55,30 @@ def main() -> None:
         got_df, path = engine.query_with_path(q)
         got = sorted(r["doc_id"] for r in got_df.collect())
         assert got == want, f"index path ({path}) != duckdb for {q!r}"
+        # every 3rd example also sweeps a pseudo-random auths subset so
+        # dual-path branches and security pruning get continuous coverage
+        if ran[0] % 3 == 0:
+            import random as _r
+
+            auths = _r.Random(ran[0]).sample(["en", "fr", "zh", "de", "es"], 2)
+            al = ",".join(f"'{a}'" for a in sorted(auths))
+            want_a = sorted(
+                r[0]
+                for r in duck.execute(
+                    "SELECT doc_id FROM documents WHERE "
+                    f"({to_sql(nnf)}) AND lang IN ({al})"
+                ).fetchall()
+            )
+            got_a = sorted(
+                r["doc_id"] for r in engine.query(q, auths=auths).collect()
+            )
+            assert got_a == want_a, f"auths={auths} mismatch for {q!r}"
         ran[0] += 1
         if ran[0] % 25 == 0:
             print(f"  {ran[0]} queries checked")
 
     check()
-    print(f"OK: {ran[0]} random queries, three-way equivalent")
+    print(f"OK: {ran[0]} random queries, three-way equivalent (incl. auths sweeps)")
 
 
 if __name__ == "__main__":
