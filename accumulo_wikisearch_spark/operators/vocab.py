@@ -8,9 +8,9 @@ used for quality filtering).
 
 Scale shape:
 - ``vocab_counts`` emits per-doc (token, occurrences) pairs *scan-locally*
-  (array fold inside codegen — no (doc, token) shuffle), so the single
-  exchange is keyed by token and carries pre-aggregated rows; Catalyst's
-  partial hash-agg shrinks it further map-side.
+  (one Arrow-batched Counter pass — no (doc, token) shuffle), so the
+  single exchange is keyed by token and carries pre-aggregated rows;
+  Catalyst's partial hash-agg shrinks it further map-side.
 - ``bigram_counts`` is the same shape over adjacent-token pairs (the
   count table a bigram LM / tokenizer merge step consumes).
 - ``token_rarity`` joins per-doc token pairs with the vocab's doc
@@ -37,20 +37,35 @@ def _toks(col: str = "text"):
 def _doc_token_occ(docs: DataFrame) -> DataFrame:
     """(doc_id, token, occ) — scan-local per-doc occurrence counts.
 
-    Per-row O(distinct × total) array fold; doc token arrays are small
-    (bounded by doc length), and this avoids shuffling one row per token
-    *instance*: the exchange downstream carries one row per (doc, token).
-    """
-    toks = _toks()
-    pairs = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            t.alias("token"),
-            F.size(F.filter(toks, lambda x: x == t)).alias("occ"),
-        ),
-    )
-    return docs.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.token").alias("token"), F.col("p.occ").alias("occ")
+    One Arrow-batched Counter pass: O(total tokens) per row. Still emits
+    one row per (doc, token) — NOT per instance — so the downstream
+    exchange stays keyed and pre-aggregated. (The earlier pure-Catalyst
+    form folded the array per DISTINCT token: O(distinct × total)
+    interpreted lambda calls per row — ~30M at sf0.1, ~3 orders more work
+    than the counting itself.)"""
+    from collections import Counter
+    from itertools import chain
+
+    import pandas as pd
+
+    def count(batches):
+        for pdf in batches:
+            ids, toks, occs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                c = Counter(w for w in text.split(" ") if w)
+                ids.append([doc_id] * len(c))
+                toks.append(c.keys())
+                occs.append(c.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(chain.from_iterable(ids), dtype="int64"),
+                    "token": pd.Series(chain.from_iterable(toks), dtype=object),
+                    "occ": pd.Series(chain.from_iterable(occs), dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        count, "doc_id long, token string, occ int"
     )
 
 
