@@ -52,7 +52,7 @@ def _doc_token_occ(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, toks, occs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                c = Counter(w for w in text.split(" ") if w)
+                c = Counter(w for w in (text or "").split(" ") if w)
                 ids.append([doc_id] * len(c))
                 toks.append(c.keys())
                 occs.append(c.values())
