@@ -140,3 +140,34 @@ def test_full_unicode_diacritics_normalization(spark):
     # the Python twin agrees with itself on tricky singletons
     assert normalize_str("ύδωρ") == "υδωρ"
     assert normalize_str("café") == "cafe"
+
+
+def test_missing_field_negation_truth_table(spark):
+    """Null-context evaluation (QueryEvaluator.java:253-257): negated
+    operators over a MISSING field evaluate TRUE, positive operators
+    FALSE — identically on the optimized and fullscan paths."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+
+    rows = [
+        (1, "en", "alpha beta", "t1"),
+        (2, "en", "alpha gamma", None),  # TITLE missing
+        (3, "en", "delta", "t3"),
+    ]
+    df = spark.createDataFrame(rows, "id long, language string, text string, title string")
+    eng = Wikisearch.ingest(
+        df, EngineConfig(num_partitions=1), {"ID": "id", "TITLE": "title"},
+        unique_ids=True,
+    )
+    expect = {
+        "TEXT == 'alpha' and TITLE != 't1'": [2],
+        "TEXT == 'alpha' and not (TITLE == 't1')": [2],
+        "TITLE != 't1'": [2, 3],
+        "TEXT == 'alpha' and TITLE == 't1'": [1],
+        "TITLE =~ 't.*'": [1, 3],
+        "TEXT == 'alpha' and TITLE !~ 't.*'": [2],
+    }
+    for q, want in expect.items():
+        for fp in (None, "fullscan"):
+            got = sorted(r["doc_id"] for r in eng.query(q, force_path=fp).collect())
+            assert got == want, f"{q} ({fp or 'optimized'}): {got} != {want}"
