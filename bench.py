@@ -114,6 +114,10 @@ def main() -> None:
 
     from accumulo_wikisearch_spark.operators import curation, vocab
 
+    timed("cur_pack_sequences", lambda: curation.pack_sequences(docs).count())
+    timed(
+        "dedup_exact_embedding", lambda: dedup.exact_vector_duplicates(emb).count()
+    )
     timed("cur_chunk", lambda: curation.chunk_documents(docs).count())
     timed("cur_decontaminate", lambda: curation.decontaminate(docs).count())
     timed("vocab_counts", lambda: vocab.vocab_counts(docs).count())
