@@ -454,6 +454,64 @@ def dedup_clusters(docs: DataFrame, k: int = 3, num: int = 4, den: int = 5) -> D
 
 
 # ---------------------------------------------------------------------------
+# exact-substring (duplicated span) dedup
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(docs: DataFrame, k: int = 8, min_docs: int = 2) -> DataFrame:
+    """Per-doc duplicated-span stats — the exact-substring dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022), re-expressed as a relational plan (their suffix array is a
+    single-machine construction; the distributed equivalent is rolling
+    k-gram hashing).
+
+    A *span* is a window of ``k`` consecutive whitespace tokens. A span is
+    *duplicated* when its text occurs in ≥ ``min_docs`` DISTINCT documents.
+    Output (docs with ≥1 span, i.e. ≥ k tokens):
+
+      (doc_id, n_spans, dup_spans) — total k-gram positions and how many of
+      them are corpus-duplicated. dup_spans/n_spans is the "fraction of the
+      doc that is boilerplate copied elsewhere" filter signal.
+
+    Scale shape: tokenize+slide is scan-local (explode is linear — Σ tokens
+    rows, same order as the inverted-index build); spans shuffle ONCE on the
+    portable 60-bit span hash (8-byte key, never the span text); the
+    duplicated-hash set joins back hash-keyed (sort-merge; it is NOT
+    broadcastable at 100 TB where boilerplate is abundant). Map-side partial
+    counts keep the hot-span skew bounded — a span shared by 1M docs is one
+    (hash, count) row after partial agg, not 1M shuffled rows, because
+    count(*)/count_distinct(doc_id) aggregate BEFORE the join-back."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+    base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= k)
+    inst = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+                lambda i: hash60_col(F.array_join(F.slice("toks", i, k), " ")),
+            )
+        ).alias("g"),
+    ).persist()
+    dup = (
+        inst.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup_per_doc = (
+        inst.join(dup, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("dup_spans"))
+    )
+    totals = inst.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_spans"))
+    return totals.join(dup_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("dup_spans"), F.lit(0)).cast("int").alias("dup_spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dups
 # ---------------------------------------------------------------------------
 
@@ -666,6 +724,7 @@ def queries():
         "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(_emb(s, d)),
         "dedup_exact_embedding": lambda s, d: exact_vector_duplicates(_emb(s, d)),
         "dedup_cluster_components": lambda s, d: dedup_clusters(_docs(s, d)),
+        "dedup_exact_substring": lambda s, d: duplicated_spans(_docs(s, d)),
     }
 
 
@@ -803,6 +862,33 @@ SELECT node AS doc_id, min(comp)::BIGINT AS cluster_id FROM reach GROUP BY node
 """
 
 
+def _dup_spans_sql(k: int = 8, min_docs: int = 2) -> str:
+    """Replay of duplicated_spans: same k-gram windows (1-based inclusive
+    slice of the empty-filtered whitespace tokens), same portable hash60 of
+    the joined span text, same distinct-doc threshold."""
+    g = _H.format(expr=f"array_to_string(toks[i:i+{k - 1}],' ')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, {g} AS g
+  FROM t, unnest(range(1, len(toks) - {k} + 2)) AS u(i)
+  WHERE len(toks) >= {k}
+),
+dup AS (SELECT g FROM inst GROUP BY g HAVING count(DISTINCT doc_id) >= {min_docs}),
+d AS (
+  SELECT doc_id, count(*) AS dup_spans FROM inst
+  WHERE g IN (SELECT g FROM dup) GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM inst GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_spans::INTEGER AS n_spans,
+       COALESCE(d.dup_spans, 0)::INTEGER AS dup_spans
+FROM tot LEFT JOIN d USING (doc_id)
+"""
+
+
 def oracle_sql():
     return {
         "dedup_exact": (
@@ -819,4 +905,5 @@ def oracle_sql():
         "dedup_embedding_cosine": _emb_lsh_sql(),
         "dedup_exact_embedding": _EXACT_VEC_SQL,
         "dedup_cluster_components": _CLUSTER_SQL,
+        "dedup_exact_substring": _dup_spans_sql(),
     }

@@ -140,3 +140,37 @@ def test_exact_vector_duplicates(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = sorted(map(tuple, exact_vector_duplicates(emb).collect()))
     assert got == [(3, 1), (7, 1)]
+
+
+def test_duplicated_spans_counts(spark):
+    """Known-overlap corpus: docs 1 and 2 share one 8-token run (hence
+    8-k+1 = 1 duplicated span each at k=8 would need ≥8 shared; use k=3
+    for a readable fixture), doc 3 is disjoint."""
+    from accumulo_wikisearch_spark.operators.dedup import duplicated_spans
+
+    shared = "a b c d"  # 4 tokens → two 3-gram spans: "a b c", "b c d"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x y"),
+            (2, "p q " + shared),
+            (3, "u v w z1 z2 z3"),
+            (4, "a b"),  # < k tokens: no spans, excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_spans"], r["dup_spans"]) for r in duplicated_spans(docs, k=3).collect()}
+    # doc1: 6 toks → 4 spans, dup = "a b c","b c d"; doc2: same; doc3: 0 dup
+    assert out == {1: (4, 2), 2: (4, 2), 3: (4, 0)}
+
+
+def test_duplicated_spans_within_doc_repeat_not_duplicated(spark):
+    """A span repeated WITHIN one doc only is not corpus-duplicated
+    (min_docs counts DISTINCT documents)."""
+    from accumulo_wikisearch_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "r s t r s t"), (2, "m n o p q")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["dup_spans"] for r in duplicated_spans(docs, k=3).collect()}
+    assert out == {1: 0, 2: 0}
