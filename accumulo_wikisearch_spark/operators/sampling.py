@@ -71,6 +71,67 @@ def stratified_sample(
     return df.where(bucket < pct)
 
 
+def global_shuffle(
+    df: DataFrame,
+    key: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for training dataloaders: every row gets
+    a (shard, pos) address — shard by portable-hash mod ``n_shards``, pos by
+    rank of the hash within the shard (ties broken by key). Reading shards
+    in order and rows by pos yields the same pseudorandom permutation of the
+    corpus on every run, independent of cluster size, partitioning, or input
+    row order — the reproducibility contract a resumable training run needs.
+
+    Scale shape: ONE shuffle (hash-partition on shard) and a per-shard sort
+    for the rank — no global orderBy (a total sort would range-partition
+    over a single key space; per-shard ranks parallelize across shards, and
+    the training loader only ever needs within-shard order anyway)."""
+    h = hash60_col(F.concat(F.lit(salt), F.col(key).cast("string")))
+    from pyspark.sql import Window
+
+    shard = (h % n_shards).cast("int")
+    out = df.withColumn("_h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("_h", key)
+    return out.select(
+        key, "shard", F.row_number().over(w).cast("int").alias("pos")
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain: str,
+    weights: dict[str, int],
+    default_pct: int = 100,
+    key: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Epoch-weighted domain mixing: replicate each row of domain d
+    ``weights[d]`` percent times — 250 ⇒ every doc appears twice and half
+    of them (chosen by deterministic hash bucket) a third time; 40 ⇒ a 40%
+    downsample. This is the static mixture-reweighting step of an LLM data
+    pipeline (domain weights from scaling-law / DoReMi-style tuning applied
+    as integer epoch counts), expressed as a scan-local explode — no
+    shuffle, no RNG state, replayable on any cluster shape.
+
+    Output: (key, domain, copy) with copy = 0..n_copies-1; rows whose
+    domain downsamples to zero copies are dropped."""
+    pct = F.lit(default_pct)
+    for value, p in sorted(weights.items()):
+        pct = F.when(F.col(domain) == value, p).otherwise(pct)
+    extra = (hash_bucket(key, salt) < pct % BUCKETS).cast("int")
+    ncop = (pct / BUCKETS).cast("int") + extra
+    copies = F.when(
+        ncop > 0, F.sequence(F.lit(0).cast("int"), (ncop - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        key,
+        F.col(domain).alias("domain"),
+        F.explode(copies).alias("copy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
@@ -147,10 +208,31 @@ def write_training_shards(
     return manifest
 
 
+_MIX_WEIGHTS = {"src1": 250, "src3": 120, "src7": 40}
+
+
+def _shuffle_entry(spark, sf_dir: str) -> DataFrame:
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return global_shuffle(docs)
+
+
+def _mixture_entry(spark, sf_dir: str) -> DataFrame:
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mixture(docs, "source", _MIX_WEIGHTS)
+
+
 def queries():
     return {
         "sample_train_split": _split_entry,
         "sample_stratified": _stratified_entry,
+        "sample_global_shuffle": _shuffle_entry,
+        "sample_domain_mixture": _mixture_entry,
     }
 
 
@@ -173,8 +255,36 @@ def _stratified_sql() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {b} < ({pct})"
 
 
+def _shuffle_sql(n_shards: int = 8) -> str:
+    h = HASH60_DUCKDB.format(expr="concat('shuffle', doc_id::VARCHAR)")
+    return f"""
+WITH s AS (SELECT doc_id, {h} AS h FROM documents)
+SELECT doc_id, (h % {n_shards})::INTEGER AS shard,
+  row_number() OVER (PARTITION BY h % {n_shards} ORDER BY h, doc_id)::INTEGER AS pos
+FROM s
+"""
+
+
+def _mixture_sql() -> str:
+    b = hash_bucket_duckdb("doc_id", "mix")
+    pct = str(100)
+    for value, p in sorted(_MIX_WEIGHTS.items()):
+        pct = f"CASE WHEN source = '{value}' THEN {p} ELSE {pct} END"
+    return f"""
+WITH w AS (
+  SELECT doc_id, source AS domain,
+    ({pct}) // {BUCKETS} + CASE WHEN {b} < ({pct}) % {BUCKETS} THEN 1 ELSE 0 END AS n
+  FROM documents
+)
+SELECT doc_id, domain, u.copy::INTEGER AS copy
+FROM w, unnest(range(0, n)) AS u(copy)
+"""
+
+
 def oracle_sql():
     return {
         "sample_train_split": _split_sql(),
         "sample_stratified": _stratified_sql(),
+        "sample_global_shuffle": _shuffle_sql(),
+        "sample_domain_mixture": _mixture_sql(),
     }

@@ -78,3 +78,50 @@ def test_write_training_shards_deterministic_manifest(spark, sf_dir, tmp_path):
     import json
     man = json.loads(open(tmp_path / "a" / "_MANIFEST.json").read())
     assert man == m1
+
+
+def test_global_shuffle_is_permutation_and_stable(spark):
+    from accumulo_wikisearch_spark.operators.sampling import global_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = global_shuffle(docs, n_shards=4).collect()
+    assert len(out) == 200
+    # every row addressed exactly once; pos is 1..count(shard) per shard
+    assert len({(r["shard"], r["pos"]) for r in out}) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # permutation is a pure function of the key: re-running (and reordering
+    # the input) yields the identical addressing
+    docs_rev = spark.createDataFrame([(i,) for i in reversed(range(200))], "doc_id long")
+    again = global_shuffle(docs_rev, n_shards=4).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+    # and it is NOT the identity order (it actually shuffles)
+    shard0 = sorted((r["pos"], r["doc_id"]) for r in out if r["shard"] == 0)
+    ids_in_pos_order = [d for _, d in shard0]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_domain_mixture_epoch_counts(spark):
+    from accumulo_wikisearch_spark.operators.sampling import domain_mixture
+
+    rows = [(i, "a") for i in range(100)] + [(i + 1000, "b") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mixture(docs, "source", {"a": 250, "b": 40}).collect()
+    a_copies = [r for r in out if r["domain"] == "a"]
+    b_copies = [r for r in out if r["domain"] == "b"]
+    # every 'a' doc appears at least twice; ~50% a third time
+    per_doc = {}
+    for r in a_copies:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert all(n in (2, 3) for n in per_doc.values())
+    assert len(per_doc) == 100
+    assert 30 <= sum(1 for n in per_doc.values() if n == 3) <= 70
+    # 'b' downsamples to ~40%, one copy each
+    assert all(r["copy"] == 0 for r in b_copies)
+    assert 25 <= len(b_copies) <= 55
+    # determinism
+    again = domain_mixture(docs, "source", {"a": 250, "b": 40}).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
