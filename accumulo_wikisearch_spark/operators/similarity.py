@@ -408,6 +408,172 @@ def topk_ivf_lloyd_exact(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-dedup in embedding space
+# ---------------------------------------------------------------------------
+
+
+def semdedup_keep(
+    emb: DataFrame, n_cells: int = 16, threshold_pct: int = 90
+) -> DataFrame:
+    """Semantic dedup keep-list (SemDeDup — Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication", 2023):
+    cluster embeddings with the coarse quantizer, then inside each cluster
+    mark a vector as a semantic duplicate when some LOWER-id vector of the
+    same cluster has cosine ≥ threshold; keep = the un-dominated vectors
+    (min-id canonical, the same convention as exact text dedup).
+
+    Output: (vec_id, cell, keep) for every vector, keep ∈ {0, 1}.
+
+    Scale shape: this is the clustered restriction of the all-pairs
+    near-dup — candidate pairs are within-cell only, so cost is
+    Σ |cell|² instead of n². n_cells grows with the corpus (SemDeDup uses
+    ~100k clusters at web scale) keeping cells ~constant-size; the cell
+    self-join shuffles once on cell. Deterministic end-to-end: seed
+    centroids (first n_cells vectors), literal-centroid assignment, exact
+    cosine — no RNG, so the keep-list is replayable and oracle-checkable.
+    Pathological >cell-sized masses of IDENTICAL vectors should be removed
+    by the exact-vector pre-pass first (dedup.exact_vector_duplicates)."""
+    cents = take_centroids(emb, n_cells, lloyd_iters=0)
+    asn = ivf_assign(emb, cents)
+    a, b = asn.alias("a"), asn.alias("b")
+    dom = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            F.lit(100.0) * _cosine(F.col("a.v"), F.col("b.v"))
+            >= F.lit(float(threshold_pct))
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dom", F.lit(0))
+    )
+    return asn.join(dom, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce(F.col("_dom"), F.lit(1)).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-domain codes + ADC search
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_SUB, _PQ_CODES = 4, 16, 16
+
+
+def _pq_codebooks(
+    emb: DataFrame, m: int = _PQ_M, sub_dim: int = _PQ_SUB, n_codes: int = _PQ_CODES
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks: the first ``n_codes`` corpus vectors' s-th
+    subvectors, code-labeled 0..n_codes-1 in vec_id order (the same
+    deterministic seed convention as take_centroids — a k-means stand-in
+    that keeps the operator bit-replayable by the SQL oracle)."""
+    rows = emb.orderBy("vec_id").limit(n_codes).collect()
+    return [
+        [
+            (i, [float(x) for x in r["embedding"][s * sub_dim : (s + 1) * sub_dim]])
+            for i, r in enumerate(rows)
+        ]
+        for s in range(m)
+    ]
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, fixed left-to-right fold (matches DuckDB
+    list_sum order → bit-identical doubles across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def pq_codes(
+    emb: DataFrame, m: int = _PQ_M, sub_dim: int = _PQ_SUB, n_codes: int = _PQ_CODES
+) -> DataFrame:
+    """Product-quantization codes (Jégou/Douze/Schmid, "Product quantization
+    for nearest neighbor search", IEEE TPAMI 2011): split each vector into
+    ``m`` ``sub_dim``-dim subvectors, code each by its nearest codebook
+    entry (squared-L2 argmin, ties to the lower code). Output:
+    (vec_id, code_0..code_{m-1}) — m log2(n_codes)-bit codes replace the
+    full vector: 64 floats → 4 nibbles here, 64× compression.
+
+    One narrow scan-local pass: codebooks enter the plan as literals
+    (m × n_codes × sub_dim doubles), argmin is ``array_min`` over
+    (distance, code) structs — no shuffle, no UDF."""
+    books = _pq_codebooks(emb, m, sub_dim, n_codes)
+    v = _as_double(F.col("embedding"))
+    cols = [F.col("vec_id")]
+    for s, book in enumerate(books):
+        sub = F.slice(v, s * sub_dim + 1, sub_dim)
+        book_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(code).alias("code"),
+                    F.array(*[F.lit(x) for x in cvec]).alias("cvec"),
+                )
+                for code, cvec in book
+            ]
+        )
+        # bind the loop's subvector via a factory — a default-arg lambda
+        # would get TWO params, which pyspark interprets as (element, index)
+        def _score(sub):
+            return lambda c: F.struct(
+                _l2(sub, c["cvec"]).alias("d"), c["code"].alias("code")
+            )
+
+        scores = F.transform(book_lit, _score(sub))
+        cols.append(F.array_min(scores)["code"].cast("int").alias(f"code_{s}"))
+    return emb.select(*cols)
+
+
+def topk_pq_adc(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation (ADC) over PQ codes:
+    approximate dist(q, x) = Σ_s ‖q_s − codebook_s[code_s(x)]‖² — the query
+    stays exact, the corpus is its reconstruction from codes. Ranking is
+    ascending ADC distance, ties to the lower neighbor_id.
+
+    Scale shape: the corpus side carries only the m small codes (the scan
+    reads codes, not vectors — at 100 TB that is the difference between
+    scanning 256 B/vec and 4 B/vec); reconstruction is m literal-array
+    lookups per row; queries broadcast. The distance is an explicit
+    d_0 + d_1 + … + d_{m-1} chain (fixed order) so engine and oracle agree
+    bit-for-bit."""
+    books = _pq_codebooks(emb, m, sub_dim, n_codes)
+    codes = pq_codes(emb, m, sub_dim, n_codes)
+    qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+    scored = codes.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(qv)
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    dist = None
+    for s, book in enumerate(books):
+        cvecs = F.array(
+            *[F.array(*[F.lit(x) for x in cvec]) for _code, cvec in book]
+        )
+        recon = F.element_at(cvecs, F.col(f"code_{s}") + 1)
+        qsub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+        d_s = _l2(qsub, recon)
+        dist = d_s if dist is None else dist + d_s
+    scored = scored.select("query_id", "neighbor_id", dist.alias("d"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 quantization — the storage/compute scale path for embeddings
 # ---------------------------------------------------------------------------
 
@@ -526,6 +692,11 @@ def queries():
         # so 2 refinement steps unroll into oracle CTEs
         "ann_topk_ivf_lloyd": lambda s, d: topk_ivf_lloyd_exact(_emb(s, d)),
         "emb_quantize_int8": lambda s, d: quantize_int8(_emb(s, d)),
+        "emb_quantize_pq": lambda s, d: pq_codes(_emb(s, d)),
+        "ann_topk_pq_adc": lambda s, d: topk_pq_adc(
+            _emb(s, d), self_queries(_emb(s, d))
+        ),
+        "dedup_semdedup_keep": lambda s, d: semdedup_keep(_emb(s, d)),
         "ann_hybrid_keyword": _hybrid_entry,
     }
 
@@ -737,6 +908,116 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k
     return sql
 
 
+def _semdedup_sql(
+    n_cells: int = 16, threshold_pct: int = 90, dim: int = 64
+) -> str:
+    """Replay of semdedup_keep: row_number seed centroids, array_max
+    assignment tie-break (score DESC, cell DESC), within-cell lower-id
+    domination at the same exact-cosine threshold."""
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c AS (
+  SELECT cell, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM e
+  ) WHERE cell < {n_cells}
+),
+asn AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_cos_sql("e.v", "c.cvec", dim)} DESC, c.cell DESC
+      ) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE 100.0 * ({_cos_sql("a.v", "b.v", dim)}) >= {float(threshold_pct)}
+)
+SELECT asn.vec_id, asn.cell::INTEGER AS cell,
+  (CASE WHEN asn.vec_id IN (SELECT vec_id FROM dom) THEN 0 ELSE 1 END)::INTEGER AS keep
+FROM asn
+"""
+
+
+def _pq_base_sql(m: int = _PQ_M, sub_dim: int = _PQ_SUB, n_codes: int = _PQ_CODES) -> str:
+    """Shared CTE prefix: subvector slices of corpus and codebook (first
+    n_codes vectors, row_number code labels), per-(vec, subspace) best code
+    by squared-L2 (ties to the lower code) — the exact argmin pq_codes'
+    array_min over (d, code) structs computes."""
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+cb AS (
+  SELECT code, v FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM e
+  ) WHERE code < {n_codes}
+),
+sub AS (
+  SELECT e.vec_id, u.s, list_slice(e.v, u.s * {sub_dim} + 1, (u.s + 1) * {sub_dim}) AS sv
+  FROM e, unnest(range(0, {m})) AS u(s)
+),
+cbs AS (
+  SELECT cb.code, u.s, list_slice(cb.v, u.s * {sub_dim} + 1, (u.s + 1) * {sub_dim}) AS cv
+  FROM cb, unnest(range(0, {m})) AS u(s)
+),
+d AS (
+  SELECT sub.vec_id, sub.s, cbs.code, cbs.cv,
+    list_sum(list_transform(range(1, {sub_dim + 1}), j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d
+  FROM sub JOIN cbs USING (s)
+),
+best AS (
+  SELECT vec_id, s, code, cv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+)"""
+
+
+def _pq_codes_sql(m: int = _PQ_M) -> str:
+    pivot = ",\n  ".join(
+        f"max(CASE WHEN s = {s} THEN code END)::INTEGER AS code_{s}" for s in range(m)
+    )
+    return f"""{_pq_base_sql()}
+SELECT vec_id,
+  {pivot}
+FROM best GROUP BY vec_id
+"""
+
+
+def _pq_adc_sql(
+    m: int = _PQ_M, sub_dim: int = _PQ_SUB, k: int = 10, nq: int = 5
+) -> str:
+    """Replay of topk_pq_adc: per-(neighbor, subspace) reconstructed
+    codeword from ``best``, query subvectors exact, distance as the same
+    explicit d_0 + … + d_{m-1} chain (conditional-max pivot keeps the
+    addition order fixed, matching Spark's expression)."""
+    dsum = " + ".join(f"max(CASE WHEN s = {s} THEN ds END)" for s in range(m))
+    return f"""{_pq_base_sql()},
+q AS (
+  SELECT vec_id AS query_id, u.s,
+    list_slice(v, u.s * {sub_dim} + 1, (u.s + 1) * {sub_dim}) AS qs
+  FROM e, unnest(range(0, {m})) AS u(s) WHERE vec_id < {nq}
+),
+ds AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, q.s,
+    list_sum(list_transform(range(1, {sub_dim + 1}), j -> (qs[j] - cv[j]) * (qs[j] - cv[j]))) AS ds
+  FROM q JOIN best b ON b.vec_id <> q.query_id AND b.s = q.s
+),
+tot AS (
+  SELECT query_id, neighbor_id, {dsum} AS d
+  FROM ds GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
+  FROM tot
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def oracle_sql():
     return {
         "ann_topk_bruteforce": _TOPK_SQL,
@@ -744,5 +1025,8 @@ def oracle_sql():
         "ann_topk_ivf": _ivf_sql(),
         "ann_topk_ivf_lloyd": _ivf_lloyd_sql(),
         "emb_quantize_int8": _QUANT_SQL,
+        "emb_quantize_pq": _pq_codes_sql(),
+        "ann_topk_pq_adc": _pq_adc_sql(),
+        "dedup_semdedup_keep": _semdedup_sql(),
         "ann_hybrid_keyword": _HYBRID_SQL,
     }

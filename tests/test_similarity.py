@@ -135,3 +135,67 @@ def test_ivf_lloyd_exact_is_deterministic_across_partitionings(spark):
         map(tuple, topk_ivf_lloyd_exact(emb.repartition(7), n_cells=8).collect())
     )
     assert r1 == r2 and len(r1) > 0
+
+
+def test_pq_codes_identity_on_codebook_seeds(spark):
+    """A vector equal to codebook seed i gets code i in every subspace
+    (distance 0); a vector near seed 1 codes as 1."""
+    from accumulo_wikisearch_spark.operators.similarity import pq_codes
+
+    v0 = [1.0, 0.0, 0.0, 0.0]
+    v1 = [0.0, 1.0, 0.0, 1.0]
+    near1 = [0.1, 0.9, 0.1, 0.9]
+    emb = spark.createDataFrame(
+        [(0, v0), (1, v1), (2, near1), (3, v0)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["code_0"], r["code_1"])
+        for r in pq_codes(emb, m=2, sub_dim=2, n_codes=2).collect()
+    }
+    assert out[0] == (0, 0) and out[1] == (1, 1)
+    assert out[2] == (1, 1)  # nearest codeword per subspace
+    assert out[3] == (0, 0)  # duplicate of seed 0
+
+
+def test_pq_adc_ranks_reconstruction_distance(spark):
+    """ADC top-k ranks by distance to the RECONSTRUCTED corpus: a query at
+    codeword 0 ranks code-0 vectors before code-1 vectors, with id
+    tie-breaks inside a code cell (reconstructions are identical)."""
+    from accumulo_wikisearch_spark.operators.similarity import topk_pq_adc
+
+    v0 = [1.0, 0.0, 0.0, 0.0]
+    v1 = [0.0, 1.0, 0.0, 1.0]
+    emb = spark.createDataFrame(
+        [(0, v0), (1, v1), (2, [0.9, 0.1, 0.1, 0.1]), (3, [0.1, 0.9, 0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(0, v0)], "query_id long, qv array<float>")
+    out = [
+        (r["neighbor_id"], r["rank"])
+        for r in topk_pq_adc(emb, q, k=4, m=2, sub_dim=2, n_codes=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # neighbors 2 (code 0,0 → recon == q) before 1 and 3 (code 1,1)
+    assert out[0] == (2, 1)
+    assert {n for n, _ in out[1:]} == {1, 3}
+
+
+def test_semdedup_keeps_min_id_within_cell(spark):
+    """Near-identical vectors land in the same cell; only the lowest id
+    keeps. Distant vectors keep everywhere."""
+    from accumulo_wikisearch_spark.operators.similarity import semdedup_keep
+
+    base = [1.0, 0.2, 0.1, 0.4]
+    near = [x * 1.001 + 0.0005 for x in base]
+    far = [-1.0, 0.5, -0.2, 0.3]
+    # seeds (first n_cells vectors) = base and far → two well-separated
+    # cells; the near-dups of base all land in base's cell
+    emb = spark.createDataFrame(
+        [(0, base), (1, far), (2, near), (3, near)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["keep"] for r in semdedup_keep(emb, n_cells=2, threshold_pct=99).collect()}
+    assert out[0] == 1 and out[1] == 1
+    assert out[2] == 0 and out[3] == 0
