@@ -82,11 +82,13 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 2024) -> list[list[float]]:
 
 
 def lsh_bucket(col: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id of an (double[]) embedding column."""
+    """Sign-random-projection bucket id of an (double[]) embedding column.
+    Plane literals ride in as single-expression SQL strings (_dvec_expr) —
+    one py4j call per plane instead of one per coefficient."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         dot = F.aggregate(
-            F.zip_with(col, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.zip_with(col, F.expr(_dvec_expr(p)), lambda a, b: a * b),
             F.lit(0.0),
             lambda s, x: s + x,
         )
@@ -132,19 +134,29 @@ def topk_lsh(
 # ---------------------------------------------------------------------------
 
 
+def _dvec_expr(xs: list[float]) -> str:
+    """A double-array literal as ONE SQL expression string. repr() is the
+    shortest round-trip decimal and Double.parseDouble returns the nearest
+    double, so the value is bit-exact — same convention the DuckDB oracles
+    use. One F.expr beats element-wise F.lit trees: each py4j Column call
+    costs ~1 ms driver-side, so a 16×16×16 codebook built from F.lit is
+    seconds of pure driver overhead before the job even starts."""
+    return "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + ")"
+
+
 def _centroid_lit(centroids: list[tuple[int, list[float]]]) -> Column:
     """Centroid set as ONE array<struct<cell,cvec>> literal. Kept to a single
     compact expression (n_cells × dim literal leaves) so the Catalyst tree
     stays small — a chained-``when`` argmax over per-centroid cosines
-    duplicates the cosine subtree per branch and blows up analysis."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
-            )
+    duplicates the cosine subtree per branch and blows up analysis — and
+    built as ONE SQL string → ONE py4j call (see _dvec_expr)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            f"struct({int(cid)} AS cell, {_dvec_expr(cvec)} AS cvec)"
             for cid, cvec in centroids
-        ]
+        )
+        + ")"
     )
 
 
@@ -509,14 +521,13 @@ def pq_codes(
     cols = [F.col("vec_id")]
     for s, book in enumerate(books):
         sub = F.slice(v, s * sub_dim + 1, sub_dim)
-        book_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(code).alias("code"),
-                    F.array(*[F.lit(x) for x in cvec]).alias("cvec"),
-                )
+        book_lit = F.expr(
+            "array("
+            + ",".join(
+                f"struct({int(code)} AS code, {_dvec_expr(cvec)} AS cvec)"
                 for code, cvec in book
-            ]
+            )
+            + ")"
         )
         # bind the loop's subvector via a factory — a default-arg lambda
         # would get TWO params, which pyspark interprets as (element, index)
@@ -557,8 +568,8 @@ def topk_pq_adc(
     ).where(F.col("neighbor_id") != F.col("query_id"))
     dist = None
     for s, book in enumerate(books):
-        cvecs = F.array(
-            *[F.array(*[F.lit(x) for x in cvec]) for _code, cvec in book]
+        cvecs = F.expr(
+            "array(" + ",".join(_dvec_expr(cvec) for _code, cvec in book) + ")"
         )
         recon = F.element_at(cvecs, F.col(f"code_{s}") + 1)
         qsub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)

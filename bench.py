@@ -118,6 +118,22 @@ def main() -> None:
     timed(
         "dedup_exact_embedding", lambda: dedup.exact_vector_duplicates(emb).count()
     )
+    timed(
+        "dedup_exact_substring", lambda: dedup.duplicated_spans(docs).count()
+    )
+    timed(
+        "dedup_semdedup", lambda: similarity.semdedup_keep(emb).count()
+    )
+    timed(
+        "ann_pq_adc",
+        lambda: similarity.topk_pq_adc(emb, similarity.self_queries(emb)).count(),
+    )
+
+    from accumulo_wikisearch_spark.operators import sampling
+
+    timed(
+        "sample_global_shuffle", lambda: sampling.global_shuffle(docs).count()
+    )
     timed("cur_chunk", lambda: curation.chunk_documents(docs).count())
     timed("cur_decontaminate", lambda: curation.decontaminate(docs).count())
     timed("vocab_counts", lambda: vocab.vocab_counts(docs).count())
