@@ -517,8 +517,16 @@ def pq_codes(
     (m × n_codes × sub_dim doubles), argmin is ``array_min`` over
     (distance, code) structs — no shuffle, no UDF."""
     books = _pq_codebooks(emb, m, sub_dim, n_codes)
+    return emb.select(F.col("vec_id"), *_code_cols(books, sub_dim))
+
+
+def _code_cols(
+    books: list[list[tuple[int, list[float]]]], sub_dim: int
+) -> list[Column]:
+    """code_0..code_{m-1} assignment columns over the ``embedding`` column
+    (squared-L2 argmin against literal codebooks, ties to the lower code)."""
     v = _as_double(F.col("embedding"))
-    cols = [F.col("vec_id")]
+    cols = []
     for s, book in enumerate(books):
         sub = F.slice(v, s * sub_dim + 1, sub_dim)
         book_lit = F.expr(
@@ -538,7 +546,7 @@ def pq_codes(
 
         scores = F.transform(book_lit, _score(sub))
         cols.append(F.array_min(scores)["code"].cast("int").alias(f"code_{s}"))
-    return emb.select(*cols)
+    return cols
 
 
 def topk_pq_adc(
@@ -566,6 +574,24 @@ def topk_pq_adc(
     scored = codes.withColumnRenamed("vec_id", "neighbor_id").join(
         F.broadcast(qv)
     ).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", _adc_dist(books, sub_dim).alias("d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _adc_dist(
+    books: list[list[tuple[int, list[float]]]], sub_dim: int
+) -> Column:
+    """ADC distance over (qv, code_0..code_{m-1}) columns: the explicit
+    d_0 + d_1 + … chain of per-subspace squared-L2s against the literal
+    codeword reconstruction — fixed fold/addition order both engines
+    evaluate identically."""
     dist = None
     for s, book in enumerate(books):
         cvecs = F.expr(
@@ -575,7 +601,52 @@ def topk_pq_adc(
         qsub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
         d_s = _l2(qsub, recon)
         dist = d_s if dist is None else dist + d_s
-    scored = scored.select("query_id", "neighbor_id", dist.alias("d"))
+    return dist
+
+
+def topk_ivf_pq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+) -> DataFrame:
+    """IVF-PQ top-k — the canonical billion-vector ANN configuration
+    (FAISS IVFADC; Jégou et al. TPAMI 2011 §V): a coarse quantizer prunes
+    the corpus to ``nprobe``/``n_cells`` cells AND product quantization
+    compresses what is scanned to m codes/vector, with ADC distances
+    against the exact query.
+
+    One corpus pass computes (cell, code_0..code_{m-1}) together — cell
+    assignment and coding are both literal-table maps, so the index build
+    is a single narrow scan with NO shuffle; at rest, write it partitioned
+    by cell (see write_ivf_index) and a query touches nprobe partitions of
+    a 4-byte-per-subvector table. Probes broadcast; ranking is ascending
+    ADC distance with lower-id tie-break. Deterministic end-to-end (seed
+    centroids + seed codebooks), hence oracle-checkable."""
+    cents = take_centroids(emb, n_cells, lloyd_iters=0)
+    books = _pq_codebooks(emb, m, sub_dim, n_codes)
+    v = _as_double(F.col("embedding"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.array_max(_cell_scores(v, _centroid_lit(cents)))["cell"].alias("cell"),
+        *_code_cols(books, sub_dim),
+    )
+    qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+    scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
+    probes = qv.select(
+        "query_id",
+        "qv",
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
+    ).select("query_id", "qv", F.explode(F.col("probes.cell")).alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_dist(books, sub_dim).alias("d"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -705,6 +776,9 @@ def queries():
         "emb_quantize_int8": lambda s, d: quantize_int8(_emb(s, d)),
         "emb_quantize_pq": lambda s, d: pq_codes(_emb(s, d)),
         "ann_topk_pq_adc": lambda s, d: topk_pq_adc(
+            _emb(s, d), self_queries(_emb(s, d))
+        ),
+        "ann_topk_ivf_pq": lambda s, d: topk_ivf_pq(
             _emb(s, d), self_queries(_emb(s, d))
         ),
         "dedup_semdedup_keep": lambda s, d: semdedup_keep(_emb(s, d)),
@@ -1029,6 +1103,96 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k
 """
 
 
+def _ivf_pq_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+    dim: int = 64,
+    k: int = 10,
+    nq: int = 5,
+) -> str:
+    """Replay of topk_ivf_pq: the _ivf_sql cell assignment/probe CTEs
+    composed with the _pq_base_sql code CTEs; candidates = probed cells;
+    distance = the fixed-order conditional-max ADC chain."""
+    dsum = " + ".join(f"max(CASE WHEN s = {s} THEN ds END)" for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c AS (
+  SELECT cell, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM e
+  ) WHERE cell < {n_cells}
+),
+sc AS (
+  SELECT e.vec_id, e.v, c.cell, {_cos_sql("e.v", "c.cvec", dim)} AS s
+  FROM e CROSS JOIN c
+),
+asn AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM sc WHERE vec_id < {nq}
+  ) WHERE rn <= {nprobe}
+),
+cb AS (
+  SELECT code, v FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM e
+  ) WHERE code < {n_codes}
+),
+sub AS (
+  SELECT e.vec_id, u.s, list_slice(e.v, u.s * {sub_dim} + 1, (u.s + 1) * {sub_dim}) AS sv
+  FROM e, unnest(range(0, {m})) AS u(s)
+),
+cbs AS (
+  SELECT cb.code, u.s, list_slice(cb.v, u.s * {sub_dim} + 1, (u.s + 1) * {sub_dim}) AS cv
+  FROM cb, unnest(range(0, {m})) AS u(s)
+),
+dmat AS (
+  SELECT sub.vec_id, sub.s, cbs.code, cbs.cv,
+    list_sum(list_transform(range(1, {sub_dim + 1}), j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d
+  FROM sub JOIN cbs USING (s)
+),
+best AS (
+  SELECT vec_id, s, code, cv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn
+    FROM dmat
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, u.s,
+    list_slice(v, u.s * {sub_dim} + 1, (u.s + 1) * {sub_dim}) AS qs
+  FROM e, unnest(range(0, {m})) AS u(s) WHERE vec_id < {nq}
+),
+cand AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id
+  FROM asn a JOIN qp ON a.cell = qp.cell AND a.vec_id <> qp.query_id
+),
+ds AS (
+  SELECT cd.query_id, cd.neighbor_id, q.s,
+    list_sum(list_transform(range(1, {sub_dim + 1}), j -> (qs[j] - cv[j]) * (qs[j] - cv[j]))) AS ds
+  FROM cand cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN best b ON b.vec_id = cd.neighbor_id AND b.s = q.s
+),
+tot AS (
+  SELECT query_id, neighbor_id, {dsum} AS d
+  FROM ds GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
+  FROM tot
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def oracle_sql():
     return {
         "ann_topk_bruteforce": _TOPK_SQL,
@@ -1038,6 +1202,7 @@ def oracle_sql():
         "emb_quantize_int8": _QUANT_SQL,
         "emb_quantize_pq": _pq_codes_sql(),
         "ann_topk_pq_adc": _pq_adc_sql(),
+        "ann_topk_ivf_pq": _ivf_pq_sql(),
         "dedup_semdedup_keep": _semdedup_sql(),
         "ann_hybrid_keyword": _HYBRID_SQL,
     }

@@ -199,3 +199,38 @@ def test_semdedup_keeps_min_id_within_cell(spark):
     out = {r["vec_id"]: r["keep"] for r in semdedup_keep(emb, n_cells=2, threshold_pct=99).collect()}
     assert out[0] == 1 and out[1] == 1
     assert out[2] == 0 and out[3] == 0
+
+
+def test_ivf_pq_full_probe_matches_adc(emb):
+    """With nprobe == n_cells the IVF pruning is a no-op, so IVF-PQ must
+    rank exactly like plain PQ-ADC over the whole corpus."""
+    from accumulo_wikisearch_spark.operators.similarity import (
+        self_queries,
+        topk_ivf_pq,
+        topk_pq_adc,
+    )
+
+    q = self_queries(emb)
+    full = sorted(map(tuple, topk_ivf_pq(emb, q, n_cells=8, nprobe=8).collect()))
+    adc = sorted(map(tuple, topk_pq_adc(emb, q).collect()))
+    assert full == adc and len(full) > 0
+
+
+def test_ivf_pq_partial_probe_subset(emb):
+    """nprobe < n_cells candidates are a subset of the full-probe ranking's
+    candidate pool (pruning only removes, never reorders survivors)."""
+    from accumulo_wikisearch_spark.operators.similarity import (
+        self_queries,
+        topk_ivf_pq,
+    )
+
+    q = self_queries(emb)
+    part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf_pq(emb, q, n_cells=8, nprobe=2, k=50).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf_pq(emb, q, n_cells=8, nprobe=8, k=500).collect()
+    }
+    assert part <= full and len(part) > 0
