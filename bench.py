@@ -128,6 +128,10 @@ def main() -> None:
         "ann_pq_adc",
         lambda: similarity.topk_pq_adc(emb, similarity.self_queries(emb)).count(),
     )
+    timed(
+        "ann_ivf_pq",
+        lambda: similarity.topk_ivf_pq(emb, similarity.self_queries(emb)).count(),
+    )
 
     from accumulo_wikisearch_spark.operators import sampling
 
