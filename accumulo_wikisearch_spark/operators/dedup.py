@@ -511,6 +511,66 @@ def duplicated_spans(docs: DataFrame, k: int = 8, min_docs: int = 2) -> DataFram
     )
 
 
+def remove_duplicated_spans(
+    docs: DataFrame, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """The exact-substring dedup TRANSFORM: rewrite each document with every
+    corpus-duplicated k-token span removed (all copies — the conservative
+    variant of Lee et al. ACL 2022, who drop one span occurrence; removing
+    all copies needs no cross-doc coordination, which is what makes it a
+    pure relational plan).
+
+    A token is removed when ANY duplicated span covers its position; the
+    surviving tokens re-join with single spaces (whitespace-normalizing,
+    same token model as :func:`duplicated_spans`). Output:
+    (doc_id, clean_text, n_removed) for EVERY document — docs shorter than
+    ``k`` tokens pass through untouched.
+
+    Scale shape: same single span-hash shuffle as duplicated_spans, plus a
+    per-doc covered-position fold (collect_list of k-long ranges bounded by
+    the doc's own span count — state is O(doc tokens), never corpus-sized)
+    and one doc-keyed join back to the token arrays."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+    base = docs.select("doc_id", toks.alias("toks"))
+    grams = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+            lambda i: hash60_col(F.array_join(F.slice("toks", i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    inst = base.select("doc_id", F.posexplode(grams).alias("i", "g")).persist()
+    dup = (
+        inst.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    cov = (
+        inst.join(dup, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1)))
+                )
+            ).alias("cov")
+        )
+    )
+    covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"), lambda t, i: ~F.array_contains(covered, i.cast("int"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size("toks") - F.size(kept)).cast("int").alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dups
 # ---------------------------------------------------------------------------
@@ -725,6 +785,7 @@ def queries():
         "dedup_exact_embedding": lambda s, d: exact_vector_duplicates(_emb(s, d)),
         "dedup_cluster_components": lambda s, d: dedup_clusters(_docs(s, d)),
         "dedup_exact_substring": lambda s, d: duplicated_spans(_docs(s, d)),
+        "dedup_remove_spans": lambda s, d: remove_duplicated_spans(_docs(s, d)),
     }
 
 
@@ -889,6 +950,42 @@ FROM tot LEFT JOIN d USING (doc_id)
 """
 
 
+def _remove_spans_sql(k: int = 8, min_docs: int = 2) -> str:
+    """Replay of remove_duplicated_spans (1-based positions internally;
+    only the rebuilt text is position-sensitive and it round-trips)."""
+    g = _H.format(expr=f"array_to_string(toks[i:i+{k - 1}],' ')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, i, {g} AS g
+  FROM t, unnest(range(1, len(toks) - {k} + 2)) AS u(i)
+  WHERE len(toks) >= {k}
+),
+dup AS (SELECT g FROM inst GROUP BY g HAVING count(DISTINCT doc_id) >= {min_docs}),
+cov AS (
+  SELECT doc_id, list_distinct(flatten(list(range(i, i + {k})))) AS cov
+  FROM inst WHERE g IN (SELECT g FROM dup) GROUP BY doc_id
+),
+pos AS (
+  SELECT t.doc_id, u.j, t.toks[u.j] AS tok,
+         COALESCE(list_contains(cov.cov, u.j), FALSE) AS rm
+  FROM t LEFT JOIN cov USING (doc_id), unnest(range(1, len(t.toks) + 1)) AS u(j)
+),
+agg AS (
+  SELECT doc_id,
+    COALESCE(array_to_string(list(tok ORDER BY j) FILTER (WHERE NOT rm), ' '), '') AS clean_text,
+    count(*) FILTER (WHERE rm) AS n_removed
+  FROM pos GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+       COALESCE(agg.n_removed, 0)::INTEGER AS n_removed
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
 def oracle_sql():
     return {
         "dedup_exact": (
@@ -906,4 +1003,5 @@ def oracle_sql():
         "dedup_exact_embedding": _EXACT_VEC_SQL,
         "dedup_cluster_components": _CLUSTER_SQL,
         "dedup_exact_substring": _dup_spans_sql(),
+        "dedup_remove_spans": _remove_spans_sql(),
     }

@@ -174,3 +174,47 @@ def test_duplicated_spans_within_doc_repeat_not_duplicated(spark):
     )
     out = {r["doc_id"]: r["dup_spans"] for r in duplicated_spans(docs, k=3).collect()}
     assert out == {1: 0, 2: 0}
+
+
+def test_remove_duplicated_spans_rewrites_text(spark):
+    from accumulo_wikisearch_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "a b c d"  # two 3-gram spans shared by docs 1, 2
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x y"),
+            (2, "p q " + shared),
+            (3, "u v w z1 z2 z3"),
+            (4, "a b"),  # shorter than k: untouched
+            (5, ""),     # empty: untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicated_spans(docs, k=3).collect()
+    }
+    # covered positions = tokens of "a b c d" in both docs; rest survive
+    assert out[1] == ("x y", 4)
+    assert out[2] == ("p q", 4)
+    assert out[3] == ("u v w z1 z2 z3", 0)
+    assert out[4] == ("a b", 0)
+    assert out[5] == ("", 0)
+
+
+def test_remove_duplicated_spans_overlap_counts_once(spark):
+    """Overlapping duplicated spans cover positions, not multiples — a
+    token under two spans is removed (and counted) once."""
+    from accumulo_wikisearch_spark.operators.dedup import remove_duplicated_spans
+
+    run = "m n o p q"  # 3 overlapping 3-grams; all duplicated across docs
+    docs = spark.createDataFrame(
+        [(1, run + " tail1"), (2, run + " tail2")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicated_spans(docs, k=3).collect()
+    }
+    assert out[1] == ("tail1", 5)
+    assert out[2] == ("tail2", 5)
