@@ -149,8 +149,13 @@ def _centroid_lit(centroids: list[tuple[int, list[float]]]) -> Column:
     compact expression (n_cells × dim literal leaves) so the Catalyst tree
     stays small — a chained-``when`` argmax over per-centroid cosines
     duplicates the cosine subtree per branch and blows up analysis — and
-    built as ONE SQL string → ONE py4j call (see _dvec_expr)."""
-    return F.expr(
+    built as ONE SQL string → ONE py4j call (see _dvec_expr). The parsed
+    Column is cached per centroid set (reusable across DataFrames)."""
+    key = tuple((int(cid), tuple(cvec)) for cid, cvec in centroids)
+    cached = _CENTROID_LIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    col = F.expr(
         "array("
         + ",".join(
             f"struct({int(cid)} AS cell, {_dvec_expr(cvec)} AS cvec)"
@@ -158,6 +163,11 @@ def _centroid_lit(centroids: list[tuple[int, list[float]]]) -> Column:
         )
         + ")"
     )
+    _CENTROID_LIT_CACHE[key] = col
+    return col
+
+
+_CENTROID_LIT_CACHE: dict = {}
 
 
 def _cell_scores(v: Column, cents: Column) -> Column:
@@ -524,29 +534,45 @@ def _code_cols(
     books: list[list[tuple[int, list[float]]]], sub_dim: int
 ) -> list[Column]:
     """code_0..code_{m-1} assignment columns over the ``embedding`` column
-    (squared-L2 argmin against literal codebooks, ties to the lower code)."""
-    v = _as_double(F.col("embedding"))
+    (squared-L2 argmin against literal codebooks, ties to the lower code).
+
+    Built as EXPLICIT term chains, not transform/aggregate lambdas: Spark
+    interprets higher-order functions per element (each fold allocates its
+    zipped array outside whole-stage codegen), which made coding cost more
+    than a brute-force search — ~100 µs/row vs ~20 µs/row for the chain
+    (measured at sf0.1; the chain's win grows at scale where per-row cost
+    is everything). The explicit ``t1 + t2 + …`` chain is the same
+    left-to-right order as the fold (t1 ≡ 0.0 + t1), so the doubles — and
+    the oracle hashes — are bit-identical. The parsed Column objects are
+    cached per codebook: parsing + analyzing the ~25 KB expression strings
+    costs ~0.6 s of driver time, and Columns are reusable across
+    DataFrames, so repeated calls (served queries, bench reps) skip it."""
+    key = (sub_dim, tuple((s, code, tuple(cvec)) for s, book in enumerate(books) for code, cvec in book))
+    cached = _CODE_COLS_CACHE.get(key)
+    if cached is not None:
+        return cached
     cols = []
     for s, book in enumerate(books):
-        sub = F.slice(v, s * sub_dim + 1, sub_dim)
-        book_lit = F.expr(
-            "array("
-            + ",".join(
-                f"struct({int(code)} AS code, {_dvec_expr(cvec)} AS cvec)"
-                for code, cvec in book
+        structs = []
+        for code, cvec in book:
+            terms = []
+            for j in range(1, sub_dim + 1):
+                x = f"CAST(element_at(embedding, {s * sub_dim + j}) AS DOUBLE)"
+                c = f"CAST({cvec[j - 1]!r} AS DOUBLE)"
+                terms.append(f"({x} - {c}) * ({x} - {c})")
+            structs.append(
+                "struct(" + " + ".join(terms) + f" AS d, {int(code)} AS code)"
             )
-            + ")"
+        cols.append(
+            F.expr("array_min(array(" + ",".join(structs) + ")).code")
+            .cast("int")
+            .alias(f"code_{s}")
         )
-        # bind the loop's subvector via a factory — a default-arg lambda
-        # would get TWO params, which pyspark interprets as (element, index)
-        def _score(sub):
-            return lambda c: F.struct(
-                _l2(sub, c["cvec"]).alias("d"), c["code"].alias("code")
-            )
-
-        scores = F.transform(book_lit, _score(sub))
-        cols.append(F.array_min(scores)["code"].cast("int").alias(f"code_{s}"))
+    _CODE_COLS_CACHE[key] = cols
     return cols
+
+
+_CODE_COLS_CACHE: dict = {}
 
 
 def topk_pq_adc(
@@ -569,13 +595,18 @@ def topk_pq_adc(
     d_0 + d_1 + … + d_{m-1} chain (fixed order) so engine and oracle agree
     bit-for-bit."""
     books = _pq_codebooks(emb, m, sub_dim, n_codes)
-    codes = pq_codes(emb, m, sub_dim, n_codes)
-    qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
-    scored = codes.withColumnRenamed("vec_id", "neighbor_id").join(
-        F.broadcast(qv)
-    ).where(F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.select(
-        "query_id", "neighbor_id", _adc_dist(books, sub_dim).alias("d")
+    # persist: the codes table is the at-rest artifact of PQ (stored once,
+    # scanned per query). Without the barrier CollapseProject inlines the
+    # per-subspace argmin chains INTO the query join, re-coding every
+    # corpus row once PER QUERY (m×n_codes×sub_dim ops × |queries| — the
+    # difference between 0.5 s and 3 s at sf0.1 already).
+    codes = pq_codes(emb, m, sub_dim, n_codes).persist()
+    luts = _adc_luts(emb.sparkSession, queries, books, sub_dim)
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(luts))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
     return (
@@ -585,21 +616,51 @@ def topk_pq_adc(
     )
 
 
-def _adc_dist(
-    books: list[list[tuple[int, list[float]]]], sub_dim: int
-) -> Column:
-    """ADC distance over (qv, code_0..code_{m-1}) columns: the explicit
-    d_0 + d_1 + … chain of per-subspace squared-L2s against the literal
-    codeword reconstruction — fixed fold/addition order both engines
-    evaluate identically."""
+def _adc_luts(
+    spark: SparkSession,
+    queries: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    sub_dim: int,
+) -> DataFrame:
+    """Per-query ADC distance lookup tables — the standard PQ trick: for
+    each (query, subspace) precompute the n_codes squared-L2s to every
+    codeword ONCE, so the per-candidate distance is m array lookups instead
+    of m × sub_dim arithmetic ops. Queries are small by contract (they
+    broadcast), so collecting them is the same driver boundary
+    take_centroids already crosses. The Python accumulation below is the
+    identical left-to-right IEEE-double chain the engines fold, and the
+    values re-enter the plan via repr round-trip — bit-exact vs the oracle.
+    Built as one VALUES LocalRelation (no Python-RDD scan)."""
+    qrows = queries.select(
+        "query_id", _as_double(F.col("qv")).alias("qv")
+    ).collect()
+    rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        cells = [str(int(r["query_id"]))]
+        for s, book in enumerate(books):
+            lut = []
+            for _code, cvec in book:
+                acc = 0.0
+                for j in range(sub_dim):
+                    t = qv[s * sub_dim + j] - cvec[j]
+                    acc = acc + t * t
+                lut.append(acc)
+            cells.append(_dvec_expr(lut))
+        rows.append("(" + ",".join(cells) + ")")
+    names = ",".join(f"l{s}" for s in range(len(books)))
+    return spark.sql(
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, {names} "
+        f"FROM (VALUES {','.join(rows)}) AS t(query_id, {names})"
+    )
+
+
+def _adc_lut_dist(m: int) -> Column:
+    """ADC distance from LUT columns: the explicit l0[c0] + l1[c1] + …
+    chain — same subspace order as the oracle's conditional-max pivot."""
     dist = None
-    for s, book in enumerate(books):
-        cvecs = F.expr(
-            "array(" + ",".join(_dvec_expr(cvec) for _code, cvec in book) + ")"
-        )
-        recon = F.element_at(cvecs, F.col(f"code_{s}") + 1)
-        qsub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
-        d_s = _l2(qsub, recon)
+    for s in range(m):
+        d_s = F.element_at(F.col(f"l{s}"), F.col(f"code_{s}") + 1)
         dist = d_s if dist is None else dist + d_s
     return dist
 
@@ -630,22 +691,97 @@ def topk_ivf_pq(
     cents = take_centroids(emb, n_cells, lloyd_iters=0)
     books = _pq_codebooks(emb, m, sub_dim, n_codes)
     v = _as_double(F.col("embedding"))
+    # persist = the at-rest IVF-PQ index (cells + codes computed once, not
+    # once per query — see topk_pq_adc's note); write_ivf_pq_index is the
+    # durable form
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.array_max(_cell_scores(v, _centroid_lit(cents)))["cell"].alias("cell"),
         *_code_cols(books, sub_dim),
-    )
+    ).persist()
     qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
     scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
     probes = qv.select(
         "query_id",
-        "qv",
         F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
-    ).select("query_id", "qv", F.explode(F.col("probes.cell")).alias("cell"))
+    ).select("query_id", F.explode(F.col("probes.cell")).alias("cell"))
+    luts = _adc_luts(emb.sparkSession, queries, books, sub_dim)
     scored = (
         corpus.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(luts), "query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _adc_dist(books, sub_dim).alias("d"))
+        .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def write_ivf_pq_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
+    """Persist the at-rest IVF-PQ layout: (vec_id, code_0..code_{m-1})
+    partitioned by cell on disk — a query reads nprobe partition
+    directories of a table whose rows are m small ints, the FAISS IVFADC
+    storage shape. Returns (centroids, codebooks) — the quantizer metadata
+    to store beside the index."""
+    cents = take_centroids(emb, n_cells, lloyd_iters=0)
+    books = _pq_codebooks(emb, m, sub_dim, n_codes)
+    v = _as_double(F.col("embedding"))
+    (
+        emb.select(
+            F.col("vec_id"),
+            F.array_max(_cell_scores(v, _centroid_lit(cents)))["cell"].alias("cell"),
+            *_code_cols(books, sub_dim),
+        )
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents, books
+
+
+def topk_ivf_pq_on_disk(
+    spark: SparkSession,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    sub_dim: int = _PQ_SUB,
+) -> DataFrame:
+    """ADC top-k against a written IVF-PQ layout: probe cells become a
+    partition filter on the parquet read (only nprobe/n_cells directories
+    are touched — verify PartitionFilters in the plan), and the scan reads
+    only the code columns. Query-side work is the LUT build (driver) plus
+    m lookups per candidate."""
+    m = len(books)
+    corpus = spark.read.parquet(path).withColumnRenamed("vec_id", "neighbor_id")
+    qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+    scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
+    probes = qv.select(
+        "query_id",
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
+    ).select("query_id", F.explode(F.col("probes.cell")).alias("cell"))
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    luts = _adc_luts(spark, queries, books, sub_dim)
+    scored = (
+        corpus.where(F.col("cell").isin(*cells))
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(luts), "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
     return (

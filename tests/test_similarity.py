@@ -234,3 +234,25 @@ def test_ivf_pq_partial_probe_subset(emb):
         for r in topk_ivf_pq(emb, q, n_cells=8, nprobe=8, k=500).collect()
     }
     assert part <= full and len(part) > 0
+
+
+def test_ivf_pq_on_disk_matches_in_memory_and_prunes(spark, emb, tmp_path):
+    from accumulo_wikisearch_spark.operators.similarity import (
+        self_queries,
+        topk_ivf_pq,
+        topk_ivf_pq_on_disk,
+        write_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    cents, books = write_ivf_pq_index(emb, path, n_cells=8)
+    q = self_queries(emb)
+    disk = topk_ivf_pq_on_disk(spark, path, cents, books, q, nprobe=2)
+    mem = topk_ivf_pq(emb, q, n_cells=8, nprobe=2)
+    assert sorted(map(tuple, disk.collect())) == sorted(map(tuple, mem.collect()))
+    plan = disk._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in seg
