@@ -503,16 +503,6 @@ def _pq_codebooks(
     ]
 
 
-def _l2(a: Column, b: Column) -> Column:
-    """Squared L2 distance, fixed left-to-right fold (matches DuckDB
-    list_sum order → bit-identical doubles across engines)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-
-
 def pq_codes(
     emb: DataFrame, m: int = _PQ_M, sub_dim: int = _PQ_SUB, n_codes: int = _PQ_CODES
 ) -> DataFrame:
