@@ -456,7 +456,10 @@ def semdedup_keep(
     Pathological >cell-sized masses of IDENTICAL vectors should be removed
     by the exact-vector pre-pass first (dedup.exact_vector_duplicates)."""
     cents = take_centroids(emb, n_cells, lloyd_iters=0)
-    asn = ivf_assign(emb, cents)
+    # persist: both sides of the cell self-join and the final keep-flag
+    # read the assignment — without the barrier the literal-centroid argmax
+    # runs three times over the corpus
+    asn = ivf_assign(emb, cents).persist()
     a, b = asn.alias("a"), asn.alias("b")
     dom = (
         a.join(
