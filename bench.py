@@ -122,6 +122,9 @@ def main() -> None:
         "dedup_exact_substring", lambda: dedup.duplicated_spans(docs).count()
     )
     timed(
+        "dedup_remove_spans", lambda: dedup.remove_duplicated_spans(docs).count()
+    )
+    timed(
         "dedup_semdedup", lambda: similarity.semdedup_keep(emb).count()
     )
     timed(

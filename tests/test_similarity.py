@@ -256,3 +256,22 @@ def test_ivf_pq_on_disk_matches_in_memory_and_prunes(spark, emb, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "cell" in seg
+
+
+def test_int8_topk_deterministic_and_near_exact(emb):
+    """Integer dot-product ranking is partitioning-invariant by construction
+    and approximates the exact cosine ranking closely on this corpus."""
+    from accumulo_wikisearch_spark.operators.similarity import (
+        self_queries,
+        topk_bruteforce,
+        topk_int8,
+    )
+
+    q = self_queries(emb)
+    r1 = sorted(map(tuple, topk_int8(emb, q).collect()))
+    r2 = sorted(map(tuple, topk_int8(emb.repartition(13), self_queries(emb.repartition(13))).collect()))
+    assert r1 == r2 and len(r1) == 50
+    exact = {(r["query_id"], r["neighbor_id"]) for r in topk_bruteforce(emb, q).collect()}
+    got = {(a, b) for a, b, _ in r1}
+    # quantization error can permute the tail; most of the top-10 agrees
+    assert len(got & exact) >= 35
