@@ -85,6 +85,42 @@ FROM s
 """
 
 
+def chunk_dedup(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
+    """Paragraph/chunk-level exact dedup (the C4 construction deduplicates
+    three-sentence spans; here the unit is :func:`chunk_documents`'s token
+    window): among chunks with identical text, keep the first occurrence in
+    (doc_id, chunk_id) order and drop the rest. Output:
+    (doc_id, chunk_id, keep) for every chunk.
+
+    One shuffle on the 8-byte chunk hash; the min-occurrence window is the
+    same shape as exact_duplicates' canonical pick."""
+    from pyspark.sql import Window
+
+    ch = chunk_documents(docs, size, stride)
+    w = Window.partitionBy("chunk_hash")
+    first = F.min(F.struct("doc_id", "chunk_id")).over(w)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        (
+            (F.col("doc_id") == first["doc_id"])
+            & (F.col("chunk_id") == first["chunk_id"])
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH ch AS ({_CHUNK_SQL})
+SELECT doc_id, chunk_id,
+  (CASE WHEN row_number() OVER (
+     PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) = 1
+   THEN 1 ELSE 0 END)::INTEGER AS keep
+FROM ch
+"""
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
@@ -450,6 +486,7 @@ def queries():
         "cur_redact_text": lambda s, d: redact_text(_docs(s, d)),
         "cur_keep_list": lambda s, d: keep_list(_docs(s, d)),
         "cur_pack_sequences": lambda s, d: pack_sequences(_docs(s, d)),
+        "cur_chunk_dedup": lambda s, d: chunk_dedup(_docs(s, d)),
     }
 
 
@@ -462,4 +499,5 @@ def oracle_sql():
         "cur_redact_text": _REDACT_SQL,
         "cur_keep_list": _KEEP_SQL,
         "cur_pack_sequences": _PACK_SQL,
+        "cur_chunk_dedup": _CHUNK_DEDUP_SQL,
     }

@@ -144,3 +144,17 @@ def test_pack_sequences_contiguous_budget(spark):
         4: ("a", 1, 13, 9),
         5: ("b", 0, 0, 7),
     }
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    from accumulo_wikisearch_spark.operators.curation import chunk_dedup
+
+    body = " ".join(f"w{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, "completely different tokens here")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["chunk_id"]): r["keep"] for r in chunk_dedup(docs).collect()}
+    # doc1 chunk0 == doc2 chunk0 → doc1 keeps, doc2 drops; doc3 unique
+    assert out[(1, 0)] == 1 and out[(2, 0)] == 0
+    assert out[(3, 0)] == 1
