@@ -497,6 +497,12 @@ def _pq_codebooks(
     deterministic seed convention as take_centroids — a k-means stand-in
     that keeps the operator bit-replayable by the SQL oracle)."""
     rows = emb.orderBy("vec_id").limit(n_codes).collect()
+    return _books_from_rows(rows, m, sub_dim)
+
+
+def _books_from_rows(
+    rows, m: int, sub_dim: int
+) -> list[list[tuple[int, list[float]]]]:
     return [
         [
             (i, [float(x) for x in r["embedding"][s * sub_dim : (s + 1) * sub_dim]])
@@ -504,6 +510,18 @@ def _pq_codebooks(
         ]
         for s in range(m)
     ]
+
+
+def _seed_rows_shared(emb: DataFrame, n_cells: int, n_codes: int):
+    """One TakeOrdered job serving BOTH the IVF seed centroids and the PQ
+    seed codebooks (they read the same first-n corpus vectors; collecting
+    twice doubled the driver-job count of every IVF-PQ call)."""
+    rows = emb.orderBy("vec_id").limit(max(n_cells, n_codes)).collect()
+    cents = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(rows[:n_cells])
+    ]
+    return cents, rows[:n_codes]
 
 
 def pq_codes(
@@ -681,8 +699,8 @@ def topk_ivf_pq(
     a 4-byte-per-subvector table. Probes broadcast; ranking is ascending
     ADC distance with lower-id tie-break. Deterministic end-to-end (seed
     centroids + seed codebooks), hence oracle-checkable."""
-    cents = take_centroids(emb, n_cells, lloyd_iters=0)
-    books = _pq_codebooks(emb, m, sub_dim, n_codes)
+    cents, seed_rows = _seed_rows_shared(emb, n_cells, n_codes)
+    books = _books_from_rows(seed_rows, m, sub_dim)
     v = _as_double(F.col("embedding"))
     # persist = the at-rest IVF-PQ index (cells + codes computed once, not
     # once per query — see topk_pq_adc's note); write_ivf_pq_index is the
@@ -726,8 +744,8 @@ def write_ivf_pq_index(
     directories of a table whose rows are m small ints, the FAISS IVFADC
     storage shape. Returns (centroids, codebooks) — the quantizer metadata
     to store beside the index."""
-    cents = take_centroids(emb, n_cells, lloyd_iters=0)
-    books = _pq_codebooks(emb, m, sub_dim, n_codes)
+    cents, seed_rows = _seed_rows_shared(emb, n_cells, n_codes)
+    books = _books_from_rows(seed_rows, m, sub_dim)
     v = _as_double(F.col("embedding"))
     (
         emb.select(
