@@ -318,6 +318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(temporal.queries())
     out.update(sampling.queries())
     out.update(streaming_analytics.queries())
+
+    from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
+
+    out.update(src_jsonl.queries())
     # The driver's correctness gate checks registry entries in insertion
     # order and truncates (50 entries per round in r01/r02, vs 86
     # registered).  Order the registry as a freshness scheduler so the
@@ -554,4 +558,8 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out.update(temporal.oracle_sql())
     out.update(sampling.oracle_sql())
     out.update(streaming_analytics.oracle_sql())
+
+    from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
+
+    out.update(src_jsonl.oracle_sql())
     return out

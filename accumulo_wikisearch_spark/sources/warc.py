@@ -1,0 +1,136 @@
+"""WARC (Web ARChive, ISO 28500) record reader — the container format of
+Common Crawl, the largest public LLM pretraining source.
+
+Reference parity: extends the ingest-source surface (the reference reads
+only Wikipedia XML — `ingest/.../WikipediaMapper.java`) the same way
+`sources/xml.py` and `sources/jsonl.py` do, into the corpus-agnostic
+``articles`` contract.
+
+Format (plaintext): records of
+``WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<Content-Length bytes>\\r\\n\\r\\n``.
+Common Crawl ships files as CONCATENATED per-record gzip members;
+``gzip.decompress`` inflates all members, so .warc.gz parses unchanged.
+
+Scale shape: one file = one task (binaryFile source; CC files are ~1 GB —
+the decompressed file must fit a task's memory, which is the standard WARC
+processing model). Record splitting is an Arrow-batched ``mapInPandas``
+kernel — there is no Catalyst expression for a byte-offset record walk,
+the same justification as the multimodal codecs. A malformed/truncated
+record ends that FILE's parse with the records read so far — one bad file
+never fails a 100 TB job (same contract as multimodal._split_ppm_stream).
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.functions.normalize import hash60_col
+
+RECORD_SCHEMA = (
+    "path string, record_id string, warc_type string, target_uri string, "
+    "warc_date string, content_length long, payload binary"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _split_warc(b: bytes) -> list[dict]:
+    """Split one (decompressed) WARC stream into record dicts."""
+    records: list[dict] = []
+    pos = 0
+    n = len(b)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and b[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if not b[pos : pos + 5] == b"WARC/":
+            break
+        hdr_end = b.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        try:
+            headers: dict[str, str] = {}
+            for line in b[pos:hdr_end].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode("ascii")] = v.strip().decode(
+                    "utf-8", "replace"
+                )
+            length = int(headers["content-length"])
+        except (KeyError, ValueError, UnicodeDecodeError):
+            break
+        body_start = hdr_end + len(_CRLF2)
+        body_end = body_start + length
+        if body_end > n:
+            break
+        records.append(
+            {
+                "record_id": headers.get("warc-record-id", ""),
+                "warc_type": headers.get("warc-type", ""),
+                "target_uri": headers.get("warc-target-uri", ""),
+                "warc_date": headers.get("warc-date", ""),
+                "content_length": length,
+                "payload": b[body_start:body_end],
+            }
+        )
+        pos = body_end
+    return records
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files under ``path`` (plaintext or .gz) → one row per record:
+    (path, record_id, warc_type, target_uri, warc_date, content_length,
+    payload)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "path",
+                    "record_id",
+                    "warc_type",
+                    "target_uri",
+                    "warc_date",
+                    "content_length",
+                    "payload",
+                )
+            }
+            for p, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                if blob[:2] == b"\x1f\x8b":
+                    try:
+                        # inflates ALL concatenated members (CC layout)
+                        blob = gzip.decompress(blob)
+                    except OSError:
+                        continue
+                for rec in _split_warc(blob):
+                    out["path"].append(p)
+                    for k, v in rec.items():
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(parse, RECORD_SCHEMA)
+
+
+def load_articles_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC response/conversion records → the engine's ``articles``
+    contract: id = portable hash of the record id (stable across runs),
+    language = 'default' (run lang-ID downstream — textstats.lang_id),
+    text = payload decoded as UTF-8 with replacement."""
+    recs = read_warc(spark, path).where(
+        F.col("warc_type").isin("response", "conversion")
+    )
+    return recs.select(
+        hash60_col(F.col("record_id")).alias("id"),
+        F.lit("default").alias("language"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.col("target_uri").alias("source"),
+        F.col("content_length").alias("n_chars"),
+    )
