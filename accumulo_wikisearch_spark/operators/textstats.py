@@ -129,6 +129,79 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", _get_langid_udf()(F.col("text")).alias("pred_lang"))
 
 
+def hashing_embed(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """Deterministic document embeddings via the feature-hashing trick
+    (Weinberger et al., "Feature hashing for large scale multitask
+    learning", ICML 2009): each token instance adds ±1 to bucket
+    hash60(token) % dim, sign from an independent hash bit. This is the
+    EMBEDDING-GENERATION stage of the pipeline — its output feeds the ANN /
+    embedding-dedup operators — kept model-free and integer-exact (a real
+    encoder slots into the same (doc_id, vector) shape via mapInPandas,
+    like the multimodal codecs).
+
+    Output: (doc_id, emb_csv) — the dense int vector as a comma-joined
+    string (the driver canonicalizer cannot hash array cells; same
+    convention as quantize_int8.q_csv).
+
+    Scale shape: one shuffle on (doc_id, bucket) with map-side partial
+    sums (the same exchange vocab statistics use), then a per-doc dense
+    fill from a map literal — no Python anywhere."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+    inst = docs.select("doc_id", F.explode(toks).alias("token")).select(
+        "doc_id", hash60_col(F.col("token")).alias("h")
+    )
+    per_bucket = (
+        inst.select(
+            "doc_id",
+            (F.col("h") % dim).cast("int").alias("bucket"),
+            # shiftright, NOT h/256: float division rounds a 60-bit hash
+            ((F.shiftright(F.col("h"), 8) % 2) * 2 - 1).cast("long").alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("s"))
+    )
+    dense = (
+        per_bucket.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "s"))).alias("m"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("long")
+                    ).cast("string"),
+                ),
+                ",",
+            ).alias("emb_csv"),
+        )
+    )
+    return dense
+
+
+def _hash_embed_sql(dim: int = 64) -> str:
+    h = HASH60_DUCKDB.format(expr="token")
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS token
+  FROM documents
+),
+i AS (
+  SELECT doc_id, ({h}) % {dim} AS bucket,
+         ((({h}) // 256) % 2) * 2 - 1 AS sign
+  FROM t
+),
+pb AS (SELECT doc_id, bucket, sum(sign) AS s FROM i GROUP BY doc_id, bucket),
+d AS (
+  SELECT pb.doc_id, u.b, COALESCE(max(pb.s) FILTER (WHERE pb.bucket = u.b), 0) AS v
+  FROM pb, unnest(range(0, {dim})) AS u(b)
+  GROUP BY pb.doc_id, u.b
+)
+SELECT doc_id, array_to_string(list(v::VARCHAR ORDER BY b), ',') AS emb_csv
+FROM d GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
@@ -146,6 +219,7 @@ def queries():
         "doc_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
         # heuristic, no SQL oracle (rows-only)
         "lang_id": lambda s, d: lang_id(_docs(s, d)),
+        "text_embed_hashing": lambda s, d: hashing_embed(_docs(s, d)),
     }
 
 
@@ -223,4 +297,5 @@ def oracle_sql():
         "token_counts": _TOKEN_SQL,
         "doc_fingerprint": _FP_SQL,
         "lang_id": _langid_sql(),
+        "text_embed_hashing": _hash_embed_sql(),
     }

@@ -171,3 +171,22 @@ def test_missing_field_negation_truth_table(spark):
         for fp in (None, "fullscan"):
             got = sorted(r["doc_id"] for r in eng.query(q, force_path=fp).collect())
             assert got == want, f"{q} ({fp or 'optimized'}): {got} != {want}"
+
+
+def test_hashing_embed_properties(spark):
+    """Feature-hashing embedding: deterministic, additive in token
+    instances, sign-balanced buckets."""
+    from accumulo_wikisearch_spark.operators.textstats import hashing_embed
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x y x"), (3, "y"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: [int(v) for v in r["emb_csv"].split(",")] for r in hashing_embed(docs, dim=8).collect()}
+    assert set(out) == {1, 2, 3}  # empty doc excluded
+    # order-free bag semantics: same multiset -> same vector
+    assert out[1] == out[2]
+    # additive: doc1 = 2*x + y, doc3 = y; the difference is exactly 2*x
+    diff = [a - b for a, b in zip(out[1], out[3])]
+    assert sorted(map(abs, diff)) == [0] * 7 + [2]
+    assert all(len(v) == 8 for v in out.values())
