@@ -320,8 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming_analytics.queries())
 
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
+    from accumulo_wikisearch_spark.sources import warc as src_warc
 
     out.update(src_jsonl.queries())
+    out.update(src_warc.queries())
     # The driver's correctness gate checks registry entries in insertion
     # order and truncates (50 entries per round in r01/r02, vs 86
     # registered).  Order the registry as a freshness scheduler so the
@@ -560,6 +562,8 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out.update(streaming_analytics.oracle_sql())
 
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
+    from accumulo_wikisearch_spark.sources import warc as src_warc
 
     out.update(src_jsonl.oracle_sql())
+    out.update(src_warc.oracle_sql())
     return out

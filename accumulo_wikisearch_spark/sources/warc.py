@@ -119,6 +119,70 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, RECORD_SCHEMA)
 
 
+def build_warc_record(
+    record_id: str, warc_type: str, target_uri: str, payload: bytes
+) -> bytes:
+    """One plaintext WARC/1.0 record (the writer half of the reader above;
+    used by the round-trip check and available for corpus export)."""
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"WARC-Target-URI: {target_uri}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+    ).encode()
+    return hdr + b"\r\n" + payload + b"\r\n\r\n"
+
+
+# ---------------------------------------------------------------------------
+# driver registry: documents → WARC bytes → parse-back equality against the
+# original table (bounded fixture: first 100 docs, built driver-side)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.where(F.col("doc_id") < 100).select("doc_id", "text").collect()
+    blob = b"".join(
+        build_warc_record(
+            f"<urn:doc:{r['doc_id']}>",
+            "conversion",
+            f"doc://{r['doc_id']}",
+            (r["text"] or "").encode("utf-8"),
+        )
+        for r in sorted(rows, key=lambda r: r["doc_id"])
+    )
+    out = tempfile.mkdtemp(prefix="wikisearch-warc-")
+    with open(os.path.join(out, "docs.warc"), "wb") as f:
+        f.write(blob)
+    recs = read_warc(spark, out)
+    return recs.select(
+        F.regexp_extract(F.col("target_uri"), r"doc://(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+def queries():
+    return {"src_warc_roundtrip": _roundtrip_entry}
+
+
+def oracle_sql():
+    return {
+        "src_warc_roundtrip": (
+            "SELECT doc_id, text FROM documents WHERE doc_id < 100"
+        )
+    }
+
+
 def load_articles_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC response/conversion records → the engine's ``articles``
     contract: id = portable hash of the record id (stable across runs),
