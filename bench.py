@@ -105,6 +105,7 @@ def main() -> None:
         lambda: dedup.embedding_near_dup_pairs(emb).count(),
     )
     timed("text_quality", lambda: textstats.text_quality(docs).count())
+    timed("text_embed_hashing", lambda: textstats.hashing_embed(docs).count())
     timed("doc_fingerprint", lambda: textstats.doc_fingerprint(docs).count())
 
     from accumulo_wikisearch_spark.operators import multimodal
