@@ -322,8 +322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
     from accumulo_wikisearch_spark.sources import warc as src_warc
 
+    from accumulo_wikisearch_spark.sources import csv as src_csv
+
     out.update(src_jsonl.queries())
     out.update(src_warc.queries())
+    out.update(src_csv.queries())
     # The driver's correctness gate checks registry entries in insertion
     # order and truncates (50 entries per round in r01/r02, vs 86
     # registered).  Order the registry as a freshness scheduler so the
@@ -564,6 +567,9 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
     from accumulo_wikisearch_spark.sources import warc as src_warc
 
+    from accumulo_wikisearch_spark.sources import csv as src_csv
+
     out.update(src_jsonl.oracle_sql())
     out.update(src_warc.oracle_sql())
+    out.update(src_csv.oracle_sql())
     return out
