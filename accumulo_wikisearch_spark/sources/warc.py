@@ -11,19 +11,22 @@ Format (plaintext): records of
 Common Crawl ships files as CONCATENATED per-record gzip members;
 ``gzip.decompress`` inflates all members, so .warc.gz parses unchanged.
 
-Scale shape: one file = one task (binaryFile source; CC files are ~1 GB —
-the decompressed file must fit a task's memory, which is the standard WARC
-processing model). Record splitting is an Arrow-batched ``mapInPandas``
+Scale shape: one file = one task (binaryFile source; CC files are ~1 GB).
+Decompression is STREAMING (zlib incremental over the concatenated gzip
+members) and records are parsed from a rolling buffer, so task memory is
+O(compressed file + one record + one chunk) — the decompressed stream is
+never materialized. Record splitting is an Arrow-batched ``mapInPandas``
 kernel — there is no Catalyst expression for a byte-offset record walk,
 the same justification as the multimodal codecs. A malformed/truncated
-record ends that FILE's parse with the records read so far — one bad file
-never fails a 100 TB job (same contract as multimodal._split_ppm_stream).
+record (including a negative or backwards-pointing Content-Length) ends
+that FILE's parse with the records read so far — one bad file never fails
+a 100 TB job (same contract as multimodal._split_ppm_stream).
 """
 
 from __future__ import annotations
 
-import gzip
-from typing import Iterator
+import zlib
+from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,48 +39,112 @@ RECORD_SCHEMA = (
 )
 
 _CRLF2 = b"\r\n\r\n"
+_CHUNK = 1 << 20  # compressed-read / decompress granularity
+_MAX_HEADER = 1 << 20  # a header block larger than this is malformed
 
 
-def _split_warc(b: bytes) -> list[dict]:
-    """Split one (decompressed) WARC stream into record dicts."""
-    records: list[dict] = []
-    pos = 0
-    n = len(b)
-    while pos < n:
+def _gunzip_stream(raw: bytes, chunk: int = _CHUNK) -> Iterator[bytes]:
+    """Incrementally inflate CONCATENATED gzip members (the Common Crawl
+    per-record-member layout) from an in-memory compressed blob, yielding
+    bounded decompressed chunks — state is O(chunk), the full decompressed
+    stream never exists at once. A zlib error propagates to the caller,
+    which treats it as 'this file ends here'."""
+    d = zlib.decompressobj(31)  # 31 = gzip wrapper
+    pos, n = 0, len(raw)
+    pending = b""
+    while pos < n or pending:
+        if not pending:
+            pending = raw[pos : pos + chunk]
+            pos += chunk
+        out = d.decompress(pending, chunk)
+        if out:
+            yield out
+        if d.eof:
+            # next concatenated member (or trailing garbage, which the
+            # fresh decompressobj will reject as a zlib.error). On eof the
+            # leftover bytes are in unused_data (unconsumed_tail aliases
+            # the same bytes — do NOT concatenate both).
+            pending = d.unused_data
+            d = zlib.decompressobj(31)
+            if not pending and pos >= n:
+                return
+        else:
+            pending = d.unconsumed_tail
+    tail = d.flush()
+    if tail:
+        yield tail
+
+
+def _records_from_stream(chunks: Iterable[bytes]) -> Iterator[dict]:
+    """Parse WARC records from an iterator of byte chunks with a rolling
+    buffer: memory is O(one record + one chunk). Any malformed header —
+    missing/negative Content-Length, oversized header block, non-WARC
+    leader — ends the stream's parse (records already yielded stand),
+    and the buffer cursor strictly advances so no input can loop."""
+    buf = bytearray()
+    it = iter(chunks)
+    eof = False
+
+    def fill() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        nxt = next(it, None)
+        if nxt is None:
+            eof = True
+            return False
+        buf.extend(nxt)
+        return True
+
+    while True:
         # tolerate inter-record padding
-        while pos < n and b[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if not b[pos : pos + 5] == b"WARC/":
-            break
-        hdr_end = b.find(_CRLF2, pos)
-        if hdr_end < 0:
-            break
+        pad = 0
+        while True:
+            while pad < len(buf) and buf[pad] in (13, 10):
+                pad += 1
+            if pad < len(buf) or not fill():
+                break
+        if pad:
+            del buf[:pad]
+        while len(buf) < 5 and fill():
+            pass
+        if not buf[:5] == b"WARC/":
+            return
+        while (hdr_end := buf.find(_CRLF2)) < 0:
+            if len(buf) > _MAX_HEADER or not fill():
+                return
         try:
             headers: dict[str, str] = {}
-            for line in b[pos:hdr_end].split(b"\r\n")[1:]:
+            for line in bytes(buf[:hdr_end]).split(b"\r\n")[1:]:
                 k, _, v = line.partition(b":")
                 headers[k.strip().lower().decode("ascii")] = v.strip().decode(
                     "utf-8", "replace"
                 )
             length = int(headers["content-length"])
         except (KeyError, ValueError, UnicodeDecodeError):
-            break
+            return
+        if length < 0:
+            return  # backwards-pointing body: malformed, stop this file
         body_start = hdr_end + len(_CRLF2)
         body_end = body_start + length
-        if body_end > n:
-            break
-        records.append(
-            {
-                "record_id": headers.get("warc-record-id", ""),
-                "warc_type": headers.get("warc-type", ""),
-                "target_uri": headers.get("warc-target-uri", ""),
-                "warc_date": headers.get("warc-date", ""),
-                "content_length": length,
-                "payload": b[body_start:body_end],
-            }
-        )
-        pos = body_end
-    return records
+        while len(buf) < body_end and fill():
+            pass
+        if len(buf) < body_end:
+            return  # truncated record
+        yield {
+            "record_id": headers.get("warc-record-id", ""),
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "warc_date": headers.get("warc-date", ""),
+            "content_length": length,
+            "payload": bytes(buf[body_start:body_end]),
+        }
+        del buf[:body_end]  # strictly advances (body_end ≥ hdr_end+4 > 0)
+
+
+def _split_warc(b: bytes) -> list[dict]:
+    """Split one (decompressed) WARC stream into record dicts."""
+    return list(_records_from_stream((b,)))
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -88,33 +155,46 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
+    cols = (
+        "path",
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        "payload",
+    )
+
     def parse(batches) -> Iterator["pd.DataFrame"]:
+        out: dict[str, list] = {k: [] for k in cols}
+        n_out = 0
+
+        def flush():
+            nonlocal out, n_out
+            df = pd.DataFrame(out)
+            out = {k: [] for k in cols}
+            n_out = 0
+            return df
+
         for pdf in batches:
-            out: dict[str, list] = {
-                k: []
-                for k in (
-                    "path",
-                    "record_id",
-                    "warc_type",
-                    "target_uri",
-                    "warc_date",
-                    "content_length",
-                    "payload",
-                )
-            }
             for p, content in zip(pdf["path"], pdf["content"]):
                 blob = bytes(content)
-                if blob[:2] == b"\x1f\x8b":
-                    try:
-                        # inflates ALL concatenated members (CC layout)
-                        blob = gzip.decompress(blob)
-                    except OSError:
-                        continue
-                for rec in _split_warc(blob):
-                    out["path"].append(p)
-                    for k, v in rec.items():
-                        out[k].append(v)
-            yield pd.DataFrame(out)
+                chunks: Iterable[bytes] = (
+                    _gunzip_stream(blob) if blob[:2] == b"\x1f\x8b" else (blob,)
+                )
+                try:
+                    for rec in _records_from_stream(chunks):
+                        out["path"].append(p)
+                        for k, v in rec.items():
+                            out[k].append(v)
+                        n_out += 1
+                        if n_out >= 256:
+                            yield flush()
+                except zlib.error:
+                    # corrupt compressed tail: keep the records read so far
+                    pass
+        if n_out:
+            yield flush()
 
     return files.mapInPandas(parse, RECORD_SCHEMA)
 

@@ -71,3 +71,70 @@ def test_articles_mapping_filters_non_documents(tmp_path, spark):
     texts = sorted(r["text"] for r in arts)
     assert texts == sorted([PAYLOAD1.decode(), PAYLOAD2.decode()])
     assert all(r["id"] is not None and r["language"] == "default" for r in arts)
+
+def test_negative_content_length_terminates():
+    """Regression: a crafted Content-Length < 0 used to move the parse
+    cursor backwards and loop forever appending records."""
+    from accumulo_wikisearch_spark.sources.warc import _split_warc
+
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:neg>\r\n"
+        b"Content-Length: -40\r\n"
+        b"\r\n"
+    )
+    recs = _split_warc(WARC + bad + _record("x", "response", "http://after", b"p"))
+    # the 3 good leading records parse; the malformed one ends the file
+    assert [r["record_id"] for r in recs] == [
+        "<urn:uuid:1>",
+        "<urn:uuid:2>",
+        "<urn:uuid:3>",
+    ]
+
+
+def test_gunzip_stream_members_and_corrupt_tail():
+    from accumulo_wikisearch_spark.sources.warc import (
+        _gunzip_stream,
+        _records_from_stream,
+    )
+
+    members = [_record(str(i), "response", f"http://e/{i}", b"x" * 1000) for i in range(5)]
+    gz = b"".join(gzip.compress(m) for m in members)
+    assert b"".join(_gunzip_stream(gz, chunk=64)) == b"".join(members)
+    # corrupt tail: records before the corruption survive
+    corrupt = gz + b"\x1f\x8b\x08\x00garbage-not-a-member"
+    got = []
+    try:
+        for rec in _records_from_stream(_gunzip_stream(corrupt, chunk=64)):
+            got.append(rec)
+    except Exception:
+        pass
+    assert len(got) == 5
+
+
+def test_streaming_parse_memory_is_bounded():
+    """The decompressed stream (64 MB) must never materialize: peak
+    allocation during the streamed parse stays within one record + chunk
+    slack, NOT the whole-file size."""
+    import tracemalloc
+
+    from accumulo_wikisearch_spark.sources.warc import (
+        _gunzip_stream,
+        _records_from_stream,
+    )
+
+    record_payload = b"z" * (256 * 1024)
+    one = _record("r", "response", "http://big", record_payload)
+    n_records = 256  # ~64 MB decompressed
+    gz = gzip.compress(one * n_records, compresslevel=1)
+
+    tracemalloc.start()
+    count = 0
+    for rec in _records_from_stream(_gunzip_stream(gz)):
+        count += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == n_records
+    # peak should be ~ a few records + chunk slack, far below the 64 MB stream
+    assert peak < 16 * 1024 * 1024, f"peak {peak} bytes — streaming not bounded"
