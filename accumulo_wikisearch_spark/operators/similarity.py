@@ -29,6 +29,12 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    """The (query_id, neighbor_id, rank) shape with zero rows — the
+    empty-query-set short-circuit of the on-disk ANN paths."""
+    return spark.createDataFrame([], "query_id bigint, neighbor_id bigint, rank int")
+
+
 def _cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     n = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
@@ -144,30 +150,91 @@ def _dvec_expr(xs: list[float]) -> str:
     return "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + ")"
 
 
+def _cached_expr(cache: dict, key, build) -> Column:
+    """Session-scoped, bounded memo for parsed Column objects. py4j Columns
+    hold JavaObject refs that die with the JVM, so entries are keyed to the
+    active SparkSession and dropped wholesale on session change (a stale
+    ref would otherwise surface as a confusing py4j error after a
+    restart); the cache is also size-bounded so long-lived services with
+    many centroid/codebook sets don't grow without bound."""
+    from pyspark.sql import SparkSession
+
+    sid = id(SparkSession.getActiveSession())
+    if cache.get("__sid__") != sid or len(cache) > 64:
+        cache.clear()
+        cache["__sid__"] = sid
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 def _centroid_lit(centroids: list[tuple[int, list[float]]]) -> Column:
     """Centroid set as ONE array<struct<cell,cvec>> literal. Kept to a single
     compact expression (n_cells × dim literal leaves) so the Catalyst tree
     stays small — a chained-``when`` argmax over per-centroid cosines
     duplicates the cosine subtree per branch and blows up analysis — and
     built as ONE SQL string → ONE py4j call (see _dvec_expr). The parsed
-    Column is cached per centroid set (reusable across DataFrames)."""
+    Column is cached per (session, centroid set) — reusable across
+    DataFrames."""
     key = tuple((int(cid), tuple(cvec)) for cid, cvec in centroids)
-    cached = _CENTROID_LIT_CACHE.get(key)
-    if cached is not None:
-        return cached
-    col = F.expr(
-        "array("
-        + ",".join(
-            f"struct({int(cid)} AS cell, {_dvec_expr(cvec)} AS cvec)"
-            for cid, cvec in centroids
-        )
-        + ")"
+    return _cached_expr(
+        _CENTROID_LIT_CACHE,
+        key,
+        lambda: F.expr(
+            "array("
+            + ",".join(
+                f"struct({int(cid)} AS cell, {_dvec_expr(cvec)} AS cvec)"
+                for cid, cvec in centroids
+            )
+            + ")"
+        ),
     )
-    _CENTROID_LIT_CACHE[key] = col
-    return col
 
 
 _CENTROID_LIT_CACHE: dict = {}
+
+
+def _assign_cells_udf(centroids: list[tuple[int, list[float]]]):
+    """Arrow-vectorized argmax-cosine cell assignment — ONE numpy pass per
+    batch instead of n_cells interpreted ``aggregate(zip_with(...))``
+    cosines per ROW (higher-order lambdas don't codegen; at 16 cells ×
+    64 dims that was ~3k interpreted calls/row — the same justification
+    as dedup._band_buckets_udf, which measured ~100×).
+
+    Bit-exact with the `_cell_scores` + `array_max` expression it
+    replaces: every reduction is the SAME left-to-right IEEE-double fold
+    (vectorized across rows, sequential over dims — numpy's pairwise
+    ``sum`` would drift in the last ulp), and ties break to the HIGHER
+    cell exactly like array_max over (score, cell) structs. Built lazily
+    (pandas_udf needs an active session)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Cm = np.array([cvec for _cid, cvec in centroids], dtype=np.float64)  # (k, dim)
+    cell_ids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    # the reversed-argmax tie-break below returns the highest INDEX; it
+    # equals the highest cell id only if ids ascend with index
+    assert all(a < b for a, b in zip(cell_ids, cell_ids[1:]))
+    k, dim = Cm.shape
+
+    @pandas_udf("int")
+    def assign(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+        dot = np.zeros((len(V), k))
+        nv = np.zeros(len(V))
+        nc = np.zeros(k)
+        for j in range(dim):  # sequential folds == F.aggregate order
+            dot += V[:, j : j + 1] * Cm[None, :, j]
+            nv += V[:, j] * V[:, j]
+            nc += Cm[:, j] * Cm[:, j]
+        s = dot / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :])
+        best = (k - 1) - np.argmax(s[:, ::-1], axis=1)  # ties → higher cell
+        return pd.Series(cell_ids[best].astype("int32"))
+
+    return assign
 
 
 def _cell_scores(v: Column, cents: Column) -> Column:
@@ -183,14 +250,16 @@ def _cell_scores(v: Column, cents: Column) -> Column:
 def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """Assign each vector to its nearest centroid (coarse quantizer).
 
-    The centroid set is tiny and enters the plan as literals — a narrow map
-    over the corpus, NO shuffle (``array_max`` over struct scores is the
-    argmax). At 100 TB the assignment is one pass; a partitioned-by-cell
-    layout then makes each query touch only probed cells.
+    The centroid set is tiny and rides into the Arrow kernel as a numpy
+    constant — a narrow map over the corpus, NO shuffle. At 100 TB the
+    assignment is one pass; a partitioned-by-cell layout then makes each
+    query touch only probed cells.
     """
     v = _as_double(F.col("embedding"))
-    best = F.array_max(_cell_scores(v, _centroid_lit(centroids)))
-    return emb.select(F.col("vec_id"), v.alias("v"), best["cell"].alias("cell"))
+    assign = _assign_cells_udf(centroids)
+    return emb.select(
+        F.col("vec_id"), v.alias("v"), assign(F.col("embedding")).alias("cell")
+    )
 
 
 def take_centroids(
@@ -312,6 +381,8 @@ def topk_ivf_on_disk(
     # collect the (tiny) union of probed cells so the IN-filter prunes
     # partitions at scan time; queries themselves broadcast into the join
     cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    if not cells:  # empty query set: isin() with no values would throw
+        return _empty_topk(spark)
     scored = (
         corpus.where(F.col("cell").isin(*cells))
         .join(F.broadcast(probed), "cell")
@@ -331,19 +402,26 @@ def topk_ivf_on_disk(
 # ---------------------------------------------------------------------------
 
 
-def _quantized_vecs(emb: DataFrame) -> DataFrame:
-    """int8-quantized vectors as whole-number doubles (quantize_int8's
-    formula: scale = max|x|/127, q = round(x/scale)). Whole-number inputs
-    make every downstream sum EXACT in double (|Σ| « 2⁵³, no rounding), so
-    aggregation order stops mattering — the property that lets Lloyd
-    refinement be deterministic across engines and partitionings."""
-    v = _as_double(F.col("embedding"))
+def _quantize_arr(col: Column) -> Column:
+    """int8 quantization of ONE array column as whole-number doubles
+    (quantize_int8's formula: scale = max|x|/127, q = round(x/scale)).
+    Kept as a JVM expression (not numpy): Spark/DuckDB ``round`` is
+    half-away-from-zero while np.round is half-to-even, and the hash gate
+    is bit-exact."""
+    v = _as_double(col)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = mx / F.lit(127.0)
-    q = F.when(mx == 0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
+    return F.when(mx == 0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
         F.transform(v, lambda x: F.round(x / scale))
     )
-    return emb.select("vec_id", q.alias("v"))
+
+
+def _quantized_vecs(emb: DataFrame) -> DataFrame:
+    """int8-quantized corpus vectors. Whole-number inputs make every
+    downstream sum EXACT in double (|Σ| « 2⁵³, no rounding), so
+    aggregation order stops mattering — the property that lets Lloyd
+    refinement be deterministic across engines and partitionings."""
+    return emb.select("vec_id", _quantize_arr(F.col("embedding")).alias("v"))
 
 
 def take_centroids_lloyd_exact(
@@ -362,10 +440,7 @@ def take_centroids_lloyd_exact(
     cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
     for _ in range(lloyd_iters):
         assigned = q8.select(
-            "v",
-            F.array_max(_cell_scores(F.col("v"), _centroid_lit(cents)))[
-                "cell"
-            ].alias("cell"),
+            "v", _assign_cells_udf(cents)(F.col("v")).alias("cell")
         )
         means = (
             assigned.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
@@ -403,9 +478,7 @@ def topk_ivf_lloyd_exact(
     corpus = q8.select(
         F.col("vec_id").alias("neighbor_id"),
         "v",
-        F.array_max(_cell_scores(F.col("v"), _centroid_lit(cents)))["cell"].alias(
-            "cell"
-        ),
+        _assign_cells_udf(cents)(F.col("v")).alias("cell"),
     )
     qv = q8.where(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -534,56 +607,69 @@ def pq_codes(
     (vec_id, code_0..code_{m-1}) — m log2(n_codes)-bit codes replace the
     full vector: 64 floats → 4 nibbles here, 64× compression.
 
-    One narrow scan-local pass: codebooks enter the plan as literals
-    (m × n_codes × sub_dim doubles), argmin is ``array_min`` over
-    (distance, code) structs — no shuffle, no UDF."""
+    One narrow scan-local pass: codebooks ride into the Arrow kernel as a
+    numpy constant, argmin is a vectorized matrix op — no shuffle."""
     books = _pq_codebooks(emb, m, sub_dim, n_codes)
-    return emb.select(F.col("vec_id"), *_code_cols(books, sub_dim))
+    return emb.select(F.col("vec_id"), *_code_select(books, sub_dim))
 
 
-def _code_cols(
-    books: list[list[tuple[int, list[float]]]], sub_dim: int
+def _pq_code_udf(books: list[list[tuple[int, list[float]]]], sub_dim: int):
+    """Arrow-vectorized PQ coding: squared-L2 argmin of every subvector
+    against its codebook, ONE numpy pass per batch, returned as an
+    array<int> of the m codes.
+
+    History: v1 used transform/aggregate lambdas (interpreted per element,
+    ~100 µs/row); v2 used explicit ``t1 + t2 + …`` expression chains
+    (~20 µs/row) — but the generated code exceeded janino's 64 KB method
+    limit, so Spark logged `ERROR CodeGenerator: Failed to compile` on
+    every plan and fell back to INTERPRETED evaluation anyway. This numpy
+    kernel is the `dedup._band_buckets_udf` pattern (~100× interpreted
+    lambdas) and keeps whole-stage codegen clean.
+
+    Bit-exact with both predecessors and the DuckDB oracle: the distance
+    accumulates as the SAME left-to-right IEEE fold (acc = acc + (x-c)²,
+    sequential over dims, vectorized over rows×codes), and np.argmin's
+    first-minimum tie-break equals array_min's (d, code)-struct ordering
+    (ties to the LOWER code)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(
+        [[cvec for _code, cvec in book] for book in books], dtype=np.float64
+    )  # (m, n_codes, sub_dim)
+    m, n_codes = C.shape[0], C.shape[1]
+
+    @pandas_udf("array<int>")
+    def codes(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+        out = np.empty((len(V), m), dtype=np.int32)
+        for s in range(m):
+            X = V[:, s * sub_dim : (s + 1) * sub_dim]
+            acc = np.zeros((len(V), n_codes))
+            for j in range(sub_dim):  # sequential fold == the chain's order
+                d = X[:, j : j + 1] - C[s, None, :, j]
+                acc += d * d
+            out[:, s] = np.argmin(acc, axis=1)  # first min == lower code
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _code_select(
+    books: list[list[tuple[int, list[float]]]],
+    sub_dim: int,
+    col: str = "embedding",
 ) -> list[Column]:
-    """code_0..code_{m-1} assignment columns over the ``embedding`` column
-    (squared-L2 argmin against literal codebooks, ties to the lower code).
-
-    Built as EXPLICIT term chains, not transform/aggregate lambdas: Spark
-    interprets higher-order functions per element (each fold allocates its
-    zipped array outside whole-stage codegen), which made coding cost more
-    than a brute-force search — ~100 µs/row vs ~20 µs/row for the chain
-    (measured at sf0.1; the chain's win grows at scale where per-row cost
-    is everything). The explicit ``t1 + t2 + …`` chain is the same
-    left-to-right order as the fold (t1 ≡ 0.0 + t1), so the doubles — and
-    the oracle hashes — are bit-identical. The parsed Column objects are
-    cached per codebook: parsing + analyzing the ~25 KB expression strings
-    costs ~0.6 s of driver time, and Columns are reusable across
-    DataFrames, so repeated calls (served queries, bench reps) skip it."""
-    key = (sub_dim, tuple((s, code, tuple(cvec)) for s, book in enumerate(books) for code, cvec in book))
-    cached = _CODE_COLS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    cols = []
-    for s, book in enumerate(books):
-        structs = []
-        for code, cvec in book:
-            terms = []
-            for j in range(1, sub_dim + 1):
-                x = f"CAST(element_at(embedding, {s * sub_dim + j}) AS DOUBLE)"
-                c = f"CAST({cvec[j - 1]!r} AS DOUBLE)"
-                terms.append(f"({x} - {c}) * ({x} - {c})")
-            structs.append(
-                "struct(" + " + ".join(terms) + f" AS d, {int(code)} AS code)"
-            )
-        cols.append(
-            F.expr("array_min(array(" + ",".join(structs) + ")).code")
-            .cast("int")
-            .alias(f"code_{s}")
-        )
-    _CODE_COLS_CACHE[key] = cols
-    return cols
-
-
-_CODE_COLS_CACHE: dict = {}
+    """code_0..code_{m-1} projection columns over ``col`` via the Arrow
+    kernel (the UDF runs ONCE per row — Spark deduplicates the repeated
+    references inside its ArrowEvalPython node)."""
+    codes = _pq_code_udf(books, sub_dim)(F.col(col))
+    return [
+        codes[s].cast("int").alias(f"code_{s}") for s in range(len(books))
+    ]
 
 
 def topk_pq_adc(
@@ -641,10 +727,15 @@ def _adc_luts(
     take_centroids already crosses. The Python accumulation below is the
     identical left-to-right IEEE-double chain the engines fold, and the
     values re-enter the plan via repr round-trip — bit-exact vs the oracle.
-    Built as one VALUES LocalRelation (no Python-RDD scan)."""
+    Built as one VALUES LocalRelation (no Python-RDD scan). An empty
+    query set short-circuits to an empty relation (a bare ``VALUES`` is a
+    SQL syntax error)."""
     qrows = queries.select(
         "query_id", _as_double(F.col("qv")).alias("qv")
     ).collect()
+    if not qrows:
+        lut_cols = ", ".join(f"l{s} array<double>" for s in range(len(books)))
+        return spark.createDataFrame([], f"query_id bigint, {lut_cols}")
     rows = []
     for r in qrows:
         qv = [float(x) for x in r["qv"]]
@@ -701,14 +792,13 @@ def topk_ivf_pq(
     centroids + seed codebooks), hence oracle-checkable."""
     cents, seed_rows = _seed_rows_shared(emb, n_cells, n_codes)
     books = _books_from_rows(seed_rows, m, sub_dim)
-    v = _as_double(F.col("embedding"))
     # persist = the at-rest IVF-PQ index (cells + codes computed once, not
     # once per query — see topk_pq_adc's note); write_ivf_pq_index is the
     # durable form
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.array_max(_cell_scores(v, _centroid_lit(cents)))["cell"].alias("cell"),
-        *_code_cols(books, sub_dim),
+        _assign_cells_udf(cents)(F.col("embedding")).alias("cell"),
+        *_code_select(books, sub_dim),
     ).persist()
     qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
     scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
@@ -746,12 +836,11 @@ def write_ivf_pq_index(
     to store beside the index."""
     cents, seed_rows = _seed_rows_shared(emb, n_cells, n_codes)
     books = _books_from_rows(seed_rows, m, sub_dim)
-    v = _as_double(F.col("embedding"))
     (
         emb.select(
             F.col("vec_id"),
-            F.array_max(_cell_scores(v, _centroid_lit(cents)))["cell"].alias("cell"),
-            *_code_cols(books, sub_dim),
+            _assign_cells_udf(cents)(F.col("embedding")).alias("cell"),
+            *_code_select(books, sub_dim),
         )
         .repartition("cell")
         .sortWithinPartitions("vec_id")
@@ -786,6 +875,8 @@ def topk_ivf_pq_on_disk(
         F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
     ).select("query_id", F.explode(F.col("probes.cell")).alias("cell"))
     cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    if not cells:  # empty query set: isin() with no values would throw
+        return _empty_topk(spark)
     luts = _adc_luts(spark, queries, books, sub_dim)
     scored = (
         corpus.where(F.col("cell").isin(*cells))
@@ -841,12 +932,15 @@ def topk_int8(
     scale is a per-vector positive constant), so ranks approximate cosine
     up to quantization error — the standard int8 retrieval trade. Ties
     break on neighbor_id. Deterministic under any partitioning by
-    construction."""
+    construction.
+
+    The ``qv`` column of ``queries`` is quantized DIRECTLY (same formula
+    as the corpus side) — query vectors need not exist in the corpus, and
+    every query row survives. (Earlier versions joined query_id back to
+    the corpus and silently dropped unknown ids.)"""
     q8 = _quantized_vecs(emb)
     corpus = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
-    qv = queries.join(q8, queries["query_id"] == q8["vec_id"], "inner").select(
-        "query_id", F.col("v").alias("qv8")
-    )
+    qv = queries.select("query_id", _quantize_arr(F.col("qv")).alias("qv8"))
     dot = F.aggregate(
         F.zip_with(F.col("qv8"), F.col("cv"), lambda x, y: x * y),
         F.lit(0.0),
