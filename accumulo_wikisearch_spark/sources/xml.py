@@ -25,7 +25,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PAGE_RE = re.compile(r"<page>.*?</page>", re.DOTALL)
@@ -101,3 +101,77 @@ def read_wikipedia_xml(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return raw.mapInPandas(chunk_parse, ARTICLE_SCHEMA)
+
+
+def write_wikipedia_xml(pages: DataFrame, path: str) -> None:
+    """The writer half of the reader above: (id, title, timestamp, comment,
+    text) rows → ``<page>`` fragments in text files under ``path`` — one
+    file per partition, a distributed write (no driver materialization).
+    Name the target directory after the dump (e.g. ``…/enwiki``) so
+    :func:`language_from_filename` labels the read-back. XML-escapes
+    &, <, > in the content fields (the exact inverse of the parser's
+    entity decoding), entirely JVM-side."""
+
+    def esc(c: Column) -> Column:
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    frag = F.concat(
+        F.lit("<page><id>"),
+        F.col("id").cast("string"),
+        F.lit("</id><title>"),
+        esc(F.col("title")),
+        F.lit("</title><revision><timestamp>"),
+        F.col("timestamp"),
+        F.lit("</timestamp><comment>"),
+        esc(F.col("comment")),
+        F.lit("</comment><text>"),
+        esc(F.col("text")),
+        F.lit("</text></revision></page>"),
+    )
+    pages.select(frag.alias("value")).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# driver registry: parquet → wiki-XML pages → read_wikipedia_xml → equality
+# against the original table — the same round-trip pattern as jsonl/warc/csv,
+# for the reference's CANONICAL ingest format (AggregatingRecordReader.java
+# chunking + ArticleExtractor.java field extraction).
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="xmlsrc-"), "enwiki")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias("title"),
+        F.lit("2024-01-01T00:00:00Z").alias("timestamp"),
+        F.lit("").alias("comment"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    write_wikipedia_xml(pages, out)
+    arts = read_wikipedia_xml(spark, out)
+    return arts.select(
+        F.col("id").alias("doc_id"), "title", "text", "language"
+    )
+
+
+def queries():
+    return {"src_xml_roundtrip": _roundtrip_entry}
+
+
+def oracle_sql():
+    return {
+        "src_xml_roundtrip": (
+            "SELECT doc_id, 'doc ' || doc_id::VARCHAR AS title, "
+            "coalesce(text, '') AS text, 'enwiki' AS language FROM documents"
+        )
+    }

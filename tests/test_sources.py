@@ -248,3 +248,29 @@ def test_ppm_stream_malformed_header_yields_no_crash():
     good = b"P6\n2 2\n255\n" + px.tobytes()
     out = multimodal._split_ppm_stream(good + b"P6\n2 ")
     assert out == [good]
+
+
+def test_write_read_xml_roundtrip_with_markup(tmp_path, spark):
+    """Writer half: XML-special characters in title/comment/text survive
+    the write → chunk → parse round trip."""
+    from accumulo_wikisearch_spark.sources.xml import (
+        read_wikipedia_xml,
+        write_wikipedia_xml,
+    )
+
+    rows = [
+        (1, "a & b < c > d", "2024-01-01T00:00:00Z", "c&c", "x < y && z > w"),
+        (2, "plain", "2024-01-02T00:00:00Z", "", ""),
+    ]
+    pages = spark.createDataFrame(
+        rows, "id long, title string, timestamp string, comment string, text string"
+    )
+    out = str(tmp_path / "enwiki")
+    write_wikipedia_xml(pages, out)
+    back = {r["id"]: r for r in read_wikipedia_xml(spark, out).collect()}
+    assert len(back) == 2
+    assert back[1]["title"] == "a & b < c > d"
+    assert back[1]["text"] == "x < y && z > w"
+    assert back[1]["comments"] == "c&c"
+    assert back[2]["text"] == ""
+    assert all(r["language"] == "enwiki" for r in back.values())
