@@ -424,20 +424,14 @@ def _quantized_vecs(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", _quantize_arr(F.col("embedding")).alias("v"))
 
 
-def take_centroids_lloyd_exact(
-    q8: DataFrame, n_cells: int = 16, lloyd_iters: int = 2
+def _lloyd_refine_exact(
+    q8: DataFrame, cents: list[tuple[int, list[float]]], lloyd_iters: int
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic Lloyd refinement over quantized vectors.
-
-    Float k-means means are partial-aggregation-order dependent, so a
-    refined-centroid plan can't be replayed bit-exactly by a SQL oracle.
-    Quantized (whole-number) vectors fix that: per-(cell, dim) sums are
-    exact, and the centroid component is floor(sum / count) — integer
-    math both engines agree on. Each step is one distributed pass; only
-    the n_cells × dim centroid matrix is collected. Empty cells keep
-    their previous centroid (same convention as take_centroids)."""
-    rows = q8.orderBy("vec_id").limit(n_cells).collect()
-    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+    """The integer-exact distributed Lloyd loop shared by the seeded and
+    trained quantizers: assign (Arrow kernel, narrow), per-(cell, dim)
+    floor(sum/count) means (exact over whole-number inputs), empty cells
+    keep their previous centroid. Each step is one distributed pass; only
+    the n_cells × dim centroid matrix is ever collected."""
     for _ in range(lloyd_iters):
         assigned = q8.select(
             "v", _assign_cells_udf(cents)(F.col("v")).alias("cell")
@@ -456,6 +450,114 @@ def take_centroids_lloyd_exact(
             new[r["cell"]] = [float(x) for x in r["mean"]]
         cents = sorted(new.items())
     return cents
+
+
+def take_centroids_lloyd_exact(
+    q8: DataFrame, n_cells: int = 16, lloyd_iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd refinement over quantized vectors.
+
+    Float k-means means are partial-aggregation-order dependent, so a
+    refined-centroid plan can't be replayed bit-exactly by a SQL oracle.
+    Quantized (whole-number) vectors fix that: per-(cell, dim) sums are
+    exact, and the centroid component is floor(sum / count) — integer
+    math both engines agree on (see :func:`_lloyd_refine_exact`)."""
+    rows = q8.orderBy("vec_id").limit(n_cells).collect()
+    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+    return _lloyd_refine_exact(q8, cents, lloyd_iters)
+
+
+def take_centroids_trained(
+    emb: DataFrame,
+    n_cells: int = 16,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+) -> list[tuple[int, list[float]]]:
+    """TRAINED coarse quantizer, fully deterministic — the k-means‖-style
+    init the seed-centroid stand-in lacked (FAISS likewise trains its
+    coarse quantizer on a sample; seed centroids degrade recall as the
+    corpus outgrows whatever its first n_cells rows looked like).
+
+    1. hash-sample ~``sample_cap`` quantized vectors: a scan-local
+       ``xxhash64(vec_id)`` threshold — no RNG state, identical under any
+       partitioning; ONE bounded collect (the same driver boundary every
+       centroid path crosses).
+    2. greedy farthest-point seeding over the sample (Gonzalez 1985
+       max-min 2-approximation — the deterministic analogue of
+       k-means++'s D² sampling): start at the lowest vec_id, repeatedly
+       add the candidate farthest from its nearest chosen center, ties to
+       the earliest candidate.
+    3. ``lloyd_iters`` integer-exact distributed refinement steps
+       (:func:`_lloyd_refine_exact`).
+    """
+    import numpy as np
+
+    q8 = _quantized_vecs(emb)
+    n = q8.count()
+    if n == 0:
+        raise ValueError("take_centroids_trained: empty corpus")
+    frac_ppm = min(1_000_000, (1_000_000 * sample_cap) // n + 1)
+    cand = (
+        q8.where(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000)) < F.lit(frac_ppm)
+        )
+        .select("vec_id", "v")
+        .collect()
+    )
+    cand = sorted(cand, key=lambda r: r["vec_id"])
+    V = np.array([[float(x) for x in r["v"]] for r in cand])
+    k = min(n_cells, len(V))
+    chosen = [0]
+    d2 = ((V - V[0]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        i = int(np.argmax(d2))  # ties → first occurrence (lowest vec_id)
+        chosen.append(i)
+        d2 = np.minimum(d2, ((V - V[i]) ** 2).sum(axis=1))
+    cents = [(j, [float(x) for x in V[i]]) for j, i in enumerate(chosen)]
+    return _lloyd_refine_exact(q8, cents, lloyd_iters)
+
+
+def topk_ivf_trained(
+    emb: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+    nq: int = 5,
+    sample_cap: int = 2048,
+) -> DataFrame:
+    """IVF top-k with the TRAINED quantizer: same probe/re-rank shape as
+    :func:`topk_ivf_lloyd_exact`, centroids from
+    :func:`take_centroids_trained`. Deterministic end-to-end, covered by
+    the recall pytest on a clustered fixture (the greedy init is an
+    iterative driver-side construction, so no static SQL oracle)."""
+    q8 = _quantized_vecs(emb)
+    cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
+    corpus = q8.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        _assign_cells_udf(cents)(F.col("v")).alias("cell"),
+    )
+    qv = q8.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
+    probes = qv.select(
+        "query_id",
+        "qv",
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
+    ).select("query_id", "qv", F.explode(F.col("probes.cell")).alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
 
 
 def topk_ivf_lloyd_exact(
@@ -507,8 +609,20 @@ def topk_ivf_lloyd_exact(
 # ---------------------------------------------------------------------------
 
 
+def auto_n_cells(n: int, target_cell: int = 500, min_cells: int = 16) -> int:
+    """cells ≈ ⌈corpus / target_cell⌉ (floored at ``min_cells``) so
+    within-cell quadratic cost Σ|cell|² stays ≈ n·target_cell — LINEAR in
+    the corpus. Fixed cell counts re-quadratize as the corpus grows
+    (SemDeDup uses ~100k clusters at web scale for exactly this reason).
+    Integer ceiling division, so the SQL oracle replays it exactly."""
+    return max(min_cells, (n + target_cell - 1) // target_cell)
+
+
 def semdedup_keep(
-    emb: DataFrame, n_cells: int = 16, threshold_pct: int = 90
+    emb: DataFrame,
+    n_cells: int | None = None,
+    threshold_pct: int = 90,
+    target_cell: int = 500,
 ) -> DataFrame:
     """Semantic dedup keep-list (SemDeDup — Abbas et al., "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication", 2023):
@@ -521,13 +635,18 @@ def semdedup_keep(
 
     Scale shape: this is the clustered restriction of the all-pairs
     near-dup — candidate pairs are within-cell only, so cost is
-    Σ |cell|² instead of n². n_cells grows with the corpus (SemDeDup uses
-    ~100k clusters at web scale) keeping cells ~constant-size; the cell
-    self-join shuffles once on cell. Deterministic end-to-end: seed
-    centroids (first n_cells vectors), literal-centroid assignment, exact
-    cosine — no RNG, so the keep-list is replayable and oracle-checkable.
-    Pathological >cell-sized masses of IDENTICAL vectors should be removed
-    by the exact-vector pre-pass first (dedup.exact_vector_duplicates)."""
+    Σ |cell|² instead of n². ``n_cells`` defaults to
+    :func:`auto_n_cells` — COMPUTED from the corpus count (one count()
+    job) so cells stay ~``target_cell``-sized as the corpus grows
+    (SemDeDup uses ~100k clusters at web scale); the cell self-join
+    shuffles once on cell. Deterministic end-to-end: seed centroids
+    (first n_cells vectors), literal-centroid assignment, exact cosine —
+    no RNG, so the keep-list is replayable and oracle-checkable (the
+    oracle replays the same ceiling-division sizing). Pathological
+    >cell-sized masses of IDENTICAL vectors should be removed by the
+    exact-vector pre-pass first (dedup.exact_vector_duplicates)."""
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count(), target_cell)
     cents = take_centroids(emb, n_cells, lloyd_iters=0)
     # persist: both sides of the cell self-join and the final keep-flag
     # read the assignment — without the barrier the literal-centroid argmax
@@ -1299,17 +1418,23 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k
 
 
 def _semdedup_sql(
-    n_cells: int = 16, threshold_pct: int = 90, dim: int = 64
+    threshold_pct: int = 90, dim: int = 64, target_cell: int = 500, min_cells: int = 16
 ) -> str:
     """Replay of semdedup_keep: row_number seed centroids, array_max
     assignment tie-break (score DESC, cell DESC), within-cell lower-id
-    domination at the same exact-cosine threshold."""
+    domination at the same exact-cosine threshold. n_cells is the SAME
+    corpus-count ceiling division as :func:`auto_n_cells`, computed by
+    the oracle from its own view of the table."""
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+nc AS (
+  SELECT greatest({min_cells}, (count(*) + {target_cell - 1}) // {target_cell}) AS n_cells
+  FROM e
+),
 c AS (
   SELECT cell, cvec FROM (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM e
-  ) WHERE cell < {n_cells}
+  ) WHERE cell < (SELECT n_cells FROM nc)
 ),
 asn AS (
   SELECT vec_id, v, cell FROM (

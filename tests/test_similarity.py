@@ -275,3 +275,67 @@ def test_int8_topk_deterministic_and_near_exact(emb):
     got = {(a, b) for a, b, _ in r1}
     # quantization error can permute the tail; most of the top-10 agrees
     assert len(got & exact) >= 35
+
+
+def test_trained_centroids_beat_seed_centroids_on_clustered_corpus(spark):
+    """take_centroids_trained (hash-sample + farthest-point + exact Lloyd)
+    must recover cluster structure that the first-n seed centroids miss:
+    the fixture's first 4 rows (the seeds at n_cells=4) all sit in cluster
+    0, so seeded IVF fragments the other clusters across cells, while
+    farthest-point picks ~one seed per cluster."""
+    import random as pyrandom
+
+    import numpy as np
+
+    from accumulo_wikisearch_spark.operators.similarity import (
+        _quantized_vecs,
+        topk_ivf_lloyd_exact,
+        topk_ivf_trained,
+    )
+
+    rng = pyrandom.Random(7)
+    dim, per_cluster, n_clusters = 64, 50, 4
+    rows = []
+    vid = 0
+
+    def vec(c):
+        base = [0.0] * dim
+        base[c] = 10.0
+        return [base[j] + rng.gauss(0.0, 0.5) for j in range(dim)]
+
+    # first 4 rows (the seeds) AND rows 4..7 (the queries' tail): put the
+    # seeds all in cluster 0, queries 4..7 one per cluster
+    for _ in range(4):
+        rows.append((vid, vec(0))); vid += 1
+    for c in range(4):
+        rows.append((vid, vec(c))); vid += 1
+    for c in range(n_clusters):
+        for _ in range(per_cluster - (4 if c == 0 else 0) - 1):
+            rows.append((vid, vec(c))); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # ground truth: brute-force cosine over the ENGINE's quantized vectors
+    q8 = {r["vec_id"]: np.array(r["v"]) for r in _quantized_vecs(emb).collect()}
+    ids = sorted(q8)
+    M = np.array([q8[i] / np.linalg.norm(q8[i]) for i in ids])
+    k, nq = 10, 8
+    truth = {}
+    for qi in range(nq):
+        cos = M @ M[qi]
+        order = [ids[j] for j in np.argsort(-cos) if ids[j] != qi]
+        truth[qi] = set(order[:k])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return np.mean([len(got.get(q, set()) & truth[q]) / k for q in truth])
+
+    seeded = recall(
+        topk_ivf_lloyd_exact(emb, k=k, n_cells=4, nprobe=1, lloyd_iters=0, nq=nq)
+    )
+    trained = recall(
+        topk_ivf_trained(emb, k=k, n_cells=4, nprobe=1, lloyd_iters=0, nq=nq)
+    )
+    assert trained > seeded, (trained, seeded)
+    assert trained >= 0.9, trained
