@@ -52,7 +52,11 @@ class EngineConfig:
     # (WikipediaMapper.java:154-167): "abacus," and "abacus." index as the
     # token "abacus". "whitespace" is the compat mode (split on whitespace
     # runs only). On the all-lowercase-alnum synthetic corpus the two are
-    # identical, so the DuckDB oracles hold under either.
+    # identical, so the DuckDB oracles hold under either. "wiki" adds
+    # markup awareness for REAL dump text: [[link|label]]/{{template}}
+    # syntax is stripped before word splitting (normalize.
+    # strip_wiki_markup_col) — opt-in because the synthetic corpus has no
+    # markup and the oracles replay the "word" semantics.
     tokenizer: str = "word"
 
     def is_indexed(self, fld: str) -> bool:

@@ -84,11 +84,33 @@ def normalize_str(value: str) -> str:
 # - "whitespace": runs of whitespace separate tokens — the compat mode.
 #   On the all-lowercase-alnum synthetic corpus the two modes tokenize
 #   identically, which keeps the DuckDB oracles valid under either.
+# - "wiki": markup-aware — strip [[link]]/{{template}} syntax FIRST (see
+#   strip_wiki_markup_col), then word-split. The closest match to what
+#   Lucene's WikipediaTokenizer emits on real dump text, where
+#   "[[United States|the US]]" should index "the us", not "united".
 TOKEN_SPLIT_RE = r"\s+"
 _SPLIT_BY_MODE = {
     "whitespace": TOKEN_SPLIT_RE,
     "word": r"[^\p{L}\p{N}]+",
+    "wiki": r"[^\p{L}\p{N}]+",
 }
+
+# [[target]] → target; [[target|label]] → label (pipe trick: display text
+# wins, matching how WikipediaTokenizer surfaces link text)
+_WIKI_LINK_RE = r"\[\[(?:[^\[\]\|]*\|)?([^\[\]]*)\]\]"
+_WIKI_TMPL_RE = r"\{\{[^{}]*\}\}"
+
+
+def strip_wiki_markup_col(col: Column | str) -> Column:
+    """Remove wiki markup before tokenization: ``{{templates}}`` deleted
+    (innermost-first, 3 passes ≈ nesting depth 3 — deeper nests leave
+    brace residue the word splitter then drops as punctuation) and
+    ``[[target|label]]`` / ``[[target]]`` reduced to their display text.
+    Pure ``regexp_replace`` chain — JVM-side, stays in codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _ in range(3):
+        c = F.regexp_replace(c, _WIKI_TMPL_RE, " ")
+    return F.regexp_replace(c, _WIKI_LINK_RE, "$1")
 
 
 def tokenize_col(
@@ -96,6 +118,8 @@ def tokenize_col(
 ) -> Column:
     """Array of (distinct) normalized tokens of a text column."""
     c = F.col(col) if isinstance(col, str) else col
+    if mode == "wiki":
+        c = strip_wiki_markup_col(c)
     toks = F.split(normalize_col(c), _SPLIT_BY_MODE[mode])
     toks = F.filter(toks, lambda t: F.length(t) > 0)
     return F.array_distinct(toks) if distinct else toks
