@@ -22,6 +22,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from accumulo_wikisearch_spark.functions.normalize import HASH60_DUCKDB
 from accumulo_wikisearch_spark.session import tune_runtime
 
 
@@ -479,18 +480,23 @@ def take_centroids_trained(
     corpus outgrows whatever its first n_cells rows looked like).
 
     1. hash-sample ~``sample_cap`` quantized vectors: a scan-local
-       ``xxhash64(vec_id)`` threshold — no RNG state, identical under any
+       PORTABLE hash threshold (``hash60_col`` — md5-based, the same hash
+       the SQL oracle computes) — no RNG state, identical under any
        partitioning; ONE bounded collect (the same driver boundary every
        centroid path crosses).
     2. greedy farthest-point seeding over the sample (Gonzalez 1985
        max-min 2-approximation — the deterministic analogue of
        k-means++'s D² sampling): start at the lowest vec_id, repeatedly
-       add the candidate farthest from its nearest chosen center, ties to
-       the earliest candidate.
+       add the un-chosen candidate farthest from its nearest chosen
+       center, ties to the lowest vec_id. Over QUANTIZED (whole-number)
+       vectors every squared-L2 is an exact integer in double, so the
+       greedy is bit-replayable by the oracle's recursive CTE.
     3. ``lloyd_iters`` integer-exact distributed refinement steps
        (:func:`_lloyd_refine_exact`).
     """
     import numpy as np
+
+    from accumulo_wikisearch_spark.functions.normalize import hash60_col
 
     q8 = _quantized_vecs(emb)
     n = q8.count()
@@ -499,7 +505,8 @@ def take_centroids_trained(
     frac_ppm = min(1_000_000, (1_000_000 * sample_cap) // n + 1)
     cand = (
         q8.where(
-            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000)) < F.lit(frac_ppm)
+            hash60_col(F.col("vec_id").cast("string")) % F.lit(1_000_000)
+            < F.lit(frac_ppm)
         )
         .select("vec_id", "v")
         .collect()
@@ -509,10 +516,12 @@ def take_centroids_trained(
     k = min(n_cells, len(V))
     chosen = [0]
     d2 = ((V - V[0]) ** 2).sum(axis=1)
+    d2[0] = -1.0  # chosen candidates leave the pool
     while len(chosen) < k:
         i = int(np.argmax(d2))  # ties → first occurrence (lowest vec_id)
         chosen.append(i)
         d2 = np.minimum(d2, ((V - V[i]) ** 2).sum(axis=1))
+        d2[i] = -1.0
     cents = [(j, [float(x) for x in V[i]]) for j, i in enumerate(chosen)]
     return _lloyd_refine_exact(q8, cents, lloyd_iters)
 
@@ -1194,6 +1203,9 @@ def queries():
         # variant: quantized corpus makes the per-cell means deterministic,
         # so 2 refinement steps unroll into oracle CTEs
         "ann_topk_ivf_lloyd": lambda s, d: topk_ivf_lloyd_exact(_emb(s, d)),
+        # TRAINED quantizer: hash-sampled farthest-point init + exact
+        # Lloyd — the greedy is replayed by a recursive CTE in the oracle
+        "ann_topk_ivf_trained": lambda s, d: topk_ivf_trained(_emb(s, d)),
         "emb_quantize_int8": lambda s, d: quantize_int8(_emb(s, d)),
         "emb_quantize_pq": lambda s, d: pq_codes(_emb(s, d)),
         "ann_topk_pq_adc": lambda s, d: topk_pq_adc(
@@ -1345,13 +1357,21 @@ def _ivf_lloyd_sql(
     k: int = 10,
     nq: int = 5,
     lloyd_iters: int = 2,
+    trained: bool = False,
+    sample_cap: int = 2048,
 ) -> str:
     """Replay of topk_ivf_lloyd_exact: quantize (round(x/(max|x|/127))),
     seed centroids = first n_cells quantized vectors (row_number labels),
     then ``lloyd_iters`` refinement steps unrolled as CTE pairs
     (assign → per-dim floor(sum/count) mean, empty cells keep the previous
     centroid), final assignment + probe + exact re-rank. All sums are over
-    whole-number doubles → exact → engine-order-independent."""
+    whole-number doubles → exact → engine-order-independent.
+
+    ``trained=True`` replays :func:`take_centroids_trained` instead: the
+    portable-hash sample and the greedy farthest-point seeding as a
+    RECURSIVE CTE (one chosen vec_id appended per step; max-min squared-L2,
+    ties to the lower vec_id — exact integers over the quantized grid, so
+    the greedy argmax is engine-independent), then the same Lloyd tail."""
 
     def assign(prev: str, extra: str = "") -> str:
         cos = _cos_sql("q8.v", f"{prev}.cvec", dim)
@@ -1364,7 +1384,7 @@ def _ivf_lloyd_sql(
   )"""
 
     sql = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+WITH {"RECURSIVE " if trained else ""}e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 q8 AS (
   SELECT vec_id,
     CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
@@ -1372,7 +1392,39 @@ q8 AS (
          ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0)))
     END AS v
   FROM e
+),"""
+    if trained:
+        d2 = f"list_sum(list_transform(range(1, {dim + 1}), j -> (c.v[j] - c2.v[j]) * (c.v[j] - c2.v[j])))"
+        sql += f"""
+frac AS (
+  SELECT least(1000000, (1000000 * {sample_cap}) // count(*) + 1) AS ppm FROM q8
 ),
+cand AS (
+  SELECT vec_id, v FROM q8, frac
+  WHERE ({HASH60_DUCKDB.format(expr="vec_id::VARCHAR")}) % 1000000 < frac.ppm
+),
+sel AS (
+  SELECT 1 AS step, [(SELECT min(vec_id) FROM cand)] AS chosen
+  UNION ALL
+  SELECT step + 1, list_append(chosen, (
+    SELECT vec_id FROM (
+      SELECT c.vec_id AS vec_id, min({d2}) AS d
+      FROM cand c, cand c2
+      WHERE list_contains(sel.chosen, c2.vec_id)
+        AND NOT list_contains(sel.chosen, c.vec_id)
+      GROUP BY c.vec_id
+    ) ORDER BY d DESC, vec_id ASC LIMIT 1
+  ))
+  FROM sel WHERE step < {n_cells}
+),
+ch AS (SELECT chosen FROM sel WHERE step = {n_cells}),
+c0 AS (
+  SELECT r.j - 1 AS cell, cand.v AS cvec
+  FROM ch, range(1, {n_cells + 1}) AS r(j)
+  JOIN cand ON cand.vec_id = ch.chosen[r.j]
+)"""
+    else:
+        sql += f"""
 c0 AS (
   SELECT cell, cvec FROM (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM q8
@@ -1629,6 +1681,7 @@ def oracle_sql():
         "ann_topk_lsh": _lsh_sql(),
         "ann_topk_ivf": _ivf_sql(),
         "ann_topk_ivf_lloyd": _ivf_lloyd_sql(),
+        "ann_topk_ivf_trained": _ivf_lloyd_sql(trained=True),
         "emb_quantize_int8": _QUANT_SQL,
         "emb_quantize_pq": _pq_codes_sql(),
         "ann_topk_pq_adc": _pq_adc_sql(),
