@@ -70,6 +70,52 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """Within-doc repetition signal — the duplicate-n-gram quality filter
+    of Gopher (Rae et al., "Scaling Language Models: ... Gopher", 2021,
+    table A1): for n ∈ {2,3,4}, how many of the doc's token n-grams are
+    repeats of an earlier n-gram (total − distinct). Repetitive docs
+    (boilerplate, keyword stuffing, degenerate generations) score high.
+
+    Integer-valued for oracle stability; ``keep`` applies the Gopher-like
+    thresholds (dup fraction ≤ 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4) via
+    cross-multiplication — no floats. Scan-local: per-row array ops, NO
+    explode, NO shuffle; at 100 TB this is a free rider on any corpus
+    scan."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+
+    def gram_counts(n: int):
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        tot = F.size(g)
+        dup = tot - F.size(F.array_distinct(g))
+        return tot.cast("int"), dup.cast("int")
+
+    tot2, dup2 = gram_counts(2)
+    tot3, dup3 = gram_counts(3)
+    tot4, dup4 = gram_counts(4)
+    keep = (
+        (F.lit(5) * dup2 <= tot2)  # ≤ 0.20
+        & (F.lit(50) * dup3 <= F.lit(9) * tot3)  # ≤ 0.18
+        & (F.lit(25) * dup4 <= F.lit(4) * tot4)  # ≤ 0.16
+    )
+    return docs.select(
+        "doc_id",
+        tot2.alias("tot2"),
+        dup2.alias("dup2"),
+        tot3.alias("tot3"),
+        dup3.alias("dup3"),
+        tot4.alias("tot4"),
+        dup4.alias("dup4"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
     """Winnowing-style fingerprint: min portable-hash over all ``gram``-char
     windows of the text. Equal fingerprints ⇒ likely shared content.
@@ -215,6 +261,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries():
     return {
         "text_quality": lambda s, d: text_quality(_docs(s, d)),
+        "text_repetition": lambda s, d: text_repetition(_docs(s, d)),
         "token_counts": lambda s, d: token_counts(_docs(s, d)),
         "doc_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
         # heuristic, no SQL oracle (rows-only)
@@ -237,6 +284,37 @@ SELECT doc_id,
    AND len(list_filter(toks, x -> x IN ('the','a','in','of'))) > 0)::INTEGER AS keep
 FROM t
 """
+
+def _rep_sql() -> str:
+    """Twin of text_repetition: list_slice bounds are inclusive in DuckDB,
+    so the n-gram at position i is list_slice(toks, i, i + n - 1)."""
+
+    def counts(n: int) -> tuple[str, str]:
+        g = (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_transform(range(1, len(toks) - {n - 2}), "
+            f"i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')) "
+            f"ELSE [] END"
+        )
+        return f"len({g})", f"len({g}) - len(list_distinct({g}))"
+
+    t2, d2 = counts(2)
+    t3, d3 = counts(3)
+    t4, d4 = counts(4)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks FROM documents
+)
+SELECT doc_id,
+  ({t2})::INTEGER AS tot2, ({d2})::INTEGER AS dup2,
+  ({t3})::INTEGER AS tot3, ({d3})::INTEGER AS dup3,
+  ({t4})::INTEGER AS tot4, ({d4})::INTEGER AS dup4,
+  (5 * ({d2}) <= ({t2})
+   AND 50 * ({d3}) <= 9 * ({t3})
+   AND 25 * ({d4}) <= 4 * ({t4}))::INTEGER AS keep
+FROM t
+"""
+
 
 _TOKEN_SQL = """
 WITH t AS (
@@ -294,6 +372,7 @@ FROM sc
 def oracle_sql():
     return {
         "text_quality": _QUALITY_SQL,
+        "text_repetition": _rep_sql(),
         "token_counts": _TOKEN_SQL,
         "doc_fingerprint": _FP_SQL,
         "lang_id": _langid_sql(),

@@ -190,3 +190,25 @@ def test_hashing_embed_properties(spark):
     diff = [a - b for a, b in zip(out[1], out[3])]
     assert sorted(map(abs, diff)) == [0] * 7 + [2]
     assert all(len(v) == 8 for v in out.values())
+
+
+def test_text_repetition_golden(spark):
+    """Gopher duplicate-n-gram counts on hand-checked docs."""
+    from accumulo_wikisearch_spark.operators.textstats import text_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a b": 2-grams = [ab, ba, ab, ba, ab] → tot2=5 dup2=3
+            (1, "a b a b a b"),
+            (2, "all distinct words here now"),  # no repeats at any n
+            (3, "x"),  # shorter than any n-gram: all totals 0, keep=1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_repetition(docs).collect()}
+    assert (rows[1]["tot2"], rows[1]["dup2"]) == (5, 3)
+    assert (rows[1]["tot3"], rows[1]["dup3"]) == (4, 2)
+    assert rows[1]["keep"] == 0  # 3/5 > 0.2 → repetitive, dropped
+    assert rows[2]["dup2"] == rows[2]["dup3"] == rows[2]["dup4"] == 0
+    assert rows[2]["keep"] == 1
+    assert (rows[3]["tot2"], rows[3]["dup2"], rows[3]["keep"]) == (0, 0, 1)
