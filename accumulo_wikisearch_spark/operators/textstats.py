@@ -71,11 +71,15 @@ def token_counts(docs: DataFrame) -> DataFrame:
 
 
 def text_repetition(docs: DataFrame) -> DataFrame:
-    """Within-doc repetition signal — the duplicate-n-gram quality filter
+    """Within-doc repetition signal — the DUPLICATE-n-gram quality filter
     of Gopher (Rae et al., "Scaling Language Models: ... Gopher", 2021,
     table A1): for n ∈ {2,3,4}, how many of the doc's token n-grams are
-    repeats of an earlier n-gram (total − distinct). Repetitive docs
-    (boilerplate, keyword stuffing, degenerate generations) score high.
+    repeats of an earlier n-gram (total − distinct). Complements
+    ``curation.repetition_stats`` (Gopher's OTHER repetition row — TOP
+    n-gram multiplicity): a doc alternating two phrases has low top-bigram
+    share but high duplicate fraction; both filters ship because the
+    paper applies both. Repetitive docs (boilerplate, keyword stuffing,
+    degenerate generations) score high.
 
     Integer-valued for oracle stability; ``keep`` applies the Gopher-like
     thresholds (dup fraction ≤ 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4) via
