@@ -472,6 +472,48 @@ FROM c
 """
 
 
+def domain_cap(
+    docs: DataFrame, key: str = "source", max_per_domain: int = 20
+) -> DataFrame:
+    """Per-domain document cap — the source-balancing step of C4 /
+    RefinedWeb-style curation: keep at most ``max_per_domain`` docs per
+    domain (lowest doc_ids win, deterministic), so no single crawl host
+    dominates the mixture. Output: (doc_id, <key>) of the survivors.
+
+    Scale shape (skew-aware): a naive window over domain shuffles the
+    WHOLE corpus and lands every mega-domain on one task. Instead the
+    per-domain counts aggregate first (map-side partial → tiny result);
+    only rows of OVER-CAP domains — selected by broadcast semi-join —
+    enter the row_number window, while the under-cap remainder passes
+    through with NO shuffle at all. Web corpora are long-tailed, so the
+    windowed slice is a small fraction of the input."""
+    hot = (
+        docs.groupBy(key)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_per_domain)
+        .select(key)
+    )
+    cold = docs.join(F.broadcast(hot), key, "left_anti").select("doc_id", key)
+    w = Window.partitionBy(key).orderBy("doc_id")
+    capped = (
+        docs.join(F.broadcast(hot), key, "left_semi")
+        .select("doc_id", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )
+    return cold.unionByName(capped)
+
+
+_DOMAIN_CAP_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_runtime(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -487,6 +529,7 @@ def queries():
         "cur_keep_list": lambda s, d: keep_list(_docs(s, d)),
         "cur_pack_sequences": lambda s, d: pack_sequences(_docs(s, d)),
         "cur_chunk_dedup": lambda s, d: chunk_dedup(_docs(s, d)),
+        "cur_domain_cap": lambda s, d: domain_cap(_docs(s, d)),
     }
 
 
@@ -500,4 +543,5 @@ def oracle_sql():
         "cur_keep_list": _KEEP_SQL,
         "cur_pack_sequences": _PACK_SQL,
         "cur_chunk_dedup": _CHUNK_DEDUP_SQL,
+        "cur_domain_cap": _DOMAIN_CAP_SQL,
     }

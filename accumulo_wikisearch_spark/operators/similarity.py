@@ -1219,7 +1219,32 @@ def queries():
         ),
         "dedup_semdedup_keep": lambda s, d: semdedup_keep(_emb(s, d)),
         "ann_hybrid_keyword": _hybrid_entry,
+        # AT-REST layout driven end-to-end (the ANN analogue of
+        # ws_written_and3): write the partitioned IVF-PQ index, re-read it
+        # from disk, and answer via partition-pruned code scans. Same
+        # truth as ann_topk_ivf_pq — only the physical path differs.
+        "ann_topk_ivf_pq_disk": _ivf_pq_disk_entry,
     }
+
+
+# written IVF-PQ index cache per sf_dir (immutable once written, like the
+# written-catalog cache in entry_queries)
+_WRITTEN_IVF_PQ: dict = {}
+
+
+def _ivf_pq_disk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    tune_runtime(spark)
+    cached = _WRITTEN_IVF_PQ.get(sf_dir)
+    if cached is None:
+        path = tempfile.mkdtemp(prefix="wikisearch-ivfpq-")
+        cents, books = write_ivf_pq_index(_emb(spark, sf_dir), path)
+        cached = _WRITTEN_IVF_PQ[sf_dir] = (path, cents, books)
+    path, cents, books = cached
+    return topk_ivf_pq_on_disk(
+        spark, path, cents, books, self_queries(_emb(spark, sf_dir))
+    )
 
 
 _TOPK_SQL = """
@@ -1686,6 +1711,7 @@ def oracle_sql():
         "emb_quantize_pq": _pq_codes_sql(),
         "ann_topk_pq_adc": _pq_adc_sql(),
         "ann_topk_ivf_pq": _ivf_pq_sql(),
+        "ann_topk_ivf_pq_disk": _ivf_pq_sql(),
         "ann_topk_int8": _INT8_TOPK_SQL,
         "dedup_semdedup_keep": _semdedup_sql(),
         "ann_hybrid_keyword": _HYBRID_SQL,
