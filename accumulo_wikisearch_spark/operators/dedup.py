@@ -181,25 +181,50 @@ def _shingle_hash_sets(docs: DataFrame, k: int = 3) -> DataFrame:
 def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 64) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>) — minhash over word-k-gram sets.
 
-    Shuffle-free: per-row array transforms compute all permutation minima
-    (JVM codegen, no UDF, no explode/groupBy)."""
+    Shuffle-free: one Arrow-batched numpy kernel computes all permutation
+    minima (see :func:`_sig_from_sets`)."""
     sets = _shingle_hash_sets(docs, k)
-    return sets.select("doc_id", _sig_from_sets(num_hashes).alias("sig"))
+    return sets.select("doc_id", _sig_from_sets(num_hashes)(F.col("hs")).alias("sig"))
 
 
 def _sig_from_sets(num_hashes: int):
-    """64-permutation signature as ONE ``F.expr`` SQL string.  Composing
-    it Column-by-Column issued hundreds of py4j calls (~1.5 s of pure
-    driver time per plan construction — measured as the dominant cost of
-    minhash_lsh_pairs at small sf); one string is one py4j round-trip and
-    the JVM SQL parser handles the rest."""
-    coeffs = _perm_coeffs(num_hashes)
-    mins = ",".join(
-        # pmod keeps xxhash64's negative values in [0, M31)
-        f"array_min(transform(hs, x -> (pmod(x, {_MERSENNE31}) * {a}L + {b}L) % {_MERSENNE31}))"
-        for (a, b) in coeffs
-    )
-    return F.expr(f"array({mins})")
+    """num_hashes-permutation minhash signature over a (ragged) shingle-hash
+    array column, as ONE Arrow-vectorized numpy kernel.
+
+    History: v1 composed per-permutation Columns (~1.5 s of py4j driver
+    time per plan); v2 was one ``F.expr`` SQL string (cheap to build, but
+    higher-order ``array_min(transform(...))`` is INTERPRETED per element
+    — num_hashes × |hs| lambda dispatches per row, the dominant task-side
+    cost of minhash_lsh_pairs). v3 flattens the batch's hash sets into one
+    int64 vector and runs num_hashes ``np.minimum.reduceat`` passes —
+    all-integer arithmetic ((pmod(x,M)·a + b) mod M fits int64: operands
+    < 2³¹ so products < 2⁶²), so the signatures are BIT-IDENTICAL to the
+    expression form under JVM long semantics. Built lazily (pandas_udf
+    needs an active session)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = np.array(_perm_coeffs(num_hashes), dtype=np.int64)  # (H, 2)
+    M = np.int64(_MERSENNE31)
+
+    @pandas_udf("array<long>")
+    def sig(hs):
+        if len(hs) == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(x, dtype=np.int64) for x in hs]
+        lens = np.array([len(a) for a in arrs])
+        assert lens.min() > 0, "empty shingle set reached minhash"
+        flat = np.mod(np.concatenate(arrs), M)  # pmod: non-negative
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        out = np.empty((len(arrs), num_hashes), dtype=np.int64)
+        for j in range(num_hashes):
+            vals = (flat * coeffs[j, 0] + coeffs[j, 1]) % M
+            out[:, j] = np.minimum.reduceat(vals, offsets)
+        return pd.Series(list(out))
+
+    return sig
 
 
 def _cap_band_groups(
@@ -246,7 +271,7 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sets = _shingle_hash_sets(docs, k).withColumn(
-        "sig", _sig_from_sets(num_hashes)
+        "sig", _sig_from_sets(num_hashes)(F.col("hs"))
     )
     # sets are computed once and reused by both the band join and the exact
     # verification (the persist is scoped to this plan's lifetime)

@@ -105,6 +105,7 @@ def main() -> None:
         lambda: dedup.embedding_near_dup_pairs(emb).count(),
     )
     timed("text_quality", lambda: textstats.text_quality(docs).count())
+    timed("text_repetition", lambda: textstats.text_repetition(docs).count())
     timed("text_embed_hashing", lambda: textstats.hashing_embed(docs).count())
     timed("doc_fingerprint", lambda: textstats.doc_fingerprint(docs).count())
 
@@ -143,6 +144,7 @@ def main() -> None:
         "sample_global_shuffle", lambda: sampling.global_shuffle(docs).count()
     )
     timed("cur_chunk", lambda: curation.chunk_documents(docs).count())
+    timed("cur_domain_cap", lambda: curation.domain_cap(docs).count())
     timed("cur_decontaminate", lambda: curation.decontaminate(docs).count())
     timed("vocab_counts", lambda: vocab.vocab_counts(docs).count())
     timed(
