@@ -449,19 +449,26 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).persist()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "comp")
         new_labels = (
             labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
         ).persist()
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "node")
-            .where(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
+        # convergence probe every OTHER round (and on the last): the
+        # count() is a driver action, and "did the last round change
+        # anything" stays a valid monotone stopping rule when sampled —
+        # at worst one extra cheap round runs before the break
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new_labels.withColumnRenamed("comp", "new_comp")
+                .join(labels, "node")
+                .where(F.col("new_comp") != F.col("comp"))
+                .count()
+            )
+        else:
+            changed = -1
         labels.unpersist()
         labels = new_labels
         if changed == 0:
