@@ -227,12 +227,51 @@ def _mixture_entry(spark, sf_dir: str) -> DataFrame:
     return domain_mixture(docs, "source", _MIX_WEIGHTS)
 
 
+# written-shard cache per sf_dir (immutable once written)
+_WRITTEN_SHARDS: dict = {}
+
+
+def _shards_entry(spark, sf_dir: str) -> DataFrame:
+    """Training-shard export driven end-to-end: write the shard=<i>/
+    partitions, re-read THE FILES, and return the manifest (per-shard doc
+    count + order-invariant XOR-fold checksum) — the oracle recomputes
+    both independently from the source table, so a dropped row, a
+    misrouted shard, or a corrupted write all hash-mismatch."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    manifest = _WRITTEN_SHARDS.get(sf_dir)
+    if manifest is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        path = tempfile.mkdtemp(prefix="wikisearch-shards-")
+        manifest = write_training_shards(docs, path)
+        _WRITTEN_SHARDS[sf_dir] = manifest
+    return spark.createDataFrame(
+        [(m["shard"], m["n_docs"], m["checksum"]) for m in manifest],
+        "shard int, n_docs bigint, checksum bigint",
+    )
+
+
+def _shards_sql(n_shards: int = 16) -> str:
+    shard_h = HASH60_DUCKDB.format(expr="concat('shard', doc_id::VARCHAR)")
+    key_h = HASH60_DUCKDB.format(expr="doc_id::VARCHAR")
+    return f"""
+SELECT ({shard_h} % {n_shards})::INTEGER AS shard,
+  count(*)::BIGINT AS n_docs,
+  bit_xor({key_h})::BIGINT AS checksum
+FROM documents GROUP BY 1
+"""
+
+
 def queries():
     return {
         "sample_train_split": _split_entry,
         "sample_stratified": _stratified_entry,
         "sample_global_shuffle": _shuffle_entry,
         "sample_domain_mixture": _mixture_entry,
+        "sample_shards_roundtrip": _shards_entry,
     }
 
 
@@ -287,4 +326,5 @@ def oracle_sql():
         "sample_stratified": _stratified_sql(),
         "sample_global_shuffle": _shuffle_sql(),
         "sample_domain_mixture": _mixture_sql(),
+        "sample_shards_roundtrip": _shards_sql(),
     }
