@@ -287,6 +287,43 @@ def _ws_written_and3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+_BUCKETED_DBS: dict = {}
+
+
+def _ws_bucketed_and3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZERO-exchange layout driven through the driver: write the
+    catalog as tables bucketed on the language-qualified posting key
+    (write_index_bucketed), re-load via the metastore, and answer and3 —
+    the posting intersections and doc-fetch semi-join then co-partition
+    by bucket with no shuffle exchange (plan-shape pinned in
+    tests/test_plan_shape.py::test_bucketed_catalog_joins_without_exchange).
+    Metastore registrations are session-scoped, so the cache keys on the
+    session too."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import (
+        load_index_bucketed,
+        write_index_bucketed,
+    )
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=frozenset({"TEXT"}))
+    key = (id(spark), sf_dir)
+    db = _BUCKETED_DBS.get(key)
+    if db is None:
+        eng = get_engine(spark, sf_dir)
+        db = "ws_bucket_driver"
+        loc = tempfile.mkdtemp(prefix="wikisearch-bucketed-")
+        write_index_bucketed(eng.index, spark, db=db, num_buckets=8, location=loc)
+        _BUCKETED_DBS[key] = db
+    eng_b = Wikisearch(load_index_bucketed(spark, db, cfg))
+    return eng_b.query(
+        "TEXT == 'key' and TEXT == 'vector' and TEXT == 'the'"
+    ).select("doc_id")
+
+
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqFieldNameValueIterator parity: distinct values in a range."""
     tune_runtime(spark)
@@ -322,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_distinct_values"] = _ws_distinct_values
     out["ws_metadata_freq"] = _ws_metadata_freq
     out["ws_written_and3"] = _ws_written_and3
+    out["ws_bucketed_and3"] = _ws_bucketed_and3
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
 
@@ -570,6 +608,7 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         f"SELECT doc_id FROM documents WHERE list_contains({TOK},'key') "
         f"AND list_contains({TOK},'vector') AND list_contains({TOK},'the')"
     )
+    out["ws_bucketed_and3"] = out["ws_written_and3"]
     out["ws_metadata_freq"] = (
         "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "
         "FROM documents, (VALUES ('ID'),('SOURCE'),('NCHARS'),('LANG')) AS f(field) "
