@@ -313,8 +313,12 @@ def _ws_bucketed_and3(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     db = _BUCKETED_DBS.get(key)
     if db is None:
+        import re as _re
+
         eng = get_engine(spark, sf_dir)
-        db = "ws_bucket_driver"
+        # db name per sf_dir: one fixed name would silently serve another
+        # scale factor's tables if a session touches two sf_dirs
+        db = "ws_bucket_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
         loc = tempfile.mkdtemp(prefix="wikisearch-bucketed-")
         write_index_bucketed(eng.index, spark, db=db, num_buckets=8, location=loc)
         _BUCKETED_DBS[key] = db

@@ -491,12 +491,16 @@ def domain_cap(
         docs.groupBy(key)
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > max_per_domain)
-        .select(key)
+        .select(F.col(key).alias("_hotk"))
     )
-    cold = docs.join(F.broadcast(hot), key, "left_anti").select("doc_id", key)
+    # null-safe membership: a NULL domain is still ONE domain and must be
+    # capped like any other (plain semi/anti join keys never match null,
+    # which would exempt the null group from the cap)
+    is_hot = F.col(key).eqNullSafe(F.col("_hotk"))
+    cold = docs.join(F.broadcast(hot), is_hot, "left_anti").select("doc_id", key)
     w = Window.partitionBy(key).orderBy("doc_id")
     capped = (
-        docs.join(F.broadcast(hot), key, "left_semi")
+        docs.join(F.broadcast(hot), is_hot, "left_semi")
         .select("doc_id", key)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_per_domain)

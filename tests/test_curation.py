@@ -158,3 +158,17 @@ def test_chunk_dedup_keeps_first_occurrence(spark):
     # doc1 chunk0 == doc2 chunk0 → doc1 keeps, doc2 drops; doc3 unique
     assert out[(1, 0)] == 1 and out[(2, 0)] == 0
     assert out[(3, 0)] == 1
+
+
+def test_domain_cap_null_domain_is_capped_too(spark):
+    """Regression: plain semi/anti join keys never match NULL, which
+    exempted a >cap null-domain group from the cap."""
+    from accumulo_wikisearch_spark.operators.curation import domain_cap
+
+    rows = [(i, None if i < 25 else "a") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(df, max_per_domain=20).collect()
+    nulls = [r["doc_id"] for r in out if r["source"] is None]
+    assert len(nulls) == 20
+    assert sorted(nulls) == list(range(20))  # lowest doc_ids win
+    assert len(out) == 25  # 20 null + 5 'a' (under cap, untouched)
