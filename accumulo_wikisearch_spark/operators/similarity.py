@@ -136,6 +136,58 @@ def topk_lsh(
     )
 
 
+def topk_lsh_multiprobe(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., "Multi-probe LSH: efficient
+    indexing for high-dimensional similarity search", VLDB 2007): probe
+    the query's exact bucket PLUS every Hamming-1 neighbor (each of the
+    ``nbits`` sign bits flipped), then exact-cosine re-rank over the
+    union of candidates.
+
+    Single-probe LSH misses a true neighbor whenever ANY hyperplane
+    separates the pair; probing the 1-bit flips recovers every neighbor
+    that disagrees on exactly one plane — candidates grow ~(1+nbits)×
+    while recall jumps toward 1 (the standard trade for fewer tables).
+    The probe set is a deterministic expression (no ranking state), so
+    the oracle replays it verbatim. A corpus vector lives in exactly one
+    bucket and the 1+nbits probed buckets are distinct, so no candidate
+    dedup is needed."""
+    planes = _hyperplanes(dim, nbits)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    q = queries.select("query_id", _as_double(F.col("qv")).alias("qv")).withColumn(
+        "bucket", lsh_bucket(F.col("qv"), planes)
+    )
+    probe_set = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(nbits)
+        ],
+    )
+    probes = q.select(
+        "query_id", "qv", F.explode(probe_set).alias("bucket")
+    )
+    scored = corpus.join(F.broadcast(probes), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse quantizer + probed-cell re-rank
 # ---------------------------------------------------------------------------
@@ -1196,6 +1248,9 @@ def queries():
         # given the seeded planes / seed centroids — their oracles replay
         # the same construction in SQL (plane literals, lloyd_iters=0).
         "ann_topk_lsh": lambda s, d: topk_lsh(_emb(s, d), self_queries(_emb(s, d))),
+        "ann_topk_lsh_multiprobe": lambda s, d: topk_lsh_multiprobe(
+            _emb(s, d), self_queries(_emb(s, d))
+        ),
         "ann_topk_ivf": lambda s, d: topk_ivf(
             _emb(s, d), self_queries(_emb(s, d)), lloyd_iters=0
         ),
@@ -1294,14 +1349,27 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-def _lsh_sql(nbits: int = 8, dim: int = 64, k: int = 10, nq: int = 5) -> str:
+def _lsh_sql(
+    nbits: int = 8, dim: int = 64, k: int = 10, nq: int = 5, multiprobe: bool = False
+) -> str:
     """Replay of topk_lsh in SQL: the seeded hyperplanes enter as literals
-    (repr() round-trips doubles exactly), buckets as sign-bit sums."""
+    (repr() round-trips doubles exactly), buckets as sign-bit sums.
+    ``multiprobe=True`` replays topk_lsh_multiprobe — the query bucket
+    plus every 1-bit flip."""
     planes = _hyperplanes(dim, nbits)
     vals = ",\n  ".join(
         f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
         for i, p in enumerate(planes)
     )
+    if multiprobe:
+        q_cte = f"""q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < {nq}),
+q AS (
+  SELECT query_id, qv,
+    unnest([bucket] || list_transform(range(0, {nbits}), i -> xor(bucket, (1::BIGINT << i)))) AS bucket
+  FROM q0
+)"""
+    else:
+        q_cte = f"q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < {nq})"
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 p(i, pv) AS (VALUES
@@ -1316,7 +1384,7 @@ b AS (
   FROM dots GROUP BY vec_id
 ),
 eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b USING (vec_id)),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < {nq}),
+{q_cte},
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id, {_cos_sql("q.qv", "c.v", dim)} AS cos
   FROM eb c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
@@ -1704,6 +1772,7 @@ def oracle_sql():
     return {
         "ann_topk_bruteforce": _TOPK_SQL,
         "ann_topk_lsh": _lsh_sql(),
+        "ann_topk_lsh_multiprobe": _lsh_sql(multiprobe=True),
         "ann_topk_ivf": _ivf_sql(),
         "ann_topk_ivf_lloyd": _ivf_lloyd_sql(),
         "ann_topk_ivf_trained": _ivf_lloyd_sql(trained=True),

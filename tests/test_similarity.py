@@ -339,3 +339,30 @@ def test_trained_centroids_beat_seed_centroids_on_clustered_corpus(spark):
     )
     assert trained > seeded, (trained, seeded)
     assert trained >= 0.9, trained
+
+
+def test_multiprobe_lsh_beats_single_probe_recall(spark, emb):
+    """Probing the Hamming-1 buckets must recover neighbors single-probe
+    LSH loses to bucket boundaries (recall vs exact brute force)."""
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    q = S.self_queries(emb)
+    truth = {}
+    for r in S.topk_bruteforce(emb, q).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(k, set()) & v) / len(v) for k, v in truth.items()
+        ) / len(truth)
+
+    single = recall(S.topk_lsh(emb, q))
+    multi = recall(S.topk_lsh_multiprobe(emb, q))
+    assert multi > single, (multi, single)
+    # near-uniform fixture vectors scatter true neighbors across the 256
+    # buckets, so absolute recall is modest — the invariant is the
+    # multiplier: 9 probed buckets must find SEVERAL times what 1 does
+    assert multi >= 2 * single and multi >= 0.1, (multi, single)
