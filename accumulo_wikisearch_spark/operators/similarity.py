@@ -410,6 +410,28 @@ def write_ivf_index(
     return cents
 
 
+def append_ivf_index(
+    emb_delta: DataFrame, path: str, cents: list[tuple[int, list[float]]]
+) -> None:
+    """Incremental upsert into a written IVF layout — the ANN analogue of
+    the LSM minor flush: assign the delta batch to the EXISTING (frozen)
+    coarse quantizer and append, partitioned by cell. One narrow pass
+    over the delta; the append touches only the delta's cell directories
+    and never rewrites the base. Query results over the appended layout
+    are IDENTICAL to a from-scratch build with the same centroids (the
+    driver entry ann_ivf_append_equiv proves it) — retraining the
+    quantizer and rebuilding is the 'major compaction', run when drift
+    warrants it."""
+    (
+        ivf_assign(emb_delta, cents)
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def topk_ivf_on_disk(
     spark: SparkSession,
     path: str,
@@ -1279,7 +1301,32 @@ def queries():
         # from disk, and answer via partition-pruned code scans. Same
         # truth as ann_topk_ivf_pq — only the physical path differs.
         "ann_topk_ivf_pq_disk": _ivf_pq_disk_entry,
+        # LSM-style ANN maintenance: base write + frozen-quantizer delta
+        # APPEND must answer queries identically to one full build — the
+        # oracle is ann_topk_ivf's full-corpus replay (seed centroids are
+        # the first n_cells by vec_id, same set either way).
+        "ann_ivf_append_equiv": _ivf_append_entry,
     }
+
+
+_WRITTEN_IVF_APPEND: dict = {}
+
+
+def _ivf_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    tune_runtime(spark)
+    cached = _WRITTEN_IVF_APPEND.get(sf_dir)
+    if cached is None:
+        emb = _emb(spark, sf_dir)
+        base = emb.where(F.col("vec_id") < 400)
+        delta = emb.where(F.col("vec_id") >= 400)
+        path = tempfile.mkdtemp(prefix="wikisearch-ivf-append-")
+        cents = write_ivf_index(base, path, lloyd_iters=0)
+        append_ivf_index(delta, path, cents)
+        cached = _WRITTEN_IVF_APPEND[sf_dir] = (path, cents)
+    path, cents = cached
+    return topk_ivf_on_disk(spark, path, cents, self_queries(_emb(spark, sf_dir)))
 
 
 # written IVF-PQ index cache per sf_dir (immutable once written, like the
@@ -1781,6 +1828,7 @@ def oracle_sql():
         "ann_topk_pq_adc": _pq_adc_sql(),
         "ann_topk_ivf_pq": _ivf_pq_sql(),
         "ann_topk_ivf_pq_disk": _ivf_pq_sql(),
+        "ann_ivf_append_equiv": _ivf_sql(),
         "ann_topk_int8": _INT8_TOPK_SQL,
         "dedup_semdedup_keep": _semdedup_sql(),
         "ann_hybrid_keyword": _HYBRID_SQL,
