@@ -432,6 +432,29 @@ def append_ivf_index(
     )
 
 
+def delete_ivf_vectors(spark: SparkSession, path: str, vec_ids) -> None:
+    """Tombstone delete for the written IVF layout — the delete half of
+    the LSM maintenance pair (append_ivf_index is the insert half):
+    appends ids to ``_tombstones`` under the index root. Underscore-
+    prefixed paths are invisible to Spark's file listing, so the main
+    corpus read is untouched; :func:`topk_ivf_on_disk` anti-joins the
+    (broadcast, tiny) tombstone set out at query time. A rewrite without
+    tombstoned rows is the 'major compaction', exactly as in
+    operators/compaction.py."""
+    spark.createDataFrame(
+        [(int(v),) for v in vec_ids], "vec_id bigint"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+
+
+def _ivf_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        # schema inference lists the path eagerly, so a missing tombstone
+        # dir surfaces here — FS-agnostic (works for s3/hdfs URIs too)
+        return spark.read.parquet(f"{path}/_tombstones")
+    except Exception:
+        return None
+
+
 def topk_ivf_on_disk(
     spark: SparkSession,
     path: str,
@@ -442,10 +465,18 @@ def topk_ivf_on_disk(
 ) -> DataFrame:
     """ANN top-k against a written IVF layout. The probe-cell filter is a
     partition filter on the parquet read — only nprobe/n_cells of the
-    corpus files are touched (verify PartitionFilters in the plan)."""
+    corpus files are touched (verify PartitionFilters in the plan).
+    Tombstoned vec_ids (:func:`delete_ivf_vectors`) are anti-joined out."""
     corpus = spark.read.parquet(path).select(
         F.col("vec_id").alias("neighbor_id"), "v", "cell"
     )
+    tombs = _ivf_tombstones(spark, path)
+    if tombs is not None:
+        corpus = corpus.join(
+            F.broadcast(tombs.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+            "left_anti",
+        )
     qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
     scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
     probed = qv.select(
@@ -1306,7 +1337,35 @@ def queries():
         # oracle is ann_topk_ivf's full-corpus replay (seed centroids are
         # the first n_cells by vec_id, same set either way).
         "ann_ivf_append_equiv": _ivf_append_entry,
+        # delete half: tombstoned ids vanish from results; oracle is the
+        # full-build replay with those ids excluded from the candidates
+        "ann_ivf_delete_equiv": _ivf_delete_entry,
     }
+
+
+# 20..119: non-seed (seeds are 0..15), non-query (queries are 0..4) ids
+# whose deletion visibly reshuffles ~35 of the 50 result rows at check
+# scale — a broken tombstone path cannot hash-match by luck
+_DELETED_IDS = list(range(20, 120))
+_WRITTEN_IVF_DELETE: dict = {}
+
+
+def _ivf_delete_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    tune_runtime(spark)
+    cached = _WRITTEN_IVF_DELETE.get(sf_dir)
+    if cached is None:
+        emb = _emb(spark, sf_dir)
+        base = emb.where(F.col("vec_id") < 400)
+        delta = emb.where(F.col("vec_id") >= 400)
+        path = tempfile.mkdtemp(prefix="wikisearch-ivf-del-")
+        cents = write_ivf_index(base, path, lloyd_iters=0)
+        append_ivf_index(delta, path, cents)
+        delete_ivf_vectors(spark, path, _DELETED_IDS)
+        cached = _WRITTEN_IVF_DELETE[sf_dir] = (path, cents)
+    path, cents = cached
+    return topk_ivf_on_disk(spark, path, cents, self_queries(_emb(spark, sf_dir)))
 
 
 _WRITTEN_IVF_APPEND: dict = {}
@@ -1446,14 +1505,27 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k
 
 
 def _ivf_sql(
-    n_cells: int = 16, nprobe: int = 4, dim: int = 64, k: int = 10, nq: int = 5
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    nq: int = 5,
+    exclude: list[int] | None = None,
 ) -> str:
     """Replay of topk_ivf(lloyd_iters=0): seed centroids are the first
     n_cells corpus vectors ORDERED BY vec_id, labeled 0..n_cells-1 exactly
     as take_centroids enumerates them (row_number, NOT the raw vec_id —
     the two only coincide for contiguous-from-0 id spaces); cell
     assignment is argmax cosine with Spark's array_max tie-break (higher
-    score, then higher cell)."""
+    score, then higher cell). ``exclude`` removes vec_ids from the
+    CANDIDATE side only (the tombstone-delete replay — assignments and
+    seed centroids are per-vector, so deleting non-seed rows changes
+    nothing else)."""
+    excl = (
+        f" WHERE a.vec_id NOT IN ({','.join(str(int(v)) for v in exclude)})"
+        if exclude
+        else ""
+    )
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 c AS (
@@ -1479,7 +1551,7 @@ qp AS (
 ),
 scored AS (
   SELECT qp.query_id, a.vec_id AS neighbor_id, {_cos_sql("qp.qv", "a.v", dim)} AS cos
-  FROM asn a JOIN qp ON a.cell = qp.cell AND a.vec_id <> qp.query_id
+  FROM asn a JOIN qp ON a.cell = qp.cell AND a.vec_id <> qp.query_id{excl}
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
@@ -1829,6 +1901,7 @@ def oracle_sql():
         "ann_topk_ivf_pq": _ivf_pq_sql(),
         "ann_topk_ivf_pq_disk": _ivf_pq_sql(),
         "ann_ivf_append_equiv": _ivf_sql(),
+        "ann_ivf_delete_equiv": _ivf_sql(exclude=_DELETED_IDS),
         "ann_topk_int8": _INT8_TOPK_SQL,
         "dedup_semdedup_keep": _semdedup_sql(),
         "ann_hybrid_keyword": _HYBRID_SQL,
