@@ -310,7 +310,9 @@ def _ws_bucketed_and3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_runtime(spark)
     cfg = EngineConfig(unevaluated_fields=frozenset({"TEXT"}))
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): object addresses are reused after GC,
+    # and metastore registrations only live as long as the application
+    key = (spark.sparkContext.applicationId, sf_dir)
     db = _BUCKETED_DBS.get(key)
     if db is None:
         import re as _re

@@ -456,11 +456,12 @@ def connected_components(
         new_labels = (
             labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
         ).persist()
-        # convergence probe every OTHER round (and on the last): the
-        # count() is a driver action, and "did the last round change
-        # anything" stays a valid monotone stopping rule when sampled —
-        # at worst one extra cheap round runs before the break
-        if it % 2 == 1 or it == max_iter - 1:
+        # convergence probe every OTHER round: the count() is a driver
+        # action, and "did the last round change anything" stays a valid
+        # monotone stopping rule when sampled — at worst one extra cheap
+        # round runs before the break. (No probe on the final round: its
+        # only possible effect is a break the loop does anyway.)
+        if it % 2 == 1 and it != max_iter - 1:
             changed = (
                 new_labels.withColumnRenamed("comp", "new_comp")
                 .join(labels, "node")

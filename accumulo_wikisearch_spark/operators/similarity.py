@@ -36,6 +36,20 @@ def _empty_topk(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "query_id bigint, neighbor_id bigint, rank int")
 
 
+def _rank_topk(scored: DataFrame, k: int, order: Column) -> DataFrame:
+    """Per-query top-k — the shared tail of every ANN operator: rank the
+    scored candidates by ``order`` with ties to the LOWER neighbor_id,
+    keep rank ≤ k. One window; Spark inserts WindowGroupLimit below the
+    exchange, so each partition keeps only its local top-k before the
+    query-keyed shuffle (no full sort)."""
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     n = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
@@ -59,12 +73,7 @@ def topk_bruteforce(
     scored = scored.select(
         "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, F.desc("cos"))
 
 
 def self_queries(emb: DataFrame, n: int = 5) -> DataFrame:
@@ -115,25 +124,7 @@ def topk_lsh(
     Recall < 1 by construction (single-probe); at scale the bucket join
     replaces the full cross product — candidates shrink by ~2^nbits.
     """
-    planes = _hyperplanes(dim, nbits)
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    q = queries.select("query_id", _as_double(F.col("qv")).alias("qv")).withColumn(
-        "bucket", lsh_bucket(F.col("qv"), planes)
-    )
-    scored = corpus.join(F.broadcast(q), "bucket").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = scored.select(
-        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _lsh_topk(emb, queries, k, nbits, dim, n_flip=0)
 
 
 def topk_lsh_multiprobe(
@@ -157,6 +148,19 @@ def topk_lsh_multiprobe(
     the oracle replays it verbatim. A corpus vector lives in exactly one
     bucket and the 1+nbits probed buckets are distinct, so no candidate
     dedup is needed."""
+    return _lsh_topk(emb, queries, k, nbits, dim, n_flip=nbits)
+
+
+def _lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nbits: int,
+    dim: int,
+    n_flip: int,
+) -> DataFrame:
+    """Shared LSH body: bucket both sides, probe the exact bucket plus
+    the first ``n_flip`` single-bit flips, exact-cosine re-rank."""
     planes = _hyperplanes(dim, nbits)
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("v")
@@ -164,28 +168,21 @@ def topk_lsh_multiprobe(
     q = queries.select("query_id", _as_double(F.col("qv")).alias("qv")).withColumn(
         "bucket", lsh_bucket(F.col("qv"), planes)
     )
-    probe_set = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-            for i in range(nbits)
-        ],
+    if n_flip:
+        probe_set = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_flip)
+            ],
+        )
+        q = q.select("query_id", "qv", F.explode(probe_set).alias("bucket"))
+    scored = (
+        corpus.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
     )
-    probes = q.select(
-        "query_id", "qv", F.explode(probe_set).alias("bucket")
-    )
-    scored = corpus.join(F.broadcast(probes), "bucket").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = scored.select(
-        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, F.desc("cos"))
 
 
 # ---------------------------------------------------------------------------
@@ -209,13 +206,25 @@ def _cached_expr(cache: dict, key, build) -> Column:
     active SparkSession and dropped wholesale on session change (a stale
     ref would otherwise surface as a confusing py4j error after a
     restart); the cache is also size-bounded so long-lived services with
-    many centroid/codebook sets don't grow without bound."""
+    many centroid/codebook sets don't grow without bound.
+
+    Identity is held as a WEAKREF to the session object — ``id()`` alone
+    is unsafe (CPython reuses a dead session's address, which would
+    false-hit and serve a Column holding a dead JavaObject). A dead
+    weakref dereferences to None ≠ any live session, forcing the clear.
+    No active session (rare; e.g. a bare helper call before any builder)
+    → build uncached."""
+    import weakref
+
     from pyspark.sql import SparkSession
 
-    sid = id(SparkSession.getActiveSession())
-    if cache.get("__sid__") != sid or len(cache) > 64:
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return build()
+    ref = cache.get("__sess__")
+    if ref is None or ref() is not sess or len(cache) > 64:
         cache.clear()
-        cache["__sid__"] = sid
+        cache["__sess__"] = weakref.ref(sess)
     if key not in cache:
         cache[key] = build()
     return cache[key]
@@ -383,12 +392,7 @@ def topk_ivf(
     scored = scored.select(
         "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, F.desc("cos"))
 
 
 def write_ivf_index(
@@ -447,12 +451,19 @@ def delete_ivf_vectors(spark: SparkSession, path: str, vec_ids) -> None:
 
 
 def _ivf_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     try:
         # schema inference lists the path eagerly, so a missing tombstone
-        # dir surfaces here — FS-agnostic (works for s3/hdfs URIs too)
+        # dir surfaces here — FS-agnostic (works for s3/hdfs URIs too).
+        # ONLY path-not-found means "no deletes"; any other failure
+        # (permissions, transient FS error, corrupt footer) must
+        # propagate — swallowing it would silently serve deleted vectors.
         return spark.read.parquet(f"{path}/_tombstones")
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def topk_ivf_on_disk(
@@ -495,12 +506,7 @@ def topk_ivf_on_disk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, F.desc("cos"))
 
 
 # ---------------------------------------------------------------------------
@@ -647,6 +653,19 @@ def topk_ivf_trained(
     iterative driver-side construction, so no static SQL oracle)."""
     q8 = _quantized_vecs(emb)
     cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
+    return _q8_ivf_topk(q8, cents, k, nprobe, nq)
+
+
+def _q8_ivf_topk(
+    q8: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int,
+    nq: int,
+) -> DataFrame:
+    """Shared probe/re-rank tail of the quantized-corpus IVF variants:
+    kernel cell assignment, self-queries (vec_id < nq), nprobe-ranked
+    probe cells, exact-cosine re-rank."""
     corpus = q8.select(
         F.col("vec_id").alias("neighbor_id"),
         "v",
@@ -666,12 +685,7 @@ def topk_ivf_trained(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, F.desc("cos"))
 
 
 def topk_ivf_lloyd_exact(
@@ -691,31 +705,7 @@ def topk_ivf_lloyd_exact(
     closing the lloyd_iters>0 oracle gap."""
     q8 = _quantized_vecs(emb)
     cents = take_centroids_lloyd_exact(q8, n_cells, lloyd_iters)
-    corpus = q8.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "v",
-        _assign_cells_udf(cents)(F.col("v")).alias("cell"),
-    )
-    qv = q8.where(F.col("vec_id") < nq).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
-    probes = qv.select(
-        "query_id",
-        "qv",
-        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
-    ).select("query_id", "qv", F.explode(F.col("probes.cell")).alias("cell"))
-    scored = (
-        corpus.join(F.broadcast(probes), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _q8_ivf_topk(q8, cents, k, nprobe, nq)
 
 
 # ---------------------------------------------------------------------------
@@ -938,12 +928,7 @@ def topk_pq_adc(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, F.asc("d"))
 
 
 def _adc_luts(
@@ -1046,12 +1031,7 @@ def topk_ivf_pq(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, F.asc("d"))
 
 
 def write_ivf_pq_index(
@@ -1118,12 +1098,7 @@ def topk_ivf_pq_on_disk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, F.asc("d"))
 
 
 # ---------------------------------------------------------------------------
@@ -1184,12 +1159,7 @@ def topk_int8(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", dot.alias("idot"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("idot"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, F.desc("idot"))
 
 
 _INT8_TOPK_SQL = """
@@ -1348,44 +1318,45 @@ def queries():
 # scale — a broken tombstone path cannot hash-match by luck
 _DELETED_IDS = list(range(20, 120))
 _WRITTEN_IVF_DELETE: dict = {}
-
-
-def _ivf_delete_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    tune_runtime(spark)
-    cached = _WRITTEN_IVF_DELETE.get(sf_dir)
-    if cached is None:
-        emb = _emb(spark, sf_dir)
-        base = emb.where(F.col("vec_id") < 400)
-        delta = emb.where(F.col("vec_id") >= 400)
-        path = tempfile.mkdtemp(prefix="wikisearch-ivf-del-")
-        cents = write_ivf_index(base, path, lloyd_iters=0)
-        append_ivf_index(delta, path, cents)
-        delete_ivf_vectors(spark, path, _DELETED_IDS)
-        cached = _WRITTEN_IVF_DELETE[sf_dir] = (path, cents)
-    path, cents = cached
-    return topk_ivf_on_disk(spark, path, cents, self_queries(_emb(spark, sf_dir)))
-
-
 _WRITTEN_IVF_APPEND: dict = {}
 
 
-def _ivf_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_maintained_entry(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict,
+    prefix: str,
+    deleted_ids: list[int] | None,
+) -> DataFrame:
+    """Shared body of the LSM-maintenance entries: base write (vec_id <
+    400), frozen-quantizer delta append, optional tombstone delete, then
+    query the maintained on-disk layout."""
     import tempfile
 
     tune_runtime(spark)
-    cached = _WRITTEN_IVF_APPEND.get(sf_dir)
+    cached = cache.get(sf_dir)
     if cached is None:
         emb = _emb(spark, sf_dir)
-        base = emb.where(F.col("vec_id") < 400)
-        delta = emb.where(F.col("vec_id") >= 400)
-        path = tempfile.mkdtemp(prefix="wikisearch-ivf-append-")
-        cents = write_ivf_index(base, path, lloyd_iters=0)
-        append_ivf_index(delta, path, cents)
-        cached = _WRITTEN_IVF_APPEND[sf_dir] = (path, cents)
+        path = tempfile.mkdtemp(prefix=prefix)
+        cents = write_ivf_index(emb.where(F.col("vec_id") < 400), path, lloyd_iters=0)
+        append_ivf_index(emb.where(F.col("vec_id") >= 400), path, cents)
+        if deleted_ids:
+            delete_ivf_vectors(spark, path, deleted_ids)
+        cached = cache[sf_dir] = (path, cents)
     path, cents = cached
     return topk_ivf_on_disk(spark, path, cents, self_queries(_emb(spark, sf_dir)))
+
+
+def _ivf_delete_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_maintained_entry(
+        spark, sf_dir, _WRITTEN_IVF_DELETE, "wikisearch-ivf-del-", _DELETED_IDS
+    )
+
+
+def _ivf_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_maintained_entry(
+        spark, sf_dir, _WRITTEN_IVF_APPEND, "wikisearch-ivf-append-", None
+    )
 
 
 # written IVF-PQ index cache per sf_dir (immutable once written, like the

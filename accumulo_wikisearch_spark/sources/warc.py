@@ -41,6 +41,12 @@ RECORD_SCHEMA = (
 _CRLF2 = b"\r\n\r\n"
 _CHUNK = 1 << 20  # compressed-read / decompress granularity
 _MAX_HEADER = 1 << 20  # a header block larger than this is malformed
+# A Content-Length above this is treated as malformed and ends the file's
+# parse. Without the cap, a hostile/corrupt huge length makes the buffer
+# loop slurp the entire remaining stream before detecting truncation —
+# exactly the unbounded memory the rolling buffer exists to prevent.
+# Real Common Crawl records are ≤ ~1 MB; 256 MB is generous headroom.
+_MAX_RECORD = 256 << 20
 
 
 def _gunzip_stream(raw: bytes, chunk: int = _CHUNK) -> Iterator[bytes]:
@@ -78,8 +84,8 @@ def _gunzip_stream(raw: bytes, chunk: int = _CHUNK) -> Iterator[bytes]:
 def _records_from_stream(chunks: Iterable[bytes]) -> Iterator[dict]:
     """Parse WARC records from an iterator of byte chunks with a rolling
     buffer: memory is O(one record + one chunk). Any malformed header —
-    missing/negative Content-Length, oversized header block, non-WARC
-    leader — ends the stream's parse (records already yielded stand),
+    missing/negative/absurdly-large Content-Length, oversized header
+    block, non-WARC leader — ends the stream's parse (records already yielded stand),
     and the buffer cursor strictly advances so no input can loop."""
     buf = bytearray()
     it = iter(chunks)
@@ -123,8 +129,8 @@ def _records_from_stream(chunks: Iterable[bytes]) -> Iterator[dict]:
             length = int(headers["content-length"])
         except (KeyError, ValueError, UnicodeDecodeError):
             return
-        if length < 0:
-            return  # backwards-pointing body: malformed, stop this file
+        if length < 0 or length > _MAX_RECORD:
+            return  # backwards-pointing or absurd body length: malformed
         body_start = hdr_end + len(_CRLF2)
         body_end = body_start + length
         while len(buf) < body_end and fill():

@@ -108,14 +108,22 @@ def write_wikipedia_xml(pages: DataFrame, path: str) -> None:
     text) rows → ``<page>`` fragments in text files under ``path`` — one
     file per partition, a distributed write (no driver materialization).
     Name the target directory after the dump (e.g. ``…/enwiki``) so
-    :func:`language_from_filename` labels the read-back. XML-escapes
-    &, <, > in the content fields (the exact inverse of the parser's
-    entity decoding), entirely JVM-side."""
+    :func:`language_from_filename` labels the read-back. Content fields
+    are escaped entirely JVM-side: &, <, > as entities; carriage returns
+    as ``&#13;`` (a raw CR would be silently normalized to LF by every
+    conforming XML parser, corrupting the round trip); and the control
+    characters XML 1.0 CANNOT represent (0x00-0x08, 0x0B, 0x0C,
+    0x0E-0x1F) as U+FFFD — an explicit, visible substitution instead of
+    the whole page silently failing to parse on read-back."""
 
     def esc(c: Column) -> Column:
         c = F.replace(c, F.lit("&"), F.lit("&amp;"))
         c = F.replace(c, F.lit("<"), F.lit("&lt;"))
-        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+        c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+        c = F.replace(c, F.lit("\r"), F.lit("&#13;"))
+        return F.regexp_replace(
+            c, "[\x00-\x08\x0b\x0c\x0e-\x1f]", "�"
+        )
 
     frag = F.concat(
         F.lit("<page><id>"),

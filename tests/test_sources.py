@@ -274,3 +274,27 @@ def test_write_read_xml_roundtrip_with_markup(tmp_path, spark):
     assert back[1]["comments"] == "c&c"
     assert back[2]["text"] == ""
     assert all(r["language"] == "enwiki" for r in back.values())
+
+
+def test_write_read_xml_preserves_cr_and_survives_control_chars(tmp_path, spark):
+    """CR must survive (raw CR is parser-normalized to LF — written as
+    &#13;); XML-1.0-unrepresentable control chars become U+FFFD instead
+    of silently losing the page."""
+    from accumulo_wikisearch_spark.sources.xml import (
+        read_wikipedia_xml,
+        write_wikipedia_xml,
+    )
+
+    rows = [
+        (1, "t", "2024-01-01T00:00:00Z", "", "line1\r\nline2"),
+        (2, "u", "2024-01-01T00:00:00Z", "", "bad\x01ctl"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "id long, title string, timestamp string, comment string, text string"
+    )
+    out = str(tmp_path / "enwiki")
+    write_wikipedia_xml(pages, out)
+    back = {r["id"]: r for r in read_wikipedia_xml(spark, out).collect()}
+    assert len(back) == 2  # no silent row loss
+    assert back[1]["text"] == "line1\r\nline2"
+    assert back[2]["text"] == "bad�ctl"

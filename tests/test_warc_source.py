@@ -138,3 +138,33 @@ def test_streaming_parse_memory_is_bounded():
     assert count == n_records
     # peak should be ~ a few records + chunk slack, far below the 64 MB stream
     assert peak < 16 * 1024 * 1024, f"peak {peak} bytes — streaming not bounded"
+
+
+def test_huge_content_length_does_not_buffer_stream():
+    """A hostile Content-Length pointing past the whole stream must end
+    the parse immediately, not slurp every remaining chunk into the
+    buffer hunting for the record end."""
+    import tracemalloc
+
+    from accumulo_wikisearch_spark.sources.warc import (
+        _gunzip_stream,
+        _records_from_stream,
+    )
+
+    good = _record("g", "response", "http://ok", b"k" * 1000)
+    bogus = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"Content-Length: 99999999999\r\n"
+        b"\r\n"
+    )
+    # bogus header followed by 64 MB of stream that must NOT be buffered
+    tail = _record("t", "response", "http://tail", b"z" * (1 << 20)) * 64
+    gz = gzip.compress(good + bogus + tail, compresslevel=1)
+
+    tracemalloc.start()
+    recs = list(_records_from_stream(_gunzip_stream(gz)))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert [r["record_id"] for r in recs] == ["<urn:uuid:g>"]
+    assert peak < 16 * 1024 * 1024, f"peak {peak} — hostile length buffered the stream"
