@@ -1,0 +1,74 @@
+"""Parameter-sweep oracle checks: the driver's correctness gate runs every
+operator at its DEFAULT parameters only; these sweeps re-prove the
+Spark-vs-DuckDB hash equivalence at OTHER parameter points (different cell
+counts, probe widths, bit budgets, thresholds, refinement depths), so the
+oracle parity is a property of the operator, not of one configuration.
+
+Comparison = same contract as tools/check_oracle.py: column names, row
+count, and order-insensitive row sets.
+"""
+
+import pytest
+
+from accumulo_wikisearch_spark.operators import similarity as S
+
+
+def _rows(df):
+    cols = df.columns
+    return cols, sorted(
+        tuple(x[1] for x in sorted(zip(cols, r))) for r in df.collect()
+    )
+
+
+def _oracle_rows(duck, sql):
+    res = duck.execute(sql)
+    cols = [d[0] for d in res.description]
+    return cols, sorted(
+        tuple(x[1] for x in sorted(zip(cols, r))) for r in res.fetchall()
+    )
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _check(spark_df, duck, sql):
+    cols, rows = _rows(spark_df)
+    ocols, orows = _oracle_rows(duck, sql)
+    assert sorted(cols) == sorted(ocols)
+    assert rows == orows
+
+
+@pytest.mark.parametrize("n_cells,nprobe,k", [(8, 2, 5), (32, 8, 3)])
+def test_ivf_param_sweep(spark, sf_dir, duck, n_cells, nprobe, k):
+    emb = _emb(spark, sf_dir)
+    got = S.topk_ivf(emb, S.self_queries(emb), k=k, n_cells=n_cells,
+                     nprobe=nprobe, lloyd_iters=0)
+    _check(got, duck, S._ivf_sql(n_cells=n_cells, nprobe=nprobe, k=k))
+
+
+@pytest.mark.parametrize("nbits,k", [(6, 5), (10, 8)])
+def test_lsh_param_sweep(spark, sf_dir, duck, nbits, k):
+    emb = _emb(spark, sf_dir)
+    got = S.topk_lsh(emb, S.self_queries(emb), k=k, nbits=nbits)
+    _check(got, duck, S._lsh_sql(nbits=nbits, k=k))
+    got_mp = S.topk_lsh_multiprobe(emb, S.self_queries(emb), k=k, nbits=nbits)
+    _check(got_mp, duck, S._lsh_sql(nbits=nbits, k=k, multiprobe=True))
+
+
+@pytest.mark.parametrize("threshold_pct,target_cell", [(80, 100), (95, 50)])
+def test_semdedup_param_sweep(spark, sf_dir, duck, threshold_pct, target_cell):
+    emb = _emb(spark, sf_dir)
+    got = S.semdedup_keep(emb, threshold_pct=threshold_pct, target_cell=target_cell)
+    _check(
+        got,
+        duck,
+        S._semdedup_sql(threshold_pct=threshold_pct, target_cell=target_cell),
+    )
+
+
+@pytest.mark.parametrize("lloyd_iters", [1, 3])
+def test_ivf_lloyd_depth_sweep(spark, sf_dir, duck, lloyd_iters):
+    emb = _emb(spark, sf_dir)
+    got = S.topk_ivf_lloyd_exact(emb, lloyd_iters=lloyd_iters)
+    _check(got, duck, S._ivf_lloyd_sql(lloyd_iters=lloyd_iters))
