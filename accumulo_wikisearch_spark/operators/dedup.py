@@ -841,15 +841,22 @@ def queries():
 
 _H = HASH60_DUCKDB
 
-_SHINGLE_SQL = """
+def _ngram_sql(
+    k: int = 3, num: int = 4, den: int = 5, max_df: int = 10_000
+) -> str:
+    """Exact word-k-gram Jaccard pairs with the df cap, parameterized —
+    the oracle twin of ngram_jaccard_pairs (and, at high thresholds, of
+    minhash_lsh_pairs' exact-verified output) at ANY (k, num/den)."""
+    gram = "||' '||".join(f"wl[i+{j}]" for j in range(k))
+    return f"""
 WITH w AS (SELECT doc_id, string_split(text,' ') AS wl FROM documents),
 sh0 AS (
-  SELECT doc_id, unnest(list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)])) AS shingle
-  FROM w WHERE len(wl) >= 3
+  SELECT doc_id, unnest(list_distinct([{gram} for i in range(1, len(wl) - {k - 2})])) AS shingle
+  FROM w WHERE len(wl) >= {k}
 ),
--- df cap (max_df=10000): hot boilerplate shingles are excluded from the
--- similarity space, replaying ngram_jaccard_pairs' definition exactly
-hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 10000),
+-- df cap: hot boilerplate shingles are excluded from the similarity
+-- space, replaying ngram_jaccard_pairs' definition exactly
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {max_df}),
 sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
@@ -860,8 +867,11 @@ common AS (
 SELECT a_id, b_id FROM common
 JOIN cnt ca ON ca.doc_id = a_id
 JOIN cnt cb ON cb.doc_id = b_id
-WHERE 5 * common >= 4 * (ca.n + cb.n - common)
+WHERE {den} * common >= {num} * (ca.n + cb.n - common)
 """
+
+
+_SHINGLE_SQL = _ngram_sql()
 
 _SIMHASH_SQL = f"""
 WITH t AS (

@@ -72,3 +72,25 @@ def test_ivf_lloyd_depth_sweep(spark, sf_dir, duck, lloyd_iters):
     emb = _emb(spark, sf_dir)
     got = S.topk_ivf_lloyd_exact(emb, lloyd_iters=lloyd_iters)
     _check(got, duck, S._ivf_lloyd_sql(lloyd_iters=lloyd_iters))
+
+
+from accumulo_wikisearch_spark.operators import dedup as D
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.mark.parametrize("k,num,den", [(2, 1, 2), (4, 9, 10)])
+def test_ngram_jaccard_param_sweep(spark, sf_dir, duck, k, num, den):
+    got = D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=k, num=num, den=den)
+    _check(got, duck, D._ngram_sql(k=k, num=num, den=den))
+
+
+def test_minhash_lsh_high_threshold_sweep(spark, sf_dir, duck):
+    """At j ≥ 0.9 the 16×4 banding catch probability is ≈1-4e-8, so the
+    exact-verified minhash pair set must equal the exact-Jaccard oracle
+    at check scale (at LOW thresholds recall genuinely drops — that
+    regime is covered by the precision-1.0 contract, not set equality)."""
+    got = D.minhash_lsh_pairs(_docs(spark, sf_dir), k=4, num=9, den=10)
+    _check(got, duck, D._ngram_sql(k=4, num=9, den=10, max_df=10**9))
