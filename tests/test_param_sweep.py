@@ -94,3 +94,19 @@ def test_minhash_lsh_high_threshold_sweep(spark, sf_dir, duck):
     regime is covered by the precision-1.0 contract, not set equality)."""
     got = D.minhash_lsh_pairs(_docs(spark, sf_dir), k=4, num=9, den=10)
     _check(got, duck, D._ngram_sql(k=4, num=9, den=10, max_df=10**9))
+
+
+@pytest.mark.parametrize("k,min_docs", [(4, 3), (12, 2)])
+def test_span_dedup_param_sweep(spark, sf_dir, duck, k, min_docs):
+    got = D.duplicated_spans(_docs(spark, sf_dir), k=k, min_docs=min_docs)
+    _check(got, duck, D._dup_spans_sql(k=k, min_docs=min_docs))
+    got_rm = D.remove_duplicated_spans(_docs(spark, sf_dir), k=k, min_docs=min_docs)
+    _check(got_rm, duck, D._remove_spans_sql(k=k, min_docs=min_docs))
+
+
+@pytest.mark.parametrize("threshold_pct", [80, 97])
+def test_embedding_near_dup_threshold_sweep(spark, sf_dir, duck, threshold_pct):
+    got = D.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold_pct=threshold_pct
+    )
+    _check(got, duck, D._emb_lsh_sql(threshold_pct=threshold_pct))
