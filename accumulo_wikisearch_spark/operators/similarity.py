@@ -100,7 +100,8 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 2024) -> list[list[float]]:
 def lsh_bucket(col: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id of an (double[]) embedding column.
     Plane literals ride in as single-expression SQL strings (_dvec_expr) —
-    one py4j call per plane instead of one per coefficient."""
+    one py4j call per plane instead of one per coefficient. Kept as the
+    expression-form reference; the hot path uses :func:`_lsh_bucket_udf`."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         dot = F.aggregate(
@@ -109,6 +110,35 @@ def lsh_bucket(col: Column, planes: list[list[float]]) -> Column:
             lambda s, x: s + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def _lsh_bucket_udf(planes: list[list[float]]):
+    """Arrow-vectorized sign-LSH bucketing — one numpy pass per batch
+    instead of nbits interpreted ``aggregate(zip_with(...))`` dots per
+    row (the `_assign_cells_udf` pattern). Bit-exact with
+    :func:`lsh_bucket`: the dot accumulates as the SAME sequential
+    per-dim fold, the sign test compares the identical doubles, and the
+    bucket is a sum of distinct powers of two (exact in int64). Built
+    lazily (pandas_udf needs an active session)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(planes, dtype=np.float64)  # (nbits, dim)
+    nbits, dim = P.shape
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def bucket(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+        dot = np.zeros((len(V), nbits))
+        for j in range(dim):  # sequential fold == F.aggregate order
+            dot += V[:, j : j + 1] * P[None, :, j]
+        return pd.Series(((dot > 0).astype(np.int64) * weights).sum(axis=1))
+
     return bucket
 
 
@@ -159,14 +189,20 @@ def _lsh_topk(
     dim: int,
     n_flip: int,
 ) -> DataFrame:
-    """Shared LSH body: bucket both sides, probe the exact bucket plus
-    the first ``n_flip`` single-bit flips, exact-cosine re-rank."""
+    """Shared LSH body: bucket both sides (Arrow kernel), probe the exact
+    bucket plus the first ``n_flip`` single-bit flips, exact-cosine
+    re-rank."""
     planes = _hyperplanes(dim, nbits)
+    bucket = _lsh_bucket_udf(planes)
     corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    q = queries.select("query_id", _as_double(F.col("qv")).alias("qv")).withColumn(
-        "bucket", lsh_bucket(F.col("qv"), planes)
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("v"),
+        bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = queries.select(
+        "query_id",
+        _as_double(F.col("qv")).alias("qv"),
+        bucket(F.col("qv")).alias("bucket"),
     )
     if n_flip:
         probe_set = F.array(
