@@ -69,20 +69,28 @@ def chunk_documents(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFr
     )
 
 
-_CHUNK_SQL = f"""
+def _chunk_sql(size: int = 64, stride: int = 48) -> str:
+    """Replay of chunk_documents at any (size, stride): last start is
+    capped at len - size + stride; toks[start:start+size-1] is DuckDB's
+    inclusive-bound slice of ``size`` tokens."""
+    return f"""
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
   FROM documents
 ), s AS (
-  SELECT doc_id, toks, unnest(range(1, greatest(1, len(toks) - 16) + 1, 48)) AS start
+  SELECT doc_id, toks,
+    unnest(range(1, greatest(1, len(toks) - {size - stride}) + 1, {stride})) AS start
   FROM t WHERE len(toks) >= 1
 )
 SELECT doc_id,
-  ((start - 1) // 48)::INTEGER AS chunk_id,
-  len(toks[start:start+63])::INTEGER AS n_tokens,
-  {HASH60_DUCKDB.format(expr="array_to_string(toks[start:start+63], ' ')")} AS chunk_hash
+  ((start - 1) // {stride})::INTEGER AS chunk_id,
+  len(toks[start:start+{size - 1}])::INTEGER AS n_tokens,
+  {HASH60_DUCKDB.format(expr=f"array_to_string(toks[start:start+{size - 1}], ' ')")} AS chunk_hash
 FROM s
 """
+
+
+_CHUNK_SQL = _chunk_sql()
 
 
 def chunk_dedup(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:

@@ -110,3 +110,12 @@ def test_embedding_near_dup_threshold_sweep(spark, sf_dir, duck, threshold_pct):
         _emb(spark, sf_dir), threshold_pct=threshold_pct
     )
     _check(got, duck, D._emb_lsh_sql(threshold_pct=threshold_pct))
+
+
+from accumulo_wikisearch_spark.operators import curation as C
+
+
+@pytest.mark.parametrize("size,stride", [(16, 16), (32, 8)])
+def test_chunking_param_sweep(spark, sf_dir, duck, size, stride):
+    got = C.chunk_documents(_docs(spark, sf_dir), size=size, stride=stride)
+    _check(got, duck, C._chunk_sql(size=size, stride=stride))
