@@ -133,11 +133,20 @@ def _lsh_bucket_udf(planes: list[list[float]]):
     def bucket(vs):
         if len(vs) == 0:
             return pd.Series([], dtype="int64")
-        V = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
-        dot = np.zeros((len(V), nbits))
-        for j in range(dim):  # sequential fold == F.aggregate order
-            dot += V[:, j : j + 1] * P[None, :, j]
-        return pd.Series(((dot > 0).astype(np.int64) * weights).sum(axis=1))
+        # NULL / wrong-dimension vectors bucket to -1 (a valid bucket is a
+        # sum of non-negative powers, so ≥ 0) and the caller filters them
+        # out — one malformed row must never kill the job (the expression
+        # form degraded gracefully; np.array on ragged input raises)
+        vals = list(vs)
+        ok = [i for i, x in enumerate(vals) if x is not None and len(x) == dim]
+        out = np.full(len(vals), -1, dtype=np.int64)
+        if ok:
+            V = np.array([vals[i] for i in ok], dtype=np.float64)  # (m, dim)
+            dot = np.zeros((len(ok), nbits))
+            for j in range(dim):  # sequential fold == F.aggregate order
+                dot += V[:, j : j + 1] * P[None, :, j]
+            out[ok] = ((dot > 0).astype(np.int64) * weights).sum(axis=1)
+        return pd.Series(out)
 
     return bucket
 
@@ -198,12 +207,12 @@ def _lsh_topk(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("v"),
         bucket(F.col("embedding")).alias("bucket"),
-    )
+    ).where(F.col("bucket") >= 0)  # drop NULL/ragged vectors, not the job
     q = queries.select(
         "query_id",
         _as_double(F.col("qv")).alias("qv"),
         bucket(F.col("qv")).alias("bucket"),
-    )
+    ).where(F.col("bucket") >= 0)
     if n_flip:
         probe_set = F.array(
             F.col("bucket"),

@@ -49,11 +49,18 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     # conf itself is STATIC (cannot be set on a live session), but the
     # enforcement is purely Python-side behind a cached flag — flipping
     # the cache is the only way to apply it to a foreign session, and it
-    # degrades to a no-op if the internals move.
+    # degrades to a no-op if the internals move. RESPECT an explicit
+    # opt-in: a host that set the conf to true at builder time keeps its
+    # call-site-enriched errors; only unset/false sessions get the fast
+    # path.
     try:
-        import pyspark.errors.utils as _eu
+        explicit = spark.conf.get(
+            "spark.python.sql.dataFrameDebugging.enabled", None
+        )
+        if explicit is None or str(explicit).lower() == "false":
+            import pyspark.errors.utils as _eu
 
-        _eu._enable_debugging_cache = False
+            _eu._enable_debugging_cache = False
     except Exception:
         pass
     try:

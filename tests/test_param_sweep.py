@@ -4,27 +4,38 @@ Spark-vs-DuckDB hash equivalence at OTHER parameter points (different cell
 counts, probe widths, bit budgets, thresholds, refinement depths), so the
 oracle parity is a property of the operator, not of one configuration.
 
-Comparison = same contract as tools/check_oracle.py: column names, row
-count, and order-insensitive row sets.
+Comparison = the SAME canon as tools/check_oracle.py (its norm_cell is
+imported, not re-implemented): dtype-strict cells — int64 123 vs DOUBLE
+123.0 is a mismatch, exactly as the driver's hash gate treats it — and a
+null-safe sort key.
 """
 
 import pytest
 
+from tools.check_oracle import norm_cell
+
 from accumulo_wikisearch_spark.operators import similarity as S
+
+
+def _key(rows, cols):
+    cell = lambda v: (v is None, 0 if v is None else v)
+    return sorted(
+        tuple(cell(x[1]) for x in sorted(zip(cols, r))) for r in rows
+    )
 
 
 def _rows(df):
     cols = df.columns
-    return cols, sorted(
-        tuple(x[1] for x in sorted(zip(cols, r))) for r in df.collect()
+    return cols, _key(
+        [tuple(norm_cell(v) for v in r) for r in df.collect()], cols
     )
 
 
 def _oracle_rows(duck, sql):
     res = duck.execute(sql)
     cols = [d[0] for d in res.description]
-    return cols, sorted(
-        tuple(x[1] for x in sorted(zip(cols, r))) for r in res.fetchall()
+    return cols, _key(
+        [tuple(norm_cell(v) for v in r) for r in res.fetchall()], cols
     )
 
 

@@ -366,3 +366,20 @@ def test_multiprobe_lsh_beats_single_probe_recall(spark, emb):
     # buckets, so absolute recall is modest — the invariant is the
     # multiplier: 9 probed buckets must find SEVERAL times what 1 does
     assert multi >= 2 * single and multi >= 0.1, (multi, single)
+
+
+def test_lsh_survives_null_and_ragged_embeddings(spark):
+    """Regression: the Arrow bucket kernel must drop NULL/wrong-dimension
+    vectors (bucket -1, filtered) — one malformed row never kills the job."""
+    from pyspark.sql import functions as F
+
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    rows = [(0, [1.0] * 64), (1, [0.9] * 64), (2, None), (3, [1.0] * 10), (4, [0.8] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = S.topk_lsh_multiprobe(emb, q, k=5).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert ids and 2 not in ids and 3 not in ids
