@@ -214,7 +214,13 @@ def _sig_from_sets(num_hashes: int):
             return pd.Series([], dtype=object)
         arrs = [np.asarray(x, dtype=np.int64) for x in hs]
         lens = np.array([len(a) for a in arrs])
-        assert lens.min() > 0, "empty shingle set reached minhash"
+        if lens.min() <= 0:
+            # explicit raise, NOT assert: under `python -O` an assert
+            # vanishes and reduceat over an empty group (offsets[i] ==
+            # offsets[i+1]) silently returns the NEXT doc's first hash —
+            # a wrong signature instead of an error. _shingle_hash_sets
+            # filters size-0 sets; this guards callers that bypass it.
+            raise ValueError("empty shingle set reached minhash")
         flat = np.mod(np.concatenate(arrs), M)  # pmod: non-negative
         offsets = np.zeros(len(arrs), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
@@ -483,15 +489,22 @@ def dedup_clusters(
 ) -> DataFrame:
     """(doc_id, cluster_id) over near-dup components.
 
+    .. note:: **semantics changed in r4** — the default edge source is now
+       the APPROXIMATE-recall scale path. Components are exact only up to
+       LSH banding recall; callers that need the exhaustive edge set must
+       pass ``edges="ngram"`` explicitly.
+
     The edge source DEFAULTS to the scale path — :func:`minhash_lsh_pairs`
     (banded candidates + exact-Jaccard verify, linear shuffle) — so the
     default wiring survives 100 TB; ``edges="ngram"`` selects the
     quadratic exact verifier (:func:`ngram_jaccard_pairs`), kept as the
     oracle twin. The minhash path verifies candidates exactly (precision
     1.0), so the two edge sets — and hence the components — coincide
-    whenever LSH recall catches every true pair (≈0.9998/pair at j=0.8
-    with 16×4 bands; the driver's hash gate proves equality at check
-    scale)."""
+    whenever LSH recall catches every true pair (≈0.9998 per pair at
+    j=0.8 with 16×4 bands — i.e. ~2e-4 of true edges are missed in
+    expectation on arbitrary corpora; an edge miss can split a component.
+    The driver's hash gate proves equality at check scale, not in
+    general)."""
     pairs = (
         ngram_jaccard_pairs(docs, k, num, den)
         if edges == "ngram"

@@ -313,7 +313,12 @@ def _assign_cells_udf(centroids: list[tuple[int, list[float]]]):
     (vectorized across rows, sequential over dims — numpy's pairwise
     ``sum`` would drift in the last ulp), and ties break to the HIGHER
     cell exactly like array_max over (score, cell) structs. Built lazily
-    (pandas_udf needs an active session)."""
+    (pandas_udf needs an active session).
+
+    NULL / wrong-dimension vectors assign to cell -1 (valid cells are
+    ≥ 0) and callers drop them — one malformed row must never kill the
+    job (the `_lsh_bucket_udf` contract; ``np.array`` on ragged input
+    raises, which would fail the whole task)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -329,17 +334,22 @@ def _assign_cells_udf(centroids: list[tuple[int, list[float]]]):
     def assign(vs):
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
-        V = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
-        dot = np.zeros((len(V), k))
-        nv = np.zeros(len(V))
-        nc = np.zeros(k)
-        for j in range(dim):  # sequential folds == F.aggregate order
-            dot += V[:, j : j + 1] * Cm[None, :, j]
-            nv += V[:, j] * V[:, j]
-            nc += Cm[:, j] * Cm[:, j]
-        s = dot / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :])
-        best = (k - 1) - np.argmax(s[:, ::-1], axis=1)  # ties → higher cell
-        return pd.Series(cell_ids[best].astype("int32"))
+        vals = list(vs)
+        ok = [i for i, x in enumerate(vals) if x is not None and len(x) == dim]
+        out = np.full(len(vals), -1, dtype=np.int64)
+        if ok:
+            V = np.array([vals[i] for i in ok], dtype=np.float64)  # (m, dim)
+            dot = np.zeros((len(V), k))
+            nv = np.zeros(len(V))
+            nc = np.zeros(k)
+            for j in range(dim):  # sequential folds == F.aggregate order
+                dot += V[:, j : j + 1] * Cm[None, :, j]
+                nv += V[:, j] * V[:, j]
+                nc += Cm[:, j] * Cm[:, j]
+            s = dot / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :])
+            best = (k - 1) - np.argmax(s[:, ::-1], axis=1)  # ties → higher cell
+            out[ok] = cell_ids[best]
+        return pd.Series(out.astype("int32"))
 
     return assign
 
@@ -366,7 +376,7 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> Data
     assign = _assign_cells_udf(centroids)
     return emb.select(
         F.col("vec_id"), v.alias("v"), assign(F.col("embedding")).alias("cell")
-    )
+    ).where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
 
 
 def take_centroids(
@@ -592,7 +602,7 @@ def _lloyd_refine_exact(
     for _ in range(lloyd_iters):
         assigned = q8.select(
             "v", _assign_cells_udf(cents)(F.col("v")).alias("cell")
-        )
+        ).where(F.col("cell") >= 0)  # malformed rows must not pollute means
         means = (
             assigned.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
             .groupBy("cell", "dim")
@@ -715,7 +725,7 @@ def _q8_ivf_topk(
         F.col("vec_id").alias("neighbor_id"),
         "v",
         _assign_cells_udf(cents)(F.col("v")).alias("cell"),
-    )
+    ).where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
     qv = q8.where(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -894,6 +904,11 @@ def _pq_code_udf(books: list[list[tuple[int, list[float]]]], sub_dim: int):
     kernel is the `dedup._band_buckets_udf` pattern (~100× interpreted
     lambdas) and keeps whole-stage codegen clean.
 
+    NULL / wrong-dimension vectors code to NULL (the `_lsh_bucket_udf`
+    contract: one malformed row must never kill the job) — scoring
+    callers drop null-coded rows before ranking (an ASC rank over null
+    distances would otherwise float them to the top).
+
     Bit-exact with both predecessors and the DuckDB oracle: the distance
     accumulates as the SAME left-to-right IEEE fold (acc = acc + (x-c)²,
     sequential over dims, vectorized over rows×codes), and np.argmin's
@@ -908,20 +923,30 @@ def _pq_code_udf(books: list[list[tuple[int, list[float]]]], sub_dim: int):
     )  # (m, n_codes, sub_dim)
     m, n_codes = C.shape[0], C.shape[1]
 
+    dim = m * sub_dim
+
     @pandas_udf("array<int>")
     def codes(vs):
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        V = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
-        out = np.empty((len(V), m), dtype=np.int32)
-        for s in range(m):
-            X = V[:, s * sub_dim : (s + 1) * sub_dim]
-            acc = np.zeros((len(V), n_codes))
-            for j in range(sub_dim):  # sequential fold == the chain's order
-                d = X[:, j : j + 1] - C[s, None, :, j]
-                acc += d * d
-            out[:, s] = np.argmin(acc, axis=1)  # first min == lower code
-        return pd.Series(list(out))
+        vals = list(vs)
+        ok = [i for i, x in enumerate(vals) if x is not None and len(x) >= dim]
+        res: list = [None] * len(vals)
+        if ok:
+            V = np.array(
+                [vals[i][:dim] for i in ok], dtype=np.float64
+            )  # (n_ok, dim)
+            out = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                X = V[:, s * sub_dim : (s + 1) * sub_dim]
+                acc = np.zeros((len(V), n_codes))
+                for j in range(sub_dim):  # sequential fold == the chain's order
+                    d = X[:, j : j + 1] - C[s, None, :, j]
+                    acc += d * d
+                out[:, s] = np.argmin(acc, axis=1)  # first min == lower code
+            for r, i in enumerate(ok):
+                res[i] = out[r]
+        return pd.Series(res)
 
     return codes
 
@@ -968,7 +993,8 @@ def topk_pq_adc(
     codes = pq_codes(emb, m, sub_dim, n_codes).persist()
     luts = _adc_luts(emb.sparkSession, queries, books, sub_dim)
     scored = (
-        codes.withColumnRenamed("vec_id", "neighbor_id")
+        codes.where(F.col("code_0").isNotNull())  # drop malformed-vector rows
+        .withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(luts))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
@@ -1058,11 +1084,15 @@ def topk_ivf_pq(
     # persist = the at-rest IVF-PQ index (cells + codes computed once, not
     # once per query — see topk_pq_adc's note); write_ivf_pq_index is the
     # durable form
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _assign_cells_udf(cents)(F.col("embedding")).alias("cell"),
-        *_code_select(books, sub_dim),
-    ).persist()
+    corpus = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _assign_cells_udf(cents)(F.col("embedding")).alias("cell"),
+            *_code_select(books, sub_dim),
+        )
+        .where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
+        .persist()
+    )
     qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
     scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
     probes = qv.select(
@@ -1100,6 +1130,7 @@ def write_ivf_pq_index(
             _assign_cells_udf(cents)(F.col("embedding")).alias("cell"),
             *_code_select(books, sub_dim),
         )
+        .where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
         .repartition("cell")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")

@@ -69,8 +69,15 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         pass
     try:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        if nparts > 64:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # Never set shuffle partitions below the session's parallelism:
+        # the old flat 32 cap was right for local[32] but would serialize
+        # every shuffle to 32 tasks on a 1000-core cluster. Keep the
+        # local[32] behavior (defaultParallelism <= 32 → 32) and only
+        # ever LOWER the default-200 over-partitioning, never the
+        # cluster's own sizing.
+        floor = max(32, int(spark.sparkContext.defaultParallelism))
+        if nparts > max(64, floor):
+            spark.conf.set("spark.sql.shuffle.partitions", str(floor))
     except Exception:
         pass
     return spark

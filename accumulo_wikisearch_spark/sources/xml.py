@@ -131,7 +131,11 @@ def write_wikipedia_xml(pages: DataFrame, path: str) -> None:
         F.lit("</id><title>"),
         esc(F.col("title")),
         F.lit("</title><revision><timestamp>"),
-        F.col("timestamp"),
+        # escaped like every other content field: a timestamp containing
+        # &, < or control chars would otherwise emit an unparseable <page>
+        # that parse_page silently DROPS on read-back (id is safe unescaped
+        # only because it is cast from a numeric column)
+        esc(F.col("timestamp")),
         F.lit("</timestamp><comment>"),
         esc(F.col("comment")),
         F.lit("</comment><text>"),

@@ -383,3 +383,78 @@ def test_lsh_survives_null_and_ragged_embeddings(spark):
     out = S.topk_lsh_multiprobe(emb, q, k=5).collect()
     ids = {r["neighbor_id"] for r in out}
     assert ids and 2 not in ids and 3 not in ids
+
+
+def test_ivf_and_pq_survive_null_and_ragged_embeddings(spark):
+    """Regression (r6): the cell-assignment and PQ-coding kernels must
+    degrade NULL/wrong-dimension vectors to sentinels (-1 cell / null
+    codes) that callers filter — one malformed row never kills ivf_assign,
+    pq_codes, semdedup_keep, or the IVF-PQ scoring paths."""
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    rows = [(i, [1.0 - 0.01 * i] * 64) for i in range(20)]
+    rows += [(20, None), (21, [1.0] * 10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = S.self_queries(emb, 2)
+
+    asn = S.ivf_assign(emb, S.take_centroids(emb, n_cells=4, lloyd_iters=0))
+    ids = {r["vec_id"] for r in asn.collect()}
+    assert 20 not in ids and 21 not in ids and len(ids) == 20
+
+    codes = {r["vec_id"]: r["code_0"] for r in S.pq_codes(emb).collect()}
+    assert codes[20] is None and codes[21] is None and codes[0] is not None
+
+    for out in (
+        S.topk_ivf(emb, q, k=5, n_cells=4, lloyd_iters=0),
+        S.topk_pq_adc(emb, q, k=5),
+        S.topk_ivf_pq(emb, q, k=5, n_cells=4),
+    ):
+        got = {r["neighbor_id"] for r in out.collect()}
+        assert got and 20 not in got and 21 not in got
+
+    keep = S.semdedup_keep(emb, n_cells=4)
+    kept_ids = {r["vec_id"] for r in keep.collect()}
+    assert 20 not in kept_ids and 21 not in kept_ids and len(kept_ids) == 20
+
+
+def test_tune_runtime_never_caps_below_cluster_parallelism():
+    """Regression (r6): tune_runtime must not serialize a large cluster's
+    shuffles down to 32 tasks — it only ever LOWERS over-partitioning to
+    max(32, defaultParallelism), and leaves conf at-or-below that alone."""
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    class FakeConf:
+        def __init__(self, vals):
+            self.vals = vals
+
+        def get(self, k, default=None):
+            return self.vals.get(k, default)
+
+        def set(self, k, v):
+            self.vals[k] = v
+
+    class FakeSC:
+        def __init__(self, par):
+            self.defaultParallelism = par
+
+    class FakeSession:
+        def __init__(self, par, nparts):
+            self.conf = FakeConf({"spark.sql.shuffle.partitions": str(nparts)})
+            self.sparkContext = FakeSC(par)
+
+    # local[32]-style: 200 default over-partitioning → 32 (old behavior kept)
+    s = FakeSession(par=32, nparts=200)
+    tune_runtime(s)
+    assert s.conf.get("spark.sql.shuffle.partitions") == "32"
+    # 1000-core cluster with nparts=200: NOT down-capped (200 < floor 1000)
+    s = FakeSession(par=1000, nparts=200)
+    tune_runtime(s)
+    assert s.conf.get("spark.sql.shuffle.partitions") == "200"
+    # 1000-core cluster with 5000 over-partitioning → lowered to 1000, not 32
+    s = FakeSession(par=1000, nparts=5000)
+    tune_runtime(s)
+    assert s.conf.get("spark.sql.shuffle.partitions") == "1000"
+    # explicit 64 at local scale stays untouched
+    s = FakeSession(par=32, nparts=64)
+    tune_runtime(s)
+    assert s.conf.get("spark.sql.shuffle.partitions") == "64"
