@@ -660,14 +660,26 @@ def take_centroids_trained(
     3. ``lloyd_iters`` integer-exact distributed refinement steps
        (:func:`_lloyd_refine_exact`).
     """
+    q8 = _quantized_vecs(emb)
+    V = _hash_sample_q8(q8, sample_cap)
+    chosen = _greedy_farthest(V, min(n_cells, len(V)))
+    cents = [(j, [float(x) for x in V[i]]) for j, i in enumerate(chosen)]
+    return _lloyd_refine_exact(q8, cents, lloyd_iters)
+
+
+def _hash_sample_q8(q8: DataFrame, sample_cap: int):
+    """Portable-hash sample of ~``sample_cap`` quantized vectors as a numpy
+    matrix sorted by vec_id — the shared training sample of the trained
+    coarse quantizer and the trained PQ codebooks. The threshold hash is
+    ``hash60_col`` (md5-based, the same hash the SQL oracle computes), so
+    the sample is identical under any partitioning; ONE bounded collect."""
     import numpy as np
 
     from accumulo_wikisearch_spark.functions.normalize import hash60_col
 
-    q8 = _quantized_vecs(emb)
     n = q8.count()
     if n == 0:
-        raise ValueError("take_centroids_trained: empty corpus")
+        raise ValueError("trained quantizer: empty corpus")
     frac_ppm = min(1_000_000, (1_000_000 * sample_cap) // n + 1)
     cand = (
         q8.where(
@@ -678,8 +690,17 @@ def take_centroids_trained(
         .collect()
     )
     cand = sorted(cand, key=lambda r: r["vec_id"])
-    V = np.array([[float(x) for x in r["v"]] for r in cand])
-    k = min(n_cells, len(V))
+    return np.array([[float(x) for x in r["v"]] for r in cand])
+
+
+def _greedy_farthest(V, k: int) -> list[int]:
+    """Gonzalez-1985 greedy max-min seeding over sample rows (exact
+    integers on the quantized grid → bit-replayable by the oracle's
+    recursive CTE): start at the lowest vec_id, repeatedly add the
+    un-chosen candidate farthest from its nearest chosen center, ties to
+    the lowest vec_id."""
+    import numpy as np
+
     chosen = [0]
     d2 = ((V - V[0]) ** 2).sum(axis=1)
     d2[0] = -1.0  # chosen candidates leave the pool
@@ -688,8 +709,7 @@ def take_centroids_trained(
         chosen.append(i)
         d2 = np.minimum(d2, ((V - V[i]) ** 2).sum(axis=1))
         d2[i] = -1.0
-    cents = [(j, [float(x) for x in V[i]]) for j, i in enumerate(chosen)]
-    return _lloyd_refine_exact(q8, cents, lloyd_iters)
+    return chosen
 
 
 def topk_ivf_trained(
@@ -1178,6 +1198,194 @@ def topk_ivf_pq_on_disk(
 
 
 # ---------------------------------------------------------------------------
+# trained product quantization — per-subspace sampled-Lloyd codebooks
+# ---------------------------------------------------------------------------
+
+
+def _books_from_sample(V, m: int, sub_dim: int, n_codes: int):
+    """Greedy farthest-point seed codebooks per subspace over the shared
+    hash-sample matrix (each subspace runs its own Gonzalez greedy on its
+    slice — the subvector distributions differ, so the seeds do too)."""
+    books = []
+    for s in range(m):
+        X = V[:, s * sub_dim : (s + 1) * sub_dim]
+        idx = _greedy_farthest(X, min(n_codes, len(X)))
+        books.append([(c, [float(x) for x in X[i]]) for c, i in enumerate(idx)])
+    return books
+
+
+def _pq_books_refine_exact(
+    q8: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    sub_dim: int,
+    lloyd_iters: int,
+):
+    """Integer-exact distributed Lloyd refinement of PQ codebooks — the
+    per-subspace analogue of :func:`_lloyd_refine_exact` (FAISS trains its
+    PQ codebooks with per-subspace k-means the same way): code the
+    quantized corpus (Arrow kernel, narrow), per-(subspace, code, dim)
+    floor(sum/count) means (exact over whole-number inputs), codes with no
+    assigned vectors keep their previous codeword. Each step is one
+    distributed pass; only the m × n_codes × sub_dim codebook tensor is
+    ever collected."""
+    m = len(books)
+    for _ in range(lloyd_iters):
+        coded = q8.select(
+            "v", _pq_code_udf(books, sub_dim)(F.col("v")).alias("codes")
+        ).where(F.col("codes").isNotNull())
+        exploded = coded.select("codes", F.posexplode("v").alias("j", "x"))
+        exploded = exploded.select(
+            F.expr(f"j div {sub_dim}").cast("int").alias("s"),
+            F.expr(f"codes[j div {sub_dim}]").alias("code"),
+            (F.col("j") % sub_dim).alias("jj"),
+            "x",
+        )
+        rows = (
+            exploded.groupBy("s", "code", "jj")
+            .agg(F.floor(F.sum("x") / F.count("*")).alias("m"))
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("jj", "m"))).alias("ms"))
+            .select("s", "code", F.col("ms.m").alias("mean"))
+            .collect()
+        )
+        new = [dict(book) for book in books]
+        for r in rows:
+            new[r["s"]][r["code"]] = [float(x) for x in r["mean"]]
+        books = [sorted(d.items()) for d in new]
+    return books
+
+
+def pq_books_trained(
+    emb: DataFrame,
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+) -> list[list[tuple[int, list[float]]]]:
+    """TRAINED per-subspace PQ codebooks, fully deterministic — the
+    codebook-quality upgrade over the first-n seed rows of
+    :func:`_pq_codebooks` (ADC recall lives on codebook fit; FAISS
+    likewise trains per-subspace k-means): hash-sample the quantized
+    corpus (:func:`_hash_sample_q8`), greedy farthest-point seeds per
+    subspace, then ``lloyd_iters`` integer-exact distributed refinement
+    steps. Every quantity is whole-number arithmetic, so the books — and
+    everything coded with them — are bit-replayable by the SQL oracle."""
+    q8 = _quantized_vecs(emb)
+    V = _hash_sample_q8(q8, sample_cap)
+    return _pq_books_refine_exact(
+        q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+    )
+
+
+def _codes_wide(q8: DataFrame, books, sub_dim: int) -> DataFrame:
+    """(neighbor_id, code_0..code_{m-1}) over the quantized corpus —
+    malformed rows dropped (null codes)."""
+    m = len(books)
+    return (
+        q8.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_code_udf(books, sub_dim)(F.col("v")).alias("codes"),
+        )
+        .where(F.col("codes").isNotNull())
+        .select(
+            "neighbor_id",
+            *[F.col("codes")[s].cast("int").alias(f"code_{s}") for s in range(m)],
+        )
+    )
+
+
+def topk_pq_adc_trained(
+    emb: DataFrame,
+    k: int = 10,
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+    lloyd_iters: int = 2,
+    nq: int = 5,
+    sample_cap: int = 2048,
+) -> DataFrame:
+    """ADC top-k with TRAINED codebooks over the quantized corpus: same
+    LUT/ranking shape as :func:`topk_pq_adc`, but codebooks from
+    :func:`pq_books_trained` and both sides on the int8 grid — every ADC
+    distance is an exact integer in double, so ranking is aggregation-
+    order independent and the whole operator is SQL-replayable."""
+    q8 = _quantized_vecs(emb)
+    books = pq_books_trained(emb, m, sub_dim, n_codes, lloyd_iters, sample_cap)
+    # persist = the at-rest codes table (see topk_pq_adc's note)
+    codes = _codes_wide(q8, books, sub_dim).persist()
+    qv = q8.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    luts = _adc_luts(emb.sparkSession, qv, books, sub_dim)
+    scored = (
+        codes.join(F.broadcast(luts))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
+    )
+    return _rank_topk(scored, k, F.asc("d"))
+
+
+def topk_ivf_pq_trained(
+    emb: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+    lloyd_iters: int = 2,
+    nq: int = 5,
+    sample_cap: int = 2048,
+) -> DataFrame:
+    """IVF-PQ top-k with BOTH quantizers trained — trained coarse cells
+    (:func:`take_centroids_trained`'s construction) AND trained codebooks
+    (:func:`pq_books_trained`), sharing one hash-sample. The full
+    FAISS-IVFADC shape with its production training story, deterministic
+    end-to-end on the int8 grid."""
+    q8 = _quantized_vecs(emb)
+    V = _hash_sample_q8(q8, sample_cap)
+    seed_cents = [
+        (j, [float(x) for x in V[i]])
+        for j, i in enumerate(_greedy_farthest(V, min(n_cells, len(V))))
+    ]
+    cents = _lloyd_refine_exact(q8, seed_cents, lloyd_iters)
+    books = _pq_books_refine_exact(
+        q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+    )
+    corpus = (
+        q8.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _assign_cells_udf(cents)(F.col("v")).alias("cell"),
+            _pq_code_udf(books, sub_dim)(F.col("v")).alias("codes"),
+        )
+        .where(F.col("cell") >= 0)
+        .select(
+            "neighbor_id",
+            "cell",
+            *[F.col("codes")[s].cast("int").alias(f"code_{s}") for s in range(m)],
+        )
+        .persist()
+    )
+    qv = q8.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
+    probes = qv.select(
+        "query_id",
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe).alias("probes"),
+    ).select("query_id", F.explode(F.col("probes.cell")).alias("cell"))
+    luts = _adc_luts(emb.sparkSession, qv, books, sub_dim)
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(luts), "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
+    )
+    return _rank_topk(scored, k, F.asc("d"))
+
+
+# ---------------------------------------------------------------------------
 # int8 quantization — the storage/compute scale path for embeddings
 # ---------------------------------------------------------------------------
 
@@ -1368,6 +1576,11 @@ def queries():
         "ann_topk_ivf_pq": lambda s, d: topk_ivf_pq(
             _emb(s, d), self_queries(_emb(s, d))
         ),
+        # TRAINED codebooks (and, for ivf_pq, trained coarse cells too):
+        # per-subspace hash-sample → farthest-point greedy → exact Lloyd,
+        # replayed by recursive-CTE oracles on the int8 grid
+        "ann_topk_pq_adc_trained": lambda s, d: topk_pq_adc_trained(_emb(s, d)),
+        "ann_topk_ivf_pq_trained": lambda s, d: topk_ivf_pq_trained(_emb(s, d)),
         "ann_topk_int8": lambda s, d: topk_int8(
             _emb(s, d), self_queries(_emb(s, d))
         ),
@@ -1609,6 +1822,131 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k
 """
 
 
+def _q8_header(recursive: bool) -> str:
+    """Shared WITH-prefix: float view ``e`` + int8-grid view ``q8`` (the
+    quantize formula of :func:`_quantize_arr`)."""
+    return f"""
+WITH {"RECURSIVE " if recursive else ""}e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+         THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+    END AS v
+  FROM e
+),"""
+
+
+def _cand_ctes(sample_cap: int) -> str:
+    """Shared portable-hash training sample (replays :func:`_hash_sample_q8`)."""
+    return f"""
+frac AS (
+  SELECT least(1000000, (1000000 * {sample_cap}) // count(*) + 1) AS ppm FROM q8
+),
+cand AS (
+  SELECT vec_id, v FROM q8, frac
+  WHERE ({HASH60_DUCKDB.format(expr="vec_id::VARCHAR")}) % 1000000 < frac.ppm
+),"""
+
+
+def _coarse_ctes(
+    n_cells: int, dim: int, lloyd_iters: int, trained: bool
+) -> tuple[str, str]:
+    """Coarse-quantizer CTE chain over ``q8`` (and ``cand`` when trained):
+    seeds (first-n row_number labels, or the recursive farthest-point
+    greedy) + ``lloyd_iters`` unrolled integer-exact refinement steps.
+    Returns (sql_fragment, final_centroid_cte_name)."""
+
+    def assign(prev: str) -> str:
+        cos = _cos_sql("q8.v", f"{prev}.cvec", dim)
+        return f"""(
+    SELECT vec_id, v, cell FROM (
+      SELECT q8.vec_id, q8.v, {prev}.cell,
+        row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cos} DESC, {prev}.cell DESC) AS rn
+      FROM q8 CROSS JOIN {prev}
+    ) WHERE rn = 1
+  )"""
+
+    if trained:
+        d2 = f"list_sum(list_transform(range(1, {dim + 1}), j -> (c.v[j] - c2.v[j]) * (c.v[j] - c2.v[j])))"
+        sql = f"""
+sel AS (
+  SELECT 1 AS step, [(SELECT min(vec_id) FROM cand)] AS chosen
+  UNION ALL
+  SELECT step + 1, list_append(chosen, (
+    SELECT vec_id FROM (
+      SELECT c.vec_id AS vec_id, min({d2}) AS d
+      FROM cand c, cand c2
+      WHERE list_contains(sel.chosen, c2.vec_id)
+        AND NOT list_contains(sel.chosen, c.vec_id)
+      GROUP BY c.vec_id
+    ) ORDER BY d DESC, vec_id ASC LIMIT 1
+  ))
+  FROM sel WHERE step < {n_cells}
+),
+ch AS (SELECT chosen FROM sel WHERE step = {n_cells}),
+c0 AS (
+  SELECT r.j - 1 AS cell, cand.v AS cvec
+  FROM ch, range(1, {n_cells + 1}) AS r(j)
+  JOIN cand ON cand.vec_id = ch.chosen[r.j]
+)"""
+    else:
+        sql = f"""
+c0 AS (
+  SELECT cell, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM q8
+  ) WHERE cell < {n_cells}
+)"""
+    prev = "c0"
+    for it in range(1, lloyd_iters + 1):
+        sql += f""",
+a{it} AS {assign(prev)},
+m{it} AS (
+  SELECT cell, j, floor(sum(v[j]) / count(*)) AS m
+  FROM a{it}, range(1, {dim + 1}) AS r(j) GROUP BY cell, j
+),
+c{it} AS (
+  SELECT {prev}.cell, COALESCE(mm.cvec, {prev}.cvec) AS cvec
+  FROM {prev} LEFT JOIN (
+    SELECT cell, list(m ORDER BY j) AS cvec FROM m{it} GROUP BY cell
+  ) mm ON mm.cell = {prev}.cell
+)"""
+        prev = f"c{it}"
+    return sql, prev
+
+
+def _ivf_probe_tail(prev: str, nprobe: int, dim: int, k: int, nq: int) -> str:
+    """Final assignment + probe + exact-cosine re-rank tail shared by the
+    Lloyd/trained IVF oracles (``prev`` = final centroid CTE)."""
+    cosf = _cos_sql("q8.v", f"{prev}.cvec", dim)
+    return f""",
+fa AS (
+    SELECT vec_id, v, cell FROM (
+      SELECT q8.vec_id, q8.v, {prev}.cell,
+        row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cosf} DESC, {prev}.cell DESC) AS rn
+      FROM q8 CROSS JOIN {prev}
+    ) WHERE rn = 1
+  ),
+qp AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT q8.vec_id, q8.v, {prev}.cell,
+      row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cosf} DESC, {prev}.cell DESC) AS rn
+    FROM q8 CROSS JOIN {prev} WHERE q8.vec_id < {nq}
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id, {_cos_sql("qp.qv", "a.v", dim)} AS cos
+  FROM fa a JOIN qp ON a.cell = qp.cell AND a.vec_id <> qp.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _ivf_lloyd_sql(
     n_cells: int = 16,
     nprobe: int = 4,
@@ -1631,101 +1969,209 @@ def _ivf_lloyd_sql(
     RECURSIVE CTE (one chosen vec_id appended per step; max-min squared-L2,
     ties to the lower vec_id — exact integers over the quantized grid, so
     the greedy argmax is engine-independent), then the same Lloyd tail."""
-
-    def assign(prev: str, extra: str = "") -> str:
-        cos = _cos_sql("q8.v", f"{prev}.cvec", dim)
-        return f"""(
-    SELECT vec_id, v, cell FROM (
-      SELECT q8.vec_id, q8.v, {prev}.cell,
-        row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cos} DESC, {prev}.cell DESC) AS rn
-      FROM q8 CROSS JOIN {prev}{extra}
-    ) WHERE rn = 1
-  )"""
-
-    sql = f"""
-WITH {"RECURSIVE " if trained else ""}e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-q8 AS (
-  SELECT vec_id,
-    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
-         THEN list_transform(v, x -> 0.0)
-         ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0)))
-    END AS v
-  FROM e
-),"""
+    sql = _q8_header(trained)
     if trained:
-        d2 = f"list_sum(list_transform(range(1, {dim + 1}), j -> (c.v[j] - c2.v[j]) * (c.v[j] - c2.v[j])))"
-        sql += f"""
-frac AS (
-  SELECT least(1000000, (1000000 * {sample_cap}) // count(*) + 1) AS ppm FROM q8
+        sql += _cand_ctes(sample_cap)
+    coarse, prev = _coarse_ctes(n_cells, dim, lloyd_iters, trained)
+    return sql + coarse + _ivf_probe_tail(prev, nprobe, dim, k, nq)
+
+
+def _pq_books_ctes(
+    m: int, sub_dim: int, n_codes: int, lloyd_iters: int
+) -> tuple[str, str]:
+    """Trained-codebook CTE chain (replays :func:`pq_books_trained`) over
+    ``q8`` + ``cand``: per-subspace slices ``cs``, the per-subspace
+    farthest-point greedy as ONE recursive CTE (state = (s, step, chosen);
+    the correlated ``psel.s`` lives in the derived table's WHERE — DuckDB
+    cannot correlate it inside aggregate arguments, hence the pre-sliced
+    ``cs``), seed books ``pcb0``, then ``lloyd_iters`` unrolled
+    integer-exact refinement steps (code → per-(s, code, dim)
+    floor(sum/count); empty codes keep the previous codeword).
+    Returns (sql_fragment, final_book_cte_name)."""
+    sql = f"""
+cs AS (
+  SELECT cand.vec_id, u.s::INTEGER AS s,
+         list_slice(v, u.s * {sub_dim} + 1, (u.s + 1) * {sub_dim}) AS sv
+  FROM cand, range(0, {m}) AS u(s)
 ),
-cand AS (
-  SELECT vec_id, v FROM q8, frac
-  WHERE ({HASH60_DUCKDB.format(expr="vec_id::VARCHAR")}) % 1000000 < frac.ppm
-),
-sel AS (
-  SELECT 1 AS step, [(SELECT min(vec_id) FROM cand)] AS chosen
+psel AS (
+  SELECT r.s::INTEGER AS s, 1 AS step, [(SELECT min(vec_id) FROM cand)] AS chosen
+  FROM range(0, {m}) AS r(s)
   UNION ALL
-  SELECT step + 1, list_append(chosen, (
+  SELECT psel.s, step + 1, list_append(chosen, (
     SELECT vec_id FROM (
-      SELECT c.vec_id AS vec_id, min({d2}) AS d
-      FROM cand c, cand c2
-      WHERE list_contains(sel.chosen, c2.vec_id)
-        AND NOT list_contains(sel.chosen, c.vec_id)
+      SELECT c.vec_id AS vec_id,
+        min(list_sum(list_transform(range(1, {sub_dim + 1}), j -> (c.sv[j] - c2.sv[j]) * (c.sv[j] - c2.sv[j])))) AS d
+      FROM cs c, cs c2
+      WHERE c.s = psel.s AND c2.s = psel.s
+        AND list_contains(psel.chosen, c2.vec_id)
+        AND NOT list_contains(psel.chosen, c.vec_id)
       GROUP BY c.vec_id
     ) ORDER BY d DESC, vec_id ASC LIMIT 1
   ))
-  FROM sel WHERE step < {n_cells}
+  FROM psel WHERE step < {n_codes}
 ),
-ch AS (SELECT chosen FROM sel WHERE step = {n_cells}),
-c0 AS (
-  SELECT r.j - 1 AS cell, cand.v AS cvec
-  FROM ch, range(1, {n_cells + 1}) AS r(j)
-  JOIN cand ON cand.vec_id = ch.chosen[r.j]
+pch AS (SELECT s, chosen FROM psel WHERE step = {n_codes}),
+pcb0 AS (
+  SELECT pch.s, r.j - 1 AS code,
+    list_slice(cand.v, pch.s * {sub_dim} + 1, (pch.s + 1) * {sub_dim}) AS cv
+  FROM pch, range(1, {n_codes + 1}) AS r(j)
+  JOIN cand ON cand.vec_id = pch.chosen[r.j]
 )"""
-    else:
-        sql += f"""
-c0 AS (
-  SELECT cell, cvec FROM (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM q8
-  ) WHERE cell < {n_cells}
-)"""
-    prev = "c0"
+    prev = "pcb0"
+    d_expr = (
+        f"list_sum(list_transform(range(1, {sub_dim + 1}), "
+        f"j -> (q8.v[b.s * {sub_dim} + j] - b.cv[j]) * (q8.v[b.s * {sub_dim} + j] - b.cv[j])))"
+    )
     for it in range(1, lloyd_iters + 1):
         sql += f""",
-a{it} AS {assign(prev)},
-m{it} AS (
-  SELECT cell, j, floor(sum(v[j]) / count(*)) AS m
-  FROM a{it}, range(1, {dim + 1}) AS r(j) GROUP BY cell, j
+pa{it} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT q8.vec_id, b.s, b.code,
+      row_number() OVER (PARTITION BY q8.vec_id, b.s ORDER BY {d_expr} ASC, b.code ASC) AS rn
+    FROM q8 CROSS JOIN {prev} b
+  ) WHERE rn = 1
 ),
-c{it} AS (
-  SELECT {prev}.cell, COALESCE(mm.cvec, {prev}.cvec) AS cvec
-  FROM {prev} LEFT JOIN (
-    SELECT cell, list(m ORDER BY j) AS cvec FROM m{it} GROUP BY cell
-  ) mm ON mm.cell = {prev}.cell
+pm{it} AS (
+  SELECT a.s, a.code, r.j, floor(sum(q8.v[a.s * {sub_dim} + r.j]) / count(*)) AS m
+  FROM pa{it} a, q8, range(1, {sub_dim + 1}) AS r(j)
+  WHERE q8.vec_id = a.vec_id
+  GROUP BY a.s, a.code, r.j
+),
+pcb{it} AS (
+  SELECT p.s, p.code, COALESCE(mm.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT s, code, list(m ORDER BY j) AS cv FROM pm{it} GROUP BY s, code
+  ) mm ON mm.s = p.s AND mm.code = p.code
 )"""
-        prev = f"c{it}"
-    cosf = _cos_sql("q8.v", f"{prev}.cvec", dim)
-    sql += f""",
-fa AS {assign(prev)},
-qp AS (
-  SELECT vec_id AS query_id, v AS qv, cell FROM (
-    SELECT q8.vec_id, q8.v, {prev}.cell,
-      row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cosf} DESC, {prev}.cell DESC) AS rn
-    FROM q8 CROSS JOIN {prev} WHERE q8.vec_id < {nq}
-  ) WHERE rn <= {nprobe}
+        prev = f"pcb{it}"
+    return sql, prev
+
+
+def _pq_best_adc_tail(
+    book: str,
+    m: int,
+    sub_dim: int,
+    k: int,
+    nq: int,
+    cand_cte: str | None = None,
+) -> str:
+    """Coding + ADC ranking tail over the final book CTE: per-(vec, s)
+    best code (squared-L2 argmin, ties lower code) with its codeword,
+    query subvectors from the quantized grid, fixed-order distance chain,
+    rank by d ASC / neighbor ASC. ``cand_cte`` (query_id, neighbor_id)
+    optionally restricts candidates (the IVF probe composition)."""
+    d_expr = (
+        f"list_sum(list_transform(range(1, {sub_dim + 1}), "
+        f"j -> (q8.v[b.s * {sub_dim} + j] - b.cv[j]) * (q8.v[b.s * {sub_dim} + j] - b.cv[j])))"
+    )
+    dsum = " + ".join(f"max(CASE WHEN s = {s} THEN ds END)" for s in range(m))
+    if cand_cte:
+        ds_from = f"""FROM {cand_cte} cd
+  JOIN pq ON pq.query_id = cd.query_id
+  JOIN pbest b ON b.vec_id = cd.neighbor_id AND b.s = pq.s"""
+        ds_sel = "cd.query_id, cd.neighbor_id"
+    else:
+        ds_from = "FROM pq JOIN pbest b ON b.vec_id <> pq.query_id AND b.s = pq.s"
+        ds_sel = "pq.query_id, b.vec_id AS neighbor_id"
+    return f""",
+pbest AS (
+  SELECT vec_id, s, code, cv FROM (
+    SELECT q8.vec_id, b.s, b.code, b.cv,
+      row_number() OVER (PARTITION BY q8.vec_id, b.s ORDER BY {d_expr} ASC, b.code ASC) AS rn
+    FROM q8 CROSS JOIN {book} b
+  ) WHERE rn = 1
 ),
-scored AS (
-  SELECT qp.query_id, a.vec_id AS neighbor_id, {_cos_sql("qp.qv", "a.v", dim)} AS cos
-  FROM fa a JOIN qp ON a.cell = qp.cell AND a.vec_id <> qp.query_id
+pq AS (
+  SELECT vec_id AS query_id, u.s::INTEGER AS s,
+    list_slice(v, u.s * {sub_dim} + 1, (u.s + 1) * {sub_dim}) AS qs
+  FROM q8, range(0, {m}) AS u(s) WHERE vec_id < {nq}
+),
+ds AS (
+  SELECT {ds_sel}, pq.s,
+    list_sum(list_transform(range(1, {sub_dim + 1}), j -> (qs[j] - b.cv[j]) * (qs[j] - b.cv[j]))) AS ds
+  {ds_from}
+),
+tot AS (
+  SELECT query_id, neighbor_id, {dsum} AS d
+  FROM ds GROUP BY query_id, neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
-    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored
+    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
+  FROM tot
 )
 SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
 """
-    return sql
+
+
+def _pq_adc_trained_sql(
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+    k: int = 10,
+    nq: int = 5,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+) -> str:
+    """Replay of :func:`topk_pq_adc_trained`: quantize, hash-sample,
+    per-subspace recursive greedy + exact Lloyd books, code, ADC rank."""
+    books, book = _pq_books_ctes(m, sub_dim, n_codes, lloyd_iters)
+    return (
+        _q8_header(recursive=True)
+        + _cand_ctes(sample_cap)
+        + books
+        + _pq_best_adc_tail(book, m, sub_dim, k, nq)
+    )
+
+
+def _ivf_pq_trained_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+    dim: int = 64,
+    k: int = 10,
+    nq: int = 5,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+) -> str:
+    """Replay of :func:`topk_ivf_pq_trained`: BOTH trained quantizers from
+    the shared hash-sample — the coarse recursive greedy + Lloyd cells
+    gate the candidates, the per-subspace recursive greedy + Lloyd books
+    supply the ADC distances."""
+    coarse, cprev = _coarse_ctes(n_cells, dim, lloyd_iters, trained=True)
+    books, book = _pq_books_ctes(m, sub_dim, n_codes, lloyd_iters)
+    cosf = _cos_sql("q8.v", f"{cprev}.cvec", dim)
+    probe = f""",
+fa AS (
+    SELECT vec_id, cell FROM (
+      SELECT q8.vec_id, {cprev}.cell,
+        row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cosf} DESC, {cprev}.cell DESC) AS rn
+      FROM q8 CROSS JOIN {cprev}
+    ) WHERE rn = 1
+  ),
+qp AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT q8.vec_id, {cprev}.cell,
+      row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cosf} DESC, {cprev}.cell DESC) AS rn
+    FROM q8 CROSS JOIN {cprev} WHERE q8.vec_id < {nq}
+  ) WHERE rn <= {nprobe}
+),
+candset AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id
+  FROM fa a JOIN qp ON a.cell = qp.cell AND a.vec_id <> qp.query_id
+)"""
+    return (
+        _q8_header(recursive=True)
+        + _cand_ctes(sample_cap)
+        + coarse
+        + ","
+        + books.lstrip()  # books fragment starts "\ncs AS (" — join after coarse
+        + probe
+        + _pq_best_adc_tail(book, m, sub_dim, k, nq, cand_cte="candset")
+    )
 
 
 def _semdedup_sql(
@@ -1946,6 +2392,8 @@ def oracle_sql():
         "emb_quantize_pq": _pq_codes_sql(),
         "ann_topk_pq_adc": _pq_adc_sql(),
         "ann_topk_ivf_pq": _ivf_pq_sql(),
+        "ann_topk_pq_adc_trained": _pq_adc_trained_sql(),
+        "ann_topk_ivf_pq_trained": _ivf_pq_trained_sql(),
         "ann_topk_ivf_pq_disk": _ivf_pq_sql(),
         "ann_ivf_append_equiv": _ivf_sql(),
         "ann_ivf_delete_equiv": _ivf_sql(exclude=_DELETED_IDS),

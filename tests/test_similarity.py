@@ -458,3 +458,114 @@ def test_tune_runtime_never_caps_below_cluster_parallelism():
     s = FakeSession(par=32, nparts=64)
     tune_runtime(s)
     assert s.conf.get("spark.sql.shuffle.partitions") == "64"
+
+
+def _clustered_emb(spark, n_clusters=4, per_cluster=50, dim=64, seed=7, spread=False):
+    """Clustered fixture whose first rows all sit in cluster 0 — the
+    adversarial case for first-n seeding. ``spread=True`` puts the cluster
+    signal in EVERY 16-dim subspace (one spike per subspace) so per-
+    subspace PQ codebooks can carry it; the default single-spike layout
+    leaves 3 of 4 subspaces pure noise."""
+    import random as pyrandom
+
+    rng = pyrandom.Random(seed)
+    rows, vid = [], 0
+
+    def vec(c):
+        base = [0.0] * dim
+        if spread:
+            for sub in range(0, dim, 16):
+                base[sub + c] = 10.0
+        else:
+            base[c] = 10.0
+        return [base[j] + rng.gauss(0.0, 0.5) for j in range(dim)]
+
+    for _ in range(4):
+        rows.append((vid, vec(0))); vid += 1
+    for c in range(4):
+        rows.append((vid, vec(c))); vid += 1
+    for c in range(n_clusters):
+        for _ in range(per_cluster - (4 if c == 0 else 0) - 1):
+            rows.append((vid, vec(c))); vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_trained_pq_books_beat_seed_books_on_clustered_corpus(spark):
+    """pq_books_trained (hash-sample + per-subspace farthest-point + exact
+    Lloyd) must beat the first-n seed codebooks: on the clustered fixture
+    the seed rows all come from cluster 0, so seed codewords reconstruct
+    the other clusters poorly and ADC ranking degrades.
+
+    Measured as CLUSTER precision of the top-k (fraction of returned
+    neighbors from the query's own cluster): ADC at 64× compression
+    cannot fine-rank inside a tight cluster (every member reconstructs to
+    ~the cluster codewords — inherent to PQ, not a training defect), but
+    trained books must reliably keep the top-k in the right cluster."""
+    import random as pyrandom
+
+    import numpy as np
+
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    rng = pyrandom.Random(7)
+    dim, n_clusters, per_cluster = 64, 4, 50
+
+    def vec(c):
+        base = [0.0] * dim
+        for sub in range(0, dim, 16):
+            base[sub + c] = 10.0  # one spike per subspace → PQ-visible
+        return [base[j] + rng.gauss(0.0, 0.5) for j in range(dim)]
+
+    # the first 16 rows — exactly the PQ seed codebook — are IDENTICAL
+    # cluster-0 boilerplate (a sorted dump starting with duplicated
+    # front-matter: the realistic seed-codebook failure). All 16 seed
+    # codewords collapse to one point, so every candidate reconstructs
+    # identically and seed-ADC ranking degenerates to the id tie-break;
+    # the trained books hash-sample across the whole corpus and are
+    # immune. Queries 16..19 probe one per cluster.
+    rows, vid = [], 0
+    boiler = [0.0] * dim
+    for sub in range(0, dim, 16):
+        boiler[sub] = 10.0
+    for _ in range(16):
+        rows.append((vid, list(boiler))); vid += 1
+    for c in range(n_clusters):
+        rows.append((vid, vec(c))); vid += 1
+    for c in range(n_clusters):
+        for _ in range(per_cluster - (16 if c == 0 else 0) - 1):
+            rows.append((vid, vec(c))); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k, nq = 10, 20
+    cluster = {
+        r["vec_id"]: int(np.argmax(r["embedding"][:16]))
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    q = emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def cluster_precision(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        # score only the non-cluster-0 probes (16..19): cluster-0 queries
+        # succeed under any codebook, including the seed-trapped one
+        return float(
+            np.mean(
+                [
+                    np.mean([cluster[n] == cluster[qid] for n in ns])
+                    for qid, ns in got.items()
+                    if qid >= 16 and cluster[qid] != 0
+                ]
+            )
+        )
+
+    seed = cluster_precision(S.topk_pq_adc(emb, q, k=k))
+    trained = cluster_precision(S.topk_pq_adc_trained(emb, k=k, nq=nq))
+    assert trained > seed, (trained, seed)
+    assert trained >= 0.9, trained
+    # the full trained IVF-PQ configuration stays cluster-accurate too
+    ivfpq = cluster_precision(
+        S.topk_ivf_pq_trained(emb, k=k, n_cells=4, nprobe=2, nq=nq)
+    )
+    assert ivfpq >= 0.9, ivfpq
