@@ -689,8 +689,20 @@ def _hash_sample_q8(q8: DataFrame, sample_cap: int):
         .select("vec_id", "v")
         .collect()
     )
-    cand = sorted(cand, key=lambda r: r["vec_id"])
-    return np.array([[float(x) for x in r["v"]] for r in cand])
+    # NULL / wrong-dimension vectors are excluded from training (the
+    # malformed-row contract: degrade, never kill the job). The reference
+    # dimension is the lowest-vec_id sampled row's — deterministic under
+    # any partitioning, and a no-op on well-formed corpora (which is what
+    # the SQL oracle replays).
+    cand = sorted(
+        (r for r in cand if r["v"] is not None), key=lambda r: r["vec_id"]
+    )
+    if not cand:
+        raise ValueError("trained quantizer: no well-formed sampled vectors")
+    dim = len(cand[0]["v"])
+    return np.array(
+        [[float(x) for x in r["v"]] for r in cand if len(r["v"]) == dim]
+    )
 
 
 def _greedy_farthest(V, k: int) -> list[int]:
@@ -802,6 +814,9 @@ def semdedup_keep(
     n_cells: int | None = None,
     threshold_pct: int = 90,
     target_cell: int = 500,
+    centroids: str = "trained",
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
 ) -> DataFrame:
     """Semantic dedup keep-list (SemDeDup — Abbas et al., "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication", 2023):
@@ -818,19 +833,40 @@ def semdedup_keep(
     :func:`auto_n_cells` — COMPUTED from the corpus count (one count()
     job) so cells stay ~``target_cell``-sized as the corpus grows
     (SemDeDup uses ~100k clusters at web scale); the cell self-join
-    shuffles once on cell. Deterministic end-to-end: seed centroids
-    (first n_cells vectors), literal-centroid assignment, exact cosine —
-    no RNG, so the keep-list is replayable and oracle-checkable (the
-    oracle replays the same ceiling-division sizing). Pathological
+    shuffles once on cell. Deterministic end-to-end: TRAINED centroids
+    by default (``centroids="trained"`` — hash-sample + farthest-point +
+    integer-exact Lloyd on the int8 grid, assignment by the quantized
+    vector, domination cosine on the float vector), which keeps cells
+    BALANCED: seed centroids (first n_cells rows) collapse when the
+    corpus head is homogeneous, re-quadratizing Σ|cell|² in the hot cell
+    even with auto-sized n_cells. ``centroids="seed"`` keeps the
+    first-n-rows quantizer as the simpler twin. Both modes are RNG-free,
+    so the keep-list is replayable and oracle-checkable (the oracle
+    replays the same ceiling-division sizing and, for trained mode, the
+    same recursive-greedy + Lloyd construction). Pathological
     >cell-sized masses of IDENTICAL vectors should be removed by the
     exact-vector pre-pass first (dedup.exact_vector_duplicates)."""
     if n_cells is None:
         n_cells = auto_n_cells(emb.count(), target_cell)
-    cents = take_centroids(emb, n_cells, lloyd_iters=0)
     # persist: both sides of the cell self-join and the final keep-flag
-    # read the assignment — without the barrier the literal-centroid argmax
-    # runs three times over the corpus
-    asn = ivf_assign(emb, cents).persist()
+    # read the assignment — without the barrier the centroid argmax runs
+    # three times over the corpus
+    if centroids == "trained":
+        cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
+        asn = (
+            emb.select(
+                "vec_id",
+                _as_double(F.col("embedding")).alias("v"),
+                _assign_cells_udf(cents)(
+                    _quantize_arr(F.col("embedding"))
+                ).alias("cell"),
+            )
+            .where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
+            .persist()
+        )
+    else:
+        cents = take_centroids(emb, n_cells, lloyd_iters=0)
+        asn = ivf_assign(emb, cents).persist()
     a, b = asn.alias("a"), asn.alias("b")
     dom = (
         a.join(
@@ -1584,7 +1620,12 @@ def queries():
         "ann_topk_int8": lambda s, d: topk_int8(
             _emb(s, d), self_queries(_emb(s, d))
         ),
+        # default = TRAINED centroids (balanced cells at scale); the seed
+        # twin keeps the simpler first-n-rows construction driver-checked
         "dedup_semdedup_keep": lambda s, d: semdedup_keep(_emb(s, d)),
+        "dedup_semdedup_seed": lambda s, d: semdedup_keep(
+            _emb(s, d), centroids="seed"
+        ),
         "ann_hybrid_keyword": _hybrid_entry,
         # AT-REST layout driven end-to-end (the ANN analogue of
         # ws_written_and3): write the partitioned IVF-PQ index, re-read it
@@ -1850,12 +1891,15 @@ cand AS (
 
 
 def _coarse_ctes(
-    n_cells: int, dim: int, lloyd_iters: int, trained: bool
+    n_cells: int | str, dim: int, lloyd_iters: int, trained: bool
 ) -> tuple[str, str]:
     """Coarse-quantizer CTE chain over ``q8`` (and ``cand`` when trained):
     seeds (first-n row_number labels, or the recursive farthest-point
     greedy) + ``lloyd_iters`` unrolled integer-exact refinement steps.
+    ``n_cells`` may be a scalar-subquery SQL string (the auto-sized
+    SemDeDup cell count) instead of an int literal.
     Returns (sql_fragment, final_centroid_cte_name)."""
+    n_lim = f"({n_cells})" if isinstance(n_cells, str) else str(n_cells)
 
     def assign(prev: str) -> str:
         cos = _cos_sql("q8.v", f"{prev}.cvec", dim)
@@ -1882,20 +1926,23 @@ sel AS (
       GROUP BY c.vec_id
     ) ORDER BY d DESC, vec_id ASC LIMIT 1
   ))
-  FROM sel WHERE step < {n_cells}
+  FROM sel WHERE step < {n_lim}
 ),
-ch AS (SELECT chosen FROM sel WHERE step = {n_cells}),
+ch AS (SELECT chosen FROM sel WHERE step = {n_lim}),
 c0 AS (
-  SELECT r.j - 1 AS cell, cand.v AS cvec
-  FROM ch, range(1, {n_cells + 1}) AS r(j)
-  JOIN cand ON cand.vec_id = ch.chosen[r.j]
+  -- list_position is safe: the greedy never re-picks, so chosen is unique.
+  -- (range(1, len+1) would be cleaner but DuckDB's range() accepts neither
+  -- lateral columns nor subqueries, and n_cells may be a scalar subquery.)
+  SELECT list_position(ch.chosen, u.cid) - 1 AS cell, cand.v AS cvec
+  FROM ch, unnest(ch.chosen) AS u(cid)
+  JOIN cand ON cand.vec_id = u.cid
 )"""
     else:
         sql = f"""
 c0 AS (
   SELECT cell, cvec FROM (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM q8
-  ) WHERE cell < {n_cells}
+  ) WHERE cell < {n_lim}
 )"""
     prev = "c0"
     for it in range(1, lloyd_iters + 1):
@@ -2214,6 +2261,53 @@ FROM asn
 """
 
 
+def _semdedup_trained_sql(
+    threshold_pct: int = 90,
+    dim: int = 64,
+    target_cell: int = 500,
+    min_cells: int = 16,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+) -> str:
+    """Replay of semdedup_keep(centroids='trained'): auto-sized n_cells
+    (the same ceiling division, as a scalar subquery feeding the
+    recursive greedy's stop condition), trained centroids on the int8
+    grid, assignment by QUANTIZED cosine (ties cell DESC), domination by
+    FLOAT cosine within cells at the same threshold."""
+    coarse, prev = _coarse_ctes(
+        "SELECT n_cells FROM nc", dim, lloyd_iters, trained=True
+    )
+    cosq = _cos_sql("q8.v", f"{prev}.cvec", dim)
+    return (
+        _q8_header(recursive=True)
+        + f"""
+nc AS (
+  SELECT greatest({min_cells}, (count(*) + {target_cell - 1}) // {target_cell}) AS n_cells
+  FROM e
+),"""
+        + _cand_ctes(sample_cap)
+        + coarse
+        + f""",
+asn AS (
+  SELECT vec_id, cell FROM (
+    SELECT q8.vec_id, {prev}.cell,
+      row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cosq} DESC, {prev}.cell DESC) AS rn
+    FROM q8 CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+av AS (SELECT asn.vec_id, asn.cell, e.v FROM asn JOIN e USING (vec_id)),
+dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE 100.0 * ({_cos_sql("a.v", "b.v", dim)}) >= {float(threshold_pct)}
+)
+SELECT av.vec_id, av.cell::INTEGER AS cell,
+  (CASE WHEN av.vec_id IN (SELECT vec_id FROM dom) THEN 0 ELSE 1 END)::INTEGER AS keep
+FROM av
+"""
+    )
+
+
 def _pq_base_sql(m: int = _PQ_M, sub_dim: int = _PQ_SUB, n_codes: int = _PQ_CODES) -> str:
     """Shared CTE prefix: subvector slices of corpus and codebook (first
     n_codes vectors, row_number code labels), per-(vec, subspace) best code
@@ -2398,6 +2492,7 @@ def oracle_sql():
         "ann_ivf_append_equiv": _ivf_sql(),
         "ann_ivf_delete_equiv": _ivf_sql(exclude=_DELETED_IDS),
         "ann_topk_int8": _INT8_TOPK_SQL,
-        "dedup_semdedup_keep": _semdedup_sql(),
+        "dedup_semdedup_keep": _semdedup_trained_sql(),
+        "dedup_semdedup_seed": _semdedup_sql(),
         "ann_hybrid_keyword": _HYBRID_SQL,
     }

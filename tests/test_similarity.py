@@ -569,3 +569,46 @@ def test_trained_pq_books_beat_seed_books_on_clustered_corpus(spark):
         S.topk_ivf_pq_trained(emb, k=k, n_cells=4, nprobe=2, nq=nq)
     )
     assert ivfpq >= 0.9, ivfpq
+
+
+def test_semdedup_trained_cells_stay_balanced_on_skewed_corpus(spark):
+    """Cell balance is what keeps SemDeDup's within-cell Σ|cell|² linear:
+    with a homogeneous corpus head, SEED centroids (first-n rows) all
+    collapse to ~one point and the whole corpus funnels into one cell
+    (re-quadratizing the self-join); TRAINED centroids hash-sample across
+    the corpus and keep the max cell bounded."""
+    import random as pyrandom
+
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    rng = pyrandom.Random(11)
+    dim, n_clusters, per_cluster = 64, 4, 50
+    rows, vid = [], 0
+    boiler = [0.0] * dim
+    boiler[0] = 10.0
+    for _ in range(8):  # homogeneous head — the seed trap
+        rows.append((vid, list(boiler))); vid += 1
+    for c in range(n_clusters):
+        for _ in range(per_cluster - (8 if c == 0 else 0)):
+            base = [0.0] * dim
+            base[c] = 10.0
+            rows.append((vid, [base[j] + rng.gauss(0.0, 0.5) for j in range(dim)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = len(rows)
+
+    def max_cell(df):
+        counts = {}
+        for r in df.collect():
+            counts[r["cell"]] = counts.get(r["cell"], 0) + 1
+        return max(counts.values())
+
+    seed_max = max_cell(S.semdedup_keep(emb, n_cells=4, centroids="seed"))
+    trained_max = max_cell(S.semdedup_keep(emb, n_cells=4, centroids="trained"))
+    assert seed_max >= n * 3 // 4, seed_max  # the collapse is real
+    assert trained_max < seed_max, (trained_max, seed_max)
+    assert trained_max <= (n // 4) * 3 // 2, trained_max  # ≤1.5× balanced size
+    # and the boilerplate head is still deduplicated under trained cells
+    keep = {r["vec_id"]: r["keep"] for r in
+            S.semdedup_keep(emb, n_cells=4, centroids="trained").collect()}
+    assert keep[0] == 1 and all(keep[i] == 0 for i in range(1, 8))
