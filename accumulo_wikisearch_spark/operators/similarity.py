@@ -450,13 +450,76 @@ def topk_ivf(
     return _rank_topk(scored, k, F.desc("cos"))
 
 
+def _write_quantizer(
+    spark: SparkSession,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]] | None = None,
+) -> None:
+    """Persist the quantizer metadata beside the index as
+    ``_QUANTIZER.json`` (underscore-prefixed → invisible to Spark's data-
+    file listing, like ``_tombstones``; written through the Hadoop FS API
+    so s3/hdfs index roots work — the ``_MANIFEST.json`` pattern of
+    sampling.write_training_shards). JSON serializes doubles via repr
+    (shortest round-trip decimal), so a reopened quantizer is bit-
+    identical and query results match the warm process exactly."""
+    import json
+
+    meta: dict = {
+        "centroids": [[int(c), [float(x) for x in v]] for c, v in cents]
+    }
+    if books is not None:
+        meta["codebooks"] = [
+            [[int(c), [float(x) for x in v]] for c, v in book] for book in books
+        ]
+    sc = spark.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/_QUANTIZER.json")
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(meta).encode()))
+    out.close()
+
+
+def read_quantizer(
+    spark: SparkSession, path: str
+) -> tuple[
+    list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]] | None
+]:
+    """(centroids, codebooks-or-None) reopened from ``_QUANTIZER.json`` —
+    a cold serving process can answer queries against a written IVF /
+    IVF-PQ index without retraining or any in-memory state from the
+    build (the serving-restart gap: the write_* return values used to be
+    the only copy of the quantizer)."""
+    import json
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_QUANTIZER.json")
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    meta = json.loads(data.decode())
+    cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    books = None
+    if "codebooks" in meta:
+        books = [
+            [(int(c), [float(x) for x in v]) for c, v in book]
+            for book in meta["codebooks"]
+        ]
+    return cents, books
+
+
 def write_ivf_index(
     emb: DataFrame, path: str, n_cells: int = 16, lloyd_iters: int = 2
 ) -> list[tuple[int, list[float]]]:
     """Persist the IVF layout: corpus partitioned by cell on disk, so a
     query's nprobe cells are partition-pruned file reads (the ANN analogue
-    of the shard table's partition pruning). Returns the centroids — store
-    them beside the index (they are the 'coarse quantizer' metadata)."""
+    of the shard table's partition pruning). Returns the centroids, and
+    ALSO persists them beside the index as ``_QUANTIZER.json`` (they are
+    the 'coarse quantizer' metadata — see :func:`read_quantizer`)."""
     cents = take_centroids(emb, n_cells, lloyd_iters)
     (
         ivf_assign(emb, cents)
@@ -466,6 +529,7 @@ def write_ivf_index(
         .partitionBy("cell")
         .parquet(path)
     )
+    _write_quantizer(emb.sparkSession, path, cents)
     return cents
 
 
@@ -1193,6 +1257,7 @@ def write_ivf_pq_index(
         .partitionBy("cell")
         .parquet(path)
     )
+    _write_quantizer(emb.sparkSession, path, cents, books)
     return cents, books
 
 
@@ -1231,6 +1296,37 @@ def topk_ivf_pq_on_disk(
         .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
     return _rank_topk(scored, k, F.asc("d"))
+
+
+def topk_ivf_on_disk_cold(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Cold-open IVF query: reopen the coarse quantizer from the index's
+    ``_QUANTIZER.json`` (no in-memory state from the build) and serve —
+    what a restarted serving process does."""
+    cents, _books = read_quantizer(spark, path)
+    return topk_ivf_on_disk(spark, path, cents, queries, k, nprobe)
+
+
+def topk_ivf_pq_on_disk_cold(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    sub_dim: int = _PQ_SUB,
+) -> DataFrame:
+    """Cold-open IVF-PQ query: centroids AND codebooks reopened from
+    ``_QUANTIZER.json``; bit-identical to the warm-process answer (repr
+    round-trip)."""
+    cents, books = read_quantizer(spark, path)
+    if books is None:
+        raise ValueError(f"{path}: _QUANTIZER.json has no codebooks")
+    return topk_ivf_pq_on_disk(spark, path, cents, books, queries, k, nprobe, sub_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -1632,6 +1728,9 @@ def queries():
         # from disk, and answer via partition-pruned code scans. Same
         # truth as ann_topk_ivf_pq — only the physical path differs.
         "ann_topk_ivf_pq_disk": _ivf_pq_disk_entry,
+        # COLD reopen: quantizer metadata comes from _QUANTIZER.json on
+        # disk, not the build's return values — the serving-restart proof
+        "ann_topk_ivf_pq_cold": _ivf_pq_cold_entry,
         # LSM-style ANN maintenance: base write + frozen-quantizer delta
         # APPEND must answer queries identically to one full build — the
         # oracle is ann_topk_ivf's full-corpus replay (seed centroids are
@@ -1694,18 +1793,34 @@ def _ivf_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WRITTEN_IVF_PQ: dict = {}
 
 
-def _ivf_pq_disk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _written_ivf_pq(spark: SparkSession, sf_dir: str):
     import tempfile
 
-    tune_runtime(spark)
     cached = _WRITTEN_IVF_PQ.get(sf_dir)
     if cached is None:
         path = tempfile.mkdtemp(prefix="wikisearch-ivfpq-")
         cents, books = write_ivf_pq_index(_emb(spark, sf_dir), path)
         cached = _WRITTEN_IVF_PQ[sf_dir] = (path, cents, books)
-    path, cents, books = cached
+    return cached
+
+
+def _ivf_pq_disk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_runtime(spark)
+    path, cents, books = _written_ivf_pq(spark, sf_dir)
     return topk_ivf_pq_on_disk(
         spark, path, cents, books, self_queries(_emb(spark, sf_dir))
+    )
+
+
+def _ivf_pq_cold_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-restart path: the in-memory quantizer from the build is
+    deliberately DISCARDED; centroids + codebooks come back from the
+    index's _QUANTIZER.json and must answer identically (same oracle as
+    the warm disk entry)."""
+    tune_runtime(spark)
+    path, _cents, _books = _written_ivf_pq(spark, sf_dir)
+    return topk_ivf_pq_on_disk_cold(
+        spark, path, self_queries(_emb(spark, sf_dir))
     )
 
 
@@ -2489,6 +2604,7 @@ def oracle_sql():
         "ann_topk_pq_adc_trained": _pq_adc_trained_sql(),
         "ann_topk_ivf_pq_trained": _ivf_pq_trained_sql(),
         "ann_topk_ivf_pq_disk": _ivf_pq_sql(),
+        "ann_topk_ivf_pq_cold": _ivf_pq_sql(),
         "ann_ivf_append_equiv": _ivf_sql(),
         "ann_ivf_delete_equiv": _ivf_sql(exclude=_DELETED_IDS),
         "ann_topk_int8": _INT8_TOPK_SQL,

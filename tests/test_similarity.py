@@ -612,3 +612,30 @@ def test_semdedup_trained_cells_stay_balanced_on_skewed_corpus(spark):
     keep = {r["vec_id"]: r["keep"] for r in
             S.semdedup_keep(emb, n_cells=4, centroids="trained").collect()}
     assert keep[0] == 1 and all(keep[i] == 0 for i in range(1, 8))
+
+
+def test_quantizer_json_roundtrip_and_cold_reopen(spark, emb, tmp_path):
+    """_QUANTIZER.json must round-trip centroids/codebooks bit-exactly
+    (repr/JSON shortest-decimal), and a cold reopen (no in-memory state)
+    must answer IVF and IVF-PQ queries identically to the warm process."""
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    q = S.self_queries(emb, 3)
+
+    ivf_path = str(tmp_path / "ivf")
+    cents = S.write_ivf_index(emb, ivf_path, n_cells=8, lloyd_iters=1)
+    rc, rb = S.read_quantizer(spark, ivf_path)
+    assert rc == cents and rb is None
+    warm = sorted(map(tuple, S.topk_ivf_on_disk(spark, ivf_path, cents, q).collect()))
+    cold = sorted(map(tuple, S.topk_ivf_on_disk_cold(spark, ivf_path, q).collect()))
+    assert warm == cold and len(cold) == 30
+
+    pq_path = str(tmp_path / "ivfpq")
+    cents2, books2 = S.write_ivf_pq_index(emb, pq_path)
+    rc2, rb2 = S.read_quantizer(spark, pq_path)
+    assert rc2 == cents2 and rb2 == books2
+    warm2 = sorted(
+        map(tuple, S.topk_ivf_pq_on_disk(spark, pq_path, cents2, books2, q).collect())
+    )
+    cold2 = sorted(map(tuple, S.topk_ivf_pq_on_disk_cold(spark, pq_path, q).collect()))
+    assert warm2 == cold2 and len(cold2) == 30
