@@ -1604,6 +1604,60 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= 10
 
 
 # ---------------------------------------------------------------------------
+# recall measurement — the ANN quality gate
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, hits): per-query overlap |approx ∩ exact| of the two
+    top-k result sets — recall@k × k as an INTEGER (hash-stable). Every
+    query of ``exact`` appears (0 hits included), so a silently-empty
+    approx path cannot masquerade as a missing query. Both inputs are
+    tiny (nq × k rows), so the join is driver-trivial at any corpus
+    scale."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    qids = e.select("query_id").distinct()
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return qids.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce(F.col("h"), F.lit(0)).cast("int").alias("hits")
+    )
+
+
+def topk_bruteforce_q8(emb: DataFrame, k: int = 10, nq: int = 5) -> DataFrame:
+    """Exact cosine top-k over the QUANTIZED corpus — the ground truth the
+    int8-grid ANN variants (trained IVF/PQ) approximate; comparing them
+    against the float brute force would conflate quantization error with
+    index recall."""
+    q8 = _quantized_vecs(emb)
+    corpus = q8.select(F.col("vec_id").alias("neighbor_id"), "v")
+    qv = q8.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(qv))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    return _rank_topk(scored, k, F.desc("cos"))
+
+
+def _recall_lsh_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = self_queries(emb)
+    return ann_recall(topk_lsh_multiprobe(emb, q), topk_bruteforce(emb, q))
+
+
+def _recall_ivf_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ann_recall(topk_ivf_trained(emb), topk_bruteforce_q8(emb))
+
+
+# ---------------------------------------------------------------------------
 # hybrid search (keyword index filter → embedding re-rank)
 # ---------------------------------------------------------------------------
 
@@ -1723,6 +1777,11 @@ def queries():
             _emb(s, d), centroids="seed"
         ),
         "ann_hybrid_keyword": _hybrid_entry,
+        # recall GATES: integer per-query overlap of the approximate path
+        # vs the matching brute-force truth — the driver hash-checks the
+        # recall VALUES, not just the approximation's determinism
+        "ann_recall_lsh": _recall_lsh_entry,
+        "ann_recall_ivf": _recall_ivf_entry,
         # AT-REST layout driven end-to-end (the ANN analogue of
         # ws_written_and3): write the partitioned IVF-PQ index, re-read it
         # from disk, and answer via partition-pruned code scans. Same
@@ -1872,7 +1931,12 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
 
 
 def _lsh_sql(
-    nbits: int = 8, dim: int = 64, k: int = 10, nq: int = 5, multiprobe: bool = False
+    nbits: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    nq: int = 5,
+    multiprobe: bool = False,
+    final: bool = True,
 ) -> str:
     """Replay of topk_lsh in SQL: the seeded hyperplanes enter as literals
     (repr() round-trips doubles exactly), buckets as sign-bit sums.
@@ -1915,9 +1979,9 @@ ranked AS (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
-)
+){"" if not final else f'''
 SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
-"""
+'''}"""
 
 
 def _ivf_sql(
@@ -2077,9 +2141,13 @@ c{it} AS (
     return sql, prev
 
 
-def _ivf_probe_tail(prev: str, nprobe: int, dim: int, k: int, nq: int) -> str:
+def _ivf_probe_tail(
+    prev: str, nprobe: int, dim: int, k: int, nq: int, final: bool = True
+) -> str:
     """Final assignment + probe + exact-cosine re-rank tail shared by the
-    Lloyd/trained IVF oracles (``prev`` = final centroid CTE)."""
+    Lloyd/trained IVF oracles (``prev`` = final centroid CTE).
+    ``final=False`` stops after the ``ranked`` CTE so callers (the recall
+    oracle) can compose further CTEs."""
     cosf = _cos_sql("q8.v", f"{prev}.cvec", dim)
     return f""",
 fa AS (
@@ -2104,9 +2172,13 @@ ranked AS (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
-)
+)""" + (
+        f"""
 SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
 """
+        if final
+        else ""
+    )
 
 
 def _ivf_lloyd_sql(
@@ -2376,6 +2448,73 @@ FROM asn
 """
 
 
+_RECALL_TAIL = """,
+approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k}),
+branked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM bscored
+),
+exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= {k}),
+qs AS (SELECT DISTINCT query_id FROM exact),
+h AS (
+  SELECT e.query_id, count(*) AS hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT qs.query_id, COALESCE(h.hits, 0)::INTEGER AS hits
+FROM qs LEFT JOIN h USING (query_id)
+"""
+
+
+def _lsh_recall_sql(
+    nbits: int = 8, dim: int = 64, k: int = 10, nq: int = 5
+) -> str:
+    """Replay of ann_recall(topk_lsh_multiprobe, topk_bruteforce): the
+    multiprobe ranking CTEs, a float brute-force ranking, and the integer
+    per-query overlap — recall@k × k, hash-checked by the driver."""
+    body = _lsh_sql(nbits, dim, k, nq, multiprobe=True, final=False)
+    return (
+        body
+        + f""",
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_cos_sql("q.v", "c.v", dim)} AS cos
+  FROM e c, (SELECT vec_id, v FROM e WHERE vec_id < {nq}) q
+  WHERE c.vec_id <> q.vec_id
+)"""
+        + _RECALL_TAIL.format(k=k)
+    )
+
+
+def _ivf_recall_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    nq: int = 5,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+) -> str:
+    """Replay of ann_recall(topk_ivf_trained, topk_bruteforce_q8): the
+    trained-quantizer IVF ranking CTEs, an int8-grid brute-force ranking
+    (the matching ground truth), and the integer per-query overlap."""
+    coarse, prev = _coarse_ctes(n_cells, dim, lloyd_iters, trained=True)
+    return (
+        _q8_header(recursive=True)
+        + _cand_ctes(sample_cap)
+        + coarse
+        + _ivf_probe_tail(prev, nprobe, dim, k, nq, final=False)
+        + f""",
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_cos_sql("q.v", "c.v", dim)} AS cos
+  FROM q8 c, (SELECT vec_id, v FROM q8 WHERE vec_id < {nq}) q
+  WHERE c.vec_id <> q.vec_id
+)"""
+        + _RECALL_TAIL.format(k=k)
+    )
+
+
 def _semdedup_trained_sql(
     threshold_pct: int = 90,
     dim: int = 64,
@@ -2608,6 +2747,8 @@ def oracle_sql():
         "ann_ivf_append_equiv": _ivf_sql(),
         "ann_ivf_delete_equiv": _ivf_sql(exclude=_DELETED_IDS),
         "ann_topk_int8": _INT8_TOPK_SQL,
+        "ann_recall_lsh": _lsh_recall_sql(),
+        "ann_recall_ivf": _ivf_recall_sql(),
         "dedup_semdedup_keep": _semdedup_trained_sql(),
         "dedup_semdedup_seed": _semdedup_sql(),
         "ann_hybrid_keyword": _HYBRID_SQL,

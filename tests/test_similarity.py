@@ -639,3 +639,18 @@ def test_quantizer_json_roundtrip_and_cold_reopen(spark, emb, tmp_path):
     )
     cold2 = sorted(map(tuple, S.topk_ivf_pq_on_disk_cold(spark, pq_path, q).collect()))
     assert warm2 == cold2 and len(cold2) == 30
+
+
+def test_ann_recall_entries_meet_floor(spark):
+    """The driver recall gates must report healthy values, not just match
+    their oracles: trained IVF at nprobe=4/16 keeps recall@10 >= ~0.4 even
+    on the near-uniform synthetic corpus; multiprobe LSH stays > 0 (256
+    buckets scatter a uniform corpus — the clustered-fixture tests above
+    are its quality gate)."""
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    ivf_total = sum(r["hits"] for r in S._recall_ivf_entry(spark, sf).collect())
+    lsh_total = sum(r["hits"] for r in S._recall_lsh_entry(spark, sf).collect())
+    assert ivf_total >= 20, ivf_total  # measured 27/50
+    assert lsh_total >= 5, lsh_total   # measured 9/50
