@@ -287,6 +287,34 @@ def _ws_written_and3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+_WRITTEN_EV_CATALOGS: dict[str, str] = {}
+
+
+def _ev_written_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events corpus through the AT-REST path (the ws_written_and3
+    twin): write the sorted catalog, re-load it from disk, answer the
+    user∧type conjunction from real parquet files — both ingest corpora
+    now prove the write → load → query production path."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
+
+    tune_runtime(spark)
+    path = _WRITTEN_EV_CATALOGS.get(sf_dir)
+    cfg = EngineConfig()
+    if path is None:
+        eng = get_events_engine(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="wikisearch-evcatalog-")
+        write_index(eng.index, path)
+        _WRITTEN_EV_CATALOGS[sf_dir] = path
+    eng_disk = Wikisearch(load_index(spark, path, cfg))
+    return eng_disk.query("USER_ID == '42' and EVENT_TYPE == 'click'").select(
+        F.col("doc_id").alias("event_id")
+    )
+
+
 _BUCKETED_DBS: dict = {}
 
 
@@ -368,12 +396,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_bucketed_and3"] = _ws_bucketed_and3
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
+    out["ev_written_and"] = _ev_written_and
 
     from accumulo_wikisearch_spark.operators import (
         analytics,
         curation,
         dedup,
         multimodal,
+        pipeline,
         relational,
         sampling,
         similarity,
@@ -394,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.queries())
     out.update(temporal.queries())
     out.update(sampling.queries())
+    out.update(pipeline.queries())
     out.update(streaming_analytics.queries())
 
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
@@ -622,12 +653,18 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     )
     for name, (_jexl, where) in EV_QUERIES.items():
         out[name] = f"SELECT event_id FROM events WHERE {where}"
+    # same truth as ev_user_and_type — only the physical path differs
+    # (at-rest catalog scan instead of the in-memory session tables)
+    out["ev_written_and"] = (
+        "SELECT event_id FROM events WHERE user_id = 42 AND event_type='click'"
+    )
 
     from accumulo_wikisearch_spark.operators import (
         analytics,
         curation,
         dedup,
         multimodal,
+        pipeline,
         relational,
         sampling,
         similarity,
@@ -648,6 +685,7 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out.update(relational.oracle_sql())
     out.update(temporal.oracle_sql())
     out.update(sampling.oracle_sql())
+    out.update(pipeline.oracle_sql())
     out.update(streaming_analytics.oracle_sql())
 
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
