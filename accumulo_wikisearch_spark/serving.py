@@ -13,6 +13,9 @@ service (query-war/src/main/webapp/WEB-INF/web.xml:33-40):
     GET /morelike?doc_id=<id>[&limit=N]
     GET /explain?query=<jexl>
     GET /health
+    GET / (or /ui)                                           (≈ ui.html — the
+        search form: query input, per-language auth checkboxes from the
+        index metadata, results iframe fed by /query/html)
 
 Default responses are JSON: {"results": [...], "count": N}. Stdlib
 ``http.server`` only — serving is I/O-light (Spark does the work); a
@@ -120,6 +123,41 @@ _RENDERERS = {
 }
 
 
+def _render_ui(languages: list[str]) -> bytes:
+    """The search UI page (ui.html parity): a boolean-query input, one
+    authorization checkbox per corpus language (the reference hardcodes
+    its wiki languages; here they come from the index metadata), and a
+    results iframe fed by /query/html. Plain GET form — the checkbox
+    values are folded into one ``auths`` csv parameter client-side,
+    exactly like the reference's setAction()."""
+    esc = _html.escape
+    boxes = "\n".join(
+        f"<label>{esc(lang)} <input type='checkbox' name='auth' "
+        f"value='{esc(lang)}'></label>"
+        for lang in languages
+    )
+    return f"""<!DOCTYPE html>
+<html><head><title>Wiki Search</title></head>
+<body>
+<h1>Wiki Search</h1>
+<p>Boolean query syntax, e.g. <code>TEXT == 'boy' and TITLE =~ 'Aut.*'</code>.
+Operators: ==, !=, &lt;, &gt;, &lt;=, &gt;=, =~, !~; grouping with
+parentheses; and/or/not. The authorization for a document is its language.</p>
+<form method="get" action="/query/html" target="results"
+      onsubmit="var cs=this.querySelectorAll('input[name=auth]:checked');
+                this.auths.value=Array.from(cs).map(function(c){{return c.value}}).join(',');
+                return true;">
+  <label>Query: <input type="text" name="query" size="100" maxlength="300"></label>
+  <input type="hidden" name="auths" value="">
+  <fieldset><legend>Authorizations</legend>
+  {boxes}
+  </fieldset>
+  <input type="submit" value="Submit Query">
+</form>
+<iframe name="results" width="90%" height="400"></iframe>
+</body></html>""".encode()
+
+
 def _rows(df, limit: int | None):
     if limit:
         df = df.limit(limit)
@@ -128,6 +166,8 @@ def _rows(df, limit: int | None):
 
 def make_handler(engine):
     class Handler(BaseHTTPRequestHandler):
+        _langs: list[str] | None = None  # UI auth checkboxes, cached once
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -147,6 +187,22 @@ def make_handler(engine):
             try:
                 if u.path == "/health":
                     return self._send(200, {"status": "ok"})
+                if u.path in ("/", "/ui"):
+                    langs = Handler._langs
+                    if langs is None:
+                        langs = Handler._langs = sorted(
+                            r["language"]
+                            for r in engine.index.metadata.select("language")
+                            .distinct()
+                            .collect()
+                        )
+                    body = _render_ui(langs)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
                 if u.path == "/query" or u.path.startswith("/query/"):
                     fmt = u.path[len("/query/"):] or "json"
                     if fmt not in _RENDERERS:

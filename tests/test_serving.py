@@ -135,3 +135,19 @@ def test_phrase_endpoint(server):
     code, out = _get(f"{server}/phrase?terms=order,fast&limit=5")
     assert code == 200
     assert all({"doc_id", "n_matches"} <= set(r) for r in out["results"])
+
+
+def test_ui_page(server):
+    """/ and /ui serve the search form (ui.html parity): query input,
+    one auth checkbox per corpus language, results iframe → /query/html."""
+    import urllib.request
+
+    for path in ("/", "/ui"):
+        with urllib.request.urlopen(f"{server}{path}", timeout=120) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "text/html"
+            body = r.read().decode()
+        assert 'name="query"' in body and "/query/html" in body
+        # language checkboxes come from the index metadata
+        assert "value='en'" in body and "value='zh'" in body
+        assert "iframe" in body
