@@ -49,10 +49,13 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     # conf itself is STATIC (cannot be set on a live session), but the
     # enforcement is purely Python-side behind a cached flag — flipping
     # the cache is the only way to apply it to a foreign session, and it
-    # degrades to a no-op if the internals move. RESPECT an explicit
-    # opt-in: a host that set the conf to true at builder time keeps its
-    # call-site-enriched errors; only unset/false sessions get the fast
-    # path.
+    # degrades to a no-op if the internals move. Validated against
+    # pyspark 4.1.2 (pyspark/errors/utils.py's module-level
+    # `_enable_debugging_cache`); re-check the attribute name on pyspark
+    # upgrades — a rename simply restores the slower default behavior.
+    # RESPECT an explicit opt-in: a host that set the conf to true at
+    # builder time keeps its call-site-enriched errors; only unset/false
+    # sessions get the fast path.
     try:
         explicit = spark.conf.get(
             "spark.python.sql.dataFrameDebugging.enabled", None
