@@ -409,6 +409,20 @@ def take_centroids(
     return cents
 
 
+def _coarse_cents(
+    emb: DataFrame, n_cells: int, lloyd_iters: int, centroids: str
+) -> list[tuple[int, list[float]]]:
+    """Centroid-selection switch shared by the IVF entry points:
+    ``"trained"`` (the DEFAULT everywhere) = hash-sample + farthest-point
+    + integer-exact Lloyd on the int8 grid (:func:`take_centroids_trained`
+    — seed rows degrade recall as the corpus outgrows its first n rows);
+    ``"seed"`` = first-n rows + float Lloyd (:func:`take_centroids`),
+    kept as the simpler SQL-replayable twin."""
+    if centroids == "trained":
+        return take_centroids_trained(emb, n_cells, lloyd_iters)
+    return take_centroids(emb, n_cells, lloyd_iters)
+
+
 def topk_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -416,20 +430,24 @@ def topk_ivf(
     n_cells: int = 16,
     nprobe: int = 4,
     lloyd_iters: int = 2,
+    centroids: str = "trained",
 ) -> DataFrame:
     """ANN top-k probing the ``nprobe`` nearest cells per query.
 
     corpus→cell assignment shuffles once on cell; queries broadcast with
     their probe lists; candidates ∝ corpus × (nprobe / n_cells).
 
-    ``lloyd_iters=0`` keeps the seed centroids (first n_cells vectors)
-    verbatim — fully replicable in ANSI SQL, which is how the driver's
-    oracle checks this operator end-to-end. The float Lloyd-refined path
-    here is covered by pytest recall assertions (float means are partial-
-    aggregation-order dependent, so not bit-replayable); the DETERMINISTIC
-    refined path with its own oracle is :func:`topk_ivf_lloyd_exact`.
+    ``centroids="trained"`` (the DEFAULT) uses the sampled
+    farthest-point + exact-Lloyd quantizer — deterministic end-to-end
+    (the ann_topk_ivf_default oracle replays it against the float
+    corpus). ``centroids="seed"`` with ``lloyd_iters=0`` keeps the first
+    n_cells vectors verbatim — the simplest ANSI-SQL twin; its float
+    Lloyd-refined form (seed + lloyd_iters>0) is covered by pytest
+    recall assertions only (float means are partial-aggregation-order
+    dependent), and the deterministic refined-seed path with its own
+    oracle is :func:`topk_ivf_lloyd_exact`.
     """
-    cents = take_centroids(emb, n_cells, lloyd_iters)
+    cents = _coarse_cents(emb, n_cells, lloyd_iters, centroids)
     corpus = ivf_assign(emb, cents).select(
         F.col("vec_id").alias("neighbor_id"), "v", "cell"
     )
@@ -513,14 +531,19 @@ def read_quantizer(
 
 
 def write_ivf_index(
-    emb: DataFrame, path: str, n_cells: int = 16, lloyd_iters: int = 2
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    lloyd_iters: int = 2,
+    centroids: str = "trained",
 ) -> list[tuple[int, list[float]]]:
     """Persist the IVF layout: corpus partitioned by cell on disk, so a
     query's nprobe cells are partition-pruned file reads (the ANN analogue
-    of the shard table's partition pruning). Returns the centroids, and
+    of the shard table's partition pruning). The coarse quantizer is
+    TRAINED by default (:func:`_coarse_cents`). Returns the centroids, and
     ALSO persists them beside the index as ``_QUANTIZER.json`` (they are
     the 'coarse quantizer' metadata — see :func:`read_quantizer`)."""
-    cents = take_centroids(emb, n_cells, lloyd_iters)
+    cents = _coarse_cents(emb, n_cells, lloyd_iters, centroids)
     (
         ivf_assign(emb, cents)
         .repartition("cell")
@@ -1745,7 +1768,11 @@ def queries():
             _emb(s, d), self_queries(_emb(s, d))
         ),
         "ann_topk_ivf": lambda s, d: topk_ivf(
-            _emb(s, d), self_queries(_emb(s, d)), lloyd_iters=0
+            _emb(s, d), self_queries(_emb(s, d)), lloyd_iters=0, centroids="seed"
+        ),
+        # the un-overridden DEFAULT path (trained quantizer, float corpus)
+        "ann_topk_ivf_default": lambda s, d: topk_ivf(
+            _emb(s, d), self_queries(_emb(s, d))
         ),
         # Lloyd-REFINED IVF is driver-checkable via the integer-exact
         # variant: quantized corpus makes the per-cell means deterministic,
@@ -1826,7 +1853,12 @@ def _ivf_maintained_entry(
     if cached is None:
         emb = _emb(spark, sf_dir)
         path = tempfile.mkdtemp(prefix=prefix)
-        cents = write_ivf_index(emb.where(F.col("vec_id") < 400), path, lloyd_iters=0)
+        cents = write_ivf_index(
+            emb.where(F.col("vec_id") < 400),
+            path,
+            lloyd_iters=0,
+            centroids="seed",  # the equivalence oracles replay seed cents
+        )
         append_ivf_index(emb.where(F.col("vec_id") >= 400), path, cents)
         if deleted_ids:
             delete_ivf_vectors(spark, path, deleted_ids)
@@ -2142,26 +2174,34 @@ c{it} AS (
 
 
 def _ivf_probe_tail(
-    prev: str, nprobe: int, dim: int, k: int, nq: int, final: bool = True
+    prev: str,
+    nprobe: int,
+    dim: int,
+    k: int,
+    nq: int,
+    final: bool = True,
+    vtab: str = "q8",
 ) -> str:
     """Final assignment + probe + exact-cosine re-rank tail shared by the
-    Lloyd/trained IVF oracles (``prev`` = final centroid CTE).
+    Lloyd/trained IVF oracles (``prev`` = final centroid CTE). ``vtab``
+    selects the corpus view the assignment/re-rank runs over (``q8`` for
+    the int8-grid variants, ``e`` for the float-corpus trained default).
     ``final=False`` stops after the ``ranked`` CTE so callers (the recall
     oracle) can compose further CTEs."""
-    cosf = _cos_sql("q8.v", f"{prev}.cvec", dim)
+    cosf = _cos_sql(f"{vtab}.v", f"{prev}.cvec", dim)
     return f""",
 fa AS (
     SELECT vec_id, v, cell FROM (
-      SELECT q8.vec_id, q8.v, {prev}.cell,
-        row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cosf} DESC, {prev}.cell DESC) AS rn
-      FROM q8 CROSS JOIN {prev}
+      SELECT {vtab}.vec_id, {vtab}.v, {prev}.cell,
+        row_number() OVER (PARTITION BY {vtab}.vec_id ORDER BY {cosf} DESC, {prev}.cell DESC) AS rn
+      FROM {vtab} CROSS JOIN {prev}
     ) WHERE rn = 1
   ),
 qp AS (
   SELECT vec_id AS query_id, v AS qv, cell FROM (
-    SELECT q8.vec_id, q8.v, {prev}.cell,
-      row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cosf} DESC, {prev}.cell DESC) AS rn
-    FROM q8 CROSS JOIN {prev} WHERE q8.vec_id < {nq}
+    SELECT {vtab}.vec_id, {vtab}.v, {prev}.cell,
+      row_number() OVER (PARTITION BY {vtab}.vec_id ORDER BY {cosf} DESC, {prev}.cell DESC) AS rn
+    FROM {vtab} CROSS JOIN {prev} WHERE {vtab}.vec_id < {nq}
   ) WHERE rn <= {nprobe}
 ),
 scored AS (
@@ -2208,6 +2248,28 @@ def _ivf_lloyd_sql(
         sql += _cand_ctes(sample_cap)
     coarse, prev = _coarse_ctes(n_cells, dim, lloyd_iters, trained)
     return sql + coarse + _ivf_probe_tail(prev, nprobe, dim, k, nq)
+
+
+def _ivf_default_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    nq: int = 5,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+) -> str:
+    """Replay of topk_ivf's TRAINED DEFAULT: the coarse quantizer trains
+    on the int8 grid (sample + recursive greedy + exact Lloyd), while
+    assignment, probing and re-rank run over the FLOAT corpus — exactly
+    the engine's default path."""
+    coarse, prev = _coarse_ctes(n_cells, dim, lloyd_iters, trained=True)
+    return (
+        _q8_header(recursive=True)
+        + _cand_ctes(sample_cap)
+        + coarse
+        + _ivf_probe_tail(prev, nprobe, dim, k, nq, vtab="e")
+    )
 
 
 def _pq_books_ctes(
@@ -2734,6 +2796,7 @@ def oracle_sql():
         "ann_topk_lsh": _lsh_sql(),
         "ann_topk_lsh_multiprobe": _lsh_sql(multiprobe=True),
         "ann_topk_ivf": _ivf_sql(),
+        "ann_topk_ivf_default": _ivf_default_sql(),
         "ann_topk_ivf_lloyd": _ivf_lloyd_sql(),
         "ann_topk_ivf_trained": _ivf_lloyd_sql(trained=True),
         "emb_quantize_int8": _QUANT_SQL,

@@ -70,12 +70,27 @@ def test_lsh_param_sweep(spark, sf_dir, duck, nbits, k):
 @pytest.mark.parametrize("threshold_pct,target_cell", [(80, 100), (95, 50)])
 def test_semdedup_param_sweep(spark, sf_dir, duck, threshold_pct, target_cell):
     emb = _emb(spark, sf_dir)
-    got = S.semdedup_keep(emb, threshold_pct=threshold_pct, target_cell=target_cell)
+    # seed mode against the seed oracle (the default is now trained — its
+    # non-default sweep is test_semdedup_trained_sweep below)
+    got = S.semdedup_keep(
+        emb,
+        threshold_pct=threshold_pct,
+        target_cell=target_cell,
+        centroids="seed",
+    )
     _check(
         got,
         duck,
         S._semdedup_sql(threshold_pct=threshold_pct, target_cell=target_cell),
     )
+
+
+def test_semdedup_trained_sweep(spark, sf_dir, duck):
+    """The TRAINED default at a non-default threshold/cell sizing must
+    still hash-match its recursive-CTE oracle."""
+    emb = _emb(spark, sf_dir)
+    got = S.semdedup_keep(emb, threshold_pct=80, target_cell=100)
+    _check(got, duck, S._semdedup_trained_sql(threshold_pct=80, target_cell=100))
 
 
 @pytest.mark.parametrize("lloyd_iters", [1, 3])
