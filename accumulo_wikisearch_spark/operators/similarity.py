@@ -747,7 +747,23 @@ def take_centroids_trained(
     3. ``lloyd_iters`` integer-exact distributed refinement steps
        (:func:`_lloyd_refine_exact`).
     """
-    q8 = _quantized_vecs(emb)
+    # persist the quantized view: the sample scan + every Lloyd pass read
+    # it, and the interpreted quantize ``transform`` would otherwise be
+    # re-evaluated per pass (and per element reference after
+    # CollapseProject) — measured 6 s → <1 s at sf0.1
+    q8 = _quantized_vecs(emb).persist()
+    try:
+        return _take_centroids_trained_q8(q8, n_cells, lloyd_iters, sample_cap)
+    finally:
+        q8.unpersist()
+
+
+def _take_centroids_trained_q8(
+    q8: DataFrame, n_cells: int, lloyd_iters: int, sample_cap: int
+) -> list[tuple[int, list[float]]]:
+    """Training body over an (ideally persisted) quantized view — shared
+    by the callers that keep using ``q8`` afterwards and persist it once
+    themselves."""
     V = _hash_sample_q8(q8, sample_cap)
     chosen = _greedy_farthest(V, min(n_cells, len(V)))
     cents = [(j, [float(x) for x in V[i]]) for j, i in enumerate(chosen)]
@@ -825,8 +841,9 @@ def topk_ivf_trained(
     :func:`take_centroids_trained`. Deterministic end-to-end, covered by
     the recall pytest on a clustered fixture (the greedy init is an
     iterative driver-side construction, so no static SQL oracle)."""
-    q8 = _quantized_vecs(emb)
-    cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
+    # ONE persisted quantized view feeds training AND the probe/re-rank
+    q8 = _quantized_vecs(emb).persist()
+    cents = _take_centroids_trained_q8(q8, n_cells, lloyd_iters, sample_cap)
     return _q8_ivf_topk(q8, cents, k, nprobe, nq)
 
 
@@ -877,7 +894,7 @@ def topk_ivf_lloyd_exact(
     a fixed-order expression (sequential-fold cosines both engines
     evaluate identically), so the whole operator is SQL-replayable —
     closing the lloyd_iters>0 oracle gap."""
-    q8 = _quantized_vecs(emb)
+    q8 = _quantized_vecs(emb).persist()  # see take_centroids_trained
     cents = take_centroids_lloyd_exact(q8, n_cells, lloyd_iters)
     return _q8_ivf_topk(q8, cents, k, nprobe, nq)
 
@@ -1426,11 +1443,14 @@ def pq_books_trained(
     subspace, then ``lloyd_iters`` integer-exact distributed refinement
     steps. Every quantity is whole-number arithmetic, so the books — and
     everything coded with them — are bit-replayable by the SQL oracle."""
-    q8 = _quantized_vecs(emb)
-    V = _hash_sample_q8(q8, sample_cap)
-    return _pq_books_refine_exact(
-        q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
-    )
+    q8 = _quantized_vecs(emb).persist()  # see take_centroids_trained
+    try:
+        V = _hash_sample_q8(q8, sample_cap)
+        return _pq_books_refine_exact(
+            q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+        )
+    finally:
+        q8.unpersist()
 
 
 def _codes_wide(q8: DataFrame, books, sub_dim: int) -> DataFrame:
@@ -1465,8 +1485,12 @@ def topk_pq_adc_trained(
     :func:`pq_books_trained` and both sides on the int8 grid — every ADC
     distance is an exact integer in double, so ranking is aggregation-
     order independent and the whole operator is SQL-replayable."""
-    q8 = _quantized_vecs(emb)
-    books = pq_books_trained(emb, m, sub_dim, n_codes, lloyd_iters, sample_cap)
+    # ONE persisted quantized view feeds training, coding, and queries
+    q8 = _quantized_vecs(emb).persist()
+    V = _hash_sample_q8(q8, sample_cap)
+    books = _pq_books_refine_exact(
+        q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+    )
     # persist = the at-rest codes table (see topk_pq_adc's note)
     codes = _codes_wide(q8, books, sub_dim).persist()
     qv = q8.where(F.col("vec_id") < nq).select(
@@ -1498,7 +1522,7 @@ def topk_ivf_pq_trained(
     (:func:`pq_books_trained`), sharing one hash-sample. The full
     FAISS-IVFADC shape with its production training story, deterministic
     end-to-end on the int8 grid."""
-    q8 = _quantized_vecs(emb)
+    q8 = _quantized_vecs(emb).persist()  # shared by training + corpus + queries
     V = _hash_sample_q8(q8, sample_cap)
     seed_cents = [
         (j, [float(x) for x in V[i]])

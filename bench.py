@@ -137,6 +137,10 @@ def main() -> None:
         "ann_ivf_pq",
         lambda: similarity.topk_ivf_pq(emb, similarity.self_queries(emb)).count(),
     )
+    # trained-quantizer configuration, training INSIDE the timed region
+    # (like dedup_semdedup since r6) — at production scale training is a
+    # one-time index-build cost, amortized across queries
+    timed("ann_pq_adc_trained", lambda: similarity.topk_pq_adc_trained(emb).count())
 
     from accumulo_wikisearch_spark.operators import sampling
 
