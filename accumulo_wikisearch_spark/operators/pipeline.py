@@ -43,16 +43,31 @@ def pipeline_e2e(
 ) -> list[dict]:
     """Run the full curation → delivery flow and export checksummed
     training shards; returns the manifest (shard, n_docs, checksum)."""
+
+    def barrier(df: DataFrame) -> DataFrame:
+        """Truncate lineage between stages. Without it, each stage's
+        logical plan embeds every upstream stage's full tree (the minhash
+        kernels, the component loop, the shingle joins …), and
+        DRIVER-SIDE ANALYSIS — not execution — comes to dominate:
+        measured 68 s for the domain-cap stage over 500 rows before the
+        barriers, ~1 s after. ``localCheckpoint`` materializes to
+        executor-local storage (eager); a long-lived production run on a
+        preemptible cluster would use reliable ``checkpoint()`` instead —
+        same plan truncation, durable storage."""
+        return df.localCheckpoint()
+
     # 1. quality filter (Gopher-ish heuristics, scan-local)
     q = textstats.text_quality(docs).where(F.col("keep") == 1).select("doc_id")
     kept = docs.join(q, "doc_id", "left_semi")
     # 2. exact dedup — canonical doc per content hash
-    canon = kept.join(
-        curation.canonical_docs(kept).select(
-            F.col("canonical_id").alias("doc_id")
-        ),
-        "doc_id",
-        "left_semi",
+    canon = barrier(
+        kept.join(
+            curation.canonical_docs(kept).select(
+                F.col("canonical_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
     )
     # 3. near-dup components via the banded MinHash SCALE path (the
     #    production default of dedup_clusters); min-id doc of each
@@ -61,17 +76,19 @@ def pipeline_e2e(
     drop = comp.where(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
     )
-    surv = canon.join(drop, "doc_id", "left_anti")
+    surv = barrier(canon.join(drop, "doc_id", "left_anti"))
     # 4. decontaminate: eval slice = surviving doc_id % 97 == 0; training
     #    docs sharing any 5-token shingle with it are dropped
     dec = curation.decontaminate(surv)
-    clean = surv.join(
-        dec.where(F.col("contaminated") == 0).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    clean = barrier(
+        surv.join(
+            dec.where(F.col("contaminated") == 0).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     )
     # 5. per-domain cap (lowest doc_ids win)
-    capped = curation.domain_cap(clean, max_per_domain=max_per_domain)
+    capped = barrier(curation.domain_cap(clean, max_per_domain=max_per_domain))
     # 6. epoch-weighted mixture → (doc_id, domain, copy)
     mix = sampling.domain_mixture(capped, "source", sampling._MIX_WEIGHTS)
     # 7. pack the mixed copies into fixed-token-budget sequences per
