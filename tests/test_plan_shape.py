@@ -341,3 +341,19 @@ def test_keys_filter_prunes_partitions_on_written_catalog(spark, sf_dir, tmp_pat
     assert plan.count("FileScan") == 1
     assert re.search(r"PartitionFilters: \[partition_id#\d+ IN \(", plan)
     assert "In(language" in plan and "In(doc_id" in plan
+
+
+def test_trained_ivf_pq_plan_is_all_broadcast(spark, sf_dir):
+    """The trained IVF-PQ query side must stay broadcast-only: probes and
+    ADC LUTs are tiny by contract, so a SortMergeJoin anywhere means a
+    corpus-sized shuffle crept into the per-query path."""
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        S.topk_ivf_pq_trained(emb),
+        S.topk_ivf(emb, S.self_queries(emb)),  # trained default
+    ):
+        plan = _formatted(df)
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
