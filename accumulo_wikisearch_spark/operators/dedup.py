@@ -275,23 +275,13 @@ def minhash_lsh_pairs(
     Jaccard oracle (which cannot replay the cap) stays consistent at check
     scale; at production scale the cap is part of the operator contract.
     """
-    rows = num_hashes // bands
     sets = _shingle_hash_sets(docs, k).withColumn(
         "sig", _sig_from_sets(num_hashes)(F.col("hs"))
     )
     # sets are computed once and reused by both the band join and the exact
     # verification (the persist is scoped to this plan's lifetime)
     sets = sets.persist()
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.hash(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("bsig"),
-        )
-        for bi in range(bands)
-    ]
-    banded = sets.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", "b.band", "b.bsig"
-    )
+    banded = _band_rows(sets, num_hashes, bands)
     banded = _cap_band_groups(banded, ["band", "bsig"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -318,6 +308,149 @@ def minhash_lsh_pairs(
             >= F.lit(num) * (F.col("a_n") + F.col("b_n") - F.col("common"))
         )
         .select("a_id", "b_id")
+    )
+
+
+def _band_rows(sets: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bsig) LSH band rows from a signature table — one
+    hash per band over its signature slice, exploded row-locally."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.hash(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("bsig"),
+        )
+        for bi in range(bands)
+    ]
+    return sets.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", "b.band", "b.bsig"
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: at-rest signature store + delta checks
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sets(docs: DataFrame, k: int, num_hashes: int) -> DataFrame:
+    """(doc_id, hs, n, sig) — the signature table both store halves share."""
+    return _shingle_hash_sets(docs, k).withColumn(
+        "sig", _sig_from_sets(num_hashes)(F.col("hs"))
+    )
+
+
+def write_minhash_store(
+    docs: DataFrame,
+    path: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = 4096,
+) -> None:
+    """Persist the at-rest near-dup signature store — the dedup analogue
+    of the LSM base (operators/compaction.py): two tables under ``path``:
+
+    - ``bands/`` (doc_id, band, bsig): the LSH candidate index, skew-
+      capped at write (:func:`_cap_band_groups`, same contract as
+      minhash_lsh_pairs);
+    - ``sets/`` (doc_id, hs, n): the shingle-hash sets for the exact-
+      Jaccard verification half.
+
+    A new ingest batch then near-dup-checks against the WHOLE existing
+    corpus without recomputing any stored signature
+    (:func:`near_dups_vs_store`) and appends itself
+    (:func:`append_minhash_store`) — signatures are computed exactly once
+    per document over the corpus's lifetime, the property that makes
+    continuous dedup affordable at 100 TB."""
+    sets = _minhash_sets(docs, k, num_hashes).persist()
+    banded = _cap_band_groups(
+        _band_rows(sets, num_hashes, bands), ["band", "bsig"], max_bucket
+    )
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    sets.select("doc_id", "hs", "n").write.mode("overwrite").parquet(f"{path}/sets")
+    sets.unpersist()
+
+
+def append_minhash_store(
+    new_docs: DataFrame,
+    path: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Fold a checked batch into the store (the minor flush): signatures
+    and band rows of the NEW docs only, appended — the base is never
+    rewritten. (The write-time skew cap is per-batch; a periodic rewrite
+    via :func:`write_minhash_store` is the 'major compaction' that
+    re-applies it globally.)"""
+    sets = _minhash_sets(new_docs, k, num_hashes).persist()
+    _band_rows(sets, num_hashes, bands).write.mode("append").parquet(f"{path}/bands")
+    sets.select("doc_id", "hs", "n").write.mode("append").parquet(f"{path}/sets")
+    sets.unpersist()
+
+
+def near_dups_vs_store(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    num: int = 4,
+    den: int = 5,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """(base_id, new_id) exact-verified near-dup pairs between a NEW batch
+    and the stored corpus — the incremental form of
+    :func:`minhash_lsh_pairs`, with identical banding/verify semantics:
+
+    - the stored side is NEVER recomputed: candidates come from the
+      (band, bsig) equi-join of the batch's band rows against ``bands/``;
+    - verification reads only candidate doc_ids' stored shingle sets
+      (the join prunes ``sets/`` to the candidate slice);
+    - the batch side is skew-capped like the at-rest side, so one
+      boilerplate-heavy delta cannot quadratize the band join.
+
+    Cost ∝ |batch| + |collisions| — independent of corpus size outside
+    the pruned reads, which is what makes per-batch dedup-on-ingest
+    viable when the base is 100 TB."""
+    sets_new = _minhash_sets(new_docs, k, num_hashes).persist()
+    banded_new = _cap_band_groups(
+        _band_rows(sets_new, num_hashes, bands), ["band", "bsig"], max_bucket
+    )
+    store_bands = spark.read.parquet(f"{path}/bands")
+    cand = (
+        store_bands.alias("a")
+        .join(banded_new.alias("b"), ["band", "bsig"])
+        .select(
+            F.col("a.doc_id").alias("base_id"), F.col("b.doc_id").alias("new_id")
+        )
+        .distinct()
+    )
+    store_sets = spark.read.parquet(f"{path}/sets")
+    return (
+        cand.join(
+            store_sets.select(
+                F.col("doc_id").alias("base_id"),
+                F.col("hs").alias("a_s"),
+                F.col("n").alias("a_n"),
+            ),
+            "base_id",
+        )
+        .join(
+            sets_new.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("hs").alias("b_s"),
+                F.col("n").alias("b_n"),
+            ),
+            "new_id",
+        )
+        .withColumn("common", F.size(F.array_intersect("a_s", "b_s")))
+        .where(
+            F.lit(den) * F.col("common")
+            >= F.lit(num) * (F.col("a_n") + F.col("b_n") - F.col("common"))
+        )
+        .select("base_id", "new_id")
     )
 
 
@@ -849,7 +982,33 @@ def queries():
         "dedup_cluster_components": lambda s, d: dedup_clusters(_docs(s, d)),
         "dedup_exact_substring": lambda s, d: duplicated_spans(_docs(s, d)),
         "dedup_remove_spans": lambda s, d: remove_duplicated_spans(_docs(s, d)),
+        "dedup_minhash_incremental": _minhash_store_entry,
     }
+
+
+# written signature-store cache per sf_dir (immutable once built)
+_MINHASH_STORES: dict = {}
+
+
+def _minhash_store_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup driven end-to-end: the signature store is
+    written from the base corpus (doc_id % 5 != 0), the first delta
+    (doc_id % 10 == 0) is APPENDED (the minor flush), and the second
+    delta (doc_id % 10 == 5) is checked against base+delta1 — stored
+    signatures are never recomputed. The oracle recomputes the exact
+    cross-set Jaccard pairs from raw text over the same split, so a
+    stale store, a broken append, or a banding bug all hash-mismatch."""
+    import tempfile
+
+    tune_runtime(spark)
+    docs = _docs(spark, sf_dir)
+    path = _MINHASH_STORES.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="wikisearch-minhash-store-")
+        write_minhash_store(docs.where(F.col("doc_id") % 5 != 0), path)
+        append_minhash_store(docs.where(F.col("doc_id") % 10 == 0), path)
+        _MINHASH_STORES[sf_dir] = path
+    return near_dups_vs_store(spark, docs.where(F.col("doc_id") % 10 == 5), path)
 
 
 _H = HASH60_DUCKDB
@@ -1077,4 +1236,32 @@ def oracle_sql():
         "dedup_cluster_components": _CLUSTER_SQL,
         "dedup_exact_substring": _dup_spans_sql(),
         "dedup_remove_spans": _remove_spans_sql(),
+        "dedup_minhash_incremental": _minhash_store_sql(),
     }
+
+
+def _minhash_store_sql(k: int = 3, num: int = 4, den: int = 5) -> str:
+    """Exact cross-set Jaccard replay of the incremental store entry:
+    a-side = base + appended delta1 (doc_id % 10 <> 5), b-side = the
+    checked delta2 (doc_id % 10 = 5). No df cap — the store path's skew
+    control is the band-group cap, inert at check scale (same contract
+    as dedup_minhash_lsh's oracle)."""
+    gram = "||' '||".join(f"wl[i+{j}]" for j in range(k))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS wl FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([{gram} for i in range(1, len(wl) - {k - 2})])) AS shingle
+  FROM w WHERE len(wl) >= {k}
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS base_id, b.doc_id AS new_id, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 <> 5 AND b.doc_id % 10 = 5
+  GROUP BY 1, 2
+)
+SELECT base_id, new_id FROM common
+JOIN cnt ca ON ca.doc_id = base_id
+JOIN cnt cb ON cb.doc_id = new_id
+WHERE {den} * common >= {num} * (ca.n + cb.n - common)
+"""

@@ -218,3 +218,44 @@ def test_remove_duplicated_spans_overlap_counts_once(spark):
     }
     assert out[1] == ("tail1", 5)
     assert out[2] == ("tail2", 5)
+
+
+def test_minhash_store_incremental_matches_full_recompute(spark, sf_dir, tmp_path):
+    """near_dups_vs_store over (base write + delta1 append) must equal the
+    cross-set restriction of the full-corpus minhash pair set — stored
+    signatures, appended signatures, and fresh-batch signatures all agree
+    with a from-scratch run."""
+    from accumulo_wikisearch_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "mstore")
+    D.write_minhash_store(docs.where(F.col("doc_id") % 5 != 0), path)
+    D.append_minhash_store(docs.where(F.col("doc_id") % 10 == 0), path)
+    got = {
+        (r["base_id"], r["new_id"])
+        for r in D.near_dups_vs_store(
+            spark, docs.where(F.col("doc_id") % 10 == 5), path
+        ).collect()
+    }
+    full = {
+        frozenset((r["a_id"], r["b_id"]))
+        for r in D.minhash_lsh_pairs(docs).collect()
+    }
+    want = {
+        (a, b)
+        for pair in full
+        for a, b in [tuple(sorted(pair)), tuple(sorted(pair, reverse=True))]
+        if a % 10 != 5 and b % 10 == 5
+    }
+    assert got == want and got  # non-empty on the sf corpus
+    # the appended delta1 (doc_id % 10 == 0) contributes base-side pairs:
+    # dropping the append must lose exactly those
+    path2 = str(tmp_path / "mstore2")
+    D.write_minhash_store(docs.where(F.col("doc_id") % 5 != 0), path2)
+    got2 = {
+        (r["base_id"], r["new_id"])
+        for r in D.near_dups_vs_store(
+            spark, docs.where(F.col("doc_id") % 10 == 5), path2
+        ).collect()
+    }
+    assert got2 == {(a, b) for a, b in got if a % 10 != 0}
