@@ -262,6 +262,136 @@ def replay_stream_dedup(spark, sf_dir: str):
     return _run_to_table(spark, out, "ev_stream_dedup_replay_sink", "append")
 
 
+# survivors cache per sf_dir (the replay is deterministic and the store
+# dirs are temp — rerunning within a session would re-append)
+_NEARDUP_RESULTS: dict = {}
+
+
+def replay_stream_neardup_ingest(spark, sf_dir: str):
+    """Near-dup-on-ingest as a REAL structured-streaming query — the
+    dedup ladder running continuously: a minhash signature store is
+    seeded from the base corpus slice (doc_id % 3 == 0); the remaining
+    documents arrive as a file-source stream in two deterministic
+    micro-batches (split at doc_id 250, file mtimes force the order);
+    each batch drops docs that near-dup the STORE or a LOWER-id doc in
+    the same batch, appends the survivors' signatures (the minor flush),
+    and emits the survivors. The end state must equal the sequential
+    greedy replay the SQL oracle computes — a wrong batch order, a
+    skipped append, or recall loss all hash-mismatch.
+
+    Drop rule is deliberately non-transitive ("near-dups the store or
+    ANY lower-id batch doc", surviving or not): it needs no within-batch
+    iteration, and the oracle states it verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from accumulo_wikisearch_spark.operators import dedup as D
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    cached = _NEARDUP_RESULTS.get(sf_dir)
+    if cached is not None:
+        return spark.read.parquet(cached).select("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = tempfile.mkdtemp(prefix="stream-mstore-")
+    D.write_minhash_store(docs.where(F.col("doc_id") % 3 == 0), store)
+    stage = tempfile.mkdtemp(prefix="doc-stream-stage-")
+    conds = [
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") < 250),
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") >= 250),
+    ]
+    for i, cond in enumerate(conds):
+        tmp = tempfile.mkdtemp(prefix=f"neardup-batch{i}-")
+        docs.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{stage}/batch_{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        t = 1_000_000_000 + i * 1000
+        os.utime(dst, (t, t))  # file-source batch order = mtime order
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream-neardup-out-")
+
+    def process_batch(bdf, _bid):
+        # lineage barrier: the batch feeds three plans (self-pairs, store
+        # check, anti-join) — see operators/pipeline.py's barrier note
+        bdf = bdf.localCheckpoint()
+        drop_self = D.minhash_lsh_pairs(bdf).select(
+            F.col("b_id").alias("doc_id")
+        )
+        dup_store = D.near_dups_vs_store(spark, bdf, store).select(
+            F.col("new_id").alias("doc_id")
+        )
+        survivors = bdf.join(
+            drop_self.unionByName(dup_store).distinct(), "doc_id", "left_anti"
+        ).localCheckpoint()
+        D.append_minhash_store(survivors, store)
+        survivors.select("doc_id").write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="neardup-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    _NEARDUP_RESULTS[sf_dir] = out_dir
+    return spark.read.parquet(out_dir).select("doc_id")
+
+
+def _neardup_ingest_sql(k: int = 3, num: int = 4, den: int = 5) -> str:
+    """Sequential greedy replay of the two-batch near-dup ingest: the
+    symmetric exact-Jaccard pair set once, then batch-0 survivors vs the
+    base store, store' = base ∪ survivors(0), then batch-1 survivors vs
+    store'."""
+    gram = "||' '||".join(f"wl[i+{j}]" for j in range(k))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS wl FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([{gram} for i in range(1, len(wl) - {k - 2})])) AS shingle
+  FROM w WHERE len(wl) >= {k}
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+allp AS (
+  SELECT a_id, b_id FROM (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+  ) j
+  JOIN cnt ca ON ca.doc_id = a_id
+  JOIN cnt cb ON cb.doc_id = b_id
+  WHERE {den} * common >= {num} * (ca.n + cb.n - common)
+),
+base AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+b0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0 AND doc_id < 250),
+b1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0 AND doc_id >= 250),
+s0 AS (
+  SELECT doc_id FROM b0
+  WHERE NOT EXISTS (
+      SELECT 1 FROM allp p JOIN base ON p.a_id = base.doc_id
+      WHERE p.b_id = b0.doc_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM allp p JOIN b0 a2 ON p.a_id = a2.doc_id
+      WHERE p.b_id = b0.doc_id AND a2.doc_id < b0.doc_id)
+),
+st1 AS (SELECT doc_id FROM base UNION SELECT doc_id FROM s0),
+s1 AS (
+  SELECT doc_id FROM b1
+  WHERE NOT EXISTS (
+      SELECT 1 FROM allp p JOIN st1 ON p.a_id = st1.doc_id
+      WHERE p.b_id = b1.doc_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM allp p JOIN b1 a2 ON p.a_id = a2.doc_id
+      WHERE p.b_id = b1.doc_id AND a2.doc_id < b1.doc_id)
+)
+SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
+"""
+
+
 _REPLAY_SQL = """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
        event_type, count(*)::BIGINT AS n_events
@@ -277,6 +407,7 @@ def queries():
     return {
         "ev_stream_windowed_replay": replay_windowed_counts,
         "ev_stream_dedup_replay": replay_stream_dedup,
+        "doc_stream_neardup_ingest": replay_stream_neardup_ingest,
     }
 
 
@@ -284,4 +415,5 @@ def oracle_sql():
     return {
         "ev_stream_windowed_replay": _REPLAY_SQL,
         "ev_stream_dedup_replay": _DEDUP_REPLAY_SQL,
+        "doc_stream_neardup_ingest": _neardup_ingest_sql(),
     }
