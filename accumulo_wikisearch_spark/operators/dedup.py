@@ -339,6 +339,27 @@ def _minhash_sets(docs: DataFrame, k: int, num_hashes: int) -> DataFrame:
     )
 
 
+_STORE_BUCKETS = 64
+
+
+def _store_tables(sets: DataFrame, num_hashes: int, bands: int, max_bucket):
+    """(bands_df, sets_df) in the store layout: band rows carry a
+    ``bk = pmod(bsig, N)`` partition column and shingle sets an
+    ``sk = pmod(doc_id, N)`` one, so a batch's check reads only the
+    partitions its collisions/candidates can live in."""
+    banded = _cap_band_groups(
+        _band_rows(sets, num_hashes, bands), ["band", "bsig"], max_bucket
+    )
+    banded = banded.withColumn("bk", F.pmod(F.col("bsig"), F.lit(_STORE_BUCKETS)))
+    s = sets.select(
+        "doc_id",
+        "hs",
+        "n",
+        F.pmod(F.col("doc_id"), F.lit(_STORE_BUCKETS)).alias("sk"),
+    )
+    return banded, s
+
+
 def write_minhash_store(
     docs: DataFrame,
     path: str,
@@ -350,24 +371,30 @@ def write_minhash_store(
     """Persist the at-rest near-dup signature store — the dedup analogue
     of the LSM base (operators/compaction.py): two tables under ``path``:
 
-    - ``bands/`` (doc_id, band, bsig): the LSH candidate index, skew-
-      capped at write (:func:`_cap_band_groups`, same contract as
-      minhash_lsh_pairs);
-    - ``sets/`` (doc_id, hs, n): the shingle-hash sets for the exact-
-      Jaccard verification half.
+    - ``bands/`` (doc_id, band, bsig), partitioned by ``bk = pmod(bsig,
+      64)``: the LSH candidate index, skew-capped at write
+      (:func:`_cap_band_groups`, same contract as minhash_lsh_pairs);
+    - ``sets/`` (doc_id, hs, n), partitioned by ``sk = pmod(doc_id,
+      64)``: the shingle-hash sets for the exact-Jaccard verification.
 
-    A new ingest batch then near-dup-checks against the WHOLE existing
-    corpus without recomputing any stored signature
-    (:func:`near_dups_vs_store`) and appends itself
-    (:func:`append_minhash_store`) — signatures are computed exactly once
-    per document over the corpus's lifetime, the property that makes
-    continuous dedup affordable at 100 TB."""
+    The partition columns are what keep a batch check SUB-corpus-cost:
+    the batch's band signatures select which ``bk`` directories can hold
+    collisions, and its candidates which ``sk`` directories hold the
+    sets to verify — both bounded `isin` partition filters (the
+    topk_ivf_on_disk pruning pattern), so small batches touch a small
+    fraction of a 100 TB store instead of scanning it. A new ingest
+    batch near-dup-checks against the existing corpus without
+    recomputing any stored signature (:func:`near_dups_vs_store`) and
+    appends itself (:func:`append_minhash_store`) — signatures are
+    computed exactly once per document over the corpus's lifetime."""
     sets = _minhash_sets(docs, k, num_hashes).persist()
-    banded = _cap_band_groups(
-        _band_rows(sets, num_hashes, bands), ["band", "bsig"], max_bucket
+    banded, s = _store_tables(sets, num_hashes, bands, max_bucket)
+    banded.repartition("bk").write.mode("overwrite").partitionBy("bk").parquet(
+        f"{path}/bands"
     )
-    banded.write.mode("overwrite").parquet(f"{path}/bands")
-    sets.select("doc_id", "hs", "n").write.mode("overwrite").parquet(f"{path}/sets")
+    s.repartition("sk").write.mode("overwrite").partitionBy("sk").parquet(
+        f"{path}/sets"
+    )
     sets.unpersist()
 
 
@@ -379,13 +406,19 @@ def append_minhash_store(
     bands: int = 16,
 ) -> None:
     """Fold a checked batch into the store (the minor flush): signatures
-    and band rows of the NEW docs only, appended — the base is never
-    rewritten. (The write-time skew cap is per-batch; a periodic rewrite
-    via :func:`write_minhash_store` is the 'major compaction' that
+    and band rows of the NEW docs only, appended into the same
+    partitioned layout — the base is never rewritten. (The write-time
+    skew cap is per-batch; a periodic rewrite via
+    :func:`write_minhash_store` is the 'major compaction' that
     re-applies it globally.)"""
     sets = _minhash_sets(new_docs, k, num_hashes).persist()
-    _band_rows(sets, num_hashes, bands).write.mode("append").parquet(f"{path}/bands")
-    sets.select("doc_id", "hs", "n").write.mode("append").parquet(f"{path}/sets")
+    banded, s = _store_tables(sets, num_hashes, bands, max_bucket=None)
+    banded.repartition("bk").write.mode("append").partitionBy("bk").parquet(
+        f"{path}/bands"
+    )
+    s.repartition("sk").write.mode("append").partitionBy("sk").parquet(
+        f"{path}/sets"
+    )
     sets.unpersist()
 
 
@@ -405,29 +438,47 @@ def near_dups_vs_store(
     :func:`minhash_lsh_pairs`, with identical banding/verify semantics:
 
     - the stored side is NEVER recomputed: candidates come from the
-      (band, bsig) equi-join of the batch's band rows against ``bands/``;
-    - verification reads only candidate doc_ids' stored shingle sets
-      (the join prunes ``sets/`` to the candidate slice);
+      (band, bsig) equi-join of the batch's band rows against ``bands/``,
+      with the batch's ``pmod(bsig, 64)`` values as a PARTITION FILTER —
+      only store directories that can hold a collision are read;
+    - verification reads only the ``pmod(doc_id, 64)`` partitions of
+      ``sets/`` that can hold a candidate, then joins on the candidate
+      ids;
     - the batch side is skew-capped like the at-rest side, so one
-      boilerplate-heavy delta cannot quadratize the band join.
+      boilerplate-heavy delta cannot quadratize the band join;
+    - both partition-filter value sets are collected driver-side but
+      BOUNDED by the bucket count (≤ 64 values each, never by batch or
+      corpus size) — the same contract as topk_ivf_on_disk's probe-cell
+      collect.
 
-    Cost ∝ |batch| + |collisions| — independent of corpus size outside
-    the pruned reads, which is what makes per-batch dedup-on-ingest
-    viable when the base is 100 TB."""
+    Cost ∝ |batch| + |collisions| + the pruned store partitions — a
+    small batch touches a small fraction of a 100 TB store, which is
+    what makes per-batch dedup-on-ingest viable."""
     sets_new = _minhash_sets(new_docs, k, num_hashes).persist()
     banded_new = _cap_band_groups(
         _band_rows(sets_new, num_hashes, bands), ["band", "bsig"], max_bucket
+    ).withColumn("bk", F.pmod(F.col("bsig"), F.lit(_STORE_BUCKETS)))
+    banded_new = banded_new.persist()
+    bks = sorted(r["bk"] for r in banded_new.select("bk").distinct().collect())
+    if not bks:  # empty/short batch: no band rows, hence no candidates
+        return spark.createDataFrame([], "base_id bigint, new_id bigint")
+    store_bands = spark.read.parquet(f"{path}/bands").where(
+        F.col("bk").isin(*bks)
     )
-    store_bands = spark.read.parquet(f"{path}/bands")
     cand = (
         store_bands.alias("a")
-        .join(banded_new.alias("b"), ["band", "bsig"])
+        .join(banded_new.alias("b"), ["bk", "band", "bsig"])
         .select(
             F.col("a.doc_id").alias("base_id"), F.col("b.doc_id").alias("new_id")
         )
         .distinct()
+        .withColumn("sk", F.pmod(F.col("base_id"), F.lit(_STORE_BUCKETS)))
+        .persist()
     )
-    store_sets = spark.read.parquet(f"{path}/sets")
+    sks = sorted(r["sk"] for r in cand.select("sk").distinct().collect())
+    if not sks:
+        return spark.createDataFrame([], "base_id bigint, new_id bigint")
+    store_sets = spark.read.parquet(f"{path}/sets").where(F.col("sk").isin(*sks))
     return (
         cand.join(
             store_sets.select(

@@ -259,3 +259,21 @@ def test_minhash_store_incremental_matches_full_recompute(spark, sf_dir, tmp_pat
         ).collect()
     }
     assert got2 == {(a, b) for a, b in got if a % 10 != 0}
+
+
+def test_minhash_store_check_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The store check must read only the bk/sk partitions the batch can
+    collide with — PartitionFilters present on both store scans."""
+    from accumulo_wikisearch_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "pstore")
+    D.write_minhash_store(docs.where(F.col("doc_id") % 5 != 0), path)
+    out = D.near_dups_vs_store(spark, docs.where(F.col("doc_id") % 5 == 0), path)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    segs = plan.split("PartitionFilters: [")
+    pruned = [s.split("]", 1)[0] for s in segs[1:]]
+    assert any("bk" in s and "IN" in s.upper() for s in pruned), pruned
+    assert any("sk" in s and "IN" in s.upper() for s in pruned), pruned
