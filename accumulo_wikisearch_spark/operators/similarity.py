@@ -1276,21 +1276,52 @@ def write_ivf_pq_index(
     m: int = _PQ_M,
     sub_dim: int = _PQ_SUB,
     n_codes: int = _PQ_CODES,
+    quantizers: str = "trained",
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
 ) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
     """Persist the at-rest IVF-PQ layout: (vec_id, code_0..code_{m-1})
     partitioned by cell on disk — a query reads nprobe partition
     directories of a table whose rows are m small ints, the FAISS IVFADC
-    storage shape. Returns (centroids, codebooks) — the quantizer metadata
-    to store beside the index."""
-    cents, seed_rows = _seed_rows_shared(emb, n_cells, n_codes)
-    books = _books_from_rows(seed_rows, m, sub_dim)
-    (
-        emb.select(
+    storage shape.
+
+    ``quantizers="trained"`` (the DEFAULT, like every index build): both
+    the coarse cells and the codebooks come from the shared hash-sample
+    farthest-point + exact-Lloyd training over the int8 grid, and the
+    CODED CORPUS IS the quantized view (query with quantized query
+    vectors — :func:`self_queries_q8`); ``"seed"`` keeps the
+    first-n-rows float construction as the simpler twin. Returns
+    (centroids, codebooks) — also persisted beside the index as
+    ``_QUANTIZER.json``."""
+    if quantizers == "trained":
+        q8 = _quantized_vecs(emb).persist()
+        V = _hash_sample_q8(q8, sample_cap)
+        cents = _lloyd_refine_exact(
+            q8,
+            [
+                (j, [float(x) for x in V[i]])
+                for j, i in enumerate(_greedy_farthest(V, min(n_cells, len(V))))
+            ],
+            lloyd_iters,
+        )
+        books = _pq_books_refine_exact(
+            q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+        )
+        coded = q8.select(
+            F.col("vec_id"),
+            _assign_cells_udf(cents)(F.col("v")).alias("cell"),
+            *_code_select(books, sub_dim, col="v"),
+        )
+    else:
+        cents, seed_rows = _seed_rows_shared(emb, n_cells, n_codes)
+        books = _books_from_rows(seed_rows, m, sub_dim)
+        coded = emb.select(
             F.col("vec_id"),
             _assign_cells_udf(cents)(F.col("embedding")).alias("cell"),
             *_code_select(books, sub_dim),
         )
-        .where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
+    (
+        coded.where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
         .repartition("cell")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
@@ -1299,6 +1330,14 @@ def write_ivf_pq_index(
     )
     _write_quantizer(emb.sparkSession, path, cents, books)
     return cents, books
+
+
+def self_queries_q8(emb: DataFrame, n: int = 5) -> DataFrame:
+    """First n QUANTIZED corpus vectors as the query set — the query-side
+    twin of the trained (int8-grid) index builds."""
+    return _quantized_vecs(emb).where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
 
 
 def topk_ivf_pq_on_disk(
@@ -1920,10 +1959,12 @@ def _written_ivf_pq(spark: SparkSession, sf_dir: str):
 
 
 def _ivf_pq_disk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED at-rest layout (the write_ivf_pq_index default) queried
+    with quantized self-queries; oracle = the full trained replay."""
     tune_runtime(spark)
     path, cents, books = _written_ivf_pq(spark, sf_dir)
     return topk_ivf_pq_on_disk(
-        spark, path, cents, books, self_queries(_emb(spark, sf_dir))
+        spark, path, cents, books, self_queries_q8(_emb(spark, sf_dir))
     )
 
 
@@ -1935,7 +1976,7 @@ def _ivf_pq_cold_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_runtime(spark)
     path, _cents, _books = _written_ivf_pq(spark, sf_dir)
     return topk_ivf_pq_on_disk_cold(
-        spark, path, self_queries(_emb(spark, sf_dir))
+        spark, path, self_queries_q8(_emb(spark, sf_dir))
     )
 
 
@@ -2829,8 +2870,10 @@ def oracle_sql():
         "ann_topk_ivf_pq": _ivf_pq_sql(),
         "ann_topk_pq_adc_trained": _pq_adc_trained_sql(),
         "ann_topk_ivf_pq_trained": _ivf_pq_trained_sql(),
-        "ann_topk_ivf_pq_disk": _ivf_pq_sql(),
-        "ann_topk_ivf_pq_cold": _ivf_pq_sql(),
+        # the disk/cold twins run the TRAINED at-rest build (the write
+        # default) — their oracle is the full trained replay
+        "ann_topk_ivf_pq_disk": _ivf_pq_trained_sql(),
+        "ann_topk_ivf_pq_cold": _ivf_pq_trained_sql(),
         "ann_ivf_append_equiv": _ivf_sql(),
         "ann_ivf_delete_equiv": _ivf_sql(exclude=_DELETED_IDS),
         "ann_topk_int8": _INT8_TOPK_SQL,

@@ -245,7 +245,8 @@ def test_ivf_pq_on_disk_matches_in_memory_and_prunes(spark, emb, tmp_path):
     )
 
     path = str(tmp_path / "ivfpq")
-    cents, books = write_ivf_pq_index(emb, path, n_cells=8)
+    # seed mode: the disk layout must reproduce the in-memory seed twin
+    cents, books = write_ivf_pq_index(emb, path, n_cells=8, quantizers="seed")
     q = self_queries(emb)
     disk = topk_ivf_pq_on_disk(spark, path, cents, books, q, nprobe=2)
     mem = topk_ivf_pq(emb, q, n_cells=8, nprobe=2)
@@ -654,3 +655,19 @@ def test_ann_recall_entries_meet_floor(spark):
     lsh_total = sum(r["hits"] for r in S._recall_lsh_entry(spark, sf).collect())
     assert ivf_total >= 20, ivf_total  # measured 27/50
     assert lsh_total >= 5, lsh_total   # measured 9/50
+
+
+def test_trained_ivf_pq_disk_matches_in_memory(spark, emb, tmp_path):
+    """The TRAINED at-rest layout (write_ivf_pq_index default) queried
+    with quantized self-queries must equal the in-memory trained path —
+    same quantizers, same int8-grid corpus, only the physical path
+    differs."""
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    path = str(tmp_path / "ivfpq_trained")
+    cents, books = S.write_ivf_pq_index(emb, path)
+    disk = S.topk_ivf_pq_on_disk(
+        spark, path, cents, books, S.self_queries_q8(emb)
+    )
+    mem = S.topk_ivf_pq_trained(emb)
+    assert sorted(map(tuple, disk.collect())) == sorted(map(tuple, mem.collect()))
