@@ -53,9 +53,19 @@ def _check(spark_df, duck, sql):
 @pytest.mark.parametrize("n_cells,nprobe,k", [(8, 2, 5), (32, 8, 3)])
 def test_ivf_param_sweep(spark, sf_dir, duck, n_cells, nprobe, k):
     emb = _emb(spark, sf_dir)
+    # seed mode against the seed oracle (the default is now trained —
+    # its non-default sweep is test_ivf_trained_default_sweep below)
     got = S.topk_ivf(emb, S.self_queries(emb), k=k, n_cells=n_cells,
-                     nprobe=nprobe, lloyd_iters=0)
+                     nprobe=nprobe, lloyd_iters=0, centroids="seed")
     _check(got, duck, S._ivf_sql(n_cells=n_cells, nprobe=nprobe, k=k))
+
+
+def test_ivf_trained_default_sweep(spark, sf_dir, duck):
+    """The TRAINED default at non-default (n_cells, nprobe, k) must still
+    hash-match its float-corpus recursive-CTE oracle."""
+    emb = _emb(spark, sf_dir)
+    got = S.topk_ivf(emb, S.self_queries(emb), k=7, n_cells=8, nprobe=3)
+    _check(got, duck, S._ivf_default_sql(n_cells=8, nprobe=3, k=7))
 
 
 @pytest.mark.parametrize("nbits,k", [(6, 5), (10, 8)])
