@@ -1743,6 +1743,11 @@ def _recall_ivf_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(topk_ivf_trained(emb), topk_bruteforce_q8(emb))
 
 
+def _recall_pq_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ann_recall(topk_pq_adc_trained(emb), topk_bruteforce_q8(emb))
+
+
 # ---------------------------------------------------------------------------
 # hybrid search (keyword index filter → embedding re-rank)
 # ---------------------------------------------------------------------------
@@ -1872,6 +1877,7 @@ def queries():
         # recall VALUES, not just the approximation's determinism
         "ann_recall_lsh": _recall_lsh_entry,
         "ann_recall_ivf": _recall_ivf_entry,
+        "ann_recall_pq": _recall_pq_entry,
         # AT-REST layout driven end-to-end (the ANN analogue of
         # ws_written_and3): write the partitioned IVF-PQ index, re-read it
         # from disk, and answer via partition-pruned code scans. Same
@@ -2416,6 +2422,7 @@ def _pq_best_adc_tail(
     k: int,
     nq: int,
     cand_cte: str | None = None,
+    final: bool = True,
 ) -> str:
     """Coding + ADC ranking tail over the final book CTE: per-(vec, s)
     best code (squared-L2 argmin, ties lower code) with its codeword,
@@ -2461,9 +2468,13 @@ ranked AS (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
   FROM tot
-)
+)""" + (
+        f"""
 SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
 """
+        if final
+        else ""
+    )
 
 
 def _pq_adc_trained_sql(
@@ -2632,6 +2643,35 @@ def _ivf_recall_sql(
         + _cand_ctes(sample_cap)
         + coarse
         + _ivf_probe_tail(prev, nprobe, dim, k, nq, final=False)
+        + f""",
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_cos_sql("q.v", "c.v", dim)} AS cos
+  FROM q8 c, (SELECT vec_id, v FROM q8 WHERE vec_id < {nq}) q
+  WHERE c.vec_id <> q.vec_id
+)"""
+        + _RECALL_TAIL.format(k=k)
+    )
+
+
+def _pq_recall_sql(
+    m: int = _PQ_M,
+    sub_dim: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+    k: int = 10,
+    nq: int = 5,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+    dim: int = 64,
+) -> str:
+    """Replay of ann_recall(topk_pq_adc_trained, topk_bruteforce_q8): the
+    trained-codebook ADC ranking CTEs, an int8-grid brute-force ranking,
+    and the integer per-query overlap."""
+    books, book = _pq_books_ctes(m, sub_dim, n_codes, lloyd_iters)
+    return (
+        _q8_header(recursive=True)
+        + _cand_ctes(sample_cap)
+        + books
+        + _pq_best_adc_tail(book, m, sub_dim, k, nq, final=False)
         + f""",
 bscored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_cos_sql("q.v", "c.v", dim)} AS cos
@@ -2879,6 +2919,7 @@ def oracle_sql():
         "ann_topk_int8": _INT8_TOPK_SQL,
         "ann_recall_lsh": _lsh_recall_sql(),
         "ann_recall_ivf": _ivf_recall_sql(),
+        "ann_recall_pq": _pq_recall_sql(),
         "dedup_semdedup_keep": _semdedup_trained_sql(),
         "dedup_semdedup_seed": _semdedup_sql(),
         "ann_hybrid_keyword": _HYBRID_SQL,
