@@ -315,6 +315,37 @@ def _ev_written_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ev_bucketed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events corpus through the ZERO-exchange bucketed catalog (the
+    ws_bucketed_and3 twin): write the events index as tables bucketed on
+    the language-qualified posting key, re-load via the metastore, and
+    answer the user∧type conjunction with co-partitioned joins."""
+    import re as _re
+    import tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import (
+        load_index_bucketed,
+        write_index_bucketed,
+    )
+
+    tune_runtime(spark)
+    cfg = EngineConfig()
+    key = ("ev", spark.sparkContext.applicationId, sf_dir)
+    db = _BUCKETED_DBS.get(key)
+    if db is None:
+        eng = get_events_engine(spark, sf_dir)
+        db = "ev_bucket_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+        loc = tempfile.mkdtemp(prefix="wikisearch-evbucketed-")
+        write_index_bucketed(eng.index, spark, db=db, num_buckets=8, location=loc)
+        _BUCKETED_DBS[key] = db
+    eng_b = Wikisearch(load_index_bucketed(spark, db, cfg))
+    return eng_b.query("USER_ID == '42' and EVENT_TYPE == 'click'").select(
+        F.col("doc_id").alias("event_id")
+    )
+
+
 _BUCKETED_DBS: dict = {}
 
 
@@ -397,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
+    out["ev_bucketed_and"] = _ev_bucketed_and
 
     from accumulo_wikisearch_spark.operators import (
         analytics,
@@ -658,6 +690,7 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out["ev_written_and"] = (
         "SELECT event_id FROM events WHERE user_id = 42 AND event_type='click'"
     )
+    out["ev_bucketed_and"] = out["ev_written_and"]
 
     from accumulo_wikisearch_spark.operators import (
         analytics,
