@@ -957,22 +957,36 @@ def semdedup_keep(
     # three times over the corpus
     if centroids == "trained":
         cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
-        asn = (
-            emb.select(
-                "vec_id",
-                _as_double(F.col("embedding")).alias("v"),
-                _assign_cells_udf(cents)(
-                    _quantize_arr(F.col("embedding"))
-                ).alias("cell"),
-            )
-            .where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
-            .persist()
-        )
+        asn = _trained_assign(emb, cents).persist()
     else:
         cents = take_centroids(emb, n_cells, lloyd_iters=0)
         asn = ivf_assign(emb, cents).persist()
+    dom = _dominated_lower_id(asn, threshold_pct).withColumn("_dom", F.lit(0))
+    return asn.join(dom, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce(F.col("_dom"), F.lit(1)).cast("int").alias("keep"),
+    )
+
+
+def _trained_assign(
+    emb: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, v FLOAT, cell) — assignment by the QUANTIZED vector
+    against trained (int8-grid) centroids, float vector carried for the
+    domination cosine; malformed rows dropped."""
+    return emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        _assign_cells_udf(cents)(_quantize_arr(F.col("embedding"))).alias("cell"),
+    ).where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
+
+
+def _dominated_lower_id(asn: DataFrame, threshold_pct: int) -> DataFrame:
+    """(vec_id) of vectors dominated within their cell by a LOWER-id
+    vector at cosine ≥ threshold — the SemDeDup drop set."""
     a, b = asn.alias("a"), asn.alias("b")
-    dom = (
+    return (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
@@ -984,12 +998,124 @@ def semdedup_keep(
         )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental SemDeDup — at-rest keep-state + delta checks
+# ---------------------------------------------------------------------------
+
+
+def write_semdedup_store(
+    emb: DataFrame,
+    path: str,
+    n_cells: int | None = None,
+    threshold_pct: int = 90,
+    target_cell: int = 500,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+) -> list[tuple[int, list[float]]]:
+    """Persist the at-rest SemDeDup state — the embedding-space analogue
+    of dedup.write_minhash_store: the trained coarse quantizer
+    (``_QUANTIZER.json``) plus the KEPT canonical vectors partitioned by
+    cell (``kept/``). A new batch then semantic-dedups against the whole
+    corpus by touching only its own cells' directories
+    (:func:`semdedup_check_vs_store`) and appends its surviving vectors
+    (:func:`append_semdedup_store`) — cells and centroids are computed
+    once over the store's lifetime; retraining + rewrite is the major
+    compaction, run when drift warrants."""
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count(), target_cell)
+    cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
+    asn = _trained_assign(emb, cents).persist()
+    kept = asn.join(
+        _dominated_lower_id(asn, threshold_pct), "vec_id", "left_anti"
+    )
+    (
+        kept.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/kept")
+    )
+    _write_quantizer(emb.sparkSession, path, cents)
+    asn.unpersist()
+    return cents
+
+
+def semdedup_check_vs_store(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    path: str,
+    threshold_pct: int = 90,
+    prune_max_cells: int = 1024,
+) -> DataFrame:
+    """(vec_id, cell, keep) over a NEW batch against the stored state:
+    a batch vector is a semantic duplicate (keep=0) when a stored KEPT
+    vector of its cell dominates it at cosine ≥ threshold (store
+    precedence — no id comparison), or a LOWER-id batch vector of the
+    same cell does (the same non-transitive within-batch rule as the
+    streaming near-dup ingest).
+
+    Scale shape: the batch assigns against the reopened quantizer (one
+    narrow kernel pass), and the ``kept/`` read is PARTITION-PRUNED to
+    the batch's cells (bounded `isin`; skipped beyond
+    ``prune_max_cells`` values, where the filter would outgrow its
+    benefit); domination joins shuffle on cell only."""
+    cents, _books = read_quantizer(spark, path)
+    asn_new = _trained_assign(new_emb, cents).persist()
+    cells = sorted(r["cell"] for r in asn_new.select("cell").distinct().collect())
+    if not cells:
+        return spark.createDataFrame([], "vec_id bigint, cell int, keep int")
+    kept = spark.read.parquet(f"{path}/kept")
+    if len(cells) <= prune_max_cells:
+        kept = kept.where(F.col("cell").isin(*cells))
+    dom_store = (
+        asn_new.alias("n")
+        .join(
+            kept.select(
+                F.col("cell"), F.col("v").alias("kv")
+            ).alias("s"),
+            "cell",
+        )
+        .where(
+            F.lit(100.0) * _cosine(F.col("kv"), F.col("n.v"))
+            >= F.lit(float(threshold_pct))
+        )
+        .select(F.col("n.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    dom = (
+        dom_store.unionByName(_dominated_lower_id(asn_new, threshold_pct))
+        .distinct()
         .withColumn("_dom", F.lit(0))
     )
-    return asn.join(dom, "vec_id", "left").select(
+    return asn_new.join(dom, "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         F.coalesce(F.col("_dom"), F.lit(1)).cast("int").alias("keep"),
+    )
+
+
+def append_semdedup_store(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    path: str,
+    threshold_pct: int = 90,
+) -> None:
+    """Fold a checked batch's SURVIVORS into ``kept/`` (the minor flush):
+    re-derives the keep flags via :func:`semdedup_check_vs_store` and
+    appends the kept vectors into the cell-partitioned layout — the base
+    is never rewritten."""
+    cents, _books = read_quantizer(spark, path)
+    keep = semdedup_check_vs_store(spark, new_emb, path, threshold_pct)
+    survivors = _trained_assign(new_emb, cents).join(
+        keep.where(F.col("keep") == 1).select("vec_id"), "vec_id", "left_semi"
+    )
+    (
+        survivors.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/kept")
     )
 
 
@@ -1871,6 +1997,9 @@ def queries():
         "dedup_semdedup_seed": lambda s, d: semdedup_keep(
             _emb(s, d), centroids="seed"
         ),
+        # incremental semantic dedup: store written from the base slice,
+        # batch checked against the stored kept set (cell-pruned reads)
+        "dedup_semdedup_incremental": _semdedup_incremental_entry,
         "ann_hybrid_keyword": _hybrid_entry,
         # recall GATES: integer per-query overlap of the approximate path
         # vs the matching brute-force truth — the driver hash-checks the
@@ -1895,6 +2024,25 @@ def queries():
         # full-build replay with those ids excluded from the candidates
         "ann_ivf_delete_equiv": _ivf_delete_entry,
     }
+
+
+# written SemDeDup-store cache per sf_dir (immutable once written)
+_SEMDEDUP_STORES: dict = {}
+
+
+def _semdedup_incremental_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    tune_runtime(spark)
+    emb = _emb(spark, sf_dir)
+    path = _SEMDEDUP_STORES.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="wikisearch-semdedup-store-")
+        write_semdedup_store(emb.where(F.col("vec_id") % 5 != 0), path)
+        _SEMDEDUP_STORES[sf_dir] = path
+    return semdedup_check_vs_store(
+        spark, emb.where(F.col("vec_id") % 5 == 0), path
+    )
 
 
 # 20..119: non-seed (seeds are 0..15), non-query (queries are 0..4) ids
@@ -2160,36 +2308,42 @@ q8 AS (
 ),"""
 
 
-def _cand_ctes(sample_cap: int) -> str:
-    """Shared portable-hash training sample (replays :func:`_hash_sample_q8`)."""
+def _cand_ctes(sample_cap: int, vtab: str = "q8") -> str:
+    """Shared portable-hash training sample (replays :func:`_hash_sample_q8`).
+    ``vtab`` selects the quantized view trained over (a filtered slice for
+    the incremental-store oracles)."""
     return f"""
 frac AS (
-  SELECT least(1000000, (1000000 * {sample_cap}) // count(*) + 1) AS ppm FROM q8
+  SELECT least(1000000, (1000000 * {sample_cap}) // count(*) + 1) AS ppm FROM {vtab}
 ),
 cand AS (
-  SELECT vec_id, v FROM q8, frac
+  SELECT vec_id, v FROM {vtab}, frac
   WHERE ({HASH60_DUCKDB.format(expr="vec_id::VARCHAR")}) % 1000000 < frac.ppm
 ),"""
 
 
 def _coarse_ctes(
-    n_cells: int | str, dim: int, lloyd_iters: int, trained: bool
+    n_cells: int | str,
+    dim: int,
+    lloyd_iters: int,
+    trained: bool,
+    vtab: str = "q8",
 ) -> tuple[str, str]:
-    """Coarse-quantizer CTE chain over ``q8`` (and ``cand`` when trained):
-    seeds (first-n row_number labels, or the recursive farthest-point
-    greedy) + ``lloyd_iters`` unrolled integer-exact refinement steps.
-    ``n_cells`` may be a scalar-subquery SQL string (the auto-sized
-    SemDeDup cell count) instead of an int literal.
+    """Coarse-quantizer CTE chain over ``vtab`` (and ``cand`` when
+    trained): seeds (first-n row_number labels, or the recursive
+    farthest-point greedy) + ``lloyd_iters`` unrolled integer-exact
+    refinement steps. ``n_cells`` may be a scalar-subquery SQL string
+    (the auto-sized SemDeDup cell count) instead of an int literal.
     Returns (sql_fragment, final_centroid_cte_name)."""
     n_lim = f"({n_cells})" if isinstance(n_cells, str) else str(n_cells)
 
     def assign(prev: str) -> str:
-        cos = _cos_sql("q8.v", f"{prev}.cvec", dim)
+        cos = _cos_sql(f"{vtab}.v", f"{prev}.cvec", dim)
         return f"""(
     SELECT vec_id, v, cell FROM (
-      SELECT q8.vec_id, q8.v, {prev}.cell,
-        row_number() OVER (PARTITION BY q8.vec_id ORDER BY {cos} DESC, {prev}.cell DESC) AS rn
-      FROM q8 CROSS JOIN {prev}
+      SELECT {vtab}.vec_id, {vtab}.v, {prev}.cell,
+        row_number() OVER (PARTITION BY {vtab}.vec_id ORDER BY {cos} DESC, {prev}.cell DESC) AS rn
+      FROM {vtab} CROSS JOIN {prev}
     ) WHERE rn = 1
   )"""
 
@@ -2223,7 +2377,7 @@ c0 AS (
         sql = f"""
 c0 AS (
   SELECT cell, cvec FROM (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM q8
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec FROM {vtab}
   ) WHERE cell < {n_lim}
 )"""
     prev = "c0"
@@ -2729,6 +2883,76 @@ FROM av
     )
 
 
+def _semdedup_incremental_sql(
+    threshold_pct: int = 90,
+    dim: int = 64,
+    target_cell: int = 500,
+    min_cells: int = 16,
+    lloyd_iters: int = 2,
+    sample_cap: int = 2048,
+) -> str:
+    """Replay of write_semdedup_store(base) + semdedup_check_vs_store(batch):
+    the trained quantizer and the kept canonical set derive from the BASE
+    slice (vec_id % 5 <> 0) only; a batch vector (vec_id % 5 = 0) is
+    dominated by any kept base vector of its cell (store precedence, no
+    id comparison) or by a lower-id batch vector of its cell."""
+    coarse, prev = _coarse_ctes(
+        "SELECT n_cells FROM nc", dim, lloyd_iters, trained=True, vtab="bq8"
+    )
+    cosb = _cos_sql("bq8.v", f"{prev}.cvec", dim)
+    cosn = _cos_sql("nq8.v", f"{prev}.cvec", dim)
+    return (
+        _q8_header(recursive=True)
+        + f"""
+bq8 AS (SELECT * FROM q8 WHERE vec_id % 5 <> 0),
+nq8 AS (SELECT * FROM q8 WHERE vec_id % 5 = 0),
+nc AS (
+  SELECT greatest({min_cells}, (count(*) + {target_cell - 1}) // {target_cell}) AS n_cells
+  FROM bq8
+),"""
+        + _cand_ctes(sample_cap, vtab="bq8")
+        + coarse
+        + f""",
+asn_b AS (
+  SELECT vec_id, cell FROM (
+    SELECT bq8.vec_id, {prev}.cell,
+      row_number() OVER (PARTITION BY bq8.vec_id ORDER BY {cosb} DESC, {prev}.cell DESC) AS rn
+    FROM bq8 CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+avb AS (SELECT asn_b.vec_id, asn_b.cell, e.v FROM asn_b JOIN e USING (vec_id)),
+dom_b AS (
+  SELECT DISTINCT b.vec_id
+  FROM avb a JOIN avb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE 100.0 * ({_cos_sql("a.v", "b.v", dim)}) >= {float(threshold_pct)}
+),
+kept_b AS (
+  SELECT vec_id, cell, v FROM avb
+  WHERE vec_id NOT IN (SELECT vec_id FROM dom_b)
+),
+asn_n AS (
+  SELECT vec_id, cell FROM (
+    SELECT nq8.vec_id, {prev}.cell,
+      row_number() OVER (PARTITION BY nq8.vec_id ORDER BY {cosn} DESC, {prev}.cell DESC) AS rn
+    FROM nq8 CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+avn AS (SELECT asn_n.vec_id, asn_n.cell, e.v FROM asn_n JOIN e USING (vec_id)),
+dom_n AS (
+  SELECT DISTINCT n.vec_id FROM avn n JOIN kept_b s ON s.cell = n.cell
+  WHERE 100.0 * ({_cos_sql("s.v", "n.v", dim)}) >= {float(threshold_pct)}
+  UNION
+  SELECT DISTINCT b.vec_id
+  FROM avn a JOIN avn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE 100.0 * ({_cos_sql("a.v", "b.v", dim)}) >= {float(threshold_pct)}
+)
+SELECT avn.vec_id, avn.cell::INTEGER AS cell,
+  (CASE WHEN avn.vec_id IN (SELECT vec_id FROM dom_n) THEN 0 ELSE 1 END)::INTEGER AS keep
+FROM avn
+"""
+    )
+
+
 def _pq_base_sql(m: int = _PQ_M, sub_dim: int = _PQ_SUB, n_codes: int = _PQ_CODES) -> str:
     """Shared CTE prefix: subvector slices of corpus and codebook (first
     n_codes vectors, row_number code labels), per-(vec, subspace) best code
@@ -2922,5 +3146,6 @@ def oracle_sql():
         "ann_recall_pq": _pq_recall_sql(),
         "dedup_semdedup_keep": _semdedup_trained_sql(),
         "dedup_semdedup_seed": _semdedup_sql(),
+        "dedup_semdedup_incremental": _semdedup_incremental_sql(),
         "ann_hybrid_keyword": _HYBRID_SQL,
     }
