@@ -207,6 +207,207 @@ def brand_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    from_date: str = "1996-01-01",
+    to_date: str = "1998-01-01",
+) -> DataFrame:
+    """Bilateral trade volume between two nations by ship year (Q7 shape):
+    revenue where the supplier sits in one nation and the customer in the
+    other, in either direction.
+
+    Supplier and customer dimension chains (each ⋈ nation) broadcast; the
+    only fact shuffle is lineitem ⋈ orders on orderkey. The either-direction
+    predicate evaluates after both broadcasts — a 4-way join with exactly
+    one exchange, which is the shape that survives 100 TB."""
+    nats = F.broadcast(
+        nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = supplier.join(
+        nats, supplier["s_nationkey"] == nats["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        nats, customer["c_nationkey"] == nats["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    l = lineitem.where(
+        (F.col("l_shipdate") >= _ts(from_date)) & (F.col("l_shipdate") < _ts(to_date))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        l.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev").alias("revenue_cents"))
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """One nation's share of a region's market for one part type, by order
+    year (Q8 shape). Share is reported as an integer (numerator_cents,
+    denominator_cents) pair rather than a float ratio — divisions differ
+    in the last ulp across engines, sums of cents never do.
+
+    part (filtered) / supplier⋈nation / customer⋈nation⋈region all
+    broadcast; the fact shuffle is lineitem ⋈ orders on orderkey."""
+    p = F.broadcast(
+        part.where(F.col("p_type") == part_type).select("p_partkey")
+    )
+    supp = F.broadcast(
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        customer.join(
+            F.broadcast(nation.alias("n2")),
+            customer["c_nationkey"] == F.col("n2.n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n2.n_regionkey") == region["r_regionkey"])
+        .where(F.col("r_name") == region_name)
+        .select("c_custkey")
+    )
+    o = orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == target_nation, F.col("rev")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("nation_rev_cents"),
+            F.sum("rev").alias("total_rev_cents"),
+        )
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    from_date: str = "1997-09-01",
+    to_date: str = "1997-10-01",
+) -> DataFrame:
+    """Promotional revenue share for one ship month (Q14 shape): integer
+    (promo_cents, total_cents) instead of the float percentage. One
+    broadcast dim join over a month-pruned fact scan — the parquet reader
+    sees the shipdate range as a pushed filter."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= _ts(from_date))
+            & (F.col("l_shipdate") < _ts(to_date))
+        )
+        .select(
+            "l_partkey",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("promo_rev_cents"),
+            F.sum("rev").alias("total_rev_cents"),
+        )
+    )
+
+
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: int = 200,
+) -> DataFrame:
+    """Orders whose total lineitem quantity exceeds a threshold, with their
+    customer (Q18 shape). The HAVING-filtered groupBy output is small, so
+    it re-joins orders on the SAME orderkey partitioning (no second
+    exchange under AQE) and the customer dim broadcasts."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+            "sum_qty",
+        )
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Revenue under an OR-of-ANDs part/lineitem predicate (Q19 shape).
+    Catalyst extracts the common ``p_partkey = l_partkey`` equi-condition
+    so the broadcast hash join carries only the residual disjunction —
+    the classic test that disjunctive predicates don't degrade a join to
+    nested-loop."""
+    j = lineitem.select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_type", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 10) & F.col("qty").between(1, 15))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_size").between(1, 20) & F.col("qty").between(10, 30))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(1, 30) & F.col("qty").between(20, 50))
+    )
+    return j.where(cond).agg(
+        F.sum("rev").alias("revenue_cents"), F.count("*").alias("n_items")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
@@ -347,6 +548,31 @@ def queries():
         "rel_small_qty_revenue": lambda s, d: small_quantity_revenue(
             _t(s, d, "lineitem"), _t(s, d, "part")
         ),
+        "rel_nation_trade_volume": lambda s, d: nation_trade_volume(
+            _t(s, d, "lineitem"),
+            _t(s, d, "orders"),
+            _t(s, d, "customer"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+        ),
+        "rel_market_share": lambda s, d: market_share(
+            _t(s, d, "lineitem"),
+            _t(s, d, "orders"),
+            _t(s, d, "customer"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+            _t(s, d, "region"),
+            _t(s, d, "part"),
+        ),
+        "rel_promo_revenue": lambda s, d: promo_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "rel_large_orders": lambda s, d: large_orders(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        "rel_disjunctive_revenue": lambda s, d: disjunctive_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
     }
 
 
@@ -481,6 +707,81 @@ FROM items WHERE 5 * qty * cnt < sum_qty
 """
 
 
+_TRADE_SQL = """
+SELECT supp_nation, cust_nation, l_year, sum(rev)::BIGINT AS revenue_cents
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate)::INTEGER AS l_year,
+         round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+_MKTSHARE_SQL = """
+SELECT EXTRACT(year FROM o_orderdate)::INTEGER AS o_year,
+  sum(CASE WHEN sn.n_name = 'NATION_3'
+      THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+      ELSE 0 END)::BIGINT AS nation_rev_cents,
+  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_rev_cents
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type = 'PROMO'
+  AND EXISTS (
+    SELECT 1 FROM customer
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region    ON cn.n_regionkey = r_regionkey
+    WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+GROUP BY 1
+"""
+
+_PROMO_SQL = """
+SELECT
+  sum(CASE WHEN p_type = 'PROMO'
+      THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+      ELSE 0 END)::BIGINT AS promo_rev_cents,
+  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_rev_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+_LARGEORD_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity::BIGINT) > 200
+)
+SELECT c_name, c_custkey, o_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice * 100)::BIGINT AS total_cents, sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+_DISJUNCT_SQL = """
+SELECT sum(rev)::BIGINT AS revenue_cents, count(*) AS n_items
+FROM (
+  SELECT round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS rev,
+         l_quantity::BIGINT AS qty, p_type, p_size
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+WHERE (p_type = 'SMALL'  AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 1  AND 15)
+   OR (p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 20 AND qty BETWEEN 10 AND 30)
+   OR (p_type = 'LARGE'  AND p_size BETWEEN 1 AND 30 AND qty BETWEEN 20 AND 50)
+"""
+
+
 def oracle_sql():
     return {
         "rel_pricing_summary": _PRICING_SQL,
@@ -495,4 +796,9 @@ def oracle_sql():
         "rel_price_percentiles": _PERCENTILE_SQL,
         "rel_cust_order_dist": _CUSTDIST_SQL,
         "rel_small_qty_revenue": _SMALLQTY_SQL,
+        "rel_nation_trade_volume": _TRADE_SQL,
+        "rel_market_share": _MKTSHARE_SQL,
+        "rel_promo_revenue": _PROMO_SQL,
+        "rel_large_orders": _LARGEORD_SQL,
+        "rel_disjunctive_revenue": _DISJUNCT_SQL,
     }

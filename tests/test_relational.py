@@ -85,3 +85,84 @@ def test_small_quantity_revenue_exact_threshold(spark):
     part = spark.createDataFrame([(1, "Brand#4"), (2, "Brand#9")], "p_partkey long, p_brand string")
     r = small_quantity_revenue(li, part, brand="Brand#4").collect()[0]
     assert r["n_items"] == 1 and r["small_qty_rev_cents"] == 1000
+
+
+def test_nation_trade_volume_both_directions_only(spark):
+    from accumulo_wikisearch_spark.operators.relational import nation_trade_volume
+
+    nation = spark.createDataFrame(
+        [(1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3")],
+        "n_nationkey long, n_name string",
+    )
+    supplier = spark.createDataFrame(
+        [(100, 1), (200, 2), (300, 3)], "s_suppkey long, s_nationkey long"
+    )
+    customer = spark.createDataFrame(
+        [(10, 2), (20, 1), (30, 3)], "c_custkey long, c_nationkey long"
+    )
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [
+            # supp N1 → cust N2: kept
+            (1, 100, 10.0, 0.0, TS(1996, 6, 1)),
+            # supp N2 → cust N1: kept (reverse direction)
+            (2, 200, 20.0, 0.0, TS(1997, 6, 1)),
+            # supp N3 → cust N3: dropped (neither nation)
+            (3, 300, 40.0, 0.0, TS(1996, 6, 1)),
+            # out of ship window: dropped
+            (1, 100, 80.0, 0.0, TS(1999, 6, 1)),
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp_ntz",
+    )
+    rows = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue_cents"]
+        for r in nation_trade_volume(li, orders, customer, supplier, nation).collect()
+    }
+    assert rows == {
+        ("NATION_1", "NATION_2", 1996): 1000,
+        ("NATION_2", "NATION_1", 1997): 2000,
+    }
+
+
+def test_large_orders_threshold_and_customer(spark):
+    from accumulo_wikisearch_spark.operators.relational import large_orders
+
+    li = spark.createDataFrame(
+        [(1, 150.0), (1, 100.0), (2, 150.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, TS(1996, 1, 2), 33.335), (2, 10, TS(1996, 1, 3), 5.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, o_totalprice double",
+    )
+    cust = spark.createDataFrame([(10, "Cust#10")], "c_custkey long, c_name string")
+    rows = large_orders(li, orders, cust).collect()
+    # only order 1 crosses 200 total quantity; 150-qty order 2 is below
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["orderkey"], r["sum_qty"], r["order_date"]) == (1, 250, "1996-01-02")
+    assert r["total_cents"] == 3334  # round-half-up of 3333.5
+    assert r["c_name"] == "Cust#10"
+
+
+def test_disjunctive_revenue_or_of_ands(spark):
+    from accumulo_wikisearch_spark.operators.relational import disjunctive_revenue
+
+    part = spark.createDataFrame(
+        [(1, "SMALL", 5), (2, "MEDIUM", 15), (3, "LARGE", 40)],
+        "p_partkey long, p_type string, p_size int",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 10.0, 10.0, 0.0),   # SMALL size 5 qty 10: kept
+            (1, 20.0, 100.0, 0.0),  # SMALL qty 20 > 15: dropped
+            (2, 25.0, 20.0, 0.5),   # MEDIUM size 15 qty 25: kept
+            (3, 30.0, 999.0, 0.0),  # LARGE size 40 > 30: dropped
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double, l_discount double",
+    )
+    r = disjunctive_revenue(li, part).collect()[0]
+    assert (r["revenue_cents"], r["n_items"]) == (1000 + 1000, 2)
