@@ -459,10 +459,109 @@ def queries():
         media = docs.select("doc_id", F.encode(header, "UTF-8").alias("payload"))
         return decode_image(media)
 
+    def _mm_resize(spark, sf_dir):
+        # end-to-end check of the REAL resize kernel: per-doc PPM images
+        # whose row r is filled with byte (doc_id*7 + r*13) % 256, resized
+        # by the numpy nearest-neighbor kernel to 4x3, then decoded BACK
+        # out of the re-encoded payload and pixel-summed. The oracle
+        # replays the NN row-index math ((i*h0)//3) straight from the doc
+        # fields — a wrong stride, flip, or re-encode breaks the hash.
+        tune_runtime(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                    h0 = int(doc_id) % 5 + 2
+                    w0 = int(n_chars) % 5 + 2
+                    px = np.empty((h0, w0, 3), dtype=np.uint8)
+                    for r in range(h0):
+                        px[r] = (int(doc_id) * 7 + r * 13) % 256
+                    payloads.append(_encode_pixels(px, "ppm"))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        media = docs.mapInPandas(build, "doc_id long, payload binary")
+        resized = resize_image(media, width=4, height=3)
+
+        def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ws, hs, sums = [], [], []
+                for b in pdf["payload"]:
+                    dec = _decode_pixels(bytes(b)) if b is not None else None
+                    if dec is None:
+                        ws.append(None), hs.append(None), sums.append(None)
+                        continue
+                    px, _ = dec
+                    hs.append(px.shape[0]), ws.append(px.shape[1])
+                    sums.append(int(px.astype(np.int64).sum()))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": pd.Series(ws, dtype="Int32"),
+                        "height": pd.Series(hs, dtype="Int32"),
+                        "pix_sum": pd.Series(sums, dtype="Int64"),
+                    }
+                )
+
+        return resized.mapInPandas(
+            stats, "doc_id long, width int, height int, pix_sum long"
+        )
+
+    def _mm_frames(spark, sf_dir):
+        # end-to-end check of the REAL frame sampler: per-doc raw PPM
+        # streams of (doc_id % 6 + 1) 2x2 frames, frame f filled with byte
+        # (doc_id + 31*f) % 256; sample every 2nd frame, then decode each
+        # sampled frame and pixel-sum it. 1:N row expansion proven against
+        # an unnest(range(...)) oracle.
+        tune_runtime(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for doc_id in pdf["doc_id"]:
+                    k = int(doc_id) % 6 + 1
+                    stream = b"".join(
+                        b"P6\n2 2\n255\n"
+                        + bytes([(int(doc_id) + 31 * f) % 256]) * 12
+                        for f in range(k)
+                    )
+                    payloads.append(stream)
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        media = docs.mapInPandas(build, "doc_id long, payload binary")
+        frames = sample_frames(media, every_n_frames=2, max_frames=8)
+
+        def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                sums = []
+                for b in pdf["frame"]:
+                    dec = _decode_pixels(bytes(b))
+                    sums.append(
+                        int(dec[0].astype(np.int64).sum()) if dec else None
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "frame_idx": pdf["frame_idx"],
+                        "n_bytes": pdf["frame"].map(len).astype("int32"),
+                        "pix_sum": pd.Series(sums, dtype="Int64"),
+                    }
+                )
+
+        return frames.mapInPandas(
+            stats, "doc_id long, frame_idx int, n_bytes int, pix_sum long"
+        )
+
     return {
         "mm_payload_stats": _mm_stats,
         "mm_decode_image": _mm_decode,
         "mm_audio_features": _mm_audio,
+        "mm_resize_image": _mm_resize,
+        "mm_video_frames": _mm_frames,
     }
 
 
@@ -485,5 +584,23 @@ SELECT doc_id,
   (((n_chars % 100 + 1) * 10) * 1000 // (8000 + (doc_id % 4) * 4000))::BIGINT AS duration_ms,
   0::INTEGER AS rms
 FROM documents
+""",
+        # NN row index for output row i of 3: src = (i * h0) // 3 with
+        # h0 = doc_id % 5 + 2; every output row is 4 px * 3 channels of
+        # the same byte, so pix_sum = 12 * sum over rows
+        "mm_resize_image": """
+SELECT doc_id, 4::INTEGER AS width, 3::INTEGER AS height,
+  (SELECT sum(((doc_id * 7 + ((u.i * (doc_id % 5 + 2)) // 3) * 13) % 256) * 12)
+   FROM unnest(range(0, 3)) AS u(i))::BIGINT AS pix_sum
+FROM documents
+""",
+        # sampled frame j corresponds to source frame 2*j of k = doc_id%6+1
+        # frames; each 2x2 frame is 11 header bytes + 12 pixel bytes of
+        # value (doc_id + 31*(2*j)) % 256
+        "mm_video_frames": """
+SELECT doc_id, u.j::INTEGER AS frame_idx, 23::INTEGER AS n_bytes,
+  (((doc_id + 62 * u.j) % 256) * 12)::BIGINT AS pix_sum
+FROM (SELECT doc_id, (doc_id % 6 + 1) AS k FROM documents) d,
+     unnest(range(0, (d.k + 1) // 2)) AS u(j)
 """,
     }
