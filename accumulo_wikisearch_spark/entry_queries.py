@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational,
         sampling,
         similarity,
+        sketches,
         temporal,
         textstats,
         vocab,
@@ -457,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(temporal.queries())
     out.update(sampling.queries())
     out.update(pipeline.queries())
+    out.update(sketches.queries())
     out.update(streaming_analytics.queries())
 
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
@@ -701,6 +703,7 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         relational,
         sampling,
         similarity,
+        sketches,
         temporal,
         textstats,
         vocab,
@@ -719,6 +722,7 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out.update(temporal.oracle_sql())
     out.update(sampling.oracle_sql())
     out.update(pipeline.oracle_sql())
+    out.update(sketches.oracle_sql())
     out.update(streaming_analytics.oracle_sql())
 
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl

@@ -1,0 +1,40 @@
+"""HLL sketch: register semantics, merge distributivity, estimate accuracy."""
+
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.operators.sketches import (
+    hll_estimate,
+    hll_registers,
+    merge_registers,
+)
+
+
+def test_registers_bounded_and_merge_equals_direct(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    direct = hll_registers(df, "g", "v")
+    assert direct.count() <= 3 * 256
+    # distributivity: sketch disjoint halves, merge with MAX == direct
+    a = hll_registers(df.where(F.col("v") % 2 == 0), "g", "v")
+    b = hll_registers(df.where(F.col("v") % 2 == 1), "g", "v")
+    merged = merge_registers(a, b)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_estimate_within_tolerance(spark):
+    # 10k distinct values in one group: HLL with m=256 has ~6.5% stderr;
+    # 20% is a >3-sigma bound, so this is deterministic-stable, not flaky
+    # (the hash is fixed, so the estimate is a constant anyway)
+    df = spark.range(0, 10_000).select(
+        F.lit("g").alias("g"), (F.col("id") * 7919 + 13).alias("v")
+    )
+    est = hll_estimate(hll_registers(df, "g", "v")).collect()[0]["est_distinct"]
+    assert 8_000 <= est <= 12_000
+
+
+def test_estimate_small_range_linear_counting(spark):
+    df = spark.range(0, 40).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = hll_estimate(hll_registers(df, "g", "v")).collect()[0]["est_distinct"]
+    assert 30 <= est <= 50
