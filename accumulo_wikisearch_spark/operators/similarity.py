@@ -431,11 +431,20 @@ def topk_ivf(
     nprobe: int = 4,
     lloyd_iters: int = 2,
     centroids: str = "trained",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k probing the ``nprobe`` nearest cells per query.
 
     corpus→cell assignment shuffles once on cell; queries broadcast with
     their probe lists; candidates ∝ corpus × (nprobe / n_cells).
+
+    ``candidates`` (optional) restricts the SEARCHED rows to a filtered
+    slice of the corpus — metadata-filtered vector search. The quantizer
+    and probe lists still come from the full ``emb`` (the index layout is
+    filter-agnostic, like a partitioned ANN index serving many filters);
+    the predicate rides the candidate-side parquet scan, so a selective
+    filter cuts both IO and scoring cost instead of post-filtering
+    results (which would silently return < k hits).
 
     ``centroids="trained"`` (the DEFAULT) uses the sampled
     farthest-point + exact-Lloyd quantizer — deterministic end-to-end
@@ -448,9 +457,9 @@ def topk_ivf(
     oracle is :func:`topk_ivf_lloyd_exact`.
     """
     cents = _coarse_cents(emb, n_cells, lloyd_iters, centroids)
-    corpus = ivf_assign(emb, cents).select(
-        F.col("vec_id").alias("neighbor_id"), "v", "cell"
-    )
+    corpus = ivf_assign(
+        emb if candidates is None else candidates, cents
+    ).select(F.col("vec_id").alias("neighbor_id"), "v", "cell")
     qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
     # per-query probe cells: rank centroids by cosine, take nprobe
     scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
@@ -1964,6 +1973,20 @@ def queries():
         "ann_topk_ivf": lambda s, d: topk_ivf(
             _emb(s, d), self_queries(_emb(s, d)), lloyd_iters=0, centroids="seed"
         ),
+        # metadata-filtered vector search: candidates restricted to half
+        # the corpus (label % 2 = 0); index layout + probes stay full
+        "ann_topk_filtered": lambda s, d: topk_ivf(
+            _emb(s, d),
+            self_queries(_emb(s, d)),
+            lloyd_iters=0,
+            centroids="seed",
+            candidates=_emb(s, d).where(F.col("label") % 2 == 0),
+        ),
+        # exact filtered twin: the brute-force baseline under the same
+        # predicate (what the filtered IVF recall is judged against)
+        "ann_topk_filtered_exact": lambda s, d: topk_bruteforce(
+            _emb(s, d).where(F.col("label") % 2 == 0), self_queries(_emb(s, d))
+        ),
         # the un-overridden DEFAULT path (trained quantizer, float corpus)
         "ann_topk_ivf_default": lambda s, d: topk_ivf(
             _emb(s, d), self_queries(_emb(s, d))
@@ -2242,6 +2265,7 @@ def _ivf_sql(
     k: int = 10,
     nq: int = 5,
     exclude: list[int] | None = None,
+    candidate_pred: str | None = None,
 ) -> str:
     """Replay of topk_ivf(lloyd_iters=0): seed centroids are the first
     n_cells corpus vectors ORDERED BY vec_id, labeled 0..n_cells-1 exactly
@@ -2257,6 +2281,14 @@ def _ivf_sql(
         if exclude
         else ""
     )
+    if candidate_pred:
+        # metadata filter on the CANDIDATE side only (quantizer and probe
+        # lists stay full-corpus, matching topk_ivf(candidates=...))
+        kw = " AND" if excl else " WHERE"
+        excl += (
+            f"{kw} a.vec_id IN (SELECT vec_id FROM embeddings"
+            f" WHERE {candidate_pred})"
+        )
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 c AS (
@@ -3125,6 +3157,11 @@ def oracle_sql():
         "ann_topk_lsh": _lsh_sql(),
         "ann_topk_lsh_multiprobe": _lsh_sql(multiprobe=True),
         "ann_topk_ivf": _ivf_sql(),
+        "ann_topk_filtered": _ivf_sql(candidate_pred="label % 2 = 0"),
+        "ann_topk_filtered_exact": _TOPK_SQL.replace(
+            "WHERE e.vec_id <> q.query_id",
+            "WHERE e.vec_id <> q.query_id AND e.label % 2 = 0",
+        ),
         "ann_topk_ivf_default": _ivf_default_sql(),
         "ann_topk_ivf_lloyd": _ivf_lloyd_sql(),
         "ann_topk_ivf_trained": _ivf_lloyd_sql(trained=True),

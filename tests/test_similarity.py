@@ -704,3 +704,33 @@ def test_semdedup_store_incremental_append_and_pruning(spark, emb, tmp_path):
     keep2 = {r["vec_id"]: r["keep"] for r in
              S.semdedup_check_vs_store(spark, b2, path).collect()}
     assert keep2 and set(keep2.values()) <= {0, 1}
+
+
+def test_filtered_ivf_respects_predicate_and_recall(spark, emb):
+    from pyspark.sql import functions as F
+
+    q = similarity.self_queries(emb)
+    filtered = similarity.topk_ivf(
+        emb,
+        q,
+        lloyd_iters=0,
+        centroids="seed",
+        candidates=emb.where(F.col("label") % 2 == 0),
+    )
+    even_ids = {
+        r["vec_id"] for r in emb.where(F.col("label") % 2 == 0).select("vec_id").collect()
+    }
+    got = filtered.collect()
+    # every returned neighbor satisfies the metadata predicate
+    assert all(r["neighbor_id"] in even_ids for r in got)
+    # filter rides BEFORE scoring: each query still returns a full k
+    # (post-filtering the unfiltered top-k would come up short)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+    # sanity vs the exact filtered baseline: probing 4/16 cells must still
+    # recover a reasonable share of the true filtered neighbors
+    exact = similarity.topk_bruteforce(emb.where(F.col("label") % 2 == 0), q)
+    inter = _pairs(filtered) & _pairs(exact)
+    assert len(inter) >= 20  # recall ≥ 0.4 at k=10 over 5 queries
