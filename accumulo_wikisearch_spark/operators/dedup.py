@@ -833,7 +833,9 @@ def _vecs(emb: DataFrame) -> DataFrame:
 def _cos(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (norm(a) * norm(b))
+    # NULL (not ANSI DIVIDE_BY_ZERO) for zero-norm vectors: a threshold
+    # compare on NULL is NULL → the pair drops, the job survives
+    return dot / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def exact_vector_duplicates(emb: DataFrame) -> DataFrame:

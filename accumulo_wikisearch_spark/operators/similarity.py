@@ -53,7 +53,10 @@ def _rank_topk(scored: DataFrame, k: int, order: Column) -> DataFrame:
 def _cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     n = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (n(a) * n(b))
+    # zero-norm vectors score NULL, not DIVIDE_BY_ZERO: under ANSI mode a
+    # single degenerate row would otherwise fail the whole job; NULL scores
+    # sort last (desc) so such candidates lose deterministically
+    return dot / F.nullif(n(a) * n(b), F.lit(0.0))
 
 
 def topk_bruteforce(
@@ -315,10 +318,11 @@ def _assign_cells_udf(centroids: list[tuple[int, list[float]]]):
     cell exactly like array_max over (score, cell) structs. Built lazily
     (pandas_udf needs an active session).
 
-    NULL / wrong-dimension vectors assign to cell -1 (valid cells are
-    ≥ 0) and callers drop them — one malformed row must never kill the
-    job (the `_lsh_bucket_udf` contract; ``np.array`` on ragged input
-    raises, which would fail the whole task)."""
+    NULL / wrong-dimension / zero-norm vectors assign to cell -1 (valid
+    cells are ≥ 0) and callers drop them — one malformed row must never
+    kill the job (the `_lsh_bucket_udf` contract; ``np.array`` on ragged
+    input raises, and a zero norm would raise DIVIDE_BY_ZERO in the
+    expression form under ANSI mode, either failing the whole task)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -346,9 +350,17 @@ def _assign_cells_udf(centroids: list[tuple[int, list[float]]]):
                 dot += V[:, j : j + 1] * Cm[None, :, j]
                 nv += V[:, j] * V[:, j]
                 nc += Cm[:, j] * Cm[:, j]
-            s = dot / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :])
+            if not np.all(nc > 0):
+                # a zero-norm CENTROID is a broken index, not broken data
+                raise ValueError("zero-norm centroid in coarse quantizer")
+            den = np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :]
+            valid = (den > 0).all(axis=1)  # zero/underflow-norm row → -1
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.where(den > 0, dot / np.where(den > 0, den, 1.0), -np.inf)
             best = (k - 1) - np.argmax(s[:, ::-1], axis=1)  # ties → higher cell
-            out[ok] = cell_ids[best]
+            res = cell_ids[best]
+            res[~valid] = -1
+            out[ok] = res
         return pd.Series(out.astype("int32"))
 
     return assign

@@ -48,10 +48,29 @@ def test_lsh_kernel_matches_expression(spark, vs, seed):
 def test_assign_cells_kernel_matches_expression(spark, vs, ncents):
     from accumulo_wikisearch_spark.operators import similarity as S
 
+    import math
+
+    def _sq(v):
+        acc = 0.0
+        for x in v:  # same left-to-right fold as F.aggregate
+            acc += x * x
+        return acc
+
     cents = [(i, [float(x) for x in v]) for i, v in enumerate(vs[:ncents])]
-    nonzero = [v for v in vs if any(x != 0 for x in v)]
-    if not nonzero or any(all(x == 0 for x in v) for v in vs[:ncents]):
-        return  # zero vectors make cosine undefined in both forms
+    # norm UNDERFLOW counts as zero too (denormal components square to
+    # 0.0) — zero/underflow-norm corpus rows take the kernel's -1 path
+    # while the expression form yields NULL scores; both are covered by
+    # test_assign_cells_zero_norm_contract, not this equivalence check.
+    # Also skip when a cross product of two tiny norms underflows.
+    nonzero = [v for v in vs if _sq(v) > 0]
+    if not nonzero or any(_sq(v) == 0 for v in vs[:ncents]):
+        return
+    if any(
+        math.sqrt(_sq(v)) * math.sqrt(_sq(c)) == 0
+        for v in nonzero
+        for _i, c in cents
+    ):
+        return
     df = _df(spark, nonzero)
     scores = S._cell_scores(S._as_double(F.col("embedding")), S._centroid_lit(cents))
     best = F.array_max(
@@ -99,3 +118,41 @@ def test_pq_code_kernel_matches_bruteforce(spark, vs):
                 dists.append(acc)
             want.append(dists.index(min(dists)))
         assert got[i] == tuple(want), (i, got[i], want)
+
+
+def test_assign_cells_zero_norm_contract(spark):
+    """Zero-norm vectors: kernel → -1 (dropped by ivf_assign); the
+    expression cosine → NULL, never an ANSI DIVIDE_BY_ZERO job failure."""
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    cents = [(0, [1.0] * DIM), (1, [0.5] * DIM)]
+    df = _df(spark, [[0.0] * DIM, [1.0] * DIM, [5e-324] * DIM])
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id", S._assign_cells_udf(cents)(F.col("embedding")).alias("cell")
+        ).collect()
+    }
+    assert out[0] == -1          # exact zero norm
+    assert out[2] == -1          # squared-underflow norm
+    assert out[1] >= 0
+    assert S.ivf_assign(df, cents).count() == 1
+    # expression cosine on the same degenerate rows: NULL, no exception
+    scored = df.select(
+        S._cosine(
+            S._as_double(F.col("embedding")), F.array(*[F.lit(1.0)] * DIM)
+        ).alias("c")
+    ).collect()
+    assert scored[0]["c"] is None and scored[1]["c"] is not None
+
+
+def test_bruteforce_survives_zero_norm_corpus_row(spark):
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    vecs = [[float(i + j) for j in range(DIM)] for i in range(1, 7)]
+    df = _df(spark, vecs + [[0.0] * DIM])
+    out = S.topk_bruteforce(df, S.self_queries(df, n=2), k=3)
+    rows = out.collect()
+    assert len(rows) == 6  # 2 queries × 3, job did not die
+    # the zero-norm row (NULL cosine) ranks LAST, never inside top-3
+    assert all(r["neighbor_id"] != 6 for r in rows)
