@@ -113,6 +113,91 @@ def hll_estimate(registers: DataFrame, n_buckets: int = 256) -> DataFrame:
     return agg.select("grp", est.alias("est_distinct"))
 
 
+def _bloom_positions(key: F.Column, m: int, n_hashes: int) -> list[F.Column]:
+    """The ``n_hashes`` bit positions of a key: the tempered mix over the
+    salted key, reduced mod the filter width."""
+    base = F.pmod(key.cast("long"), F.lit(_P31))
+    return [
+        (_mix31(base * 1000003 + s) % m).cast("long") for s in range(1, n_hashes + 1)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_words: int = 64,
+    bits_per_word: int = 60,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom filter over a key set as a (word, bits) bitset table —
+    at most ``n_words`` rows no matter how many keys went in.
+
+    The 100 TB use: membership pre-filtering (decontamination against a
+    benchmark set, "seen before" checks) WITHOUT shuffling the big side —
+    the filter broadcasts, the probe is a map-side bit test, and only the
+    (deterministic) false-positive survivors need an exact pass. Words
+    carry ``bits_per_word`` = 60 usable bits so ``1 << bit`` never
+    touches the sign bit (engines disagree on 1<<63 overflow).
+
+    Merge = ``bit_or`` per word — associative/commutative like the HLL
+    registers, so partial filters from corpus slices combine for free."""
+    m = n_words * bits_per_word
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), m, n_hashes))
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / bits_per_word).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {bits_per_word} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    n_words: int = 64,
+    bits_per_word: int = 60,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Probe keys against a Bloom bitset: (key, in_bloom 0/1).
+
+    No false negatives ever; false positives at the standard
+    (1 - e^{-kn/m})^k rate — and because the hash is deterministic, the
+    exact same positives on every engine (the oracle replays them bit
+    for bit). The filter side broadcasts; the probe never shuffles."""
+    m = n_words * bits_per_word
+    pts = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(*_bloom_positions(F.col(key_col), m, n_hashes))).alias(
+            "pos"
+        ),
+    ).select(
+        "key",
+        (F.col("pos") / bits_per_word).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {bits_per_word} AS INT))"
+        ).alias("mask"),
+    )
+    j = pts.join(F.broadcast(bloom), "word", "left")
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        j.groupBy("key")
+        .agg(F.min(hit).cast("int").alias("in_bloom"))
+        .withColumnRenamed("key", key_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
@@ -136,9 +221,20 @@ def queries():
         b = hll_registers(docs.where(F.col("doc_id") % 2 == 1), "lang", "doc_id")
         return merge_registers(a, b)
 
+    def _bloom(spark, sf_dir):
+        # membership pre-filter: which customers appear in the orders
+        # key set, per the broadcast Bloom bitset (deterministic false
+        # positives and all — the oracle replays the exact bit tests)
+        tune_runtime(spark)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        bloom = bloom_build(orders, "o_custkey")
+        return bloom_probe(customer, "c_custkey", bloom)
+
     return {
         "sketch_hll_registers": _registers,
         "sketch_hll_merge": _merge,
+        "sketch_bloom_semijoin": _bloom,
     }
 
 
@@ -159,8 +255,63 @@ FROM s4 GROUP BY 1, 2
 """
 
 
+def _mix_expr(x: str) -> str:
+    """The tempered mix as ONE nested SQL expression (stages duplicate
+    their input textually — fine for correctness, and small enough)."""
+    s0 = f"(((({x}) % {_P31}) * 48271 + 11) % {_P31})"
+    s1 = f"xor({s0}, {s0} >> 13)"
+    s2 = f"(({s1} * 48271 + 17) % {_P31})"
+    s3 = f"xor({s2}, {s2} >> 9)"
+    return f"(({s3} * 69621) % {_P31})"
+
+
+def _bloom_sql(
+    build_tab: str,
+    build_key: str,
+    probe_tab: str,
+    probe_key: str,
+    n_words: int = 64,
+    bpw: int = 60,
+    n_hashes: int = 3,
+) -> str:
+    m = n_words * bpw
+    salts = range(1, n_hashes + 1)
+    bpts = " UNION ALL ".join(
+        f"SELECT {_mix_expr(f'({build_key} % {_P31}) * 1000003 + {s}')} % {m} AS pos"
+        f" FROM {build_tab}"
+        for s in salts
+    )
+    ppts = " UNION ALL ".join(
+        f"SELECT {probe_key} AS key,"
+        f" {_mix_expr(f'({probe_key} % {_P31}) * 1000003 + {s}')} % {m} AS pos"
+        f" FROM {probe_tab}"
+        for s in salts
+    )
+    return f"""
+WITH bpts AS ({bpts}),
+bloom AS (
+  SELECT pos // {bpw} AS word,
+         bit_or(1::BIGINT << (pos % {bpw})::INTEGER) AS bits
+  FROM bpts GROUP BY 1
+),
+ppts AS ({ppts}),
+probed AS (
+  SELECT p.key,
+    CASE WHEN b.bits IS NOT NULL
+          AND (b.bits & (1::BIGINT << (p.pos % {bpw})::INTEGER))
+              = (1::BIGINT << (p.pos % {bpw})::INTEGER)
+         THEN 1 ELSE 0 END AS hit
+  FROM ppts p LEFT JOIN bloom b ON p.pos // {bpw} = b.word
+)
+SELECT key AS {probe_key}, min(hit)::INTEGER AS in_bloom FROM probed GROUP BY 1
+"""
+
+
 def oracle_sql():
     return {
         "sketch_hll_registers": _reg_sql("events", "event_type", "user_id"),
         "sketch_hll_merge": _reg_sql("documents", "lang", "doc_id"),
+        "sketch_bloom_semijoin": _bloom_sql(
+            "orders", "o_custkey", "customer", "c_custkey"
+        ),
     }

@@ -38,3 +38,32 @@ def test_estimate_small_range_linear_counting(spark):
     df = spark.range(0, 40).select(F.lit("g").alias("g"), F.col("id").alias("v"))
     est = hll_estimate(hll_registers(df, "g", "v")).collect()[0]["est_distinct"]
     assert 30 <= est <= 50
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from accumulo_wikisearch_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.range(0, 500).select((F.col("id") * 13 + 5).alias("k"))
+    bloom = bloom_build(members, "k")
+    assert bloom.count() <= 64  # bitset stays tiny regardless of key count
+    # every member probes positive — Bloom never false-negatives
+    hits = bloom_probe(members, "k", bloom)
+    assert hits.where(F.col("in_bloom") == 0).count() == 0
+    # disjoint non-members: fp rate well under 50% at this load factor
+    others = spark.range(0, 1000).select((F.col("id") * 13 + 6).alias("k"))
+    fp = bloom_probe(others, "k", bloom).where(F.col("in_bloom") == 1).count()
+    assert fp < 500
+
+
+def test_bloom_partial_filters_merge_with_bit_or(spark):
+    from accumulo_wikisearch_spark.operators.sketches import bloom_build
+
+    all_keys = spark.range(0, 400).select(F.col("id").alias("k"))
+    direct = bloom_build(all_keys, "k")
+    a = bloom_build(all_keys.where(F.col("k") < 200), "k")
+    b = bloom_build(all_keys.where(F.col("k") >= 200), "k")
+    merged = (
+        a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
