@@ -198,6 +198,64 @@ def bloom_probe(
     )
 
 
+def _cms_cells(key: F.Column, width: int, depth: int) -> list[F.Column]:
+    """The ``depth`` (row, col) counter cells of a key — one independent
+    salted mix per row (salts offset by 100 so they never coincide with
+    the Bloom salts)."""
+    base = F.pmod(key.cast("long"), F.lit(_P31))
+    return [
+        F.struct(
+            F.lit(r).alias("row"),
+            (_mix31(base * 1000003 + 100 + r) % width).cast("int").alias("col"),
+        )
+        for r in range(1, depth + 1)
+    ]
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 3
+) -> DataFrame:
+    """Count-Min sketch over a key stream: (row, col, cnt) counter table,
+    at most ``depth × width`` rows regardless of stream size.
+
+    Frequency estimation (heavy hitters, per-key rate limits) at 100 TB
+    without a per-key shuffle of the raw stream: counters partial-aggregate
+    map-side, and sketches from disjoint slices merge by SUMMING the
+    (row, col) cells — the additive sibling of the HLL MAX-merge.
+    Estimates are one-sided: never under the true count (Cormode &
+    Muthukrishnan, J. Algorithms 2005)."""
+    return (
+        df.select(
+            F.explode(F.array(*_cms_cells(F.col(key_col), width, depth))).alias("rc")
+        )
+        .select("rc.row", "rc.col")
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    key_col: str,
+    cms: DataFrame,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Point-query the sketch: (key, est_count) = min over the key's
+    ``depth`` counters. The counter table broadcasts; the probe never
+    shuffles the key side. Integer, deterministic, engine-exact."""
+    pts = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(*_cms_cells(F.col(key_col), width, depth))).alias("rc"),
+    ).select("key", "rc.row", "rc.col")
+    j = pts.join(F.broadcast(cms), ["row", "col"], "left")
+    return (
+        j.groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .withColumnRenamed("key", key_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
@@ -231,10 +289,20 @@ def queries():
         bloom = bloom_build(orders, "o_custkey")
         return bloom_probe(customer, "c_custkey", bloom)
 
+    def _cms(spark, sf_dir):
+        # per-user event-count estimates from the CMS counter table;
+        # one-sided error (est >= true), deterministic collisions
+        tune_runtime(spark)
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cms = cms_build(events, "user_id")
+        users = events.select("user_id").distinct()
+        return cms_estimate(users, "user_id", cms)
+
     return {
         "sketch_hll_registers": _registers,
         "sketch_hll_merge": _merge,
         "sketch_bloom_semijoin": _bloom,
+        "sketch_cms_counts": _cms,
     }
 
 
@@ -307,6 +375,34 @@ SELECT key AS {probe_key}, min(hit)::INTEGER AS in_bloom FROM probed GROUP BY 1
 """
 
 
+def _cms_sql(
+    tab: str, key: str, width: int = 1024, depth: int = 3
+) -> str:
+    salts = range(1, depth + 1)
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS row,"
+        f" {_mix_expr(f'({key} % {_P31}) * 1000003 + {100 + r}')} % {width} AS col"
+        f" FROM {tab}"
+        for r in salts
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT {key} AS key, {r} AS row,"
+        f" {_mix_expr(f'({key} % {_P31}) * 1000003 + {100 + r}')} % {width} AS col"
+        f" FROM (SELECT DISTINCT {key} FROM {tab})"
+        for r in salts
+    )
+    return f"""
+WITH cells AS ({cells}),
+cms AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2),
+ppts AS ({probes}),
+joined AS (
+  SELECT p.key, coalesce(c.cnt, 0) AS cnt
+  FROM ppts p LEFT JOIN cms c ON p.row = c.row AND p.col = c.col
+)
+SELECT key AS {key}, min(cnt)::BIGINT AS est_count FROM joined GROUP BY 1
+"""
+
+
 def oracle_sql():
     return {
         "sketch_hll_registers": _reg_sql("events", "event_type", "user_id"),
@@ -314,4 +410,5 @@ def oracle_sql():
         "sketch_bloom_semijoin": _bloom_sql(
             "orders", "o_custkey", "customer", "c_custkey"
         ),
+        "sketch_cms_counts": _cms_sql("events", "user_id"),
     }

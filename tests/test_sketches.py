@@ -67,3 +67,30 @@ def test_bloom_partial_filters_merge_with_bit_or(spark):
     )
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_one_sided_error_and_additive_merge(spark):
+    from accumulo_wikisearch_spark.operators.sketches import cms_build, cms_estimate
+
+    # skewed stream: key 0 appears 500x, keys 1..200 once each
+    heavy = spark.range(0, 500).select(F.lit(0).cast("long").alias("k"))
+    tail = spark.range(1, 201).select(F.col("id").alias("k"))
+    stream = heavy.unionByName(tail)
+    cms = cms_build(stream, "k")
+    assert cms.count() <= 3 * 1024
+    truth = {r["k"]: r["c"] for r in stream.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(stream.select("k").distinct(), "k", cms).collect()
+    }
+    # never under the true count; heavy key essentially exact at this load
+    assert all(est[k] >= truth[k] for k in truth)
+    assert est[0] >= 500 and est[0] <= 520
+    # additive merge: half-stream sketches summed == direct sketch
+    a = cms_build(stream.where(F.col("k") % 2 == 0), "k")
+    b = cms_build(stream.where(F.col("k") % 2 == 1), "k")
+    merged = (
+        a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(cms).count() == 0
+    assert cms.exceptAll(merged).count() == 0
