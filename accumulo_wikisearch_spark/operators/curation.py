@@ -181,6 +181,66 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    k: int = 5,
+    modulus: int = 97,
+    n_words: int = 64,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter — SAME final answer
+    (the oracle is literally the exact path's SQL), different 100 TB cost.
+
+    At scale the eval-suite shingle set can run to 10⁸+ strings — too big
+    to broadcast as a hash set. Its Bloom bitset is KBs-to-MBs, collected
+    to the driver (bounded: ≤ ``n_words`` rows by construction) and
+    compiled into a LITERAL bit-test expression, so the 100 TB training
+    scan probes membership entirely inside whole-stage codegen: no UDF,
+    no join, no shuffle. Bloom false positives (deterministic, ~4% at the
+    default sizing) only cost a second look — the surviving candidates
+    still go through the exact broadcast semi-join, so no false flag can
+    reach the output; false negatives don't exist, so no contamination
+    escapes. The classic sketch-then-verify contract."""
+    from accumulo_wikisearch_spark.operators.sketches import (
+        _bloom_positions,
+        bloom_build,
+    )
+
+    bits_per_word = 60
+    m = n_words * bits_per_word
+    if eval_docs is None:
+        eval_docs = docs.where(F.col("doc_id") % modulus == 0)
+        train = docs.where(F.col("doc_id") % modulus != 0)
+    else:
+        train = docs.join(eval_docs.select("doc_id"), "doc_id", "left_anti")
+    eval_sh = _shingle_rows(eval_docs, k).select("sh").distinct()
+    bloom = bloom_build(
+        eval_sh.select(hash60_col("sh").alias("key")), "key", n_words=n_words
+    )
+    words = {r["word"]: r["bits"] for r in bloom.collect()}  # ≤ n_words rows
+    bitset = F.array(
+        *[F.lit(int(words.get(w, 0))).cast("long") for w in range(n_words)]
+    )
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits_per_word)])
+    key = hash60_col(F.col("sh"))
+    member = F.lit(True)
+    for pos in _bloom_positions(key, m, 3):
+        word = (pos / bits_per_word).cast("int")
+        mask = F.element_at(masks, (pos % bits_per_word).cast("int") + 1)
+        hit = F.element_at(bitset, word + 1).bitwiseAND(mask) == mask
+        member = member & hit
+    candidates = _shingle_rows(train, k).where(member)
+    hits = (
+        candidates.join(F.broadcast(eval_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return train.select("doc_id").join(F.broadcast(hits), "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(0)).cast("int").alias("contaminated")
+    )
+
+
 _DECONTAM_SQL = """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
@@ -535,6 +595,7 @@ def queries():
     return {
         "cur_chunk_documents": lambda s, d: chunk_documents(_docs(s, d)),
         "cur_decontaminate": lambda s, d: decontaminate(_docs(s, d)),
+        "cur_decontaminate_bloom": lambda s, d: decontaminate_bloom(_docs(s, d)),
         "cur_repetition_stats": lambda s, d: repetition_stats(_docs(s, d)),
         "cur_canonical_docs": lambda s, d: canonical_docs(_docs(s, d)),
         "cur_redact_text": lambda s, d: redact_text(_docs(s, d)),
@@ -549,6 +610,8 @@ def oracle_sql():
     return {
         "cur_chunk_documents": _CHUNK_SQL,
         "cur_decontaminate": _DECONTAM_SQL,
+        # same SQL on purpose: the bloom prefilter must not change the answer
+        "cur_decontaminate_bloom": _DECONTAM_SQL,
         "cur_repetition_stats": _REPETITION_SQL,
         "cur_canonical_docs": _CANONICAL_SQL,
         "cur_redact_text": _REDACT_SQL,

@@ -172,3 +172,23 @@ def test_domain_cap_null_domain_is_capped_too(spark):
     assert len(nulls) == 20
     assert sorted(nulls) == list(range(20))  # lowest doc_ids win
     assert len(out) == 25  # 20 null + 5 'a' (under cap, untouched)
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """The Bloom prefilter is sketch-then-verify: its output must be
+    row-identical to the exact path (false positives die in the exact
+    semi-join; false negatives cannot exist)."""
+    from accumulo_wikisearch_spark.operators.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = decontaminate(docs)
+    bloom = decontaminate_bloom(docs)
+    assert bloom.exceptAll(exact).count() == 0
+    assert exact.exceptAll(bloom).count() == 0
+    # tiny filters too: a 1-word bitset saturates (every probe positive)
+    # and the exact verify still keeps the answer right
+    tiny = decontaminate_bloom(docs, n_words=1)
+    assert tiny.exceptAll(exact).count() == 0
