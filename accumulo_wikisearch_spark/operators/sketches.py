@@ -256,6 +256,38 @@ def cms_estimate(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Exact keys with count ≥ threshold, CMS-prefiltered — sketch-then-
+    verify like :func:`~accumulo_wikisearch_spark.operators.curation.
+    decontaminate_bloom`: the answer is EXACTLY the HAVING-count query's.
+
+    At 100 TB an exact per-key count shuffles every key; here the only
+    full-stream work is the CMS build (output ≤ width×depth rows). CMS
+    estimates never undercount, so every true heavy key survives the
+    prefilter; the exact groupBy then runs over just the candidate keys
+    (broadcast semi-join prunes the re-scan) and discards the sketch's
+    false positives. Output: (key, cnt) for true heavy hitters only."""
+    cms = cms_build(df, key_col, width, depth)
+    keys = df.select(key_col).distinct()
+    cand = (
+        cms_estimate(keys, key_col, cms, width, depth)
+        .where(F.col("est_count") >= threshold)
+        .select(key_col)
+    )
+    exact = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return exact.where(F.col("cnt") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # driver registry
 # ---------------------------------------------------------------------------
@@ -298,11 +330,18 @@ def queries():
         users = events.select("user_id").distinct()
         return cms_estimate(users, "user_id", cms)
 
+    def _heavy(spark, sf_dir):
+        # users with >= 70 events, exact, through the CMS prefilter
+        tune_runtime(spark)
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return cms_heavy_hitters(events, "user_id", 70)
+
     return {
         "sketch_hll_registers": _registers,
         "sketch_hll_merge": _merge,
         "sketch_bloom_semijoin": _bloom,
         "sketch_cms_counts": _cms,
+        "sketch_cms_heavy": _heavy,
     }
 
 
@@ -411,4 +450,10 @@ def oracle_sql():
             "orders", "o_custkey", "customer", "c_custkey"
         ),
         "sketch_cms_counts": _cms_sql("events", "user_id"),
+        # exact HAVING query on purpose: the CMS prefilter must not
+        # change the answer (estimates never undercount)
+        "sketch_cms_heavy": (
+            "SELECT user_id, count(*) AS cnt FROM events"
+            " GROUP BY 1 HAVING count(*) >= 70"
+        ),
     }

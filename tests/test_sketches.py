@@ -94,3 +94,21 @@ def test_cms_one_sided_error_and_additive_merge(spark):
     )
     assert merged.exceptAll(cms).count() == 0
     assert cms.exceptAll(merged).count() == 0
+
+
+def test_cms_heavy_hitters_exactly_matches_having_query(spark):
+    from accumulo_wikisearch_spark.operators.sketches import cms_heavy_hitters
+
+    heavy = spark.range(0, 300).select((F.col("id") % 3).alias("k"))  # 3 keys x100
+    tail = spark.range(10, 500).select(F.col("id").alias("k"))  # 490 keys x1
+    stream = heavy.unionByName(tail)
+    got = cms_heavy_hitters(stream, "k", 50)
+    want = (
+        stream.groupBy("k").agg(F.count("*").alias("cnt")).where(F.col("cnt") >= 50)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # tiny sketch (every estimate inflated): answer still exact
+    got_tiny = cms_heavy_hitters(stream, "k", 50, width=4, depth=1)
+    assert got_tiny.exceptAll(want).count() == 0
+    assert want.exceptAll(got_tiny).count() == 0
