@@ -343,6 +343,79 @@ def replay_stream_neardup_ingest(spark, sf_dir: str):
     return spark.read.parquet(out_dir).select("doc_id")
 
 
+# final-store cache per sf_dir (same rationale as _NEARDUP_RESULTS)
+_HLL_STORE_RESULTS: dict = {}
+
+
+def replay_stream_hll(spark, sf_dir: str):
+    """HLL cardinality registers maintained CONTINUOUSLY over an event
+    stream: each micro-batch's registers MAX-merge into an at-rest store
+    (tmp-then-swap, the compaction pattern). Because the merge is
+    associative, commutative and idempotent, the store after ANY batching
+    of the stream equals the one-shot batch sketch — so the oracle simply
+    computes the batch registers over the whole table, and a lost batch,
+    double-merge bug, or non-commutative register update hash-mismatches.
+
+    The 100 TB shape: distinct-users-per-type tracked forever at
+    O(groups x m) state, no raw-event retention, no state-store growth —
+    the streaming twin of ``sketch_hll_registers``."""
+    import os
+    import shutil
+    import tempfile
+
+    from accumulo_wikisearch_spark.operators.sketches import (
+        hll_registers,
+        merge_registers,
+    )
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    cached = _HLL_STORE_RESULTS.get(sf_dir)
+    if cached is not None:
+        return spark.read.parquet(cached)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="hll-stream-stage-")
+    for i, cond in enumerate(
+        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+    ):
+        tmp = tempfile.mkdtemp(prefix=f"hll-batch{i}-")
+        events.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{stage}/batch_{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        t = 1_000_000_000 + i * 1000
+        os.utime(dst, (t, t))  # deterministic micro-batch order
+    store = tempfile.mkdtemp(prefix="hll-store-")
+
+    def process_batch(bdf, _bid):
+        regs = hll_registers(bdf, "event_type", "user_id")
+        if os.listdir(store):
+            old = spark.read.parquet(store)
+            # materialize BEFORE the swap deletes the files under the plan
+            merged = merge_registers(old, regs).localCheckpoint()
+        else:
+            merged = regs
+        tmp_out = store + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(tmp_out, store)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hll-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    _HLL_STORE_RESULTS[sf_dir] = store
+    return spark.read.parquet(store)
+
+
 def _neardup_ingest_sql(k: int = 3, num: int = 4, den: int = 5) -> str:
     """Sequential greedy replay of the two-batch near-dup ingest: the
     symmetric exact-Jaccard pair set once, then batch-0 survivors vs the
@@ -408,7 +481,16 @@ def queries():
         "ev_stream_windowed_replay": replay_windowed_counts,
         "ev_stream_dedup_replay": replay_stream_dedup,
         "doc_stream_neardup_ingest": replay_stream_neardup_ingest,
+        "sketch_hll_stream_replay": replay_stream_hll,
     }
+
+
+def _hll_stream_sql() -> str:
+    # the at-rest store after max-merging every micro-batch == the batch
+    # sketch over the whole table (merge is order/batching-insensitive)
+    from accumulo_wikisearch_spark.operators.sketches import _reg_sql
+
+    return _reg_sql("events", "event_type", "user_id")
 
 
 def oracle_sql():
@@ -416,4 +498,5 @@ def oracle_sql():
         "ev_stream_windowed_replay": _REPLAY_SQL,
         "ev_stream_dedup_replay": _DEDUP_REPLAY_SQL,
         "doc_stream_neardup_ingest": _neardup_ingest_sql(),
+        "sketch_hll_stream_replay": _hll_stream_sql(),
     }
