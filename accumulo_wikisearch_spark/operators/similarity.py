@@ -691,12 +691,61 @@ def _quantize_arr(col: Column) -> Column:
     )
 
 
+def _quantize_udf():
+    """Arrow-vectorized int8 quantization — ONE numpy pass per batch
+    instead of ~3 interpreted lambda calls per ELEMENT (the transform/
+    round/array_max tree measured ~0.65 ms/row at 64 dims — it was the
+    dominant cost of every quantized-corpus path).
+
+    Bit-exact with the :func:`_quantize_arr` expression it replaces
+    (property-tested side by side): Spark/DuckDB ``round`` on DOUBLE is
+    half-away-from-zero ON THE EXACT DOUBLE VALUE (halfway points n+0.5
+    are exactly representable below 2^52, so no decimal-repr ambiguity),
+    and np.round (half-to-even) or ``floor(x+0.5)`` (the 0.49999999999999994
+    pitfall: the +0.5 ADDITION rounds up to 1.0) both get it wrong — so
+    the kernel computes the fractional part EXACTLY (``m - floor(m)`` is
+    exact for 0 ≤ m < 2^52: Sterbenz for m ≥ 1, trivial below) and
+    compares it to 0.5. NULL rows stay NULL (the `_lsh_bucket_udf`
+    malformed-row contract); lengths may vary (quantization is per-row),
+    so rows are batched by length."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def q(vs):
+        vals = list(vs)
+        res: list = [None] * len(vals)
+        by_len: dict[int, list[int]] = {}
+        for i, x in enumerate(vals):
+            if x is not None:
+                by_len.setdefault(len(x), []).append(i)
+        for ln, idxs in by_len.items():
+            if ln == 0:
+                for i in idxs:
+                    res[i] = np.array([], dtype=np.float64)
+                continue
+            X = np.array([vals[i] for i in idxs], dtype=np.float64)
+            mx = np.max(np.abs(X), axis=1)
+            A = X / np.where(mx == 0.0, 1.0, mx / 127.0)[:, None]
+            M = np.abs(A)
+            Fl = np.floor(M)
+            R = Fl + (M - Fl >= 0.5)  # exact frac ⇒ exact half-away
+            Q = np.where(A < 0, -R, R)
+            Q[mx == 0.0, :] = 0.0
+            for r, i in enumerate(idxs):
+                res[i] = Q[r]
+        return pd.Series(res)
+
+    return q
+
+
 def _quantized_vecs(emb: DataFrame) -> DataFrame:
     """int8-quantized corpus vectors. Whole-number inputs make every
     downstream sum EXACT in double (|Σ| « 2⁵³, no rounding), so
     aggregation order stops mattering — the property that lets Lloyd
     refinement be deterministic across engines and partitionings."""
-    return emb.select("vec_id", _quantize_arr(F.col("embedding")).alias("v"))
+    return emb.select("vec_id", _quantize_udf()(F.col("embedding")).alias("v"))
 
 
 def _lloyd_refine_exact(
@@ -723,6 +772,50 @@ def _lloyd_refine_exact(
         new = dict(cents)
         for r in means:
             new[r["cell"]] = [float(x) for x in r["mean"]]
+        cents = sorted(new.items())
+    return cents
+
+
+def _lloyd_refine_sample(V, cents, lloyd_iters: int):
+    """SAMPLE-side integer-exact Lloyd — the numpy twin of
+    :func:`_lloyd_refine_exact`, run on the driver over the bounded
+    training sample instead of as distributed passes over the corpus.
+    This is how FAISS trains: k-means over a capped sample, never the
+    full collection — at 100 TB the distributed form costs
+    O(corpus × lloyd_iters) scans for a quantizer whose quality is set
+    by the sample anyway, while this form costs O(sample_cap × k × dim)
+    driver flops (microseconds).
+
+    Bit-compatible with the distributed form's per-row math: assignment
+    replicates :func:`_assign_cells_udf` exactly (sequential dim folds —
+    exact anyway over the whole-number grid — ties to the HIGHER cell,
+    zero-norm rows excluded), means are floor(sum/count) per (cell, dim)
+    over exact integer sums, and empty cells keep their previous
+    centroid. The SQL oracle replays the same loop over its sample CTE.
+    """
+    import numpy as np
+
+    for _ in range(lloyd_iters):
+        Cm = np.array([cvec for _cid, cvec in cents], dtype=np.float64)
+        if not np.all((Cm * Cm).sum(axis=1) > 0):
+            raise ValueError("zero-norm centroid in coarse quantizer")
+        k = len(Cm)
+        # exact integer sums (quantized grid) → any summation order works
+        dot = V @ Cm.T
+        nv = (V * V).sum(axis=1)
+        den = np.sqrt(nv)[:, None] * np.sqrt((Cm * Cm).sum(axis=1))[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(den > 0, dot / np.where(den > 0, den, 1.0), -np.inf)
+        best = (k - 1) - np.argmax(s[:, ::-1], axis=1)  # ties → higher cell
+        valid = nv > 0  # zero-norm rows never contribute to means
+        new = dict(cents)
+        for cell in range(k):
+            mask = valid & (best == cell)
+            cnt = int(mask.sum())
+            if cnt:
+                new[cell] = [
+                    float(np.floor(x / cnt)) for x in V[mask].sum(axis=0)
+                ]
         cents = sorted(new.items())
     return cents
 
@@ -765,18 +858,17 @@ def take_centroids_trained(
        center, ties to the lowest vec_id. Over QUANTIZED (whole-number)
        vectors every squared-L2 is an exact integer in double, so the
        greedy is bit-replayable by the oracle's recursive CTE.
-    3. ``lloyd_iters`` integer-exact distributed refinement steps
-       (:func:`_lloyd_refine_exact`).
+    3. ``lloyd_iters`` integer-exact SAMPLE-side refinement steps
+       (:func:`_lloyd_refine_sample` — FAISS-style train-on-sample; the
+       corpus is never scanned beyond the count + the pushed-down sample
+       filter, so training cost is O(sample_cap), not O(corpus)).
     """
-    # persist the quantized view: the sample scan + every Lloyd pass read
-    # it, and the interpreted quantize ``transform`` would otherwise be
-    # re-evaluated per pass (and per element reference after
-    # CollapseProject) — measured 6 s → <1 s at sf0.1
-    q8 = _quantized_vecs(emb).persist()
-    try:
-        return _take_centroids_trained_q8(q8, n_cells, lloyd_iters, sample_cap)
-    finally:
-        q8.unpersist()
+    # no persist needed: the hash filter is on vec_id only, so Catalyst
+    # pushes it below the quantize projection — only sampled rows are
+    # ever quantized, in ONE scan
+    return _take_centroids_trained_q8(
+        _quantized_vecs(emb), n_cells, lloyd_iters, sample_cap
+    )
 
 
 def _take_centroids_trained_q8(
@@ -788,7 +880,7 @@ def _take_centroids_trained_q8(
     V = _hash_sample_q8(q8, sample_cap)
     chosen = _greedy_farthest(V, min(n_cells, len(V)))
     cents = [(j, [float(x) for x in V[i]]) for j, i in enumerate(chosen)]
-    return _lloyd_refine_exact(q8, cents, lloyd_iters)
+    return _lloyd_refine_sample(V, cents, lloyd_iters)
 
 
 def _hash_sample_q8(q8: DataFrame, sample_cap: int):
@@ -999,7 +1091,7 @@ def _trained_assign(
     return emb.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
-        _assign_cells_udf(cents)(_quantize_arr(F.col("embedding"))).alias("cell"),
+        _assign_cells_udf(cents)(_quantize_udf()(F.col("embedding"))).alias("cell"),
     ).where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
 
 
@@ -1443,16 +1535,16 @@ def write_ivf_pq_index(
     if quantizers == "trained":
         q8 = _quantized_vecs(emb).persist()
         V = _hash_sample_q8(q8, sample_cap)
-        cents = _lloyd_refine_exact(
-            q8,
+        cents = _lloyd_refine_sample(
+            V,
             [
                 (j, [float(x) for x in V[i]])
                 for j, i in enumerate(_greedy_farthest(V, min(n_cells, len(V))))
             ],
             lloyd_iters,
         )
-        books = _pq_books_refine_exact(
-            q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+        books = _pq_books_refine_sample(
+            V, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
         )
         coded = q8.select(
             F.col("vec_id"),
@@ -1613,6 +1705,50 @@ def _pq_books_refine_exact(
     return books
 
 
+def _pq_books_refine_sample(
+    V,
+    books: list[list[tuple[int, list[float]]]],
+    sub_dim: int,
+    lloyd_iters: int,
+):
+    """SAMPLE-side per-subspace Lloyd refinement — the numpy twin of
+    :func:`_pq_books_refine_exact`, run on the driver over the bounded
+    training sample (the :func:`_lloyd_refine_sample` rationale: FAISS
+    trains PQ codebooks on a capped sample; the distributed form costs
+    O(corpus × lloyd_iters) scans for books whose fit is set by the
+    sample anyway). Bit-compatible per-row math: coding replicates
+    :func:`_pq_code_udf` (squared-L2 argmin, first-min tie → lower code —
+    exact integers on the quantized grid), means are floor(sum/count)
+    per (subspace, code, dim), empty codes keep their previous codeword.
+    The SQL oracle replays the same loop over its sample CTE."""
+    import numpy as np
+
+    m = len(books)
+    for _ in range(lloyd_iters):
+        new = []
+        for s in range(m):
+            X = V[:, s * sub_dim : (s + 1) * sub_dim]
+            C = np.array([cv for _c, cv in books[s]], dtype=np.float64)
+            # exact integer sums → summation order free
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            code = np.argmin(d2, axis=1)  # first min == lower code
+            book = dict(books[s])
+            for c in range(len(C)):
+                mask = code == c
+                cnt = int(mask.sum())
+                if cnt:
+                    book[c] = [
+                        float(np.floor(x / cnt)) for x in X[mask].sum(axis=0)
+                    ]
+            new.append(sorted(book.items()))
+        books = new
+    return books
+
+
 def pq_books_trained(
     emb: DataFrame,
     m: int = _PQ_M,
@@ -1626,17 +1762,14 @@ def pq_books_trained(
     :func:`_pq_codebooks` (ADC recall lives on codebook fit; FAISS
     likewise trains per-subspace k-means): hash-sample the quantized
     corpus (:func:`_hash_sample_q8`), greedy farthest-point seeds per
-    subspace, then ``lloyd_iters`` integer-exact distributed refinement
-    steps. Every quantity is whole-number arithmetic, so the books — and
-    everything coded with them — are bit-replayable by the SQL oracle."""
-    q8 = _quantized_vecs(emb).persist()  # see take_centroids_trained
-    try:
-        V = _hash_sample_q8(q8, sample_cap)
-        return _pq_books_refine_exact(
-            q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
-        )
-    finally:
-        q8.unpersist()
+    subspace, then ``lloyd_iters`` integer-exact SAMPLE-side refinement
+    steps (:func:`_pq_books_refine_sample`). Every quantity is
+    whole-number arithmetic, so the books — and everything coded with
+    them — are bit-replayable by the SQL oracle."""
+    V = _hash_sample_q8(_quantized_vecs(emb), sample_cap)
+    return _pq_books_refine_sample(
+        V, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+    )
 
 
 def _codes_wide(q8: DataFrame, books, sub_dim: int) -> DataFrame:
@@ -1671,11 +1804,12 @@ def topk_pq_adc_trained(
     :func:`pq_books_trained` and both sides on the int8 grid — every ADC
     distance is an exact integer in double, so ranking is aggregation-
     order independent and the whole operator is SQL-replayable."""
-    # ONE persisted quantized view feeds training, coding, and queries
+    # ONE persisted quantized view feeds coding and queries (training
+    # reads only its pushed-down sample slice of it)
     q8 = _quantized_vecs(emb).persist()
     V = _hash_sample_q8(q8, sample_cap)
-    books = _pq_books_refine_exact(
-        q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+    books = _pq_books_refine_sample(
+        V, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
     )
     # persist = the at-rest codes table (see topk_pq_adc's note)
     codes = _codes_wide(q8, books, sub_dim).persist()
@@ -1708,15 +1842,15 @@ def topk_ivf_pq_trained(
     (:func:`pq_books_trained`), sharing one hash-sample. The full
     FAISS-IVFADC shape with its production training story, deterministic
     end-to-end on the int8 grid."""
-    q8 = _quantized_vecs(emb).persist()  # shared by training + corpus + queries
+    q8 = _quantized_vecs(emb).persist()  # shared by corpus + queries
     V = _hash_sample_q8(q8, sample_cap)
     seed_cents = [
         (j, [float(x) for x in V[i]])
         for j, i in enumerate(_greedy_farthest(V, min(n_cells, len(V))))
     ]
-    cents = _lloyd_refine_exact(q8, seed_cents, lloyd_iters)
-    books = _pq_books_refine_exact(
-        q8, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+    cents = _lloyd_refine_sample(V, seed_cents, lloyd_iters)
+    books = _pq_books_refine_sample(
+        V, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
     )
     corpus = (
         q8.select(
@@ -2380,14 +2514,18 @@ def _coarse_ctes(
     (the auto-sized SemDeDup cell count) instead of an int literal.
     Returns (sql_fragment, final_centroid_cte_name)."""
     n_lim = f"({n_cells})" if isinstance(n_cells, str) else str(n_cells)
+    # trained mode refines over the SAMPLE (cand) — the engine's
+    # _lloyd_refine_sample; seed/lloyd-exact mode keeps the full-corpus
+    # refinement of _lloyd_refine_exact
+    ltab = "cand" if trained else vtab
 
     def assign(prev: str) -> str:
-        cos = _cos_sql(f"{vtab}.v", f"{prev}.cvec", dim)
+        cos = _cos_sql(f"{ltab}.v", f"{prev}.cvec", dim)
         return f"""(
     SELECT vec_id, v, cell FROM (
-      SELECT {vtab}.vec_id, {vtab}.v, {prev}.cell,
-        row_number() OVER (PARTITION BY {vtab}.vec_id ORDER BY {cos} DESC, {prev}.cell DESC) AS rn
-      FROM {vtab} CROSS JOIN {prev}
+      SELECT {ltab}.vec_id, {ltab}.v, {prev}.cell,
+        row_number() OVER (PARTITION BY {ltab}.vec_id ORDER BY {cos} DESC, {prev}.cell DESC) AS rn
+      FROM {ltab} CROSS JOIN {prev}
     ) WHERE rn = 1
   )"""
 
@@ -2584,23 +2722,25 @@ pcb0 AS (
   JOIN cand ON cand.vec_id = pch.chosen[r.j]
 )"""
     prev = "pcb0"
+    # refinement runs over the SAMPLE (cand) — the engine's
+    # _pq_books_refine_sample trains on the capped sample, never the corpus
     d_expr = (
         f"list_sum(list_transform(range(1, {sub_dim + 1}), "
-        f"j -> (q8.v[b.s * {sub_dim} + j] - b.cv[j]) * (q8.v[b.s * {sub_dim} + j] - b.cv[j])))"
+        f"j -> (cand.v[b.s * {sub_dim} + j] - b.cv[j]) * (cand.v[b.s * {sub_dim} + j] - b.cv[j])))"
     )
     for it in range(1, lloyd_iters + 1):
         sql += f""",
 pa{it} AS (
   SELECT vec_id, s, code FROM (
-    SELECT q8.vec_id, b.s, b.code,
-      row_number() OVER (PARTITION BY q8.vec_id, b.s ORDER BY {d_expr} ASC, b.code ASC) AS rn
-    FROM q8 CROSS JOIN {prev} b
+    SELECT cand.vec_id, b.s, b.code,
+      row_number() OVER (PARTITION BY cand.vec_id, b.s ORDER BY {d_expr} ASC, b.code ASC) AS rn
+    FROM cand CROSS JOIN {prev} b
   ) WHERE rn = 1
 ),
 pm{it} AS (
-  SELECT a.s, a.code, r.j, floor(sum(q8.v[a.s * {sub_dim} + r.j]) / count(*)) AS m
-  FROM pa{it} a, q8, range(1, {sub_dim + 1}) AS r(j)
-  WHERE q8.vec_id = a.vec_id
+  SELECT a.s, a.code, r.j, floor(sum(cand.v[a.s * {sub_dim} + r.j]) / count(*)) AS m
+  FROM pa{it} a, cand, range(1, {sub_dim + 1}) AS r(j)
+  WHERE cand.vec_id = a.vec_id
   GROUP BY a.s, a.code, r.j
 ),
 pcb{it} AS (

@@ -156,3 +156,43 @@ def test_bruteforce_survives_zero_norm_corpus_row(spark):
     assert len(rows) == 6  # 2 queries × 3, job did not die
     # the zero-norm row (NULL cosine) ranks LAST, never inside top-3
     assert all(r["neighbor_id"] != 6 for r in rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vs=st.lists(vec, min_size=1, max_size=8))
+def test_quantize_kernel_matches_expression(spark, vs):
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    df = _df(spark, vs)
+    expr = df.select("vec_id", S._quantize_arr(F.col("embedding")).alias("v"))
+    kern = df.select("vec_id", S._quantize_udf()(F.col("embedding")).alias("v"))
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, kern.collect()))
+
+
+def test_quantize_kernel_halfway_and_degenerate_rows(spark):
+    """The adversarial rows for round-half-away replication: with
+    max|x| = 127 the scale is exactly 1.0, so every element is its own
+    rounding input — exact halfway points (±n.5, which floor(x+0.5)
+    or np.round would misround) and 0.49999999999999994 (the largest
+    double < 0.5, which the x+0.5 ADDITION rounds up to 1.0). Plus the
+    zero vector and a NULL row (contract: zeros / NULL through both
+    forms)."""
+    from accumulo_wikisearch_spark.operators import similarity as S
+
+    rows = [
+        (0, [2.5, -2.5, 126.5, -126.5, 0.5, -0.5, 0.49999999999999994, 127.0]),
+        (1, [0.0] * 8),
+        (2, None),
+        (3, [1e-9, -1e-9, 63.49999999999999, -63.50000000000001, 3.0, -3.0, 0.0, -127.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = df.select("vec_id", S._quantize_arr(F.col("embedding")).alias("v"))
+    kern = df.select("vec_id", S._quantize_udf()(F.col("embedding")).alias("v"))
+    e = {r["vec_id"]: r["v"] for r in expr.collect()}
+    k = {r["vec_id"]: r["v"] for r in kern.collect()}
+    assert e == k
+    assert e[0] == [3.0, -3.0, 127.0, -127.0, 1.0, -1.0, 0.0, 127.0]
