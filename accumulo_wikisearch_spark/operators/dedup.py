@@ -432,6 +432,7 @@ def near_dups_vs_store(
     num: int = 4,
     den: int = 5,
     max_bucket: int | None = 4096,
+    materialize: bool = True,
 ) -> DataFrame:
     """(base_id, new_id) exact-verified near-dup pairs between a NEW batch
     and the stored corpus — the incremental form of
@@ -459,8 +460,17 @@ def near_dups_vs_store(
         _band_rows(sets_new, num_hashes, bands), ["band", "bsig"], max_bucket
     ).withColumn("bk", F.pmod(F.col("bsig"), F.lit(_STORE_BUCKETS)))
     banded_new = banded_new.persist()
+
+    def _cleanup(*extra: DataFrame) -> None:
+        # per-batch caches must not outlive the call: a long-running
+        # ingest stream invokes this once per micro-batch, and leaked
+        # cached blocks accumulate without bound (r6 ADVICE)
+        for d in (sets_new, banded_new, *extra):
+            d.unpersist()
+
     bks = sorted(r["bk"] for r in banded_new.select("bk").distinct().collect())
     if not bks:  # empty/short batch: no band rows, hence no candidates
+        _cleanup()
         return spark.createDataFrame([], "base_id bigint, new_id bigint")
     store_bands = spark.read.parquet(f"{path}/bands").where(
         F.col("bk").isin(*bks)
@@ -477,9 +487,10 @@ def near_dups_vs_store(
     )
     sks = sorted(r["sk"] for r in cand.select("sk").distinct().collect())
     if not sks:
+        _cleanup(cand)
         return spark.createDataFrame([], "base_id bigint, new_id bigint")
     store_sets = spark.read.parquet(f"{path}/sets").where(F.col("sk").isin(*sks))
-    return (
+    out = (
         cand.join(
             store_sets.select(
                 F.col("doc_id").alias("base_id"),
@@ -503,6 +514,16 @@ def near_dups_vs_store(
         )
         .select("base_id", "new_id")
     )
+    # materialize before dropping the caches the plan depends on; the
+    # checkpoint blocks are tied to the returned DataFrame and are freed
+    # by the ContextCleaner once the caller drops it.  materialize=False
+    # skips the barrier and leaves the caches live (plan inspection /
+    # composition into a larger lazy job — caller owns cleanup).
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    _cleanup(cand)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -78,8 +78,13 @@ def pipeline_e2e(
     )
     surv = barrier(canon.join(drop, "doc_id", "left_anti"))
     # 4. decontaminate: eval slice = surviving doc_id % 97 == 0; training
-    #    docs sharing any 5-token shingle with it are dropped
-    dec = curation.decontaminate(surv)
+    #    docs sharing any 5-token shingle with it are dropped. The BLOOM
+    #    prefilter path is the production (100 TB) default — answer-
+    #    identical to the exact path by construction (sketch-then-verify:
+    #    false positives re-checked, false negatives impossible), so the
+    #    oracle below is unchanged; at scale it replaces the broadcast
+    #    shingle hash set with a literal bitset probed inside codegen.
+    dec = curation.decontaminate_bloom(surv)
     clean = barrier(
         surv.join(
             dec.where(F.col("contaminated") == 0).select("doc_id"),

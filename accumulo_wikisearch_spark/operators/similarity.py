@@ -1161,6 +1161,7 @@ def semdedup_check_vs_store(
     path: str,
     threshold_pct: int = 90,
     prune_max_cells: int = 1024,
+    materialize: bool = True,
 ) -> DataFrame:
     """(vec_id, cell, keep) over a NEW batch against the stored state:
     a batch vector is a semantic duplicate (keep=0) when a stored KEPT
@@ -1178,6 +1179,7 @@ def semdedup_check_vs_store(
     asn_new = _trained_assign(new_emb, cents).persist()
     cells = sorted(r["cell"] for r in asn_new.select("cell").distinct().collect())
     if not cells:
+        asn_new.unpersist()
         return spark.createDataFrame([], "vec_id bigint, cell int, keep int")
     kept = spark.read.parquet(f"{path}/kept")
     if len(cells) <= prune_max_cells:
@@ -1202,11 +1204,21 @@ def semdedup_check_vs_store(
         .distinct()
         .withColumn("_dom", F.lit(0))
     )
-    return asn_new.join(dom, "vec_id", "left").select(
+    out = asn_new.join(dom, "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         F.coalesce(F.col("_dom"), F.lit(1)).cast("int").alias("keep"),
     )
+    # per-batch cache must not outlive the call (streaming ingest runs
+    # this once per micro-batch — leaked blocks accumulate, r6 ADVICE);
+    # materialize first, then drop the cache the plan depends on.
+    # materialize=False keeps the lazy plan (inspection / composition;
+    # caller owns the cache cleanup).
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    asn_new.unpersist()
+    return out
 
 
 def append_semdedup_store(

@@ -29,10 +29,40 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+)
+
+from accumulo_wikisearch_spark.functions.normalize import HASH60_DUCKDB, hash60_col
 
 _P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime, MINSTD modulus)
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _key_col(df: DataFrame, col_name: str) -> Column:
+    """Sketch key as a LONG: integral columns pass through; strings route
+    through the portable 60-bit md5 hash (the ``decontaminate_bloom``
+    pattern — DuckDB replays it verbatim, see ``HASH60_DUCKDB``).
+
+    Anything else raises: the old behavior (``cast("long")`` on an
+    arbitrary column) silently produced NULL, which collapsed every row
+    into one register/cell and corrupted the sketch without an error."""
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, _INTEGRAL):
+        return F.col(col_name).cast("long")
+    if isinstance(dt, StringType):
+        return hash60_col(F.col(col_name))
+    raise TypeError(
+        f"sketch key column {col_name!r} has unsupported type "
+        f"{dt.simpleString()}; expected an integral or string column"
+    )
 
 
 def _mix31(col: F.Column) -> F.Column:
@@ -64,9 +94,11 @@ def hll_registers(
 
     One partial-aggregating shuffle on (group, bucket); output is at most
     ``m`` rows per group regardless of input size. Registers from disjoint
-    slices merge with ``MAX`` (see :func:`merge_registers`)."""
+    slices merge with ``MAX`` (see :func:`merge_registers`). String value
+    columns are hashed through :func:`hash60_col` first; other
+    non-integral types raise."""
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
-    h = _mix31(F.col(value_col))
+    h = _mix31(_key_col(df, value_col))
     v = (h / n_buckets).cast("long")  # value bits above the bucket index
     maxbits = 31 - int(math.log2(n_buckets))
     rho = F.when(v == 0, F.lit(maxbits + 1)).otherwise(
@@ -140,10 +172,11 @@ def bloom_build(
     touches the sign bit (engines disagree on 1<<63 overflow).
 
     Merge = ``bit_or`` per word — associative/commutative like the HLL
-    registers, so partial filters from corpus slices combine for free."""
+    registers, so partial filters from corpus slices combine for free.
+    String keys hash through :func:`hash60_col` first."""
     m = n_words * bits_per_word
     pos = F.explode(
-        F.array(*_bloom_positions(F.col(key_col), m, n_hashes))
+        F.array(*_bloom_positions(_key_col(df, key_col), m, n_hashes))
     ).alias("pos")
     return (
         df.select(pos)
@@ -175,9 +208,9 @@ def bloom_probe(
     m = n_words * bits_per_word
     pts = df.select(
         F.col(key_col).alias("key"),
-        F.explode(F.array(*_bloom_positions(F.col(key_col), m, n_hashes))).alias(
-            "pos"
-        ),
+        F.explode(
+            F.array(*_bloom_positions(_key_col(df, key_col), m, n_hashes))
+        ).alias("pos"),
     ).select(
         "key",
         (F.col("pos") / bits_per_word).cast("long").alias("word"),
@@ -198,15 +231,20 @@ def bloom_probe(
     )
 
 
+def _cms_colpos(base: Column, width: int, r: int) -> Column:
+    """Counter column of a key in CMS row ``r`` — one independent salted
+    mix per row (salts offset by 100 so they never coincide with the
+    Bloom salts)."""
+    return (_mix31(base * 1000003 + 100 + r) % width).cast("int")
+
+
 def _cms_cells(key: F.Column, width: int, depth: int) -> list[F.Column]:
-    """The ``depth`` (row, col) counter cells of a key — one independent
-    salted mix per row (salts offset by 100 so they never coincide with
-    the Bloom salts)."""
+    """The ``depth`` (row, col) counter cells of a key."""
     base = F.pmod(key.cast("long"), F.lit(_P31))
     return [
         F.struct(
             F.lit(r).alias("row"),
-            (_mix31(base * 1000003 + 100 + r) % width).cast("int").alias("col"),
+            _cms_colpos(base, width, r).alias("col"),
         )
         for r in range(1, depth + 1)
     ]
@@ -223,10 +261,13 @@ def cms_build(
     map-side, and sketches from disjoint slices merge by SUMMING the
     (row, col) cells — the additive sibling of the HLL MAX-merge.
     Estimates are one-sided: never under the true count (Cormode &
-    Muthukrishnan, J. Algorithms 2005)."""
+    Muthukrishnan, J. Algorithms 2005). String keys hash through
+    :func:`hash60_col` first."""
     return (
         df.select(
-            F.explode(F.array(*_cms_cells(F.col(key_col), width, depth))).alias("rc")
+            F.explode(
+                F.array(*_cms_cells(_key_col(df, key_col), width, depth))
+            ).alias("rc")
         )
         .select("rc.row", "rc.col")
         .groupBy("row", "col")
@@ -246,7 +287,9 @@ def cms_estimate(
     shuffles the key side. Integer, deterministic, engine-exact."""
     pts = df.select(
         F.col(key_col).alias("key"),
-        F.explode(F.array(*_cms_cells(F.col(key_col), width, depth))).alias("rc"),
+        F.explode(
+            F.array(*_cms_cells(_key_col(df, key_col), width, depth))
+        ).alias("rc"),
     ).select("key", "rc.row", "rc.col")
     j = pts.join(F.broadcast(cms), ["row", "col"], "left")
     return (
@@ -268,23 +311,38 @@ def cms_heavy_hitters(
     decontaminate_bloom`: the answer is EXACTLY the HAVING-count query's.
 
     At 100 TB an exact per-key count shuffles every key; here the only
-    full-stream work is the CMS build (output ≤ width×depth rows). CMS
-    estimates never undercount, so every true heavy key survives the
-    prefilter; the exact groupBy then runs over just the candidate keys
-    (broadcast semi-join prunes the re-scan) and discards the sketch's
-    false positives. Output: (key, cnt) for true heavy hitters only."""
-    cms = cms_build(df, key_col, width, depth)
-    keys = df.select(key_col).distinct()
-    cand = (
-        cms_estimate(keys, key_col, cms, width, depth)
-        .where(F.col("est_count") >= threshold)
-        .select(key_col)
-    )
-    exact = (
-        df.join(F.broadcast(cand), key_col, "left_semi")
-        .groupBy(key_col)
-        .agg(F.count("*").alias("cnt"))
-    )
+    per-key shuffle is the final exact count over CANDIDATE rows. The
+    over-threshold CMS cells (≤ width×depth rows by construction — never
+    corpus-sized) are collected and compiled into per-row literal
+    bitmasks, so candidacy is a pure whole-stage-codegen bit test on the
+    re-scan: a row survives iff ALL ``depth`` of its cells are over
+    threshold, i.e. iff its CMS estimate (the min over cells) clears the
+    bar. No ``distinct()``, no join — the same literal-bitset trick as
+    ``curation.decontaminate_bloom``. CMS estimates never undercount, so
+    every true heavy key survives the prefilter; the exact groupBy over
+    the surviving rows discards the sketch's false positives. Output:
+    (key, cnt) for true heavy hitters only."""
+    hot = cms_build(df, key_col, width, depth).where(
+        F.col("cnt") >= threshold
+    ).collect()
+    words_per_row = (width + 59) // 60  # 60 usable bits/long (sign-safe)
+    bitmaps = [[0] * words_per_row for _ in range(depth)]
+    for c in hot:
+        bitmaps[c["row"] - 1][c["col"] // 60] |= 1 << (c["col"] % 60)
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    base = F.pmod(_key_col(df, key_col).cast("long"), F.lit(_P31))
+    member = F.lit(True)
+    for r in range(1, depth + 1):
+        bitset = F.array(
+            *[F.lit(int(w)).cast("long") for w in bitmaps[r - 1]]
+        )
+        colx = _cms_colpos(base, width, r)
+        mask = F.element_at(masks, (colx % 60) + 1)
+        hit = F.element_at(bitset, (colx / 60).cast("int") + 1).bitwiseAND(
+            mask
+        ) == mask
+        member = member & hit
+    exact = df.where(member).groupBy(key_col).agg(F.count("*").alias("cnt"))
     return exact.where(F.col("cnt") >= threshold)
 
 
@@ -336,21 +394,43 @@ def queries():
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         return cms_heavy_hitters(events, "user_id", 70)
 
+    def _registers_string(spark, sf_dir):
+        # STRING value column: routed through hash60 (r6 ask) — distinct
+        # source labels per language, sketched
+        tune_runtime(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return hll_registers(docs, "lang", "source")
+
     return {
         "sketch_hll_registers": _registers,
         "sketch_hll_merge": _merge,
         "sketch_bloom_semijoin": _bloom,
         "sketch_cms_counts": _cms,
         "sketch_cms_heavy": _heavy,
+        "sketch_hll_string": _registers_string,
     }
 
 
-def _reg_sql(table: str, grp: str, val: str) -> str:
+def _pm_expr(x: str) -> str:
+    """Non-negative remainder mod 2^31-1 — the SQL twin of ``F.pmod``.
+    DuckDB's ``%`` is sign-preserving, so a bare ``x % p`` silently
+    diverges from the Spark side on negative keys (r6 ADVICE); the
+    double-mod form matches pmod for every input."""
+    return f"((({x}) % {_P31} + {_P31}) % {_P31})"
+
+
+def _key_expr(key: str, is_string: bool) -> str:
+    """SQL twin of :func:`_key_col`: strings route through hash60."""
+    return HASH60_DUCKDB.format(expr=key) if is_string else key
+
+
+def _reg_sql(table: str, grp: str, val: str, val_is_string: bool = False) -> str:
     """DuckDB replay of hll_registers: the tempered mix staged as CTEs
     (xor / >> / % are the same portable primitives the Spark side uses)."""
+    val = _key_expr(val, val_is_string)
     return f"""
 WITH s0 AS (SELECT {grp} AS grp,
-            (({val} % 2147483647) * 48271 + 11) % 2147483647 AS h FROM {table}),
+            ({_pm_expr(val)} * 48271 + 11) % 2147483647 AS h FROM {table}),
 s1 AS (SELECT grp, xor(h, h >> 13) AS h FROM s0),
 s2 AS (SELECT grp, (h * 48271 + 17) % 2147483647 AS h FROM s1),
 s3 AS (SELECT grp, xor(h, h >> 9) AS h FROM s2),
@@ -364,8 +444,10 @@ FROM s4 GROUP BY 1, 2
 
 def _mix_expr(x: str) -> str:
     """The tempered mix as ONE nested SQL expression (stages duplicate
-    their input textually — fine for correctness, and small enough)."""
-    s0 = f"(((({x}) % {_P31}) * 48271 + 11) % {_P31})"
+    their input textually — fine for correctness, and small enough).
+    The entry remainder is the pmod form — later stages stay non-negative
+    by construction, so plain ``%`` is exact there."""
+    s0 = f"(({_pm_expr(x)} * 48271 + 11) % {_P31})"
     s1 = f"xor({s0}, {s0} >> 13)"
     s2 = f"(({s1} * 48271 + 17) % {_P31})"
     s3 = f"xor({s2}, {s2} >> 9)"
@@ -384,13 +466,13 @@ def _bloom_sql(
     m = n_words * bpw
     salts = range(1, n_hashes + 1)
     bpts = " UNION ALL ".join(
-        f"SELECT {_mix_expr(f'({build_key} % {_P31}) * 1000003 + {s}')} % {m} AS pos"
+        f"SELECT {_mix_expr(f'{_pm_expr(build_key)} * 1000003 + {s}')} % {m} AS pos"
         f" FROM {build_tab}"
         for s in salts
     )
     ppts = " UNION ALL ".join(
         f"SELECT {probe_key} AS key,"
-        f" {_mix_expr(f'({probe_key} % {_P31}) * 1000003 + {s}')} % {m} AS pos"
+        f" {_mix_expr(f'{_pm_expr(probe_key)} * 1000003 + {s}')} % {m} AS pos"
         f" FROM {probe_tab}"
         for s in salts
     )
@@ -420,13 +502,13 @@ def _cms_sql(
     salts = range(1, depth + 1)
     cells = " UNION ALL ".join(
         f"SELECT {r} AS row,"
-        f" {_mix_expr(f'({key} % {_P31}) * 1000003 + {100 + r}')} % {width} AS col"
+        f" {_mix_expr(f'{_pm_expr(key)} * 1000003 + {100 + r}')} % {width} AS col"
         f" FROM {tab}"
         for r in salts
     )
     probes = " UNION ALL ".join(
         f"SELECT {key} AS key, {r} AS row,"
-        f" {_mix_expr(f'({key} % {_P31}) * 1000003 + {100 + r}')} % {width} AS col"
+        f" {_mix_expr(f'{_pm_expr(key)} * 1000003 + {100 + r}')} % {width} AS col"
         f" FROM (SELECT DISTINCT {key} FROM {tab})"
         for r in salts
     )
@@ -455,5 +537,8 @@ def oracle_sql():
         "sketch_cms_heavy": (
             "SELECT user_id, count(*) AS cnt FROM events"
             " GROUP BY 1 HAVING count(*) >= 70"
+        ),
+        "sketch_hll_string": _reg_sql(
+            "documents", "lang", "source", val_is_string=True
         ),
     }

@@ -269,7 +269,11 @@ def test_minhash_store_check_is_partition_pruned(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = str(tmp_path / "pstore")
     D.write_minhash_store(docs.where(F.col("doc_id") % 5 != 0), path)
-    out = D.near_dups_vs_store(spark, docs.where(F.col("doc_id") % 5 == 0), path)
+    # materialize=False keeps the lazy plan visible (the production
+    # default checkpoints, which truncates the explain output)
+    out = D.near_dups_vs_store(
+        spark, docs.where(F.col("doc_id") % 5 == 0), path, materialize=False
+    )
     plan = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )

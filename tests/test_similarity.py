@@ -685,7 +685,9 @@ def test_semdedup_store_incremental_append_and_pruning(spark, emb, tmp_path):
     b1 = emb.where(F.col("vec_id") % 10 == 0)
     b2 = emb.where(F.col("vec_id") % 10 == 5)
     S.write_semdedup_store(base, path)
-    out = S.semdedup_check_vs_store(spark, b1, path)
+    # materialize=False keeps the lazy plan visible (the production
+    # default checkpoints, which truncates the explain output)
+    out = S.semdedup_check_vs_store(spark, b1, path, materialize=False)
     plan = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )

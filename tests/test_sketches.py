@@ -112,3 +112,88 @@ def test_cms_heavy_hitters_exactly_matches_having_query(spark):
     got_tiny = cms_heavy_hitters(stream, "k", 50, width=4, depth=1)
     assert got_tiny.exceptAll(want).count() == 0
     assert want.exceptAll(got_tiny).count() == 0
+
+
+def test_string_keys_route_through_hash60_not_null(spark):
+    # the old behavior cast strings to NULL, collapsing the sketch into a
+    # single register; with hash60 routing, distinct strings spread over
+    # buckets and the estimate tracks the true cardinality
+    from accumulo_wikisearch_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_estimate,
+        cms_build,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("key-"), F.col("id")).alias("v")
+    )
+    regs = hll_registers(df, "g", "v")
+    assert regs.count() > 100  # NULL-cast would have produced exactly 1 row
+    est = hll_estimate(regs).collect()[0]["est_distinct"]
+    assert 1_600 <= est <= 2_400
+
+    members = df.select(F.col("v").alias("k")).limit(200)
+    bloom = bloom_build(members, "k")
+    assert bloom_probe(members, "k", bloom).where(F.col("in_bloom") == 0).count() == 0
+
+    cms = cms_build(df, "v")
+    ests = cms_estimate(df.limit(50), "v", cms)
+    # one-sided: every estimate >= true count (1 per key here)
+    assert ests.where(F.col("est_count") < 1).count() == 0
+
+
+def test_unsupported_key_type_raises(spark):
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.sketches import bloom_build, cms_build
+
+    df = spark.range(0, 10).select(
+        F.lit("g").alias("g"), (F.col("id") / 2.0).alias("v")
+    )
+    with _pytest.raises(TypeError, match="unsupported type"):
+        hll_registers(df, "g", "v")
+    with _pytest.raises(TypeError, match="unsupported type"):
+        bloom_build(df, "v")
+    with _pytest.raises(TypeError, match="unsupported type"):
+        cms_build(df, "v")
+
+
+def test_negative_keys_match_duckdb_oracle(spark):
+    # the SQL replay must use the pmod form — DuckDB's sign-preserving %
+    # silently diverged on negative keys before r7 (r6 ADVICE)
+    import duckdb
+
+    from accumulo_wikisearch_spark.operators.sketches import _reg_sql
+
+    df = spark.range(0, 400).select(
+        F.lit("g").alias("g"), (F.col("id") * 104729 - 20_000_000).alias("v")
+    )
+    assert df.where(F.col("v") < 0).count() > 0
+    got = {
+        (r["grp"], r["bucket"]): r["rho"]
+        for r in hll_registers(df, "g", "v").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT 'g' AS g, (range * 104729 - 20000000) AS v"
+        " FROM range(0, 400)"
+    )
+    want = {
+        (grp, b): rho
+        for grp, b, rho in con.execute(_reg_sql("t", "g", "v")).fetchall()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_plan_has_no_distinct_no_join(spark):
+    # the candidate prefilter is a literal bit test — the returned plan
+    # must contain exactly one aggregation exchange (the candidate-only
+    # exact count) and neither a join nor a full-key distinct
+    from accumulo_wikisearch_spark.operators.sketches import cms_heavy_hitters
+
+    stream = spark.range(0, 300).select((F.col("id") % 5).alias("k"))
+    got = cms_heavy_hitters(stream, "k", 50)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
