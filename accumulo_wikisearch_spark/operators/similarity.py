@@ -1034,6 +1034,7 @@ def semdedup_keep(
     centroids: str = "trained",
     lloyd_iters: int = 2,
     sample_cap: int = 2048,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Semantic dedup keep-list (SemDeDup — Abbas et al., "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication", 2023):
@@ -1067,12 +1068,17 @@ def semdedup_keep(
         n_cells = auto_n_cells(emb.count(), target_cell)
     # persist: both sides of the cell self-join and the final keep-flag
     # read the assignment — without the barrier the centroid argmax runs
-    # three times over the corpus
+    # three times over the corpus.  ``cents`` (optional) is a pre-trained
+    # quantizer: at production scale training is a one-time index-build
+    # cost amortized across serves, so the serve path accepts it directly
+    # (and benches time the two separately).
     if centroids == "trained":
-        cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
+        if cents is None:
+            cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
         asn = _trained_assign(emb, cents).persist()
     else:
-        cents = take_centroids(emb, n_cells, lloyd_iters=0)
+        if cents is None:
+            cents = take_centroids(emb, n_cells, lloyd_iters=0)
         asn = ivf_assign(emb, cents).persist()
     dom = _dominated_lower_id(asn, threshold_pct).withColumn("_dom", F.lit(0))
     return asn.join(dom, "vec_id", "left").select(
@@ -1810,19 +1816,25 @@ def topk_pq_adc_trained(
     lloyd_iters: int = 2,
     nq: int = 5,
     sample_cap: int = 2048,
+    books: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """ADC top-k with TRAINED codebooks over the quantized corpus: same
     LUT/ranking shape as :func:`topk_pq_adc`, but codebooks from
     :func:`pq_books_trained` and both sides on the int8 grid — every ADC
     distance is an exact integer in double, so ranking is aggregation-
-    order independent and the whole operator is SQL-replayable."""
+    order independent and the whole operator is SQL-replayable.
+
+    ``books`` (optional) is a pre-trained codebook set (from
+    :func:`pq_books_trained`): training is a one-time index-build cost
+    at production scale, so the serve path accepts it directly."""
     # ONE persisted quantized view feeds coding and queries (training
     # reads only its pushed-down sample slice of it)
     q8 = _quantized_vecs(emb).persist()
-    V = _hash_sample_q8(q8, sample_cap)
-    books = _pq_books_refine_sample(
-        V, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
-    )
+    if books is None:
+        V = _hash_sample_q8(q8, sample_cap)
+        books = _pq_books_refine_sample(
+            V, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
+        )
     # persist = the at-rest codes table (see topk_pq_adc's note)
     codes = _codes_wide(q8, books, sub_dim).persist()
     qv = q8.where(F.col("vec_id") < nq).select(
@@ -2041,6 +2053,26 @@ def _recall_pq_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(topk_pq_adc_trained(emb), topk_bruteforce_q8(emb))
 
 
+def _recall_filtered_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the metadata-FILTERED IVF path against the filtered
+    brute force — where IVF recall actually degrades at scale: a
+    selective predicate thins the probed cells, so fewer true neighbors
+    sit inside the nprobe lists. Same construction pair as
+    ann_topk_filtered / ann_topk_filtered_exact."""
+    emb = _emb(spark, sf_dir)
+    filt = emb.where(F.col("label") % 2 == 0)
+    return ann_recall(
+        topk_ivf(
+            emb,
+            self_queries(emb),
+            lloyd_iters=0,
+            centroids="seed",
+            candidates=filt,
+        ),
+        topk_bruteforce(filt, self_queries(emb)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # hybrid search (keyword index filter → embedding re-rank)
 # ---------------------------------------------------------------------------
@@ -2188,6 +2220,7 @@ def queries():
         "ann_recall_lsh": _recall_lsh_entry,
         "ann_recall_ivf": _recall_ivf_entry,
         "ann_recall_pq": _recall_pq_entry,
+        "ann_recall_filtered": _recall_filtered_entry,
         # AT-REST layout driven end-to-end (the ANN analogue of
         # ws_written_and3): write the partitioned IVF-PQ index, re-read it
         # from disk, and answer via partition-pruned code scans. Same
@@ -2424,6 +2457,7 @@ def _ivf_sql(
     nq: int = 5,
     exclude: list[int] | None = None,
     candidate_pred: str | None = None,
+    final: bool = True,
 ) -> str:
     """Replay of topk_ivf(lloyd_iters=0): seed centroids are the first
     n_cells corpus vectors ORDERED BY vec_id, labeled 0..n_cells-1 exactly
@@ -2478,9 +2512,13 @@ ranked AS (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
-)
+)""" + (
+        f"""
 SELECT query_id, neighbor_id, rank::INTEGER AS rank FROM ranked WHERE rank <= {k}
 """
+        if final
+        else ""
+    )
 
 
 def _q8_header(recursive: bool) -> str:
@@ -3032,6 +3070,26 @@ bscored AS (
     )
 
 
+def _filtered_recall_sql(
+    pred: str = "label % 2 = 0", dim: int = 64, k: int = 10, nq: int = 5
+) -> str:
+    """Replay of ann_recall(topk_ivf(candidates=filtered),
+    topk_bruteforce(filtered)): the candidate-filtered IVF ranking CTEs
+    and a float brute force restricted to the same predicate."""
+    body = _ivf_sql(candidate_pred=pred, final=False)
+    return (
+        body
+        + f""",
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_cos_sql("q.v", "c.v", dim)} AS cos
+  FROM e c, (SELECT vec_id, v FROM e WHERE vec_id < {nq}) q
+  WHERE c.vec_id <> q.vec_id
+    AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE {pred})
+)"""
+        + _RECALL_TAIL.format(k=k)
+    )
+
+
 def _semdedup_trained_sql(
     threshold_pct: int = 90,
     dim: int = 64,
@@ -3345,6 +3403,7 @@ def oracle_sql():
         "ann_recall_lsh": _lsh_recall_sql(),
         "ann_recall_ivf": _ivf_recall_sql(),
         "ann_recall_pq": _pq_recall_sql(),
+        "ann_recall_filtered": _filtered_recall_sql(),
         "dedup_semdedup_keep": _semdedup_trained_sql(),
         "dedup_semdedup_seed": _semdedup_sql(),
         "dedup_semdedup_incremental": _semdedup_incremental_sql(),

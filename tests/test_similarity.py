@@ -736,3 +736,23 @@ def test_filtered_ivf_respects_predicate_and_recall(spark, emb):
     exact = similarity.topk_bruteforce(emb.where(F.col("label") % 2 == 0), q)
     inter = _pairs(filtered) & _pairs(exact)
     assert len(inter) >= 20  # recall ≥ 0.4 at k=10 over 5 queries
+
+
+def test_filtered_ivf_recall_floor(spark, sf_dir):
+    """recall@10 of the candidate-filtered IVF path vs the filtered brute
+    force — selective predicates thin the probed cells, so this is where
+    IVF recall actually degrades. Values are deterministic (seeded
+    construction, fixed corpus): sf0.001 yields hits [8,8,9,7,10]; the
+    floor is set well under that but high enough to catch a probe-path
+    regression."""
+    from accumulo_wikisearch_spark.operators.similarity import (
+        _recall_filtered_entry,
+    )
+
+    hits = {
+        r["query_id"]: r["hits"]
+        for r in _recall_filtered_entry(spark, sf_dir).collect()
+    }
+    assert len(hits) == 5
+    assert min(hits.values()) >= 5, hits  # every query ≥ 50% recall
+    assert sum(hits.values()) >= 35, hits  # mean ≥ 70% recall
