@@ -125,6 +125,27 @@ def merge_registers(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
 
 
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS counter tables from DISJOINT data slices: per-cell SUM —
+    the additive sibling of :func:`merge_registers`. NOT idempotent
+    (unlike the HLL MAX-merge): merging a slice twice double-counts it,
+    so a replay/checkpoint bug is a visible count shift, not a silent
+    no-op."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge Bloom bitsets built with the same sizing: per-word ``bit_or``
+    — associative, commutative AND idempotent, so slices may overlap."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
 def hll_estimate(registers: DataFrame, n_buckets: int = 256) -> DataFrame:
     """Distinct-count estimate per group from a register table — the local
     final step (float math, so this is the convenience endpoint; the
@@ -494,6 +515,22 @@ probed AS (
 )
 SELECT key AS {probe_key}, min(hit)::INTEGER AS in_bloom FROM probed GROUP BY 1
 """
+
+
+def _cms_table_sql(tab: str, key: str, width: int = 1024, depth: int = 3) -> str:
+    """DuckDB replay of cms_build alone: the (row, col, cnt) counter
+    table (the streaming-store oracle and the CTE body of
+    :func:`_cms_sql`)."""
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS row,"
+        f" {_mix_expr(f'{_pm_expr(key)} * 1000003 + {100 + r}')} % {width} AS col"
+        f" FROM {tab}"
+        for r in range(1, depth + 1)
+    )
+    return (
+        f"WITH cells AS ({cells})\n"
+        "SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2"
+    )
 
 
 def _cms_sql(

@@ -416,6 +416,77 @@ def replay_stream_hll(spark, sf_dir: str):
     return spark.read.parquet(store)
 
 
+_CMS_STORE_RESULTS: dict = {}
+
+
+def replay_stream_cms(spark, sf_dir: str):
+    """CMS frequency counters maintained CONTINUOUSLY over an event
+    stream: each micro-batch's (row, col, cnt) cells SUM-merge into an
+    at-rest store (tmp-then-swap) — the additive twin of
+    :func:`replay_stream_hll`. Because the merge is associative and
+    commutative over DISJOINT batches, the store after any batching of
+    the stream equals the one-shot batch sketch, so the oracle computes
+    the batch counter table over the whole table. Unlike the idempotent
+    HLL MAX-merge, a replayed/double-merged batch shifts counts — the
+    hash check catches exactly-once violations, not just losses.
+
+    The 100 TB shape: per-key frequency tracked forever at
+    O(width × depth) state, no raw-event retention — heavy-hitter and
+    rate-limit queries probe the store without touching the stream."""
+    import os
+    import shutil
+    import tempfile
+
+    from accumulo_wikisearch_spark.operators.sketches import cms_build, cms_merge
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    cached = _CMS_STORE_RESULTS.get(sf_dir)
+    if cached is not None:
+        return spark.read.parquet(cached)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="cms-stream-stage-")
+    for i, cond in enumerate(
+        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+    ):
+        tmp = tempfile.mkdtemp(prefix=f"cms-batch{i}-")
+        events.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{stage}/batch_{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        t = 1_000_000_000 + i * 1000
+        os.utime(dst, (t, t))  # deterministic micro-batch order
+    store = tempfile.mkdtemp(prefix="cms-store-")
+
+    def process_batch(bdf, _bid):
+        cells = cms_build(bdf, "user_id")
+        if os.listdir(store):
+            old = spark.read.parquet(store)
+            # materialize BEFORE the swap deletes the files under the plan
+            merged = cms_merge(old, cells).localCheckpoint()
+        else:
+            merged = cells
+        tmp_out = store + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(tmp_out, store)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cms-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    _CMS_STORE_RESULTS[sf_dir] = store
+    return spark.read.parquet(store)
+
+
 def _neardup_ingest_sql(k: int = 3, num: int = 4, den: int = 5) -> str:
     """Sequential greedy replay of the two-batch near-dup ingest: the
     symmetric exact-Jaccard pair set once, then batch-0 survivors vs the
@@ -482,6 +553,7 @@ def queries():
         "ev_stream_dedup_replay": replay_stream_dedup,
         "doc_stream_neardup_ingest": replay_stream_neardup_ingest,
         "sketch_hll_stream_replay": replay_stream_hll,
+        "sketch_cms_stream_replay": replay_stream_cms,
     }
 
 
@@ -493,10 +565,19 @@ def _hll_stream_sql() -> str:
     return _reg_sql("events", "event_type", "user_id")
 
 
+def _cms_stream_sql() -> str:
+    # the at-rest store after sum-merging every DISJOINT micro-batch ==
+    # the one-shot batch counter table over the whole stream
+    from accumulo_wikisearch_spark.operators.sketches import _cms_table_sql
+
+    return _cms_table_sql("events", "user_id")
+
+
 def oracle_sql():
     return {
         "ev_stream_windowed_replay": _REPLAY_SQL,
         "ev_stream_dedup_replay": _DEDUP_REPLAY_SQL,
         "doc_stream_neardup_ingest": _neardup_ingest_sql(),
         "sketch_hll_stream_replay": _hll_stream_sql(),
+        "sketch_cms_stream_replay": _cms_stream_sql(),
     }

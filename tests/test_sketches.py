@@ -197,3 +197,39 @@ def test_heavy_hitters_plan_has_no_distinct_no_join(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_cms_merge_additive_and_not_idempotent(spark):
+    from accumulo_wikisearch_spark.operators.sketches import cms_build, cms_merge
+
+    df = spark.range(0, 1000).select((F.col("id") % 7).alias("k"))
+    a = cms_build(df.where(F.col("id") % 2 == 0), "k")
+    b = cms_build(df.where(F.col("id") % 2 == 1), "k")
+    direct = cms_build(df, "k")
+    merged = cms_merge(a, b)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # additive ⇒ NOT idempotent: double-merging a slice shifts counts
+    double = cms_merge(a, a, b)
+    assert double.exceptAll(direct).count() > 0
+
+
+def test_bloom_merge_bit_or_and_idempotent(spark):
+    from accumulo_wikisearch_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    keys = spark.range(0, 400).select((F.col("id") * 31 + 7).alias("k"))
+    a = bloom_build(keys.where(F.col("k") % 2 == 0), "k")
+    b = bloom_build(keys.where(F.col("k") % 2 == 1), "k")
+    direct = bloom_build(keys, "k")
+    merged = bloom_merge(a, b)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # idempotent: overlapping slices are harmless
+    over = bloom_merge(a, a, b, direct)
+    assert over.exceptAll(direct).count() == 0
+    # merged filter still has no false negatives
+    assert bloom_probe(keys, "k", merged).where(F.col("in_bloom") == 0).count() == 0
