@@ -166,6 +166,80 @@ def hll_estimate(registers: DataFrame, n_buckets: int = 256) -> DataFrame:
     return agg.select("grp", est.alias("est_distinct"))
 
 
+def hist_build(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Mergeable equi-width histogram: (grp, bucket, cnt) with
+    bucket = clamp(floor((v - lo) · n / (hi - lo))) — the quantile/
+    distribution sketch of the family (Greenwald–Khanna-class accuracy
+    is not needed when a fixed value domain is known; an equi-width
+    table is exact-replayable and merge = per-bucket SUM, the CMS
+    algebra). At most ``n_buckets`` rows per group regardless of input
+    size; quantile estimation is a local cumulative scan over them
+    (:func:`hist_quantile`).
+
+    Engine-exactness: one double expression evaluated in the same order
+    on both engines (IEEE-754 ops are deterministic; the literals
+    round-trip via ``repr``), then integer floor/clamp. NULL and
+    out-of-range-below values drop; values ≥ ``hi`` clamp into the last
+    bucket (so the table is lossless over [lo, ∞))."""
+    v = F.col(value_col).cast("double")
+    raw = F.floor(
+        (v - F.lit(lo)) * F.lit(float(n_buckets)) / F.lit(hi - lo)
+    ).cast("long")
+    b = F.least(raw, F.lit(n_buckets - 1))
+    return (
+        df.where(v.isNotNull() & (v >= F.lit(lo)))
+        .select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histograms from DISJOINT slices: per-bucket SUM (additive,
+    like :func:`cms_merge` — not idempotent)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    hist: DataFrame,
+    q: float,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(grp, est) — the q-quantile estimate per group: upper edge of the
+    first bucket whose cumulative count reaches q·total. Error ≤ one
+    bucket width; a purely local final step over ≤ n_buckets rows per
+    group (float math — convenience endpoint; the oracle-checked
+    artifact is the histogram table)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("bucket")
+    cum = hist.select(
+        "grp",
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("total"),
+    )
+    width = (hi - lo) / n_buckets
+    hit = cum.where(F.col("cum") >= F.lit(q) * F.col("total"))
+    return (
+        hit.groupBy("grp")
+        .agg(F.min("bucket").alias("b"))
+        .select("grp", (F.lit(lo) + (F.col("b") + 1) * F.lit(width)).alias("est"))
+    )
+
+
 def _bloom_positions(key: F.Column, m: int, n_hashes: int) -> list[F.Column]:
     """The ``n_hashes`` bit positions of a key: the tempered mix over the
     salted key, reduced mod the filter width."""
@@ -422,6 +496,16 @@ def queries():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return hll_registers(docs, "lang", "source")
 
+    def _hist(spark, sf_dir):
+        # distribution sketch: disjoint halves merged == direct build
+        # (the oracle computes the direct table; the merge IS the check,
+        # like sketch_hll_merge)
+        tune_runtime(spark)
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a = hist_build(events.where(F.col("event_id") % 2 == 0), "event_type", "value")
+        b = hist_build(events.where(F.col("event_id") % 2 == 1), "event_type", "value")
+        return hist_merge(a, b)
+
     return {
         "sketch_hll_registers": _registers,
         "sketch_hll_merge": _merge,
@@ -429,6 +513,7 @@ def queries():
         "sketch_cms_counts": _cms,
         "sketch_cms_heavy": _heavy,
         "sketch_hll_string": _registers_string,
+        "sketch_hist_merge": _hist,
     }
 
 
@@ -578,4 +663,14 @@ def oracle_sql():
         "sketch_hll_string": _reg_sql(
             "documents", "lang", "source", val_is_string=True
         ),
+        # direct-build oracle: the Spark side merges two disjoint halves,
+        # so the hash match proves the merge algebra as well
+        "sketch_hist_merge": f"""
+SELECT event_type AS grp,
+       least(floor(((value::DOUBLE - CAST({0.0!r} AS DOUBLE)) * CAST({256.0!r} AS DOUBLE)) / CAST({512.0!r} AS DOUBLE))::BIGINT, 255) AS bucket,
+       count(*) AS cnt
+FROM events
+WHERE value IS NOT NULL AND value::DOUBLE >= CAST({0.0!r} AS DOUBLE)
+GROUP BY 1, 2
+""",
     }

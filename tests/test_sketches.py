@@ -233,3 +233,34 @@ def test_bloom_merge_bit_or_and_idempotent(spark):
     assert over.exceptAll(direct).count() == 0
     # merged filter still has no false negatives
     assert bloom_probe(keys, "k", merged).where(F.col("in_bloom") == 0).count() == 0
+
+
+def test_hist_quantile_within_bucket_width(spark):
+    from accumulo_wikisearch_spark.operators.sketches import (
+        hist_build,
+        hist_merge,
+        hist_quantile,
+    )
+
+    # uniform 0..500: median ≈ 250, p90 ≈ 450; bucket width = 2
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("g"), (F.col("id") % 500).cast("double").alias("v")
+    )
+    hist = hist_build(df, "g", "v")
+    assert hist.count() <= 256
+    med = hist_quantile(hist, 0.5).collect()[0]["est"]
+    p90 = hist_quantile(hist, 0.9).collect()[0]["est"]
+    assert abs(med - 250) <= 2 + 1e-9, med
+    assert abs(p90 - 450) <= 2 + 1e-9, p90
+    # merge of disjoint halves == direct build (additive algebra)
+    a = hist_build(df.where(F.col("id") % 2 == 0), "g", "v")
+    b = hist_build(df.where(F.col("id") % 2 == 1), "g", "v")
+    merged = hist_merge(a, b)
+    assert merged.exceptAll(hist).count() == 0
+    assert hist.exceptAll(merged).count() == 0
+    # clamp: values >= hi land in the last bucket, none dropped
+    big = spark.range(0, 10).select(
+        F.lit("g").alias("g"), (F.col("id") + 600).cast("double").alias("v")
+    )
+    hb = hist_build(big, "g", "v").collect()
+    assert len(hb) == 1 and hb[0]["bucket"] == 255 and hb[0]["cnt"] == 10
