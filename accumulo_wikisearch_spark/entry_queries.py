@@ -465,11 +465,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from accumulo_wikisearch_spark.sources import warc as src_warc
 
     from accumulo_wikisearch_spark.sources import csv as src_csv
+    from accumulo_wikisearch_spark.sources import orc as src_orc
     from accumulo_wikisearch_spark.sources import xml as src_xml
 
     out.update(src_jsonl.queries())
     out.update(src_warc.queries())
     out.update(src_csv.queries())
+    out.update(src_orc.queries())
     out.update(src_xml.queries())
     # The driver's correctness gate checks registry entries in insertion
     # order and truncates (50 entries per round in r01/r02, vs 86
@@ -729,10 +731,12 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     from accumulo_wikisearch_spark.sources import warc as src_warc
 
     from accumulo_wikisearch_spark.sources import csv as src_csv
+    from accumulo_wikisearch_spark.sources import orc as src_orc
     from accumulo_wikisearch_spark.sources import xml as src_xml
 
     out.update(src_jsonl.oracle_sql())
     out.update(src_warc.oracle_sql())
     out.update(src_csv.oracle_sql())
+    out.update(src_orc.oracle_sql())
     out.update(src_xml.oracle_sql())
     return out
