@@ -298,3 +298,31 @@ def test_write_read_xml_preserves_cr_and_survives_control_chars(tmp_path, spark)
     assert len(back) == 2  # no silent row loss
     assert back[1]["text"] == "line1\r\nline2"
     assert back[2]["text"] == "bad�ctl"
+
+
+def test_extract_pages_partial_blob_yields_only_complete_pages():
+    """Parity with the reference's AggregatingRecordReader truncation
+    semantics (ingest/.../reader/AggregatingRecordReaderTest.java:186-244,
+    testPartialXML / testPartialXML2WithNoPartialRecordsReturned): a blob
+    that starts mid-record and/or ends mid-record yields ONLY the
+    complete records between, in order — partial records are never
+    returned."""
+    from accumulo_wikisearch_spark.sources.xml import extract_pages, parse_page
+
+    def page(pid, title):
+        return (
+            f"<page><id>{pid}</id><title>{title}</title>"
+            f"<revision><timestamp>2011-01-01T00:00:00Z</timestamp>"
+            f"<comment>c</comment><text>t</text></revision></page>"
+        )
+
+    # head-truncated (starts inside a page) + tail-truncated (ends inside)
+    blob = page(1, "A")[40:] + page(2, "C") + page(3, "E")[:-20]
+    frags = extract_pages(blob)
+    assert len(frags) == 1
+    art = parse_page(frags[0], "en")
+    assert art is not None and art["id"] == 2 and art["title"] == "C"
+    # fully-complete blob: all records, in order
+    whole = page(1, "A") + page(2, "C") + page(3, "E")
+    got = [parse_page(f, "en")["id"] for f in extract_pages(whole)]
+    assert got == [1, 2, 3]
