@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         analytics,
         curation,
         dedup,
+        layout,
         multimodal,
         pipeline,
         relational,
@@ -459,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sampling.queries())
     out.update(pipeline.queries())
     out.update(sketches.queries())
+    out.update(layout.queries())
     out.update(streaming_analytics.queries())
 
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl
@@ -700,6 +702,7 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         analytics,
         curation,
         dedup,
+        layout,
         multimodal,
         pipeline,
         relational,
@@ -725,6 +728,7 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out.update(sampling.oracle_sql())
     out.update(pipeline.oracle_sql())
     out.update(sketches.oracle_sql())
+    out.update(layout.oracle_sql())
     out.update(streaming_analytics.oracle_sql())
 
     from accumulo_wikisearch_spark.sources import jsonl as src_jsonl

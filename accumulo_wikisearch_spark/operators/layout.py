@@ -1,0 +1,186 @@
+"""Z-order (Morton-curve) data layout — multi-column pruning for scans
+that filter on TWO keys at once.
+
+A single `partitionBy(col)` layout prunes scans on that column only; a
+100 TB event store queried by BOTH `(user_id range)` and `(shard/time
+range)` forces a full scan for one of them. Interleaving the bits of the
+two keys (Morton 1966; the same technique behind Delta/Iceberg OPTIMIZE
+ZORDER) makes points close in EITHER dimension close on the curve, so
+partitioning by the z-value's top bits yields directories that are
+axis-aligned RECTANGLES in (x, y) — a range box on either or both keys
+maps to a small, exactly-computable set of directories.
+
+Everything here is plain integer bit arithmetic (shift/and/or), so the
+z-values are engine-exact and the driver entry hash-checks them against
+a DuckDB replay; the query-side bucket enumeration is a driver-side loop
+over at most ``2^bucket_bits`` buckets (bounded, like the IVF probe-cell
+collect), NOT a scan.
+
+No reference analogue: the reference's only layout is the single-key
+sorted Accumulo table (partitioner.RangePartitioner); this is part of
+the engine's Spark-native scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ZBITS = 10  # per-dimension bits → z in [0, 2^20)
+BUCKET_BITS = 4  # top z-bits used as the partition directory key
+
+
+def zvalue_col(c1: Column, c2: Column, bits: int = ZBITS) -> Column:
+    """Morton z-value of the low ``bits`` of two non-negative integer
+    columns: bit j of x lands at z-bit 2j, bit j of y at 2j+1. A flat
+    ±-chain of 2·bits shift/and terms — whole-stage codegen, no UDF."""
+    x = F.pmod(c1.cast("long"), F.lit(1 << bits))
+    y = F.pmod(c2.cast("long"), F.lit(1 << bits))
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j)
+        z = z + F.shiftleft(
+            F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1
+        )
+    return z
+
+
+def zvalue_sql(x: str, y: str, bits: int = ZBITS) -> str:
+    """DuckDB replay of :func:`zvalue_col` (same shift/and terms)."""
+    m = 1 << bits
+    xs = f"((({x}) % {m} + {m}) % {m})"
+    ys = f"((({y}) % {m} + {m}) % {m})"
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({xs} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({ys} >> {j}) & 1) << {2 * j + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_rects(bits: int, bucket_bits: int):
+    """bucket id → its (x, y) prefix rectangle [x0, x1) × [y0, y1).
+
+    The top ``bucket_bits`` z-bits are, from the top: y_{bits-1},
+    x_{bits-1}, y_{bits-2}, … — alternating dimensions. Decoding them
+    back gives per-dimension prefixes, i.e. an axis-aligned rectangle."""
+    out = {}
+    nx = bucket_bits // 2  # x-prefix bits (x holds the EVEN z-bits)
+    ny = bucket_bits - nx
+    for b in range(1 << bucket_bits):
+        xp = yp = 0
+        # walk the bucket's bits from the top of z downward
+        for i in range(bucket_bits):
+            zbit_index = 2 * bits - 1 - i
+            bit = (b >> (bucket_bits - 1 - i)) & 1
+            if zbit_index % 2:  # odd z-bit → y dimension
+                yp = (yp << 1) | bit
+            else:
+                xp = (xp << 1) | bit
+        xw = 1 << (bits - nx)
+        yw = 1 << (bits - ny)
+        out[b] = (xp * xw, (xp + 1) * xw, yp * yw, (yp + 1) * yw)
+    return out
+
+
+def zbuckets_for_box(
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    bits: int = ZBITS,
+    bucket_bits: int = BUCKET_BITS,
+) -> list[int]:
+    """Bucket ids whose rectangle intersects the query box
+    [x_lo, x_hi] × [y_lo, y_hi] — exact (rectangles are prefix-aligned),
+    driver-side, O(2^bucket_bits)."""
+    hits = []
+    for b, (x0, x1, y0, y1) in _bucket_rects(bits, bucket_bits).items():
+        if x0 <= x_hi and x_lo < x1 and y0 <= y_hi and y_lo < y1:
+            hits.append(b)
+    return hits
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    c1: str,
+    c2: str,
+    bits: int = ZBITS,
+    bucket_bits: int = BUCKET_BITS,
+) -> None:
+    """Write ``df`` partitioned by the z-value's top ``bucket_bits`` bits
+    and z-sorted within each directory (row-group min/max clustering for
+    the bits below the directory key)."""
+    z = zvalue_col(F.col(c1), F.col(c2), bits)
+    shift = 2 * bits - bucket_bits
+    (
+        df.withColumn("z", z)
+        .withColumn("zb", F.shiftright(F.col("z"), shift).cast("int"))
+        .repartition("zb")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(path)
+    )
+
+
+def read_zordered_box(
+    spark: SparkSession,
+    path: str,
+    c1: str,
+    x_lo: int,
+    x_hi: int,
+    c2: str,
+    y_lo: int,
+    y_hi: int,
+    bits: int = ZBITS,
+    bucket_bits: int = BUCKET_BITS,
+) -> DataFrame:
+    """Scan a z-ordered store for a two-sided range box: the bucket list
+    becomes a PARTITION FILTER (only intersecting directories are read),
+    then the exact predicates re-verify — prune-then-verify, the same
+    contract as every sketch path here."""
+    buckets = zbuckets_for_box(x_lo, x_hi, y_lo, y_hi, bits, bucket_bits)
+    df = spark.read.parquet(path)
+    if buckets:
+        df = df.where(F.col("zb").isin(*buckets))
+    else:
+        df = df.where(F.lit(False))
+    return df.where(
+        F.col(c1).between(x_lo, x_hi) & F.col(c2).between(y_lo, y_hi)
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver registry
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    def _zvalue(spark, sf_dir):
+        # z-values over (user_id, value-bucket) per event — pure integer
+        # bit interleave, hash-checked bit for bit
+        tune_runtime(spark)
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # floor, not cast: double→BIGINT casts truncate in Spark but
+        # round in DuckDB — floor is identical in both
+        return events.select(
+            "event_id",
+            zvalue_col(
+                F.col("user_id"), F.floor(F.col("value")).cast("long")
+            ).alias("zval"),
+        )
+
+    return {"layout_zvalue": _zvalue}
+
+
+def oracle_sql():
+    return {
+        "layout_zvalue": (
+            "SELECT event_id, "
+            + zvalue_sql("user_id", "floor(value)::BIGINT")
+            + " AS zval FROM events"
+        )
+    }
