@@ -156,6 +156,11 @@ def read_zordered_box(
 # ---------------------------------------------------------------------------
 
 
+# at-rest z-store per sf_dir (immutable once written, like the written-
+# catalog caches in entry_queries)
+_ZSTORES: dict = {}
+
+
 def queries():
     from accumulo_wikisearch_spark.session import tune_runtime
 
@@ -173,7 +178,27 @@ def queries():
             ).alias("zval"),
         )
 
-    return {"layout_zvalue": _zvalue}
+    def _box_scan(spark, sf_dir):
+        # write the z-ordered store once, then answer a two-sided range
+        # box THROUGH the partition-pruned read path — the at-rest
+        # layout proof (the oracle is the plain filter over raw events)
+        import tempfile
+
+        tune_runtime(spark)
+        path = _ZSTORES.get(sf_dir)
+        if path is None:
+            events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+                "event_id",
+                "user_id",
+                F.floor("value").cast("long").alias("vb"),
+            )
+            path = _ZSTORES[sf_dir] = tempfile.mkdtemp(prefix="wikisearch-z-")
+            write_zordered(events, path, "user_id", "vb")
+        return read_zordered_box(
+            spark, path, "user_id", 10, 40, "vb", 5, 30
+        ).select("event_id")
+
+    return {"layout_zvalue": _zvalue, "layout_box_scan": _box_scan}
 
 
 def oracle_sql():
@@ -182,5 +207,9 @@ def oracle_sql():
             "SELECT event_id, "
             + zvalue_sql("user_id", "floor(value)::BIGINT")
             + " AS zval FROM events"
-        )
+        ),
+        "layout_box_scan": (
+            "SELECT event_id FROM events WHERE user_id BETWEEN 10 AND 40"
+            " AND floor(value)::BIGINT BETWEEN 5 AND 30"
+        ),
     }
