@@ -110,13 +110,20 @@ def write_zordered(
 ) -> None:
     """Write ``df`` partitioned by the z-value's top ``bucket_bits`` bits
     and z-sorted within each directory (row-group min/max clustering for
-    the bits below the directory key)."""
+    the bits below the directory key).
+
+    The shuffle RANGE-partitions on the full z-value, not the directory
+    key: hash-partitioning on ``zb`` would cap write parallelism at
+    2^bucket_bits tasks (a wall at 100 TB), while a z-range split keeps
+    parallelism at ``spark.sql.shuffle.partitions`` — each task covers a
+    contiguous z interval, so it still lands in only one or two
+    directories and stays sorted."""
     z = zvalue_col(F.col(c1), F.col(c2), bits)
     shift = 2 * bits - bucket_bits
     (
         df.withColumn("z", z)
         .withColumn("zb", F.shiftright(F.col("z"), shift).cast("int"))
-        .repartition("zb")
+        .repartitionByRange(F.col("z"))
         .sortWithinPartitions("z")
         .write.mode("overwrite")
         .partitionBy("zb")
