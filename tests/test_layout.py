@@ -67,3 +67,13 @@ def test_zordered_scan_prunes_and_matches_plain_filter(spark, sf_dir, tmp_path):
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "zb" in seg
     assert len(zbuckets_for_box(0, 200, 0, 100)) < 16
+
+
+def test_zvalue_stays_in_codegen_no_python_udf(spark):
+    df = spark.range(0, 10).select(
+        zvalue_col(F.col("id"), F.col("id") + 1).alias("z")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # "*(1)" is the WholeStageCodegen marker in the toString form
+    assert "*(1)" in plan

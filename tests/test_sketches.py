@@ -264,3 +264,13 @@ def test_hist_quantile_within_bucket_width(spark):
     )
     hb = hist_build(big, "g", "v").collect()
     assert len(hb) == 1 and hb[0]["bucket"] == 255 and hb[0]["cnt"] == 10
+
+
+def test_hist_build_is_single_exchange(spark):
+    from accumulo_wikisearch_spark.operators.sketches import hist_build
+
+    df = spark.range(0, 100).select(
+        F.lit("g").alias("g"), (F.col("id") % 50).cast("double").alias("v")
+    )
+    plan = hist_build(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Join" not in plan
