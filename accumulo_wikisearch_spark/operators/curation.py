@@ -203,6 +203,7 @@ def decontaminate_bloom(
     escapes. The classic sketch-then-verify contract."""
     from accumulo_wikisearch_spark.operators.sketches import (
         _bloom_positions,
+        bitset_test,
         bloom_build,
     )
 
@@ -218,17 +219,11 @@ def decontaminate_bloom(
         eval_sh.select(hash60_col("sh").alias("key")), "key", n_words=n_words
     )
     words = {r["word"]: r["bits"] for r in bloom.collect()}  # ≤ n_words rows
-    bitset = F.array(
-        *[F.lit(int(words.get(w, 0))).cast("long") for w in range(n_words)]
-    )
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits_per_word)])
+    bitset_words = [int(words.get(w, 0)) for w in range(n_words)]
     key = hash60_col(F.col("sh"))
     member = F.lit(True)
     for pos in _bloom_positions(key, m, 3):
-        word = (pos / bits_per_word).cast("int")
-        mask = F.element_at(masks, (pos % bits_per_word).cast("int") + 1)
-        hit = F.element_at(bitset, word + 1).bitwiseAND(mask) == mask
-        member = member & hit
+        member = member & bitset_test(bitset_words, pos)
     candidates = _shingle_rows(train, k).where(member)
     hits = (
         candidates.join(F.broadcast(eval_sh), "sh", "left_semi")

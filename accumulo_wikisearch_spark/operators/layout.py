@@ -117,8 +117,29 @@ def write_zordered(
     2^bucket_bits tasks (a wall at 100 TB), while a z-range split keeps
     parallelism at ``spark.sql.shuffle.partitions`` — each task covers a
     contiguous z interval, so it still lands in only one or two
-    directories and stays sorted."""
-    z = zvalue_col(F.col(c1), F.col(c2), bits)
+    directories and stays sorted.
+
+    Keys MUST lie in [0, 2^bits): the interleave wraps values modulo
+    2^bits, which would silently route an out-of-domain key into the
+    wrong rectangle and make box reads MISS it. The write therefore
+    raises per-row on violation — the check rides the same scan, no
+    extra pass. Size ``bits`` to the key domain."""
+    lim = 1 << bits
+
+    def _checked(name: str) -> Column:
+        c = F.col(name).cast("long")
+        return F.when((c >= 0) & (c < lim), c).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"z-order key {name} outside [0, {lim}): "
+                    ),
+                    c.cast("string"),
+                )
+            )
+        )
+
+    z = zvalue_col(_checked(c1), _checked(c2), bits)
     shift = 2 * bits - bucket_bits
     (
         df.withColumn("z", z)
@@ -146,7 +167,18 @@ def read_zordered_box(
     """Scan a z-ordered store for a two-sided range box: the bucket list
     becomes a PARTITION FILTER (only intersecting directories are read),
     then the exact predicates re-verify — prune-then-verify, the same
-    contract as every sketch path here."""
+    contract as every sketch path here.
+
+    The box must lie inside the store's key domain [0, 2^bits) (the
+    write path enforces the same bound on the stored keys — see
+    :func:`write_zordered`); a box reaching outside it would prune
+    against wrapped coordinates and silently miss rows, so it raises."""
+    lim = 1 << bits
+    if not (0 <= x_lo and x_hi < lim and 0 <= y_lo and y_hi < lim):
+        raise ValueError(
+            f"query box [{x_lo}, {x_hi}] x [{y_lo}, {y_hi}] outside the "
+            f"z-store key domain [0, {lim})"
+        )
     buckets = zbuckets_for_box(x_lo, x_hi, y_lo, y_hi, bits, bucket_bits)
     df = spark.read.parquet(path)
     if buckets:
@@ -188,7 +220,11 @@ def queries():
     def _box_scan(spark, sf_dir):
         # write the z-ordered store once, then answer a two-sided range
         # box THROUGH the partition-pruned read path — the at-rest
-        # layout proof (the oracle is the plain filter over raw events)
+        # layout proof (the oracle is the plain filter over raw events).
+        # bits=11 covers every corpus SF's key domain (user_id < 1500 at
+        # sf0.1, value buckets < 600); the write raises if that ever
+        # stops holding. The cache is set only AFTER the write succeeds
+        # so a failed write cannot poison later invocations.
         import tempfile
 
         tune_runtime(spark)
@@ -199,10 +235,11 @@ def queries():
                 "user_id",
                 F.floor("value").cast("long").alias("vb"),
             )
-            path = _ZSTORES[sf_dir] = tempfile.mkdtemp(prefix="wikisearch-z-")
-            write_zordered(events, path, "user_id", "vb")
+            tmp = tempfile.mkdtemp(prefix="wikisearch-z-")
+            write_zordered(events, tmp, "user_id", "vb", bits=11)
+            path = _ZSTORES[sf_dir] = tmp
         return read_zordered_box(
-            spark, path, "user_id", 10, 40, "vb", 5, 30
+            spark, path, "user_id", 10, 40, "vb", 5, 30, bits=11
         ).select("event_id")
 
     return {"layout_zvalue": _zvalue, "layout_box_scan": _box_scan}

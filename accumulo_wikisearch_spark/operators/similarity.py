@@ -1064,21 +1064,24 @@ def semdedup_keep(
     same recursive-greedy + Lloyd construction). Pathological
     >cell-sized masses of IDENTICAL vectors should be removed by the
     exact-vector pre-pass first (dedup.exact_vector_duplicates)."""
-    if n_cells is None:
-        n_cells = auto_n_cells(emb.count(), target_cell)
     # persist: both sides of the cell self-join and the final keep-flag
     # read the assignment — without the barrier the centroid argmax runs
     # three times over the corpus.  ``cents`` (optional) is a pre-trained
     # quantizer: at production scale training is a one-time index-build
     # cost amortized across serves, so the serve path accepts it directly
-    # (and benches time the two separately).
-    if centroids == "trained":
-        if cents is None:
+    # (and benches time the two separately). n_cells only feeds training,
+    # so the auto-sizing count() is skipped entirely on the warm path —
+    # it would be a full wasted corpus pass.
+    if cents is None:
+        if n_cells is None:
+            n_cells = auto_n_cells(emb.count(), target_cell)
+        if centroids == "trained":
             cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
+        else:
+            cents = take_centroids(emb, n_cells, lloyd_iters=0)
+    if centroids == "trained":
         asn = _trained_assign(emb, cents).persist()
     else:
-        if cents is None:
-            cents = take_centroids(emb, n_cells, lloyd_iters=0)
         asn = ivf_assign(emb, cents).persist()
     dom = _dominated_lower_id(asn, threshold_pct).withColumn("_dom", F.lit(0))
     return asn.join(dom, "vec_id", "left").select(

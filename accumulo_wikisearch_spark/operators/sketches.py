@@ -125,6 +125,28 @@ def merge_registers(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
 
 
+def bitset_test(words: list[int], pos: Column) -> Column:
+    """True iff bit ``pos`` is set in the literal 60-bit-word bitset
+    ``words`` — the shared codegen membership probe behind
+    :func:`cms_heavy_hitters` and ``curation.decontaminate_bloom``.
+
+    The two literal arrays are built as ONE ``F.expr`` string each (a
+    single py4j call) rather than per-element ``F.lit`` trees — the
+    element-wise form costs ~1 ms of driver time per literal
+    (project-measured; see the ``_dvec_expr`` note in similarity.py)."""
+    bitset = F.expr(
+        "array(" + ",".join(f"{int(w)}L" for w in words) + ")"
+    )
+    masks = F.expr(
+        "array(" + ",".join(f"{1 << b}L" for b in range(60)) + ")"
+    )
+    mask = F.element_at(masks, (pos % 60).cast("int") + 1)
+    return (
+        F.element_at(bitset, (pos / 60).cast("int") + 1).bitwiseAND(mask)
+        == mask
+    )
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge CMS counter tables from DISJOINT data slices: per-cell SUM —
     the additive sibling of :func:`merge_registers`. NOT idempotent
@@ -424,19 +446,12 @@ def cms_heavy_hitters(
     bitmaps = [[0] * words_per_row for _ in range(depth)]
     for c in hot:
         bitmaps[c["row"] - 1][c["col"] // 60] |= 1 << (c["col"] % 60)
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
     base = F.pmod(_key_col(df, key_col).cast("long"), F.lit(_P31))
     member = F.lit(True)
     for r in range(1, depth + 1):
-        bitset = F.array(
-            *[F.lit(int(w)).cast("long") for w in bitmaps[r - 1]]
+        member = member & bitset_test(
+            bitmaps[r - 1], _cms_colpos(base, width, r)
         )
-        colx = _cms_colpos(base, width, r)
-        mask = F.element_at(masks, (colx % 60) + 1)
-        hit = F.element_at(bitset, (colx / 60).cast("int") + 1).bitwiseAND(
-            mask
-        ) == mask
-        member = member & hit
     exact = df.where(member).groupBy(key_col).agg(F.count("*").alias("cnt"))
     return exact.where(F.col("cnt") >= threshold)
 

@@ -77,3 +77,25 @@ def test_zvalue_stays_in_codegen_no_python_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # "*(1)" is the WholeStageCodegen marker in the toString form
     assert "*(1)" in plan
+
+
+def test_out_of_domain_keys_raise_instead_of_aliasing(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    df = spark.range(0, 5).select(
+        F.col("id").alias("a"), (F.col("id") + 2000).alias("b")  # b >= 2^10
+    )
+    with _pytest.raises(PySparkException, match="outside"):
+        write_zordered(df, str(tmp_path / "bad"), "a", "b")
+    # wider domain: same data writes fine
+    write_zordered(df, str(tmp_path / "ok"), "a", "b", bits=11)
+    got = read_zordered_box(
+        spark, str(tmp_path / "ok"), "a", 0, 10, "b", 2000, 2010, bits=11
+    )
+    assert got.count() == 5
+    # a box outside the domain raises rather than pruning against wraps
+    with _pytest.raises(ValueError, match="outside the"):
+        read_zordered_box(
+            spark, str(tmp_path / "ok"), "a", 0, 10, "b", 2000, 5000, bits=11
+        )
