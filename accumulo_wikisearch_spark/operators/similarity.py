@@ -686,7 +686,12 @@ def _quantize_arr(col: Column) -> Column:
     v = _as_double(col)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = mx / F.lit(127.0)
-    return F.when(mx == 0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
+    # Branch on the COMPUTED scale, not mx: for a vector whose max
+    # |component| is subnormal (< ~6.4e-322), mx/127 UNDERFLOWS to exactly
+    # 0.0 while mx != 0 — an mx==0 guard would then evaluate x/0.0 and
+    # abort the whole job under ANSI mode. All-subnormal vectors quantize
+    # to the zero vector (the only representable grid).
+    return F.when(scale == 0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
         F.transform(v, lambda x: F.round(x / scale))
     )
 
@@ -727,12 +732,16 @@ def _quantize_udf():
                 continue
             X = np.array([vals[i] for i in idxs], dtype=np.float64)
             mx = np.max(np.abs(X), axis=1)
-            A = X / np.where(mx == 0.0, 1.0, mx / 127.0)[:, None]
+            # Guard on the COMPUTED scale: mx/127 underflows to 0.0 for
+            # subnormal-max vectors (mx < ~6.4e-322) — an mx==0 guard
+            # would emit inf codes here and DIVERGE from _quantize_arr.
+            scale = mx / 127.0
+            A = X / np.where(scale == 0.0, 1.0, scale)[:, None]
             M = np.abs(A)
             Fl = np.floor(M)
             R = Fl + (M - Fl >= 0.5)  # exact frac ⇒ exact half-away
             Q = np.where(A < 0, -R, R)
-            Q[mx == 0.0, :] = 0.0
+            Q[scale == 0.0, :] = 0.0
             for r, i in enumerate(idxs):
                 res[i] = Q[r]
         return pd.Series(res)
@@ -1928,8 +1937,10 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     v = _as_double(F.col("embedding"))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = mx / F.lit(127.0)
+    # scale==0 (not mx==0) also catches the subnormal-max underflow —
+    # mirrors _QUANT_SQL's `CASE WHEN scale = 0` exactly.
     q = F.when(
-        mx == 0, F.transform(v, lambda x: F.lit(0).cast("int"))
+        scale == 0, F.transform(v, lambda x: F.lit(0).cast("int"))
     ).otherwise(F.transform(v, lambda x: F.round(x / scale).cast("int")))
     return emb.select(
         "vec_id",
@@ -1976,7 +1987,7 @@ _INT8_TOPK_SQL = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 q8 AS (
   SELECT vec_id,
-    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+    CASE WHEN (list_max(list_transform(v, x -> abs(x))) / 127.0) = 0
          THEN list_transform(v, x -> 0.0)
          ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0)))
     END AS v
@@ -2531,7 +2542,7 @@ def _q8_header(recursive: bool) -> str:
 WITH {"RECURSIVE " if recursive else ""}e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 q8 AS (
   SELECT vec_id,
-    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+    CASE WHEN (list_max(list_transform(v, x -> abs(x))) / 127.0) = 0
          THEN list_transform(v, x -> 0.0)
          ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0)))
     END AS v
