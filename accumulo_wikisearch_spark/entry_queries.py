@@ -315,6 +315,39 @@ def _ev_written_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDERED_EV_CATALOGS: dict[str, str] = {}
+
+
+def _ev_zordered_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events corpus through the Z-ORDERED catalog: write the index
+    with docs_wide Morton-clustered on (USER_ID, TS-day), re-load it from
+    disk (the layout self-describes via _ZLAYOUT.json), and answer a
+    two-key box query THROUGH THE ENGINE — the planner routes the
+    (user eq × time range) box through zb directory pruning + z
+    row-group intervals before the predicate re-verify. The two-key
+    generalization of the reference's sorted-shard range pruning
+    (RangeCalculator.java:683-705); oracle = the plain filter."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
+    from accumulo_wikisearch_spark.operators.layout import ZLayout
+
+    tune_runtime(spark)
+    path = _ZORDERED_EV_CATALOGS.get(sf_dir)
+    if path is None:
+        eng = get_events_engine(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-zcatalog-")
+        write_index(eng.index, tmp, zorder=ZLayout("USER_ID", "TS"))
+        path = _ZORDERED_EV_CATALOGS[sf_dir] = tmp
+    eng_disk = Wikisearch(load_index(spark, path, EngineConfig()))
+    return eng_disk.query(
+        "USER_ID == '42' and TS >= '2024-01-10 00:00:00'"
+        " and TS <= '2024-01-20 00:00:00'"
+    ).select(F.col("doc_id").alias("event_id"))
+
+
 def _ev_bucketed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events corpus through the ZERO-exchange bucketed catalog (the
     ws_bucketed_and3 twin): write the events index as tables bucketed on
@@ -428,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
+    out["ev_zordered_box"] = _ev_zordered_box
     out["ev_bucketed_and"] = _ev_bucketed_and
 
     from accumulo_wikisearch_spark.operators import (
@@ -697,6 +731,13 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         "SELECT event_id FROM events WHERE user_id = 42 AND event_type='click'"
     )
     out["ev_bucketed_and"] = out["ev_written_and"]
+    # same truth as a plain two-key filter — the entry differs in the
+    # physical path (z-ordered at-rest catalog, box-pruned scan)
+    out["ev_zordered_box"] = (
+        "SELECT event_id FROM events WHERE user_id = 42"
+        " AND ts >= TIMESTAMP '2024-01-10 00:00:00'"
+        " AND ts <= TIMESTAMP '2024-01-20 00:00:00'"
+    )
 
     from accumulo_wikisearch_spark.operators import (
         analytics,

@@ -54,6 +54,11 @@ class WikisearchIndex:
     docs_wide: DataFrame  # (partition_id, language, doc_id, fields MAP<STRING,ARRAY<STRING>>)
     documents: DataFrame  # (partition_id, language, doc_id, text)
 
+    # Set when docs_wide was loaded from a z-ordered store (layout.ZLayout):
+    # the planner then prunes docs_wide scans by query box (zb directory
+    # filter + z row-group interval) before the predicate re-verify.
+    zlayout: object | None = None
+
     _persisted: bool = False
     _indexed_cache: set[str] | None = None
     # the tokenized article base shared by field_index and docs_wide; caching
@@ -398,10 +403,37 @@ def build_index(
     )
 
 
-def write_index(index: WikisearchIndex, path: str) -> None:
+def _docs_wide_writer(index: "WikisearchIndex", path: str, zorder):
+    """The docs_wide write job for :func:`write_index` — flat
+    partition_id layout, or the Morton layout when ``zorder`` is set."""
+    if zorder is None:
+        return lambda: (
+            index.docs_wide.repartition("partition_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{path}/docs_wide")
+        )
+    from accumulo_wikisearch_spark.operators.layout import write_zordered_docs
+
+    return lambda: write_zordered_docs(
+        index.docs_wide, f"{path}/docs_wide", zorder
+    )
+
+
+def write_index(index: WikisearchIndex, path: str, zorder=None) -> None:
     """Persist the catalog, laid out for 100 TB reads: partition-pruned by
     ``partition_id``, sorted within files by (field, norm_value) so per-term
     scans hit few row groups (sorted bulk load analogue, SURVEY §4 O19).
+
+    ``zorder`` (a :class:`layout.ZLayout`) opts docs_wide into the Morton
+    layout instead: clustered on two scalar doc fields so two-key range
+    boxes prune directories + row groups without the term index — the
+    two-key generalization of the reference's sorted-shard range pruning
+    (RangeCalculator.java:683-705). Trade: docs_wide's directory key
+    becomes the z bucket, so the doc-range path's partition_id pruning
+    degrades to row-group stats there; choose per catalog by its dominant
+    query shape.
 
     The eight table writes are INDEPENDENT jobs submitted from worker
     threads, so the scheduler overlaps them; on a cluster this is the
@@ -455,13 +487,7 @@ def write_index(index: WikisearchIndex, path: str) -> None:
             .partitionBy("partition_id")
             .parquet(f"{path}/term_index")
         ),
-        lambda: (
-            index.docs_wide.repartition("partition_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .partitionBy("partition_id")
-            .parquet(f"{path}/docs_wide")
-        ),
+        _docs_wide_writer(index, path, zorder),
         lambda: (
             index.documents.repartition("partition_id")
             .sortWithinPartitions("doc_id")
@@ -547,6 +573,8 @@ def load_index_bucketed(
 
 
 def load_index(spark: SparkSession, path: str, config: EngineConfig | None = None) -> WikisearchIndex:
+    from accumulo_wikisearch_spark.operators.layout import load_zlayout
+
     config = config or EngineConfig()
     rd = spark.read.parquet
     return WikisearchIndex(
@@ -559,4 +587,7 @@ def load_index(spark: SparkSession, path: str, config: EngineConfig | None = Non
         term_index=rd(f"{path}/term_index"),
         docs_wide=rd(f"{path}/docs_wide"),
         documents=rd(f"{path}/documents"),
+        # a z-ordered store self-describes via _ZLAYOUT.json; the planner
+        # then box-prunes docs_wide scans (layout.zprune_docs)
+        zlayout=load_zlayout(spark, f"{path}/docs_wide"),
     )

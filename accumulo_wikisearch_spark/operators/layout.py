@@ -23,11 +23,15 @@ the engine's Spark-native scale surface.
 
 from __future__ import annotations
 
+import json
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ZBITS = 10  # per-dimension bits → z in [0, 2^20)
 BUCKET_BITS = 4  # top z-bits used as the partition directory key
+_META = "_ZLAYOUT.json"  # layout sidecar beside the store (the _QUANTIZER.json pattern)
 
 
 def zvalue_col(c1: Column, c2: Column, bits: int = ZBITS) -> Column:
@@ -55,6 +59,55 @@ def zvalue_sql(x: str, y: str, bits: int = ZBITS) -> str:
         terms.append(f"((({xs} >> {j}) & 1) << {2 * j})")
         terms.append(f"((({ys} >> {j}) & 1) << {2 * j + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def zvalue_int(x: int, y: int, bits: int = ZBITS) -> int:
+    """Pure-Python :func:`zvalue_col` (same interleave) — for the driver-
+    side z-range bound of a query box and for tests."""
+    z = 0
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def _check_bucket_bits(bits: int, bucket_bits: int) -> None:
+    """A bucket_bits above 2*bits would index z-bits that don't exist —
+    negative shifts and silently-garbage rectangles; fail loudly instead."""
+    if not 0 < bucket_bits <= 2 * bits:
+        raise ValueError(
+            f"bucket_bits={bucket_bits} must satisfy 0 < bucket_bits <= "
+            f"2*bits ({2 * bits})"
+        )
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Persist the store's layout parameters beside it (underscore-prefixed
+    → invisible to Spark's data-file listing; Hadoop FS API so s3/hdfs
+    roots work — the _QUANTIZER.json pattern)."""
+    sc = spark.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/{_META}")
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(meta).encode()))
+    out.close()
+
+
+def read_meta(spark: SparkSession, path: str) -> dict | None:
+    """The store's persisted layout parameters, or None for a pre-metadata
+    store (caller must then supply them)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META}")
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode())
 
 
 def _bucket_rects(bits: int, bucket_bits: int):
@@ -93,6 +146,7 @@ def zbuckets_for_box(
     """Bucket ids whose rectangle intersects the query box
     [x_lo, x_hi] × [y_lo, y_hi] — exact (rectangles are prefix-aligned),
     driver-side, O(2^bucket_bits)."""
+    _check_bucket_bits(bits, bucket_bits)
     hits = []
     for b, (x0, x1, y0, y1) in _bucket_rects(bits, bucket_bits).items():
         if x0 <= x_hi and x_lo < x1 and y0 <= y_hi and y_lo < y1:
@@ -105,9 +159,9 @@ def write_zordered(
     path: str,
     c1: str,
     c2: str,
-    bits: int = ZBITS,
+    bits: int | None = ZBITS,
     bucket_bits: int = BUCKET_BITS,
-) -> None:
+) -> int:
     """Write ``df`` partitioned by the z-value's top ``bucket_bits`` bits
     and z-sorted within each directory (row-group min/max clustering for
     the bits below the directory key).
@@ -123,7 +177,21 @@ def write_zordered(
     2^bits, which would silently route an out-of-domain key into the
     wrong rectangle and make box reads MISS it. The write therefore
     raises per-row on violation — the check rides the same scan, no
-    extra pass. Size ``bits`` to the key domain."""
+    extra pass. Size ``bits`` to the key domain of the LARGEST corpus the
+    store will ever hold (sf0.1's user_id 1499 overflowed the old bits=10
+    default), or pass ``bits=None`` to derive it from the data with one
+    cheap max() agg. The chosen (bits, bucket_bits) are persisted beside
+    the store so readers can't silently mis-prune with mismatched
+    parameters."""
+    _check_bucket_bits(bits if bits is not None else 64, bucket_bits)
+    if bits is None:
+        mx = df.select(
+            F.greatest(
+                F.max(F.col(c1).cast("long")), F.max(F.col(c2).cast("long"))
+            ).alias("m")
+        ).first()["m"]
+        bits = max(int(mx or 0).bit_length(), (bucket_bits + 1) // 2, 1)
+    _check_bucket_bits(bits, bucket_bits)
     lim = 1 << bits
 
     def _checked(name: str) -> Column:
@@ -150,6 +218,12 @@ def write_zordered(
         .partitionBy("zb")
         .parquet(path)
     )
+    _write_meta(
+        df.sparkSession,
+        path,
+        {"c1": c1, "c2": c2, "bits": bits, "bucket_bits": bucket_bits},
+    )
+    return bits
 
 
 def read_zordered_box(
@@ -161,18 +235,42 @@ def read_zordered_box(
     c2: str,
     y_lo: int,
     y_hi: int,
-    bits: int = ZBITS,
-    bucket_bits: int = BUCKET_BITS,
+    bits: int | None = None,
+    bucket_bits: int | None = None,
 ) -> DataFrame:
     """Scan a z-ordered store for a two-sided range box: the bucket list
-    becomes a PARTITION FILTER (only intersecting directories are read),
-    then the exact predicates re-verify — prune-then-verify, the same
-    contract as every sketch path here.
+    becomes a PARTITION FILTER (only intersecting directories are read)
+    and a coarse z interval [z(x_lo,y_lo), z(x_hi,y_hi)] skips row groups
+    inside them (the interleave is monotone per coordinate, so every
+    in-box point's z lies in that corner interval and the files are
+    z-sorted); then the exact predicates re-verify — prune-then-verify,
+    the same contract as every sketch path here.
+
+    Layout parameters come from the store's own ``_ZLAYOUT.json``
+    (written by :func:`write_zordered`): a caller-supplied bits that
+    disagrees with the layout the store was actually written with would
+    silently mis-prune and DROP rows, so explicit arguments are only
+    validated against the sidecar, never trusted over it.
 
     The box must lie inside the store's key domain [0, 2^bits) (the
-    write path enforces the same bound on the stored keys — see
-    :func:`write_zordered`); a box reaching outside it would prune
-    against wrapped coordinates and silently miss rows, so it raises."""
+    write path enforces the same bound on the stored keys); a box
+    reaching outside it would prune against wrapped coordinates and
+    silently miss rows, so it raises."""
+    meta = read_meta(spark, path)
+    if meta is not None:
+        for name, given in (("bits", bits), ("bucket_bits", bucket_bits)):
+            if given is not None and given != meta[name]:
+                raise ValueError(
+                    f"{name}={given} does not match the store's persisted "
+                    f"layout ({name}={meta[name]}); reading with the wrong "
+                    f"{name} silently drops rows"
+                )
+        bits, bucket_bits = meta["bits"], meta["bucket_bits"]
+    elif bits is None or bucket_bits is None:
+        raise ValueError(
+            f"{path} has no {_META} sidecar; pass bits and bucket_bits "
+            "explicitly (pre-metadata store)"
+        )
     lim = 1 << bits
     if not (0 <= x_lo and x_hi < lim and 0 <= y_lo and y_hi < lim):
         raise ValueError(
@@ -182,11 +280,257 @@ def read_zordered_box(
     buckets = zbuckets_for_box(x_lo, x_hi, y_lo, y_hi, bits, bucket_bits)
     df = spark.read.parquet(path)
     if buckets:
-        df = df.where(F.col("zb").isin(*buckets))
+        df = df.where(F.col("zb").isin(*buckets)).where(
+            F.col("z").between(
+                zvalue_int(x_lo, y_lo, bits), zvalue_int(x_hi, y_hi, bits)
+            )
+        )
     else:
         df = df.where(F.lit(False))
     return df.where(
         F.col(c1).between(x_lo, x_hi) & F.col(c2).between(y_lo, y_hi)
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine integration: z-ordered docs_wide catalogs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ZLayout:
+    """Opt-in z-order layout for the engine's ``docs_wide`` table: the
+    catalog's event records are clustered on the Morton interleave of two
+    scalar doc FIELDS, so `(field1 box) AND (field2 box)` queries prune at
+    the directory level without touching the term index — the two-key
+    generalization of the reference's single-key sorted shard pruning
+    (RangeCalculator.java:683-705).
+
+    Field kinds map the (string) field value to the integer z key:
+    - ``int``  — the value parses as a base-10 integer (e.g. USER_ID).
+      Query bounds come from ``==`` and ``f:between`` conjuncts only:
+      the engine's ``<=``/``>=`` on strings are LEXICOGRAPHIC, which does
+      not bound an integer key ('100' < '40' as strings).
+    - ``day``  — an ISO timestamp string's epoch-day (e.g. TS). ISO
+      strings order chronologically, so ``==``/``<``/``<=``/``>``/``>=``
+      conjuncts all contribute day bounds.
+
+    CONTRACT (enforced per-row at write): every row has BOTH fields,
+    single-valued, parseable under its kind, with offset-rebased keys in
+    [0, 2^bits). That makes box pruning sound even for one-sided boxes —
+    there is no "key unknown" directory a matching row could hide in.
+
+    Offsets rebase each dimension to its corpus minimum (derived at write
+    when None): without them an epoch-day key (~19 700 for 2024 data)
+    parks every row under the same constant top bits and directory
+    pruning degenerates to one bucket. ``bits`` then sizes to the LARGER
+    rebased dimension — size it to the largest corpus the store will
+    ever hold when pinning it by hand (the sf0.1 lesson)."""
+
+    x_field: str
+    y_field: str
+    x_kind: str = "int"
+    y_kind: str = "day"
+    bits: int | None = None  # None → derived from the data at write
+    bucket_bits: int = BUCKET_BITS
+    x_off: int | None = None  # None → per-dimension min at write
+    y_off: int | None = None
+
+
+def _field_key_col(fields: Column, fname: str, kind: str) -> Column:
+    """Integer z key of one layout field from the docs_wide fields map —
+    raising per-row on a missing / multi-valued / unparseable value (the
+    write-side contract check; rides the write scan, no extra pass)."""
+    arr = fields[fname]
+    bad = F.raise_error(
+        F.concat(
+            F.lit(
+                f"z-layout field {fname} must be present, single-valued, "
+                f"and {kind}-parseable; got: "
+            ),
+            F.coalesce(arr.cast("string"), F.lit("NULL")),
+        )
+    )
+    v = F.when(F.size(arr) == 1, F.element_at(arr, 1)).otherwise(bad)
+    if kind == "int":
+        k = v.try_cast("long")
+    elif kind == "day":
+        k = F.datediff(
+            F.to_date(F.substring(v, 1, 10)), F.to_date(F.lit("1970-01-01"))
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown z-layout field kind: {kind}")
+    return F.when(k.isNotNull(), k).otherwise(bad)
+
+
+def _literal_key(value, kind: str) -> int | None:
+    """Query-literal → integer z key under ``kind``; None if the literal
+    cannot be a key (then it contributes no bound — a query like
+    USER_ID == 'abc' simply gets no pruning from that conjunct)."""
+    import datetime
+
+    s = str(value)
+    if kind == "int":
+        try:
+            return int(s, 10)
+        except ValueError:
+            return None
+    try:
+        return (
+            datetime.date.fromisoformat(s[:10]) - datetime.date(1970, 1, 1)
+        ).days
+    except ValueError:
+        return None
+
+
+def write_zordered_docs(docs_wide: DataFrame, path: str, zl: ZLayout) -> ZLayout:
+    """Write a docs_wide table z-ordered on ``zl``'s two fields (same
+    shuffle shape as :func:`write_zordered`: range-partition on the full
+    z — parallelism scales with shuffle partitions, not 2^bucket_bits —
+    z-sort within tasks, directory per top-bits bucket). Returns the
+    layout with ``bits``/offsets resolved (one cheap min/max agg when
+    unset), all persisted in the store's ``_ZLAYOUT.json``."""
+    xk = _field_key_col(F.col("fields"), zl.x_field, zl.x_kind)
+    yk = _field_key_col(F.col("fields"), zl.y_field, zl.y_kind)
+    raw = docs_wide.withColumn("_zx", xk).withColumn("_zy", yk)
+    x_off, y_off, bits = zl.x_off, zl.y_off, zl.bits
+    if x_off is None or y_off is None or bits is None:
+        r = raw.select(
+            F.min("_zx"), F.max("_zx"), F.min("_zy"), F.max("_zy")
+        ).first()
+        x_off = int(r[0] or 0) if x_off is None else x_off
+        y_off = int(r[2] or 0) if y_off is None else y_off
+        if bits is None:
+            span = max(int(r[1] or 0) - x_off, int(r[3] or 0) - y_off, 0)
+            bits = max(span.bit_length(), (zl.bucket_bits + 1) // 2, 1)
+    staged = raw.withColumn("_zx", F.col("_zx") - F.lit(x_off)).withColumn(
+        "_zy", F.col("_zy") - F.lit(y_off)
+    )
+    write_zordered(
+        staged, path, "_zx", "_zy", bits=bits, bucket_bits=zl.bucket_bits
+    )
+    resolved = ZLayout(
+        zl.x_field,
+        zl.y_field,
+        zl.x_kind,
+        zl.y_kind,
+        bits,
+        zl.bucket_bits,
+        x_off,
+        y_off,
+    )
+    _write_meta(
+        docs_wide.sparkSession,
+        path,
+        {
+            "c1": "_zx",
+            "c2": "_zy",
+            "bits": bits,
+            "bucket_bits": zl.bucket_bits,
+            "x_field": zl.x_field,
+            "y_field": zl.y_field,
+            "x_kind": zl.x_kind,
+            "y_kind": zl.y_kind,
+            "x_off": x_off,
+            "y_off": y_off,
+        },
+    )
+    return resolved
+
+
+def load_zlayout(spark: SparkSession, path: str) -> ZLayout | None:
+    """The ZLayout a docs_wide store was written with, from its sidecar;
+    None for a flat (non-z-ordered) store."""
+    meta = read_meta(spark, path)
+    if meta is None or "x_field" not in meta:
+        return None
+    return ZLayout(
+        meta["x_field"],
+        meta["y_field"],
+        meta["x_kind"],
+        meta["y_kind"],
+        meta["bits"],
+        meta["bucket_bits"],
+        meta["x_off"],
+        meta["y_off"],
+    )
+
+
+def zbox_from_query(node, zl: ZLayout) -> tuple[int, int, int, int] | None:
+    """Conservative query box on (x_field, y_field) from the TOP-LEVEL
+    conjuncts of a normalized query AST — or None when neither field is
+    usefully constrained (no pruning; never unsound).
+
+    Only direct children of a root And (or a root leaf itself) may
+    contribute: a bound under an Or / Not does not have to hold for every
+    result row. Per-kind operator admission is in :class:`ZLayout`; every
+    contributed bound is a SUPERSET bound (e.g. ``TS > v`` still admits
+    v's own day). The box is clamped to the store domain — the write path
+    guarantees no stored key lies outside it."""
+    from accumulo_wikisearch_spark.plans import ast
+
+    lim = 1 << zl.bits
+    lo = {zl.x_field: 0, zl.y_field: 0}
+    hi = {zl.x_field: lim - 1, zl.y_field: lim - 1}
+    kind = {zl.x_field: zl.x_kind, zl.y_field: zl.y_kind}
+    off = {zl.x_field: zl.x_off or 0, zl.y_field: zl.y_off or 0}
+    conjuncts = node.children if isinstance(node, ast.And) else (node,)
+    touched = False
+    for c in conjuncts:
+        if isinstance(c, ast.Between) and c.field in kind:
+            if kind[c.field] != "int":
+                continue
+            import math
+
+            lo[c.field] = max(lo[c.field], math.ceil(c.lo) - off[c.field])
+            hi[c.field] = min(hi[c.field], math.floor(c.hi) - off[c.field])
+            touched = True
+        elif isinstance(c, ast.Cmp) and c.field in kind and not c.abs:
+            k = _literal_key(c.literal, kind[c.field])
+            if k is None:
+                continue
+            k -= off[c.field]
+            if c.op == ast.EQ:
+                lo[c.field] = max(lo[c.field], k)
+                hi[c.field] = min(hi[c.field], k)
+                touched = True
+            elif kind[c.field] == "day":
+                # lexicographic == chronological for ISO strings only
+                if c.op in (ast.GE, ast.GT):
+                    lo[c.field] = max(lo[c.field], k)
+                    touched = True
+                elif c.op in (ast.LE, ast.LT):
+                    hi[c.field] = min(hi[c.field], k)
+                    touched = True
+    if not touched:
+        return None
+    return (
+        max(lo[zl.x_field], 0),
+        min(hi[zl.x_field], lim - 1),
+        max(lo[zl.y_field], 0),
+        min(hi[zl.y_field], lim - 1),
+    )
+
+
+def zprune_docs(docs: DataFrame, node, zl: ZLayout) -> DataFrame:
+    """Prune a z-ordered docs_wide scan for one query: directory filter
+    (``zb isin``) + coarse z interval (row-group skip) from the query
+    box, leaving the full predicate re-verify to the caller — a pure
+    superset prune, safe under every planner path (fullscan, doc-range,
+    anchor, posting semi-join). No-op when the query gives no box."""
+    box = zbox_from_query(node, zl)
+    if box is None:
+        return docs
+    x_lo, x_hi, y_lo, y_hi = box
+    if x_lo > x_hi or y_lo > y_hi:
+        return docs.where(F.lit(False))
+    buckets = zbuckets_for_box(x_lo, x_hi, y_lo, y_hi, zl.bits, zl.bucket_bits)
+    if not buckets:
+        return docs.where(F.lit(False))
+    return docs.where(F.col("zb").isin(*buckets)).where(
+        F.col("z").between(
+            zvalue_int(x_lo, y_lo, zl.bits), zvalue_int(x_hi, y_hi, zl.bits)
+        )
     )
 
 
@@ -205,7 +549,10 @@ def queries():
 
     def _zvalue(spark, sf_dir):
         # z-values over (user_id, value-bucket) per event — pure integer
-        # bit interleave, hash-checked bit for bit
+        # bit interleave, hash-checked bit for bit. bits=11 covers the
+        # real key domain at every corpus SF (user_id 1499 at sf0.1 would
+        # ALIAS under the bits=10 default — same wrap class the box scan
+        # hit in r7)
         tune_runtime(spark)
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         # floor, not cast: double→BIGINT casts truncate in Spark but
@@ -213,7 +560,7 @@ def queries():
         return events.select(
             "event_id",
             zvalue_col(
-                F.col("user_id"), F.floor(F.col("value")).cast("long")
+                F.col("user_id"), F.floor(F.col("value")).cast("long"), bits=11
             ).alias("zval"),
         )
 
@@ -249,7 +596,7 @@ def oracle_sql():
     return {
         "layout_zvalue": (
             "SELECT event_id, "
-            + zvalue_sql("user_id", "floor(value)::BIGINT")
+            + zvalue_sql("user_id", "floor(value)::BIGINT", bits=11)
             + " AS zval FROM events"
         ),
         "layout_box_scan": (

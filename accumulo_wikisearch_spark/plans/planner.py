@@ -789,6 +789,16 @@ def run_query(
     nnf = to_nnf(node)
     nnf = planner.expand_unfielded(nnf, auths)
     docs = index.docs_wide
+    if getattr(index, "zlayout", None) is not None:
+        # z-ordered catalog: a two-key query box prunes docs_wide at the
+        # directory + row-group level BEFORE any path below touches it —
+        # a pure superset prune (full predicate still re-verifies), so
+        # it composes with fullscan, doc-range, anchor, and semi-join
+        # alike (layout.ZLayout; RangeCalculator.java:683-705 is the
+        # single-key analogue this generalizes)
+        from accumulo_wikisearch_spark.operators.layout import zprune_docs
+
+        docs = zprune_docs(docs, nnf, index.zlayout)
     sec = F.col("language").isin(*auths) if auths else F.lit(True)
 
     tree, exact = None, False

@@ -99,3 +99,138 @@ def test_out_of_domain_keys_raise_instead_of_aliasing(spark, tmp_path):
         read_zordered_box(
             spark, str(tmp_path / "ok"), "a", 0, 10, "b", 2000, 5000, bits=11
         )
+
+
+def test_read_rejects_mismatched_layout_params(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.range(0, 50).select(
+        (F.col("id") % 40).alias("a"), (F.col("id") % 30).alias("b")
+    )
+    write_zordered(df, str(tmp_path / "s"), "a", "b", bits=11)
+    # reading a bits=11 store as bits=10 would silently mis-prune — the
+    # persisted sidecar wins and the mismatch raises
+    with _pytest.raises(ValueError, match="does not match"):
+        read_zordered_box(spark, str(tmp_path / "s"), "a", 0, 10, "b", 0, 10, bits=10)
+    # omitting the params entirely uses the sidecar
+    got = read_zordered_box(spark, str(tmp_path / "s"), "a", 0, 39, "b", 0, 29)
+    assert got.count() == 50
+
+
+def test_bucket_bits_bounds_validated(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.range(0, 4).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    with _pytest.raises(ValueError, match="bucket_bits"):
+        write_zordered(df, str(tmp_path / "x"), "a", "b", bits=2, bucket_bits=5)
+    with _pytest.raises(ValueError, match="bucket_bits"):
+        zbuckets_for_box(0, 1, 0, 1, bits=2, bucket_bits=5)
+
+
+def test_auto_bits_derived_from_data(spark, tmp_path):
+    from accumulo_wikisearch_spark.operators.layout import read_meta
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("a"), (F.col("id") + 300).alias("b")
+    )
+    bits = write_zordered(df, str(tmp_path / "auto"), "a", "b", bits=None)
+    assert bits == 9  # max key 309 → 9 bits
+    meta = read_meta(spark, str(tmp_path / "auto"))
+    assert meta["bits"] == 9 and meta["bucket_bits"] == 4
+    got = read_zordered_box(spark, str(tmp_path / "auto"), "a", 0, 511, "b", 300, 305)
+    assert got.count() == 6
+
+
+def _flat_and_z_engines(spark, sf_dir, tmp_path):
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
+    from accumulo_wikisearch_spark.operators.layout import ZLayout
+    from accumulo_wikisearch_spark.sources.corpus import get_events_engine
+
+    eng = get_events_engine(spark, sf_dir)
+    zpath = str(tmp_path / "zcat")
+    write_index(eng.index, zpath, zorder=ZLayout("USER_ID", "TS"))
+    zeng = Wikisearch(load_index(spark, zpath, EngineConfig()))
+    assert zeng.index.zlayout is not None
+    return eng, zeng
+
+
+def test_engine_zordered_catalog_matches_flat_engine(spark, sf_dir, tmp_path):
+    """The z-ordered catalog must answer EVERY query shape identically to
+    the in-memory engine — box-prunable conjunctions, Or roots (no
+    pruning), negations, and non-key literals alike."""
+    eng, zeng = _flat_and_z_engines(spark, sf_dir, tmp_path)
+    queries = [
+        # two-key box: eq x day-range — the layout's target shape
+        "USER_ID == '42' and TS >= '2024-01-05 00:00:00' and TS <= '2024-01-20 00:00:00'",
+        # one-sided box (time only)
+        "TS >= '2024-01-10 00:00:00' and TS <= '2024-01-12 00:00:00' and EVENT_TYPE == 'error'",
+        # user eq only
+        "USER_ID == '7' and EVENT_TYPE == 'click'",
+        # Or root: NO pruning may apply (bounds under Or are unsound)
+        "USER_ID == '42' or EVENT_TYPE == 'signup'",
+        # negation on a key field contributes nothing
+        "USER_ID != '42' and EVENT_TYPE == 'purchase'",
+        # unparseable key literal contributes nothing
+        "USER_ID == 'nosuch' or EVENT_TYPE == 'error'",
+    ]
+    for q in queries:
+        want = sorted(r["doc_id"] for r in eng.query(q).collect())
+        got = sorted(r["doc_id"] for r in zeng.query(q).collect())
+        assert got == want, q
+
+
+def test_engine_zprune_empty_box_constant_folds(spark, sf_dir, tmp_path):
+    """A box entirely outside the store's key domain (user 42 does not
+    exist at sf0.001, so auto-bits sized the domain below it) folds the
+    WHOLE query to an empty LocalTableScan — no file is even listed."""
+    _eng, zeng = _flat_and_z_engines(spark, sf_dir, tmp_path)
+    df = zeng.query("USER_ID == '4242' and EVENT_TYPE == 'click'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "parquet" not in plan
+
+
+def test_engine_zprune_reaches_scan_as_partition_filter(spark, sf_dir, tmp_path):
+    _eng, zeng = _flat_and_z_engines(spark, sf_dir, tmp_path)
+    df = zeng.query(
+        "USER_ID == '7' and TS >= '2024-01-05 00:00:00'"
+        " and TS <= '2024-01-20 00:00:00'"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    # some docs_wide scan in the plan is directory-pruned on zb
+    assert any(
+        "zb" in seg[:200] for seg in plan.split("PartitionFilters")[1:]
+    )
+
+
+def test_zbox_from_query_offsets_and_kinds():
+    from accumulo_wikisearch_spark.operators.layout import ZLayout, zbox_from_query
+    from accumulo_wikisearch_spark.plans import ast
+
+    zl = ZLayout("U", "T", "int", "day", bits=8, bucket_bits=4, x_off=100, y_off=19700)
+    # eq on int key + day range, rebased by the offsets
+    node = ast.And(
+        (
+            ast.Cmp("U", ast.EQ, "142"),
+            ast.Cmp("T", ast.GE, "2023-12-13 00:00:00"),  # epoch day 19704
+            ast.Cmp("T", ast.LE, "2023-12-20 23:59:59"),  # epoch day 19711
+        )
+    )
+    assert zbox_from_query(node, zl) == (42, 42, 4, 11)
+    # lexicographic >= on an int key must NOT contribute ('100' < '40')
+    node2 = ast.And((ast.Cmp("U", ast.GE, "140"), ast.Cmp("T", ast.EQ, "2023-12-13")))
+    assert zbox_from_query(node2, zl) == (0, 255, 4, 4)
+    # f:between IS numeric, so it bounds an int key
+    node3 = ast.Between("U", 110.5, 119.2)
+    assert zbox_from_query(node3, zl) == (11, 19, 0, 255)
+    # nothing touching the key fields → no box
+    assert zbox_from_query(ast.Cmp("OTHER", ast.EQ, "x"), zl) is None
+    # eq below the offset → empty box (lo > hi), not a wrap
+    empty = zbox_from_query(ast.Cmp("U", ast.EQ, "5"), zl)
+    assert empty is not None and empty[0] > empty[1]
