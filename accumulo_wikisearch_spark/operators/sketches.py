@@ -617,6 +617,25 @@ SELECT key AS {probe_key}, min(hit)::INTEGER AS in_bloom FROM probed GROUP BY 1
 """
 
 
+def _bloom_table_sql(
+    tab: str, key: str, n_words: int = 64, bpw: int = 60, n_hashes: int = 3
+) -> str:
+    """DuckDB replay of bloom_build alone: the (word, bits) bitset table
+    (the streaming-store oracle; the CTE body of :func:`_bloom_sql`)."""
+    m = n_words * bpw
+    bpts = " UNION ALL ".join(
+        f"SELECT {_mix_expr(f'{_pm_expr(key)} * 1000003 + {s}')} % {m} AS pos"
+        f" FROM {tab}"
+        for s in range(1, n_hashes + 1)
+    )
+    return (
+        f"WITH bpts AS ({bpts})\n"
+        f"SELECT pos // {bpw} AS word,"
+        f" bit_or(1::BIGINT << (pos % {bpw})::INTEGER) AS bits\n"
+        "FROM bpts GROUP BY 1"
+    )
+
+
 def _cms_table_sql(tab: str, key: str, width: int = 1024, depth: int = 3) -> str:
     """DuckDB replay of cms_build alone: the (row, col, cnt) counter
     table (the streaming-store oracle and the CTE body of

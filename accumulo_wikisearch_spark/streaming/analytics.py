@@ -487,6 +487,78 @@ def replay_stream_cms(spark, sf_dir: str):
     return spark.read.parquet(store)
 
 
+_BLOOM_STORE_RESULTS: dict = {}
+
+
+def replay_stream_bloom(spark, sf_dir: str):
+    """Bloom membership bitset maintained CONTINUOUSLY over an event
+    stream: each micro-batch's (word, bits) rows ``bit_or``-merge into an
+    at-rest store (tmp-then-swap) — completing the sketch × streaming
+    matrix (HLL max-merge, CMS sum-merge, Bloom or-merge). Bloom is the
+    only IDEMPOTENT one of the three: or-ing a batch in twice is a
+    no-op, so this store is provably safe under AT-LEAST-ONCE delivery
+    (a redelivered batch cannot corrupt it), where the CMS store needs
+    exactly-once (its hash check is what catches violations). The
+    idempotence contrast is pinned by a double-feed pytest
+    (tests/test_streaming_sketches.py).
+
+    The 100 TB shape: a "seen before" membership set over an unbounded
+    stream at O(n_words) state — decontamination and first-seen checks
+    probe the store without touching the stream."""
+    import os
+    import shutil
+    import tempfile
+
+    from accumulo_wikisearch_spark.operators.sketches import bloom_build, bloom_merge
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    cached = _BLOOM_STORE_RESULTS.get(sf_dir)
+    if cached is not None:
+        return spark.read.parquet(cached)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="bloom-stream-stage-")
+    for i, cond in enumerate(
+        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+    ):
+        tmp = tempfile.mkdtemp(prefix=f"bloom-batch{i}-")
+        events.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{stage}/batch_{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        t = 1_000_000_000 + i * 1000
+        os.utime(dst, (t, t))  # deterministic micro-batch order
+    store = tempfile.mkdtemp(prefix="bloom-store-")
+
+    def process_batch(bdf, _bid):
+        bits = bloom_build(bdf, "user_id")
+        if os.listdir(store):
+            old = spark.read.parquet(store)
+            # materialize BEFORE the swap deletes the files under the plan
+            merged = bloom_merge(old, bits).localCheckpoint()
+        else:
+            merged = bits
+        tmp_out = store + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(tmp_out, store)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bloom-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    _BLOOM_STORE_RESULTS[sf_dir] = store
+    return spark.read.parquet(store)
+
+
 def _neardup_ingest_sql(k: int = 3, num: int = 4, den: int = 5) -> str:
     """Sequential greedy replay of the two-batch near-dup ingest: the
     symmetric exact-Jaccard pair set once, then batch-0 survivors vs the
@@ -554,6 +626,7 @@ def queries():
         "doc_stream_neardup_ingest": replay_stream_neardup_ingest,
         "sketch_hll_stream_replay": replay_stream_hll,
         "sketch_cms_stream_replay": replay_stream_cms,
+        "sketch_bloom_stream_replay": replay_stream_bloom,
     }
 
 
@@ -573,6 +646,15 @@ def _cms_stream_sql() -> str:
     return _cms_table_sql("events", "user_id")
 
 
+def _bloom_stream_sql() -> str:
+    # the at-rest store after or-merging every micro-batch == the batch
+    # bitset over the whole stream (idempotent merge — ANY batching, even
+    # overlapping redelivery, lands on the same fixpoint)
+    from accumulo_wikisearch_spark.operators.sketches import _bloom_table_sql
+
+    return _bloom_table_sql("events", "user_id")
+
+
 def oracle_sql():
     return {
         "ev_stream_windowed_replay": _REPLAY_SQL,
@@ -580,4 +662,5 @@ def oracle_sql():
         "doc_stream_neardup_ingest": _neardup_ingest_sql(),
         "sketch_hll_stream_replay": _hll_stream_sql(),
         "sketch_cms_stream_replay": _cms_stream_sql(),
+        "sketch_bloom_stream_replay": _bloom_stream_sql(),
     }

@@ -186,6 +186,33 @@ def main() -> None:
         lambda: analytics.windowed_event_counts(events).count(),
     )
 
+    # z-order layout win: the SAME two-key box query (user eq × time
+    # range) through the flat at-rest events catalog vs the z-ordered
+    # one — the pruned row reads ~1/2^bucket_bits of the directories
+    # plus a z row-group interval. Catalog writes are untimed (layout
+    # choice is index-build time, like quantizer training).
+    import tempfile as _tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import load_index
+    from accumulo_wikisearch_spark.operators.ingest import write_index as _wix
+    from accumulo_wikisearch_spark.operators.layout import ZLayout
+    from accumulo_wikisearch_spark.sources.corpus import get_events_engine
+
+    ev_eng = get_events_engine(spark, sf_dir)
+    zroot = _tempfile.mkdtemp(prefix="wikisearch-zbench-")
+    _wix(ev_eng.index, f"{zroot}/flat")
+    _wix(ev_eng.index, f"{zroot}/z", zorder=ZLayout("USER_ID", "TS"))
+    flat_eng = Wikisearch(load_index(spark, f"{zroot}/flat", EngineConfig()))
+    z_eng = Wikisearch(load_index(spark, f"{zroot}/z", EngineConfig()))
+    box_q = (
+        "USER_ID == '42' and TS >= '2024-01-10 00:00:00'"
+        " and TS <= '2024-01-20 00:00:00'"
+    )
+    timed("ev_box_flat_catalog", lambda: flat_eng.query(box_q).count())
+    timed("ev_box_zordered", lambda: z_eng.query(box_q).count())
+
     # random-query load (BASELINE.md "1000 queries, 10 clients" analogue,
     # scaled down): 24 distinct 2-3-term AND queries over 8 client threads;
     # reported seconds → q/s = 24 / value. Spark's scheduler interleaves the
