@@ -207,20 +207,50 @@ def hist_build(
 
     Engine-exactness: one double expression evaluated in the same order
     on both engines (IEEE-754 ops are deterministic; the literals
-    round-trip via ``repr``), then integer floor/clamp. NULL and
-    out-of-range-below values drop; values ≥ ``hi`` clamp into the last
-    bucket (so the table is lossless over [lo, ∞))."""
+    round-trip via ``repr``), then integer floor/clamp. NULLs drop;
+    out-of-domain values clamp SYMMETRICALLY — below ``lo`` into bucket
+    0, at/above ``hi`` into the last bucket — so the table is lossless
+    over all of ℝ and a shifted data distribution shows up as mass
+    piling into an edge bucket instead of silently vanishing. For a
+    data-derived domain (no clamping at all), use
+    :func:`hist_build_auto`."""
     v = F.col(value_col).cast("double")
     raw = F.floor(
         (v - F.lit(lo)) * F.lit(float(n_buckets)) / F.lit(hi - lo)
     ).cast("long")
-    b = F.least(raw, F.lit(n_buckets - 1))
+    b = F.greatest(F.least(raw, F.lit(n_buckets - 1)), F.lit(0))
     return (
-        df.where(v.isNotNull() & (v >= F.lit(lo)))
+        df.where(v.isNotNull())
         .select(F.col(group_col).alias("grp"), b.alias("bucket"))
         .groupBy("grp", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def hist_build_auto(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """:func:`hist_build` with the [lo, hi] domain derived from the data
+    by a min/max pre-pass (one cheap scan-local agg — no shuffle beyond
+    the 1-row aggregate) instead of a caller-guessed constant: a user
+    sketching an unknown value column gets full resolution across the
+    actual range rather than everything clamped into an edge bucket.
+    Degenerate all-equal columns widen the domain by 1.0 so the bucket
+    width stays positive. Two scans total — the price of not knowing
+    the domain; at 100 TB, derive once and reuse via :func:`hist_build`
+    for subsequent builds/merges (mergeable tables require one shared
+    domain anyway)."""
+    v = F.col(value_col).cast("double")
+    r = df.select(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+    if r["lo"] is None:  # no non-null values: empty histogram, any domain
+        return hist_build(df, group_col, value_col, 0.0, 1.0, n_buckets)
+    lo, hi = float(r["lo"]), float(r["hi"])
+    if not hi > lo:
+        hi = lo + 1.0
+    return hist_build(df, group_col, value_col, lo, hi, n_buckets)
 
 
 def hist_merge(*hists: DataFrame) -> DataFrame:
@@ -439,9 +469,28 @@ def cms_heavy_hitters(
     every true heavy key survives the prefilter; the exact groupBy over
     the surviving rows discards the sketch's false positives. Output:
     (key, cnt) for true heavy hitters only."""
-    hot = cms_build(df, key_col, width, depth).where(
-        F.col("cnt") >= threshold
-    ).collect()
+    member = _over_threshold_member(df, key_col, threshold, width, depth)
+    exact = df.where(member).groupBy(key_col).agg(F.count("*").alias("cnt"))
+    return exact.where(F.col("cnt") >= threshold)
+
+
+def _over_threshold_member(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    width: int = 1024,
+    depth: int = 3,
+    cms: DataFrame | None = None,
+) -> F.Column:
+    """Codegen membership predicate "this row's key has CMS estimate ≥
+    threshold": the over-threshold cells (≤ width×depth by construction)
+    compile into per-depth-row literal bitmasks and the row passes iff
+    ALL its cells are over — i.e. iff min-over-cells (the estimate)
+    clears the bar. Shared by :func:`cms_heavy_hitters` and
+    :func:`cms_candidate_keys`; no distinct, no join."""
+    if cms is None:
+        cms = cms_build(df, key_col, width, depth)
+    hot = cms.where(F.col("cnt") >= threshold).collect()
     words_per_row = (width + 59) // 60  # 60 usable bits/long (sign-safe)
     bitmaps = [[0] * words_per_row for _ in range(depth)]
     for c in hot:
@@ -452,8 +501,26 @@ def cms_heavy_hitters(
         member = member & bitset_test(
             bitmaps[r - 1], _cms_colpos(base, width, r)
         )
-    exact = df.where(member).groupBy(key_col).agg(F.count("*").alias("cnt"))
-    return exact.where(F.col("cnt") >= threshold)
+    return member
+
+
+def cms_candidate_keys(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    cms: DataFrame | None = None,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """BOUNDED probe set for :func:`cms_estimate`: the distinct keys
+    whose estimate clears ``threshold``. The filter is the literal-bitset
+    codegen test, so the only exchange is the distinct over SURVIVING
+    rows — whose key count is ≤ total/threshold true hot keys plus the
+    sketch's deterministic false positives, never the full key set (a
+    bare ``df.select(key).distinct()`` probe shuffles every key at
+    100 TB — the anti-pattern the heavy-hitters rewrite removed)."""
+    member = _over_threshold_member(df, key_col, threshold, width, depth, cms)
+    return df.where(member).select(key_col).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -490,13 +557,16 @@ def queries():
         return bloom_probe(customer, "c_custkey", bloom)
 
     def _cms(spark, sf_dir):
-        # per-user event-count estimates from the CMS counter table;
-        # one-sided error (est >= true), deterministic collisions
+        # per-user event-count estimates from the CMS counter table for
+        # the HOT-KEY candidates (est >= 50); one-sided error
+        # (est >= true), deterministic collisions. The probe set comes
+        # from cms_candidate_keys — a bounded distinct over candidate
+        # rows, not a full-key-set exchange.
         tune_runtime(spark)
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         cms = cms_build(events, "user_id")
-        users = events.select("user_id").distinct()
-        return cms_estimate(users, "user_id", cms)
+        probes = cms_candidate_keys(events, "user_id", 50, cms=cms)
+        return cms_estimate(probes, "user_id", cms)
 
     def _heavy(spark, sf_dir):
         # users with >= 70 events, exact, through the CMS prefilter
@@ -521,6 +591,14 @@ def queries():
         b = hist_build(events.where(F.col("event_id") % 2 == 1), "event_type", "value")
         return hist_merge(a, b)
 
+    def _hist_auto(spark, sf_dir):
+        # the data-derived-domain variant: min/max pre-pass sizes
+        # [lo, hi], so an unknown value column gets full resolution (the
+        # oracle re-derives the identical domain in SQL)
+        tune_runtime(spark)
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return hist_build_auto(events, "event_type", "value")
+
     return {
         "sketch_hll_registers": _registers,
         "sketch_hll_merge": _merge,
@@ -529,6 +607,7 @@ def queries():
         "sketch_cms_heavy": _heavy,
         "sketch_hll_string": _registers_string,
         "sketch_hist_merge": _hist,
+        "sketch_hist_auto": _hist_auto,
     }
 
 
@@ -653,8 +732,15 @@ def _cms_table_sql(tab: str, key: str, width: int = 1024, depth: int = 3) -> str
 
 
 def _cms_sql(
-    tab: str, key: str, width: int = 1024, depth: int = 3
+    tab: str,
+    key: str,
+    width: int = 1024,
+    depth: int = 3,
+    min_est: int | None = None,
 ) -> str:
+    """``min_est`` replays cms_candidate_keys' probe-set bound: a key is
+    probed iff its estimate (min over cells) clears the threshold — the
+    naive oracle may estimate every key, the Spark side must not."""
     salts = range(1, depth + 1)
     cells = " UNION ALL ".join(
         f"SELECT {r} AS row,"
@@ -668,6 +754,7 @@ def _cms_sql(
         f" FROM (SELECT DISTINCT {key} FROM {tab})"
         for r in salts
     )
+    having = f"HAVING min(cnt) >= {min_est}" if min_est is not None else ""
     return f"""
 WITH cells AS ({cells}),
 cms AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2),
@@ -676,7 +763,7 @@ joined AS (
   SELECT p.key, coalesce(c.cnt, 0) AS cnt
   FROM ppts p LEFT JOIN cms c ON p.row = c.row AND p.col = c.col
 )
-SELECT key AS {key}, min(cnt)::BIGINT AS est_count FROM joined GROUP BY 1
+SELECT key AS {key}, min(cnt)::BIGINT AS est_count FROM joined GROUP BY 1 {having}
 """
 
 
@@ -687,7 +774,7 @@ def oracle_sql():
         "sketch_bloom_semijoin": _bloom_sql(
             "orders", "o_custkey", "customer", "c_custkey"
         ),
-        "sketch_cms_counts": _cms_sql("events", "user_id"),
+        "sketch_cms_counts": _cms_sql("events", "user_id", min_est=50),
         # exact HAVING query on purpose: the CMS prefilter must not
         # change the answer (estimates never undercount)
         "sketch_cms_heavy": (
@@ -698,13 +785,30 @@ def oracle_sql():
             "documents", "lang", "source", val_is_string=True
         ),
         # direct-build oracle: the Spark side merges two disjoint halves,
-        # so the hash match proves the merge algebra as well
+        # so the hash match proves the merge algebra as well (clamping is
+        # symmetric: below-lo → bucket 0, ≥hi → last bucket)
         "sketch_hist_merge": f"""
 SELECT event_type AS grp,
-       least(floor(((value::DOUBLE - CAST({0.0!r} AS DOUBLE)) * CAST({256.0!r} AS DOUBLE)) / CAST({512.0!r} AS DOUBLE))::BIGINT, 255) AS bucket,
+       greatest(least(floor(((value::DOUBLE - CAST({0.0!r} AS DOUBLE)) * CAST({256.0!r} AS DOUBLE)) / CAST({512.0!r} AS DOUBLE))::BIGINT, 255), 0) AS bucket,
        count(*) AS cnt
 FROM events
-WHERE value IS NOT NULL AND value::DOUBLE >= CAST({0.0!r} AS DOUBLE)
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+        # the auto-domain twin: the oracle re-derives the SAME min/max in
+        # SQL (exact IEEE ops → identical doubles → identical buckets)
+        "sketch_hist_auto": f"""
+WITH d AS (
+  SELECT min(value::DOUBLE) AS lo,
+         CASE WHEN max(value::DOUBLE) > min(value::DOUBLE)
+              THEN max(value::DOUBLE) ELSE min(value::DOUBLE) + 1.0 END AS hi
+  FROM events
+)
+SELECT event_type AS grp,
+       greatest(least(floor(((value::DOUBLE - d.lo) * CAST({256.0!r} AS DOUBLE)) / (d.hi - d.lo))::BIGINT, 255), 0) AS bucket,
+       count(*) AS cnt
+FROM events, d
+WHERE value IS NOT NULL
 GROUP BY 1, 2
 """,
     }

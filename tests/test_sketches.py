@@ -274,3 +274,74 @@ def test_hist_build_is_single_exchange(spark):
     )
     plan = hist_build(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+def test_hist_clamps_symmetrically_no_rows_dropped(spark):
+    from accumulo_wikisearch_spark.operators.sketches import hist_build
+
+    # values straddling BOTH domain edges: below-lo clamps to bucket 0
+    # (not dropped — the r7 asymmetry), >= hi clamps to the last bucket
+    df = spark.range(0, 30).select(
+        F.lit("g").alias("g"),
+        (F.col("id").cast("double") * 100 - 700).alias("v"),  # -700..2200
+    )
+    rows = {r["bucket"]: r["cnt"] for r in hist_build(df, "g", "v").collect()}
+    assert sum(rows.values()) == 30  # lossless over all of R
+    assert rows[0] >= 7  # the 7 below-lo values joined bucket 0
+    assert rows[255] >= 17  # the >= 512 values joined the last bucket
+
+
+def test_hist_auto_domain_full_resolution(spark):
+    from accumulo_wikisearch_spark.operators.sketches import (
+        hist_build,
+        hist_build_auto,
+        hist_quantile,
+    )
+
+    # values in [10000, 10500): the FIXED default domain would clamp all
+    # of them into bucket 255; the auto domain spreads them
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % 500 + 10000).cast("double").alias("v"),
+    )
+    fixed = hist_build(df, "g", "v").collect()
+    assert len(fixed) == 1 and fixed[0]["bucket"] == 255
+    auto = hist_build_auto(df, "g", "v")
+    assert auto.count() > 100
+    med = hist_quantile(auto, 0.5, lo=10000.0, hi=10499.0).collect()[0]["est"]
+    assert abs(med - 10250) <= 3, med
+    # degenerate all-equal column: one bucket, no divide-by-zero
+    same = spark.range(0, 9).select(
+        F.lit("g").alias("g"), F.lit(7.25).alias("v")
+    )
+    srows = hist_build_auto(same, "g", "v").collect()
+    assert len(srows) == 1 and srows[0]["cnt"] == 9
+
+
+def test_cms_candidate_keys_bounded_and_exact_set(spark):
+    from accumulo_wikisearch_spark.operators.sketches import (
+        cms_build,
+        cms_candidate_keys,
+        cms_estimate,
+    )
+
+    # keys 0..4 appear 60x each, keys 100..199 once each
+    hot = spark.range(0, 300).select((F.col("id") % 5).alias("k"))
+    cold = spark.range(100, 200).select(F.col("id").alias("k"))
+    df = hot.unionByName(cold)
+    cms = cms_build(df, "k")
+    cand = cms_candidate_keys(df, "k", 50, cms=cms)
+    got = {r["k"] for r in cand.collect()}
+    # every truly-hot key MUST be a candidate (estimates never undercount)
+    assert got >= {0, 1, 2, 3, 4}
+    # candidates are exactly the keys whose estimate clears the bar
+    ests = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(
+            df.select("k").distinct(), "k", cms
+        ).collect()
+    }
+    assert got == {k for k, e in ests.items() if e >= 50}
+    # and the probe plan is filter-then-distinct, never a join
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
