@@ -519,6 +519,11 @@ def near_dups_vs_store(
     # by the ContextCleaner once the caller drops it.  materialize=False
     # skips the barrier and leaves the caches live (plan inspection /
     # composition into a larger lazy job — caller owns cleanup).
+    # CAVEAT: localCheckpoint blocks are NOT fault-tolerant — on a
+    # cluster that loses an executor mid-stream, the eager result is gone
+    # and the query fails instead of recomputing. For long-running ingest
+    # on preemptible/spot executors, use reliable checkpoint() (HDFS/S3
+    # checkpoint dir) or persist-count-unpersist at the call site.
     if not materialize:
         return out
     out = out.localCheckpoint(eager=True)

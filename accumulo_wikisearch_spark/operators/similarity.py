@@ -1232,6 +1232,10 @@ def semdedup_check_vs_store(
     # materialize first, then drop the cache the plan depends on.
     # materialize=False keeps the lazy plan (inspection / composition;
     # caller owns the cache cleanup).
+    # CAVEAT: localCheckpoint blocks are NOT fault-tolerant — an executor
+    # loss drops them and fails the query instead of recomputing; on
+    # preemptible clusters use reliable checkpoint() or
+    # persist-count-unpersist at the call site.
     if not materialize:
         return out
     out = out.localCheckpoint(eager=True)
