@@ -154,6 +154,77 @@ def zbuckets_for_box(
     return hits
 
 
+def zranges_for_box(
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    bits: int = ZBITS,
+    max_ranges: int = 32,
+) -> list[tuple[int, int]]:
+    """Disjoint, sorted z-value intervals covering every point of the box
+    [x_lo, x_hi] × [y_lo, y_hi] — the multi-interval refinement of the
+    single corner bound [z(x_lo,y_lo), z(x_hi,y_hi)] (which is valid by
+    per-coordinate monotonicity but loose: most of a thin box's corner
+    interval is off-box curve).
+
+    Method: quadtree descent over prefix-aligned squares in z order
+    (the interval-splitting idea behind Tropf–Herzog 1981's BIGMIN).
+    A square fully inside the box emits its whole contiguous z interval;
+    a disjoint square is skipped; a straddling square recurses into its
+    4 z-ordered children. Adjacent intervals merge as they are emitted,
+    and once the budget is reached, straddling squares emit their FULL
+    interval instead of recursing — coverage degrades toward the coarse
+    corner bound but never loses a point, so the result is always a
+    SUPERSET of the box's z set (callers re-verify exactly). Driver-side,
+    O(max_ranges · bits) squares visited."""
+    if max_ranges < 1:
+        raise ValueError("max_ranges must be >= 1")
+    out: list[list[int]] = []
+
+    def emit(z0: int, z1: int) -> None:
+        if out and out[-1][1] + 1 >= z0:
+            out[-1][1] = max(out[-1][1], z1)
+        else:
+            out.append([z0, z1])
+
+    def visit(qx: int, qy: int, level: int) -> None:
+        # square = [qx, qx + 2^level) × [qy, qy + 2^level)
+        side = 1 << level
+        if qx > x_hi or qx + side <= x_lo or qy > y_hi or qy + side <= y_lo:
+            return
+        z0 = zvalue_int(qx, qy, bits)
+        if (
+            x_lo <= qx
+            and qx + side - 1 <= x_hi
+            and y_lo <= qy
+            and qy + side - 1 <= y_hi
+        ) or level == 0:
+            emit(z0, z0 + side * side - 1)
+            return
+        if len(out) >= max_ranges:
+            # budget: cover the whole straddling square (superset)
+            emit(z0, z0 + side * side - 1)
+            return
+        half = side >> 1
+        # children in z order: (lo,lo), (hi_x,lo), (lo,hi_y), (hi_x,hi_y)
+        visit(qx, qy, level - 1)
+        visit(qx + half, qy, level - 1)
+        visit(qx, qy + half, level - 1)
+        visit(qx + half, qy + half, level - 1)
+
+    visit(0, 0, bits)
+    # the budget check stops REFINEMENT, but siblings still on the
+    # recursion stack emit afterwards — enforce the cap exactly by
+    # merging the smallest inter-interval gaps (still a superset)
+    while len(out) > max_ranges:
+        gaps = [out[i + 1][0] - out[i][1] for i in range(len(out) - 1)]
+        i = gaps.index(min(gaps))
+        out[i][1] = out[i + 1][1]
+        del out[i + 1]
+    return [(a, b) for a, b in out]
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -281,15 +352,25 @@ def read_zordered_box(
     df = spark.read.parquet(path)
     if buckets:
         df = df.where(F.col("zb").isin(*buckets)).where(
-            F.col("z").between(
-                zvalue_int(x_lo, y_lo, bits), zvalue_int(x_hi, y_hi, bits)
-            )
+            _zranges_pred(x_lo, x_hi, y_lo, y_hi, bits)
         )
     else:
         df = df.where(F.lit(False))
     return df.where(
         F.col(c1).between(x_lo, x_hi) & F.col(c2).between(y_lo, y_hi)
     )
+
+
+def _zranges_pred(
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int, bits: int
+) -> Column:
+    """OR-of-betweens on the sorted ``z`` column from the box's z-interval
+    cover — each interval skips row groups via parquet min/max stats; the
+    (bounded) disjunction is a pure codegen comparison chain."""
+    pred = F.lit(False)
+    for z0, z1 in zranges_for_box(x_lo, x_hi, y_lo, y_hi, bits):
+        pred = pred | F.col("z").between(z0, z1)
+    return pred
 
 
 # ---------------------------------------------------------------------------
@@ -528,9 +609,7 @@ def zprune_docs(docs: DataFrame, node, zl: ZLayout) -> DataFrame:
     if not buckets:
         return docs.where(F.lit(False))
     return docs.where(F.col("zb").isin(*buckets)).where(
-        F.col("z").between(
-            zvalue_int(x_lo, y_lo, zl.bits), zvalue_int(x_hi, y_hi, zl.bits)
-        )
+        _zranges_pred(x_lo, x_hi, y_lo, y_hi, zl.bits)
     )
 
 

@@ -234,3 +234,121 @@ def test_zbox_from_query_offsets_and_kinds():
     # eq below the offset → empty box (lo > hi), not a wrap
     empty = zbox_from_query(ast.Cmp("U", ast.EQ, "5"), zl)
     assert empty is not None and empty[0] > empty[1]
+
+
+def test_zranges_exact_cover_small_domain_bruteforce():
+    """With budget to spare, the interval cover is EXACTLY the box's
+    z set; under a tight budget it is a superset. Brute-forced over
+    every box of a 16x16 domain."""
+    from accumulo_wikisearch_spark.operators.layout import (
+        zranges_for_box,
+        zvalue_int,
+    )
+
+    bits = 4
+    for (x0, x1, y0, y1) in [
+        (0, 15, 0, 15), (3, 3, 7, 7), (0, 15, 5, 5), (2, 9, 4, 13),
+        (0, 0, 0, 0), (15, 15, 15, 15), (1, 14, 1, 1), (5, 6, 5, 6),
+    ]:
+        want = {
+            zvalue_int(x, y, bits)
+            for x in range(x0, x1 + 1)
+            for y in range(y0, y1 + 1)
+        }
+        ranges = zranges_for_box(x0, x1, y0, y1, bits, max_ranges=10_000)
+        got = set()
+        for a, b in ranges:
+            got.update(range(a, b + 1))
+        assert got == want, (x0, x1, y0, y1)
+        # sorted, disjoint, non-adjacent (maximally merged)
+        for (a1, b1), (a2, b2) in zip(ranges, ranges[1:]):
+            assert b1 + 1 < a2
+        # tight budget: still a superset, count bounded
+        tight = zranges_for_box(x0, x1, y0, y1, bits, max_ranges=3)
+        tgot = set()
+        for a, b in tight:
+            tgot.update(range(a, b + 1))
+        assert tgot >= want
+        assert len(tight) <= 3  # the cap is exact (gap-merge pass)
+
+
+def test_zranges_property_random_boxes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from accumulo_wikisearch_spark.operators.layout import (
+        zranges_for_box,
+        zvalue_int,
+    )
+
+    bits = 5
+    lim = 1 << bits
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        x=st.tuples(st.integers(0, lim - 1), st.integers(0, lim - 1)),
+        y=st.tuples(st.integers(0, lim - 1), st.integers(0, lim - 1)),
+        budget=st.integers(1, 64),
+    )
+    def check(x, y, budget):
+        x0, x1 = min(x), max(x)
+        y0, y1 = min(y), max(y)
+        want = {
+            zvalue_int(a, b, bits)
+            for a in range(x0, x1 + 1)
+            for b in range(y0, y1 + 1)
+        }
+        ranges = zranges_for_box(x0, x1, y0, y1, bits, max_ranges=budget)
+        assert len(ranges) <= budget  # the cap is exact
+        got = set()
+        for a, b in ranges:
+            got.update(range(a, b + 1))
+        assert got >= want  # never loses a point at ANY budget
+        full = zranges_for_box(x0, x1, y0, y1, bits, max_ranges=10_000)
+        fgot = set()
+        for a, b in full:
+            fgot.update(range(a, b + 1))
+        assert fgot == want  # unbounded budget is exact
+
+    check()
+
+
+def test_zranges_tighter_than_corner_interval(spark, sf_dir, tmp_path):
+    """A thin-in-y box: the corner interval spans nearly the whole store,
+    the interval cover reads a fraction of it. Checked through the real
+    pruned read (row counts BEFORE the exact re-verify)."""
+    from pyspark.sql import functions as F
+
+    from accumulo_wikisearch_spark.operators.layout import (
+        zranges_for_box,
+        zvalue_int,
+        read_zordered_box,
+    )
+
+    bits = 6
+    # thin slab y in [32, 33]: 2x2-quad-aligned, so the cover is EXACT
+    # (32 intervals of 4 points) while the corner interval drags in a
+    # big swath of off-box curve
+    z_corner = zvalue_int(63, 33, bits) - zvalue_int(0, 32, bits) + 1
+    z_cover = sum(
+        b - a + 1 for a, b in zranges_for_box(0, 63, 32, 33, bits)
+    )
+    assert z_cover == 128  # exactly the box's points
+    assert z_cover < z_corner / 4
+    # the adversarial twin y in [31, 32] straddles the central bit
+    # boundary (every y bit flips): the budgeted cover degrades
+    # gracefully — still a bounded interval list, still a superset,
+    # still tighter than the corner bound
+    z_cover_bad = sum(
+        b - a + 1 for a, b in zranges_for_box(0, 63, 31, 32, bits)
+    )
+    z_corner_bad = zvalue_int(63, 32, bits) - zvalue_int(0, 31, bits) + 1
+    assert 128 <= z_cover_bad < z_corner_bad
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    from accumulo_wikisearch_spark.operators.layout import write_zordered
+
+    write_zordered(df, str(tmp_path / "thin"), "a", "b", bits=bits)
+    got = read_zordered_box(spark, str(tmp_path / "thin"), "a", 0, 63, "b", 31, 32)
+    assert got.count() == 128  # exact after re-verify
