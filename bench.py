@@ -212,6 +212,17 @@ def main() -> None:
     )
     timed("ev_box_flat_catalog", lambda: flat_eng.query(box_q).count())
     timed("ev_box_zordered", lambda: z_eng.query(box_q).count())
+    # scan-path twins (force_path=fullscan): no index assist, the layout
+    # IS the whole story — the 100 TB case where the win is structural
+    # (directory + row-group pruning vs a full docs_wide scan)
+    timed(
+        "ev_boxscan_flat",
+        lambda: flat_eng.query(box_q, force_path="fullscan").count(),
+    )
+    timed(
+        "ev_boxscan_zordered",
+        lambda: z_eng.query(box_q, force_path="fullscan").count(),
+    )
 
     # random-query load (BASELINE.md "1000 queries, 10 clients" analogue,
     # scaled down): 24 distinct 2-3-term AND queries over 8 client threads;
