@@ -129,6 +129,16 @@ def load_index_with_deltas(
     batches = delta_batches(spark, path)
     if not batches:
         return index
+    if index.zlayout is not None:
+        # deltas are flat (no z/zb columns): the base docs_wide demotes to
+        # its logical schema for the union, and box pruning DISABLES on
+        # the merge-read view — pruning a union that contains unclustered
+        # rows would silently drop delta matches. Major compaction
+        # re-derives and restores the layout (compact_index).
+        # (the store's physical schema carries z, zb, and the rebased
+        # integer keys _zx/_zy — all layout-derived, all dropped here)
+        index.docs_wide = index.docs_wide.drop("z", "zb", "_zx", "_zy")
+        index.zlayout = None
     rd = spark.read.parquet
 
     def stacked(name: str) -> DataFrame | None:
@@ -182,8 +192,23 @@ def compact_index(
     compact-to-tmp-then-rename, and the only safe order: the merged lineage
     reads the very files being replaced, and caching is NOT a snapshot
     (Spark invalidates path-derived caches on overwrite, silently
-    recomputing from half-rewritten state)."""
+    recomputing from half-rewritten state).
+
+    A z-ordered base catalog (layout.ZLayout sidecar on docs_wide) is
+    PRESERVED: the rewrite re-clusters the folded docs_wide on the same
+    two fields with bits/offsets re-derived from the merged data — deltas
+    may have extended the key domain, and compaction is exactly where the
+    layout should re-fit it. (The merge-read view between compactions
+    serves flat/unpruned — see ``load_index_with_deltas``.)"""
+    from accumulo_wikisearch_spark.operators.layout import ZLayout, load_zlayout
+
     config = config or EngineConfig()
+    zl = load_zlayout(spark, f"{path}/docs_wide")
+    zorder = (
+        ZLayout(zl.x_field, zl.y_field, zl.x_kind, zl.y_kind)  # re-derive
+        if zl is not None
+        else None
+    )
     batches = delta_batches(spark, path)
     merged = load_index_with_deltas(spark, path, config)
     if _stacked_tombstones(spark, path, batches) is not None:
@@ -196,7 +221,7 @@ def compact_index(
     files_before = _count_files(spark, path) + _count_files(spark, f"{path}/deltas")
 
     tmp = f"{path}/_compact_tmp"
-    write_index(merged, tmp)
+    write_index(merged, tmp, zorder=zorder)
     fs, _, jvm = _fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path
     for name in _ALL_TABLES:

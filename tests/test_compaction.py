@@ -174,3 +174,60 @@ def test_tombstones_shadow_docs_and_compaction_rebuilds_exact(spark, catalog):
     # reverse index rebuilt too (reversed 'alpha' gone)
     assert idx2.reverse_index.where(F.col("norm_value") == "ahpla").count() == 0
     assert Wikisearch(idx2).query("TEXT == 'common'").count() == 14
+
+
+def test_zordered_catalog_merge_read_and_compaction(spark, tmp_path):
+    """A Morton-clustered base catalog through the LSM cycle: merge-read
+    demotes to flat (pruning a union with unclustered delta rows would
+    drop delta matches), and major compaction re-derives + RESTORES the
+    layout over the folded data — the OPTIMIZE ZORDER compaction shape."""
+    from accumulo_wikisearch_spark.operators.layout import ZLayout, load_zlayout
+
+    zsf = {"ID": "id", "UID": "uid", "DAY": "day"}
+    schema = "id long, language string, text string, uid string, day string"
+
+    def rows(lo, hi):
+        return [
+            (i, "enwiki", "tok", str(i % 40), f"2024-01-{(i % 9) + 1:02d} 08:00:00")
+            for i in range(lo, hi)
+        ]
+
+    path = str(tmp_path / "zindex")
+    base = spark.createDataFrame(rows(0, 60), schema)
+    write_index(
+        build_index(base, CFG, zsf),
+        path,
+        zorder=ZLayout("UID", "DAY", "int", "day"),
+    )
+    assert load_zlayout(spark, f"{path}/docs_wide") is not None
+
+    # flat delta extends BOTH key domains (uid 70..99, later days)
+    d = spark.createDataFrame(
+        [
+            (i, "enwiki", "tok", str(i), f"2024-02-{(i % 9) + 1:02d} 08:00:00")
+            for i in range(70, 100)
+        ],
+        schema,
+    )
+    write_delta(build_index(d, CFG, zsf), path, 0)
+
+    box_q = "UID == '7' and DAY >= '2024-01-01 00:00:00' and DAY <= '2024-01-09 23:59:59'"
+    # merge-read: flat view, no pruning, but EVERY row visible
+    idx = load_index_with_deltas(spark, path, CFG)
+    assert idx.zlayout is None
+    eng = Wikisearch(idx)
+    assert eng.query("TEXT == 'tok'").count() == 90
+    want = sorted(r["doc_id"] for r in eng.query(box_q).collect())
+    assert want == [7, 47]  # uid '7' repeats at i=7 and 47 in-base
+
+    # compaction restores the layout over the folded (wider) domain
+    compact_index(spark, path, CFG)
+    zl = load_zlayout(spark, f"{path}/docs_wide")
+    assert zl is not None and zl.x_field == "UID"
+    idx2 = load_index(spark, path, CFG)
+    assert idx2.zlayout is not None
+    eng2 = Wikisearch(idx2)
+    assert eng2.query("TEXT == 'tok'").count() == 90
+    assert sorted(r["doc_id"] for r in eng2.query(box_q).collect()) == want
+    # delta keys (uid 99, February days) fit the re-derived domain
+    assert eng2.query("UID == '99' and TEXT == 'tok'").count() == 1
