@@ -758,6 +758,28 @@ def explain_plan(
         # joins, no field_index scan (the doc-range plan, O4)
         "uid_shortcircuit": False,
     }
+    zl = getattr(index, "zlayout", None)
+    if zl is not None:
+        # z-ordered catalog: report the box the planner will prune
+        # docs_wide with (None = no usable top-level bound → full scan of
+        # the layout), the directory fraction it reads, and the z-interval
+        # cover — the observable form of zprune_docs' decision
+        from accumulo_wikisearch_spark.operators.layout import (
+            zbox_from_query,
+            zbuckets_for_box,
+            zranges_for_box,
+        )
+
+        box = zbox_from_query(nnf, zl)
+        info = {"fields": [zl.x_field, zl.y_field], "box": box}
+        if box is not None and box[0] <= box[1] and box[2] <= box[3]:
+            bks = zbuckets_for_box(*box, zl.bits, zl.bucket_bits)
+            info["buckets"] = len(bks)
+            info["buckets_total"] = 1 << zl.bucket_bits
+            info["z_ranges"] = len(zranges_for_box(*box, zl.bits))
+        elif box is not None:
+            info["empty"] = True  # constant-folds to zero rows
+        out["zlayout"] = info
     if tree is not None:
         infos = planner.eq_term_info(tree, auths)
         out["cardinalities"] = {

@@ -352,3 +352,66 @@ def test_zranges_tighter_than_corner_interval(spark, sf_dir, tmp_path):
     write_zordered(df, str(tmp_path / "thin"), "a", "b", bits=bits)
     got = read_zordered_box(spark, str(tmp_path / "thin"), "a", 0, 63, "b", 31, 32)
     assert got.count() == 128  # exact after re-verify
+
+
+def test_engine_zordered_matches_flat_on_generated_queries(spark, sf_dir, tmp_path):
+    """Randomized soundness sweep for the planner's box extraction: 60
+    seeded random queries over the layout fields (in/out-of-domain
+    literals, lexicographic ranges on the int key, negations, nested
+    or/and, day ranges) must answer IDENTICALLY through the z-ordered
+    and in-memory engines — pruning may only ever be a superset."""
+    import random
+
+    eng, zeng = _flat_and_z_engines(spark, sf_dir, tmp_path)
+    rng = random.Random(8)
+    users = ["0", "3", "7", "12", "29", "42", "100", "007", "nosuch", "-1"]
+    days = [f"2024-01-{d:02d} 00:00:00" for d in (1, 3, 5, 9, 12, 20, 28)]
+    types = ["click", "view", "error", "purchase", "signup"]
+
+    def leaf():
+        r = rng.random()
+        if r < 0.35:
+            op = rng.choice(["==", "!=", ">=", "<="])
+            return f"USER_ID {op} '{rng.choice(users)}'"
+        if r < 0.7:
+            op = rng.choice(["==", ">=", "<=", ">", "<"])
+            return f"TS {op} '{rng.choice(days)}'"
+        return f"EVENT_TYPE == '{rng.choice(types)}'"
+
+    def node(depth):
+        if depth == 0 or rng.random() < 0.4:
+            lf = leaf()
+            return f"not ({lf})" if rng.random() < 0.15 else lf
+        con = rng.choice(["and", "or"])
+        return f"({node(depth - 1)} {con} {node(depth - 1)})"
+
+    for i in range(60):
+        q = node(2)
+        want = sorted(r["doc_id"] for r in eng.query(q).collect())
+        got = sorted(r["doc_id"] for r in zeng.query(q).collect())
+        assert got == want, (i, q)
+
+
+def test_explain_query_reports_zlayout_decision(spark, sf_dir, tmp_path):
+    _eng, zeng = _flat_and_z_engines(spark, sf_dir, tmp_path)
+    # prunable box
+    info = zeng.explain_query(
+        "USER_ID == '7' and TS >= '2024-01-05 00:00:00'"
+        " and TS <= '2024-01-20 00:00:00'"
+    )["zlayout"]
+    assert info["fields"] == ["USER_ID", "TS"]
+    assert info["box"] is not None
+    assert 0 < info["buckets"] <= info["buckets_total"]
+    assert info["z_ranges"] >= 1
+    # no usable bound
+    info2 = zeng.explain_query("USER_ID == '7' or EVENT_TYPE == 'click'")[
+        "zlayout"
+    ]
+    assert info2["box"] is None
+    # out-of-domain eq: reported as the constant-fold
+    info3 = zeng.explain_query("USER_ID == '4242' and EVENT_TYPE == 'click'")[
+        "zlayout"
+    ]
+    assert info3.get("empty") is True
+    # a FLAT engine's explain has no zlayout key
+    assert "zlayout" not in _eng.explain_query("USER_ID == '7'")
