@@ -204,8 +204,12 @@ def compact_index(
 
     config = config or EngineConfig()
     zl = load_zlayout(spark, f"{path}/docs_wide")
+    # keep fields/kinds/bucket_bits; re-derive only bits and offsets
+    # (deltas may widen the key domain — the rest of the layout is the
+    # user's choice and must survive every compaction)
     zorder = (
-        ZLayout(zl.x_field, zl.y_field, zl.x_kind, zl.y_kind)  # re-derive
+        ZLayout(zl.x_field, zl.y_field, zl.x_kind, zl.y_kind,
+                bucket_bits=zl.bucket_bits)
         if zl is not None
         else None
     )

@@ -336,6 +336,15 @@ def read_zordered_box(
                     f"layout ({name}={meta[name]}); reading with the wrong "
                     f"{name} silently drops rows"
                 )
+        # the COLUMN ORDER matters as much as the bit widths: swapped
+        # c1/c2 transpose the box against the interleave and silently
+        # mis-prune (c1 is the x/even-bit dimension)
+        if (c1, c2) != (meta["c1"], meta["c2"]):
+            raise ValueError(
+                f"key columns ({c1}, {c2}) do not match the store's "
+                f"persisted layout ({meta['c1']}, {meta['c2']}); a "
+                "swapped or wrong column pair silently drops rows"
+            )
         bits, bucket_bits = meta["bits"], meta["bucket_bits"]
     elif bits is None or bucket_bits is None:
         raise ValueError(

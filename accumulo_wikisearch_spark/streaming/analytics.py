@@ -343,8 +343,70 @@ def replay_stream_neardup_ingest(spark, sf_dir: str):
     return spark.read.parquet(out_dir).select("doc_id")
 
 
-# final-store cache per sf_dir (same rationale as _NEARDUP_RESULTS)
-_HLL_STORE_RESULTS: dict = {}
+# final-store cache per (sketch, sf_dir) — the streaming replays build
+# their at-rest store once per session (same rationale as _NEARDUP_RESULTS)
+_SKETCH_STORE_RESULTS: dict = {}
+
+
+def _replay_stream_sketch(spark, sf_dir: str, prefix: str, build, merge):
+    """Shared harness for the sketch-maintenance stream replays: stage the
+    events table as two deterministic micro-batch files (mtime-ordered),
+    then foreachBatch-``merge`` each batch's ``build`` output into an
+    at-rest store with the tmp-then-swap pattern, localCheckpoint-ing the
+    merge BEFORE the swap deletes the files under its plan. One
+    implementation so a harness fix can never silently miss a sketch
+    (this file previously carried three near-verbatim copies)."""
+    import os
+    import shutil
+    import tempfile
+
+    from accumulo_wikisearch_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    cached = _SKETCH_STORE_RESULTS.get((prefix, sf_dir))
+    if cached is not None:
+        return spark.read.parquet(cached)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix=f"{prefix}-stream-stage-")
+    for i, cond in enumerate(
+        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+    ):
+        tmp = tempfile.mkdtemp(prefix=f"{prefix}-batch{i}-")
+        events.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{stage}/batch_{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        t = 1_000_000_000 + i * 1000
+        os.utime(dst, (t, t))  # deterministic micro-batch order
+    store = tempfile.mkdtemp(prefix=f"{prefix}-store-")
+
+    def process_batch(bdf, _bid):
+        fresh = build(bdf)
+        if os.listdir(store):
+            old = spark.read.parquet(store)
+            # materialize BEFORE the swap deletes the files under the plan
+            merged = merge(old, fresh).localCheckpoint()
+        else:
+            merged = fresh
+        tmp_out = store + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(tmp_out, store)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    _SKETCH_STORE_RESULTS[(prefix, sf_dir)] = store
+    return spark.read.parquet(store)
 
 
 def replay_stream_hll(spark, sf_dir: str):
@@ -359,64 +421,18 @@ def replay_stream_hll(spark, sf_dir: str):
     The 100 TB shape: distinct-users-per-type tracked forever at
     O(groups x m) state, no raw-event retention, no state-store growth —
     the streaming twin of ``sketch_hll_registers``."""
-    import os
-    import shutil
-    import tempfile
-
     from accumulo_wikisearch_spark.operators.sketches import (
         hll_registers,
         merge_registers,
     )
-    from accumulo_wikisearch_spark.session import tune_runtime
 
-    tune_runtime(spark)
-    cached = _HLL_STORE_RESULTS.get(sf_dir)
-    if cached is not None:
-        return spark.read.parquet(cached)
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="hll-stream-stage-")
-    for i, cond in enumerate(
-        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
-    ):
-        tmp = tempfile.mkdtemp(prefix=f"hll-batch{i}-")
-        events.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = f"{stage}/batch_{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        t = 1_000_000_000 + i * 1000
-        os.utime(dst, (t, t))  # deterministic micro-batch order
-    store = tempfile.mkdtemp(prefix="hll-store-")
-
-    def process_batch(bdf, _bid):
-        regs = hll_registers(bdf, "event_type", "user_id")
-        if os.listdir(store):
-            old = spark.read.parquet(store)
-            # materialize BEFORE the swap deletes the files under the plan
-            merged = merge_registers(old, regs).localCheckpoint()
-        else:
-            merged = regs
-        tmp_out = store + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp_out)
-        shutil.rmtree(store, ignore_errors=True)
-        os.rename(tmp_out, store)
-
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
+    return _replay_stream_sketch(
+        spark,
+        sf_dir,
+        "hll",
+        lambda bdf: hll_registers(bdf, "event_type", "user_id"),
+        merge_registers,
     )
-    q = (
-        stream.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="hll-ckpt-"))
-        .start()
-    )
-    q.awaitTermination()
-    _HLL_STORE_RESULTS[sf_dir] = store
-    return spark.read.parquet(store)
-
-
-_CMS_STORE_RESULTS: dict = {}
 
 
 def replay_stream_cms(spark, sf_dir: str):
@@ -433,61 +449,11 @@ def replay_stream_cms(spark, sf_dir: str):
     The 100 TB shape: per-key frequency tracked forever at
     O(width × depth) state, no raw-event retention — heavy-hitter and
     rate-limit queries probe the store without touching the stream."""
-    import os
-    import shutil
-    import tempfile
-
     from accumulo_wikisearch_spark.operators.sketches import cms_build, cms_merge
-    from accumulo_wikisearch_spark.session import tune_runtime
 
-    tune_runtime(spark)
-    cached = _CMS_STORE_RESULTS.get(sf_dir)
-    if cached is not None:
-        return spark.read.parquet(cached)
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="cms-stream-stage-")
-    for i, cond in enumerate(
-        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
-    ):
-        tmp = tempfile.mkdtemp(prefix=f"cms-batch{i}-")
-        events.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = f"{stage}/batch_{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        t = 1_000_000_000 + i * 1000
-        os.utime(dst, (t, t))  # deterministic micro-batch order
-    store = tempfile.mkdtemp(prefix="cms-store-")
-
-    def process_batch(bdf, _bid):
-        cells = cms_build(bdf, "user_id")
-        if os.listdir(store):
-            old = spark.read.parquet(store)
-            # materialize BEFORE the swap deletes the files under the plan
-            merged = cms_merge(old, cells).localCheckpoint()
-        else:
-            merged = cells
-        tmp_out = store + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp_out)
-        shutil.rmtree(store, ignore_errors=True)
-        os.rename(tmp_out, store)
-
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
+    return _replay_stream_sketch(
+        spark, sf_dir, "cms", lambda bdf: cms_build(bdf, "user_id"), cms_merge
     )
-    q = (
-        stream.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cms-ckpt-"))
-        .start()
-    )
-    q.awaitTermination()
-    _CMS_STORE_RESULTS[sf_dir] = store
-    return spark.read.parquet(store)
-
-
-_BLOOM_STORE_RESULTS: dict = {}
 
 
 def replay_stream_bloom(spark, sf_dir: str):
@@ -505,58 +471,11 @@ def replay_stream_bloom(spark, sf_dir: str):
     The 100 TB shape: a "seen before" membership set over an unbounded
     stream at O(n_words) state — decontamination and first-seen checks
     probe the store without touching the stream."""
-    import os
-    import shutil
-    import tempfile
-
     from accumulo_wikisearch_spark.operators.sketches import bloom_build, bloom_merge
-    from accumulo_wikisearch_spark.session import tune_runtime
 
-    tune_runtime(spark)
-    cached = _BLOOM_STORE_RESULTS.get(sf_dir)
-    if cached is not None:
-        return spark.read.parquet(cached)
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="bloom-stream-stage-")
-    for i, cond in enumerate(
-        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
-    ):
-        tmp = tempfile.mkdtemp(prefix=f"bloom-batch{i}-")
-        events.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = f"{stage}/batch_{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        t = 1_000_000_000 + i * 1000
-        os.utime(dst, (t, t))  # deterministic micro-batch order
-    store = tempfile.mkdtemp(prefix="bloom-store-")
-
-    def process_batch(bdf, _bid):
-        bits = bloom_build(bdf, "user_id")
-        if os.listdir(store):
-            old = spark.read.parquet(store)
-            # materialize BEFORE the swap deletes the files under the plan
-            merged = bloom_merge(old, bits).localCheckpoint()
-        else:
-            merged = bits
-        tmp_out = store + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp_out)
-        shutil.rmtree(store, ignore_errors=True)
-        os.rename(tmp_out, store)
-
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
+    return _replay_stream_sketch(
+        spark, sf_dir, "bloom", lambda bdf: bloom_build(bdf, "user_id"), bloom_merge
     )
-    q = (
-        stream.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bloom-ckpt-"))
-        .start()
-    )
-    q.awaitTermination()
-    _BLOOM_STORE_RESULTS[sf_dir] = store
-    return spark.read.parquet(store)
 
 
 def _neardup_ingest_sql(k: int = 3, num: int = 4, den: int = 5) -> str:

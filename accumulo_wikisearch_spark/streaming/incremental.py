@@ -80,6 +80,15 @@ def incremental_update(
     """
     cfg = index.config
     delta = build_index(new_articles, cfg, scalar_fields, text_col)
+    docs_wide = index.docs_wide
+    if index.zlayout is not None:
+        # a z-ordered store's docs_wide carries physical layout columns
+        # (z, zb, _zx, _zy) the flat delta lacks — demote to the logical
+        # schema for the union; the merged view serves unpruned (see the
+        # identical rule in compaction.load_index_with_deltas) and the
+        # periodic rewrite re-clusters (stream_ingest passes the layout
+        # back through write_index)
+        docs_wide = docs_wide.drop("z", "zb", "_zx", "_zy")
     return WikisearchIndex(
         config=cfg,
         doc_fields=index.doc_fields.unionByName(delta.doc_fields),
@@ -100,7 +109,7 @@ def incremental_update(
             F.sum("freq").alias("freq"),
         ),
         term_index=index.term_index.unionByName(delta.term_index),
-        docs_wide=index.docs_wide.unionByName(delta.docs_wide),
+        docs_wide=docs_wide.unionByName(delta.docs_wide),
         documents=index.documents.unionByName(delta.documents),
     )
 
@@ -121,17 +130,28 @@ def stream_ingest(
     (reference README.md:206-219: ingest and query run concurrently).
     """
     from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
+    from accumulo_wikisearch_spark.operators.layout import ZLayout
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         current = load_index(spark, index_path, config)
+        # a z-ordered catalog keeps its layout across rewrites: re-derive
+        # bits/offsets each batch (fresh rows may widen the key domain)
+        # but keep fields/kinds/bucket_bits — the compact_index rule
+        zl = current.zlayout
+        zorder = (
+            ZLayout(zl.x_field, zl.y_field, zl.x_kind, zl.y_kind,
+                    bucket_bits=zl.bucket_bits)
+            if zl is not None
+            else None
+        )
         merged = incremental_update(current, batch_df, scalar_fields, text_col)
         # materialize before overwrite (sources are the files being replaced)
         for name in ["global_index", "reverse_index", "field_index", "docs_wide"]:
             getattr(merged, name).persist().count()
-        write_index(merged, index_path)
+        write_index(merged, index_path, zorder=zorder)
 
     writer = stream_articles.writeStream.foreachBatch(process_batch).outputMode(
         "update"

@@ -231,3 +231,76 @@ def test_zordered_catalog_merge_read_and_compaction(spark, tmp_path):
     assert sorted(r["doc_id"] for r in eng2.query(box_q).collect()) == want
     # delta keys (uid 99, February days) fit the re-derived domain
     assert eng2.query("UID == '99' and TEXT == 'tok'").count() == 1
+
+
+def test_compaction_preserves_custom_bucket_bits(spark, tmp_path):
+    from accumulo_wikisearch_spark.operators.layout import ZLayout, load_zlayout
+
+    zsf = {"ID": "id", "UID": "uid", "DAY": "day"}
+    schema = "id long, language string, text string, uid string, day string"
+    base = spark.createDataFrame(
+        [(i, "enwiki", "tok", str(i % 30), "2024-01-05 08:00:00") for i in range(40)],
+        schema,
+    )
+    path = str(tmp_path / "zb6")
+    write_index(
+        build_index(base, CFG, zsf),
+        path,
+        zorder=ZLayout("UID", "DAY", "int", "day", bucket_bits=6),
+    )
+    d = spark.createDataFrame(
+        [(99, "enwiki", "tok", "35", "2024-01-07 08:00:00")], schema
+    )
+    write_delta(build_index(d, CFG, zsf), path, 0)
+    compact_index(spark, path, CFG)
+    zl = load_zlayout(spark, f"{path}/docs_wide")
+    # the user's directory fan-out survives every compaction
+    assert zl is not None and zl.bucket_bits == 6
+
+
+def test_stream_ingest_into_zordered_catalog_keeps_layout(spark, tmp_path):
+    """The code-review finding: continuous ingest on a z catalog used to
+    die on unionByName (layout columns vs flat delta) and would have
+    flattened the store on rewrite. Now each batch folds cleanly and the
+    rewrite re-clusters with the same fields/bucket_bits."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.operators.layout import ZLayout, load_zlayout
+
+    zsf = {"ID": "id", "UID": "uid", "DAY": "day"}
+    schema = "id long, language string, text string, uid string, day string"
+    base = spark.createDataFrame(
+        [(i, "enwiki", "tok", str(i % 20), "2024-01-03 09:00:00") for i in range(30)],
+        schema,
+    )
+    path = str(tmp_path / "zstream")
+    write_index(build_index(base, CFG, zsf), path, zorder=ZLayout("UID", "DAY", "int", "day"))
+
+    stage = tempfile.mkdtemp(prefix="zing-")
+    spark.createDataFrame(
+        [(100 + i, "enwiki", "tok fresh", str(25 + i), "2024-01-20 09:00:00") for i in range(5)],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    from accumulo_wikisearch_spark.streaming.incremental import stream_ingest
+
+    sq = (
+        stream_ingest(stream, path, CFG, zsf)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    zl = load_zlayout(spark, f"{path}/docs_wide")
+    assert zl is not None and zl.x_field == "UID"
+    spark.catalog.refreshByPath(path)
+    idx = load_index(spark, path, CFG)
+    assert idx.zlayout is not None
+    eng = Wikisearch(idx)
+    assert eng.query("TEXT == 'tok'").count() == 35
+    # the fresh batch's keys (uid 25-29, Jan 20) fit the re-derived domain
+    assert (
+        eng.query(
+            "UID == '27' and DAY >= '2024-01-15 00:00:00' and DAY <= '2024-01-25 00:00:00'"
+        ).count()
+        == 1
+    )

@@ -415,3 +415,15 @@ def test_explain_query_reports_zlayout_decision(spark, sf_dir, tmp_path):
     assert info3.get("empty") is True
     # a FLAT engine's explain has no zlayout key
     assert "zlayout" not in _eng.explain_query("USER_ID == '7'")
+
+
+def test_read_rejects_swapped_key_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.range(0, 20).select(
+        (F.col("id") % 10).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    write_zordered(df, str(tmp_path / "sw"), "a", "b", bits=5)
+    # transposed columns would prune against the wrong interleave
+    with _pytest.raises(ValueError, match="column"):
+        read_zordered_box(spark, str(tmp_path / "sw"), "b", 0, 6, "a", 0, 9)
