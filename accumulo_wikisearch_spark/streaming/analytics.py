@@ -478,6 +478,32 @@ def replay_stream_bloom(spark, sf_dir: str):
     )
 
 
+def replay_stream_hist(spark, sf_dir: str):
+    """Equi-width histogram maintained CONTINUOUSLY over an event stream:
+    per-bucket SUM-merge into the at-rest table (the CMS algebra —
+    additive over disjoint batches, NOT idempotent, so the hash check is
+    a delivery-semantics gate here too). Rounds out the sketch ×
+    streaming matrix: HLL max, CMS sum, Bloom or, histogram sum — all
+    four are 3-line wrappers over the shared replay harness. A fixed
+    [lo, hi] domain is REQUIRED in the streaming setting (the mergeable
+    algebra needs one shared domain; a per-batch auto-domain would bucket
+    incompatibly), which is exactly why hist_build keeps the pinned-
+    domain form alongside hist_build_auto.
+
+    The 100 TB shape: a per-group value distribution tracked forever at
+    O(groups × n_buckets) state, no raw-event retention — quantile and
+    drift queries read the store, never the stream."""
+    from accumulo_wikisearch_spark.operators.sketches import hist_build, hist_merge
+
+    return _replay_stream_sketch(
+        spark,
+        sf_dir,
+        "hist",
+        lambda bdf: hist_build(bdf, "event_type", "value"),
+        hist_merge,
+    )
+
+
 def _neardup_ingest_sql(k: int = 3, num: int = 4, den: int = 5) -> str:
     """Sequential greedy replay of the two-batch near-dup ingest: the
     symmetric exact-Jaccard pair set once, then batch-0 survivors vs the
@@ -546,6 +572,7 @@ def queries():
         "sketch_hll_stream_replay": replay_stream_hll,
         "sketch_cms_stream_replay": replay_stream_cms,
         "sketch_bloom_stream_replay": replay_stream_bloom,
+        "sketch_hist_stream_replay": replay_stream_hist,
     }
 
 
@@ -565,6 +592,12 @@ def _cms_stream_sql() -> str:
     return _cms_table_sql("events", "user_id")
 
 
+def _hist_stream_sql() -> str:
+    from accumulo_wikisearch_spark.operators import sketches
+
+    return sketches.oracle_sql()["sketch_hist_merge"]
+
+
 def _bloom_stream_sql() -> str:
     # the at-rest store after or-merging every micro-batch == the batch
     # bitset over the whole stream (idempotent merge — ANY batching, even
@@ -582,4 +615,7 @@ def oracle_sql():
         "sketch_hll_stream_replay": _hll_stream_sql(),
         "sketch_cms_stream_replay": _cms_stream_sql(),
         "sketch_bloom_stream_replay": _bloom_stream_sql(),
+        # sum-merged disjoint batches == the direct one-shot table (the
+        # same SQL as sketch_hist_merge's direct-build oracle)
+        "sketch_hist_stream_replay": _hist_stream_sql(),
     }
