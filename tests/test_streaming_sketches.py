@@ -52,3 +52,32 @@ def test_bloom_stream_replay_equals_batch_sketch(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     want = {(r["word"], r["bits"]) for r in bloom_build(events, "user_id").collect()}
     assert got == want
+
+
+def test_hist_store_shifts_when_batch_double_fed(spark, sf_dir):
+    from accumulo_wikisearch_spark.operators.sketches import hist_build, hist_merge
+
+    b0, b1 = _batches(spark, sf_dir)
+    store = hist_merge(
+        hist_build(b0, "event_type", "value"), hist_build(b1, "event_type", "value")
+    )
+    refed = hist_merge(store, hist_build(b0, "event_type", "value"))
+    want = {(r["grp"], r["bucket"], r["cnt"]) for r in store.collect()}
+    got = {(r["grp"], r["bucket"], r["cnt"]) for r in refed.collect()}
+    assert got != want  # additive like CMS: redelivery is visible
+
+
+def test_hist_stream_replay_equals_batch_sketch(spark, sf_dir):
+    from accumulo_wikisearch_spark.operators.sketches import hist_build
+    from accumulo_wikisearch_spark.streaming.analytics import replay_stream_hist
+
+    got = {
+        (r["grp"], r["bucket"], r["cnt"])
+        for r in replay_stream_hist(spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        (r["grp"], r["bucket"], r["cnt"])
+        for r in hist_build(events, "event_type", "value").collect()
+    }
+    assert got == want
