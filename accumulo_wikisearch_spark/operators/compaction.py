@@ -135,10 +135,11 @@ def load_index_with_deltas(
         # the merge-read view — pruning a union that contains unclustered
         # rows would silently drop delta matches. Major compaction
         # re-derives and restores the layout (compact_index).
-        # (the store's physical schema carries z, zb, and the rebased
-        # integer keys _zx/_zy — all layout-derived, all dropped here)
-        index.docs_wide = index.docs_wide.drop("z", "zb", "_zx", "_zy")
+        from accumulo_wikisearch_spark.operators.layout import demote_docs
+
+        index.docs_wide = demote_docs(index.docs_wide)
         index.zlayout = None
+        index.zlayout_path = None
     rd = spark.read.parquet
 
     def stacked(name: str) -> DataFrame | None:
@@ -181,6 +182,23 @@ def _fold_deltas(index: WikisearchIndex, stacked, config: EngineConfig) -> Wikis
     )
 
 
+def swap_in_catalog(spark: SparkSession, tmp: str, path: str) -> None:
+    """Atomically-enough swap of a fully-written staged catalog into
+    place: per-table delete + rename, only AFTER every table write in
+    ``tmp`` succeeded. Shared by major compaction and the streaming
+    in-place rewrite — a mid-write failure (e.g. a z-contract violation
+    raising per-row inside the docs_wide writer) leaves the live catalog
+    untouched instead of half-overwritten and desynced."""
+    fs, _, jvm = _fs(spark, path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    for name in _ALL_TABLES:
+        old = HPath(f"{path}/{name}")
+        if fs.exists(old):
+            fs.delete(old, True)
+        fs.rename(HPath(f"{tmp}/{name}"), old)
+    fs.delete(HPath(tmp), True)
+
+
 def compact_index(
     spark: SparkSession, path: str, config: EngineConfig | None = None
 ) -> dict[str, int]:
@@ -200,19 +218,11 @@ def compact_index(
     may have extended the key domain, and compaction is exactly where the
     layout should re-fit it. (The merge-read view between compactions
     serves flat/unpruned — see ``load_index_with_deltas``.)"""
-    from accumulo_wikisearch_spark.operators.layout import ZLayout, load_zlayout
+    from accumulo_wikisearch_spark.operators.layout import load_zlayout, refit
 
     config = config or EngineConfig()
     zl = load_zlayout(spark, f"{path}/docs_wide")
-    # keep fields/kinds/bucket_bits; re-derive only bits and offsets
-    # (deltas may widen the key domain — the rest of the layout is the
-    # user's choice and must survive every compaction)
-    zorder = (
-        ZLayout(zl.x_field, zl.y_field, zl.x_kind, zl.y_kind,
-                bucket_bits=zl.bucket_bits)
-        if zl is not None
-        else None
-    )
+    zorder = refit(zl) if zl is not None else None
     batches = delta_batches(spark, path)
     merged = load_index_with_deltas(spark, path, config)
     if _stacked_tombstones(spark, path, batches) is not None:
@@ -226,14 +236,9 @@ def compact_index(
 
     tmp = f"{path}/_compact_tmp"
     write_index(merged, tmp, zorder=zorder)
+    swap_in_catalog(spark, tmp, path)
     fs, _, jvm = _fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path
-    for name in _ALL_TABLES:
-        old = HPath(f"{path}/{name}")
-        if fs.exists(old):
-            fs.delete(old, True)
-        fs.rename(HPath(f"{tmp}/{name}"), old)
-    fs.delete(HPath(tmp), True)
     dpath = HPath(f"{path}/deltas")
     if fs.exists(dpath):
         fs.delete(dpath, True)

@@ -57,7 +57,15 @@ class WikisearchIndex:
     # Set when docs_wide was loaded from a z-ordered store (layout.ZLayout):
     # the planner then prunes docs_wide scans by query box (zb directory
     # filter + z row-group interval) before the predicate re-verify.
+    # zlayout_path points at the store so the planner re-reads the sidecar
+    # PER QUERY: an in-place re-layout (compaction/stream rewrite) changes
+    # bits/offsets, and pruning current files with load-time parameters
+    # would silently drop rows — a fresh read keeps params and files in
+    # step once the standard reload/refreshByPath has happened (the
+    # transient mid-rewrite race matches the non-z in-place rewrite
+    # semantics every path-based table already has).
     zlayout: object | None = None
+    zlayout_path: str | None = None
 
     _persisted: bool = False
     _indexed_cache: set[str] | None = None
@@ -576,6 +584,7 @@ def load_index(spark: SparkSession, path: str, config: EngineConfig | None = Non
     from accumulo_wikisearch_spark.operators.layout import load_zlayout
 
     config = config or EngineConfig()
+    zl = load_zlayout(spark, f"{path}/docs_wide")
     rd = spark.read.parquet
     return WikisearchIndex(
         config=config,
@@ -588,6 +597,8 @@ def load_index(spark: SparkSession, path: str, config: EngineConfig | None = Non
         docs_wide=rd(f"{path}/docs_wide"),
         documents=rd(f"{path}/documents"),
         # a z-ordered store self-describes via _ZLAYOUT.json; the planner
-        # then box-prunes docs_wide scans (layout.zprune_docs)
-        zlayout=load_zlayout(spark, f"{path}/docs_wide"),
+        # then box-prunes docs_wide scans (layout.zprune_docs), re-reading
+        # the sidecar per query via zlayout_path (flat stores skip both)
+        zlayout=zl,
+        zlayout_path=f"{path}/docs_wide" if zl is not None else None,
     )

@@ -546,6 +546,25 @@ def load_zlayout(spark: SparkSession, path: str) -> ZLayout | None:
     )
 
 
+def refit(zl: ZLayout) -> ZLayout:
+    """The rewrite-time layout for a store that already has ``zl``: keep
+    the user's choices (fields, kinds, bucket_bits), re-derive bits and
+    offsets from the data being written — new rows may have widened the
+    key domain. The ONE place this rule lives; major compaction and the
+    streaming rewrite both call it."""
+    return ZLayout(
+        zl.x_field, zl.y_field, zl.x_kind, zl.y_kind, bucket_bits=zl.bucket_bits
+    )
+
+
+def demote_docs(docs_wide: DataFrame) -> DataFrame:
+    """Strip a z-store's physical layout columns (z, zb, and the rebased
+    integer keys _zx/_zy) down to docs_wide's logical schema — required
+    before unioning with flat delta tables, and the single definition of
+    which columns are layout-derived."""
+    return docs_wide.drop("z", "zb", "_zx", "_zy")
+
+
 def zbox_from_query(node, zl: ZLayout) -> tuple[int, int, int, int] | None:
     """Conservative query box on (x_field, y_field) from the TOP-LEVEL
     conjuncts of a normalized query AST — or None when neither field is

@@ -758,7 +758,7 @@ def explain_plan(
         # joins, no field_index scan (the doc-range plan, O4)
         "uid_shortcircuit": False,
     }
-    zl = getattr(index, "zlayout", None)
+    zl = _current_zlayout(index)
     if zl is not None:
         # z-ordered catalog: report the box the planner will prune
         # docs_wide with (None = no usable top-level bound → full scan of
@@ -797,6 +797,21 @@ def explain_plan(
     return out
 
 
+def _current_zlayout(index: WikisearchIndex):
+    """The z layout to prune with RIGHT NOW: re-read from the store's
+    sidecar when the index knows its path — an in-place re-layout
+    (compaction / streaming rewrite) changes bits/offsets, and pruning
+    the rewritten files with load-time parameters would silently drop
+    rows. One small FS read per query, only on z catalogs; flat and
+    in-memory catalogs skip it entirely."""
+    path = getattr(index, "zlayout_path", None)
+    if path is None:
+        return getattr(index, "zlayout", None)
+    from accumulo_wikisearch_spark.operators.layout import load_zlayout
+
+    return load_zlayout(index.docs_wide.sparkSession, path)
+
+
 def run_query(
     index: WikisearchIndex,
     node: ast.Node,
@@ -811,7 +826,8 @@ def run_query(
     nnf = to_nnf(node)
     nnf = planner.expand_unfielded(nnf, auths)
     docs = index.docs_wide
-    if getattr(index, "zlayout", None) is not None:
+    zl = _current_zlayout(index)
+    if zl is not None:
         # z-ordered catalog: a two-key query box prunes docs_wide at the
         # directory + row-group level BEFORE any path below touches it —
         # a pure superset prune (full predicate still re-verifies), so
@@ -820,7 +836,7 @@ def run_query(
         # single-key analogue this generalizes)
         from accumulo_wikisearch_spark.operators.layout import zprune_docs
 
-        docs = zprune_docs(docs, nnf, index.zlayout)
+        docs = zprune_docs(docs, nnf, zl)
     sec = F.col("language").isin(*auths) if auths else F.lit(True)
 
     tree, exact = None, False

@@ -83,12 +83,14 @@ def incremental_update(
     docs_wide = index.docs_wide
     if index.zlayout is not None:
         # a z-ordered store's docs_wide carries physical layout columns
-        # (z, zb, _zx, _zy) the flat delta lacks — demote to the logical
-        # schema for the union; the merged view serves unpruned (see the
-        # identical rule in compaction.load_index_with_deltas) and the
-        # periodic rewrite re-clusters (stream_ingest passes the layout
-        # back through write_index)
-        docs_wide = docs_wide.drop("z", "zb", "_zx", "_zy")
+        # the flat delta lacks — demote to the logical schema for the
+        # union; the merged view serves unpruned (see the identical rule
+        # in compaction.load_index_with_deltas) and the periodic rewrite
+        # re-clusters (stream_ingest passes the layout back through
+        # write_index)
+        from accumulo_wikisearch_spark.operators.layout import demote_docs
+
+        docs_wide = demote_docs(docs_wide)
     return WikisearchIndex(
         config=cfg,
         doc_fields=index.doc_fields.unionByName(delta.doc_fields),
@@ -129,29 +131,41 @@ def stream_ingest(
     stored global index — the streaming analogue of "query during ingest"
     (reference README.md:206-219: ingest and query run concurrently).
     """
+    from accumulo_wikisearch_spark.operators.compaction import swap_in_catalog
     from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
-    from accumulo_wikisearch_spark.operators.layout import ZLayout
+    from accumulo_wikisearch_spark.operators.layout import refit
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         current = load_index(spark, index_path, config)
-        # a z-ordered catalog keeps its layout across rewrites: re-derive
-        # bits/offsets each batch (fresh rows may widen the key domain)
-        # but keep fields/kinds/bucket_bits — the compact_index rule
-        zl = current.zlayout
-        zorder = (
-            ZLayout(zl.x_field, zl.y_field, zl.x_kind, zl.y_kind,
-                    bucket_bits=zl.bucket_bits)
-            if zl is not None
-            else None
-        )
+        # a z-ordered catalog keeps its layout across rewrites: refit
+        # re-derives bits/offsets (fresh rows may widen the key domain)
+        # and keeps fields/kinds/bucket_bits — the compact_index rule
+        zorder = refit(current.zlayout) if current.zlayout is not None else None
         merged = incremental_update(current, batch_df, scalar_fields, text_col)
-        # materialize before overwrite (sources are the files being replaced)
-        for name in ["global_index", "reverse_index", "field_index", "docs_wide"]:
-            getattr(merged, name).persist().count()
-        write_index(merged, index_path, zorder=zorder)
+        # materialize before the rewrite (the write and the z min/max
+        # derivation would otherwise recompute the merge lineage per
+        # table), then stage-and-swap: a failed table write (e.g. a
+        # z-contract violation raising per-row in the docs_wide writer)
+        # leaves the live catalog untouched, not half-overwritten. The
+        # per-batch caches release in finally — a continuous stream must
+        # not accumulate blocks across micro-batches (the r7 leak class).
+        cached = [
+            getattr(merged, name).persist()
+            for name in ["global_index", "reverse_index", "field_index", "docs_wide"]
+        ]
+        try:
+            for df in cached:
+                df.count()
+            tmp = f"{index_path}/_ingest_tmp"
+            write_index(merged, tmp, zorder=zorder)
+            swap_in_catalog(spark, tmp, index_path)
+            spark.catalog.refreshByPath(index_path)
+        finally:
+            for df in cached:
+                df.unpersist()
 
     writer = stream_articles.writeStream.foreachBatch(process_batch).outputMode(
         "update"

@@ -289,7 +289,7 @@ def test_stream_ingest_into_zordered_catalog_keeps_layout(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(300), "stream did not finish in time"
     zl = load_zlayout(spark, f"{path}/docs_wide")
     assert zl is not None and zl.x_field == "UID"
     spark.catalog.refreshByPath(path)
