@@ -191,11 +191,28 @@ def swap_in_catalog(spark: SparkSession, tmp: str, path: str) -> None:
     untouched instead of half-overwritten and desynced."""
     fs, _, jvm = _fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path
+    # verify the staged catalog is complete BEFORE deleting anything live:
+    # a missing tmp table (earlier write raised between tables) must abort
+    # the swap with the live catalog intact
+    missing = [n for n in _ALL_TABLES if not fs.exists(HPath(f"{tmp}/{n}"))]
+    if missing:
+        raise RuntimeError(
+            f"swap_in_catalog: staged catalog {tmp} is missing tables "
+            f"{missing}; live catalog left untouched"
+        )
     for name in _ALL_TABLES:
         old = HPath(f"{path}/{name}")
         if fs.exists(old):
             fs.delete(old, True)
-        fs.rename(HPath(f"{tmp}/{name}"), old)
+        # Hadoop FileSystem.rename reports failure by RETURNING false
+        # (missing source, dest-exists race, cross-FS move) — the live
+        # table was just deleted, so a silent false would leave the
+        # catalog permanently missing this table
+        if not fs.rename(HPath(f"{tmp}/{name}"), old):
+            raise RuntimeError(
+                f"swap_in_catalog: rename {tmp}/{name} -> {path}/{name} "
+                f"failed; catalog is missing table {name}"
+            )
     fs.delete(HPath(tmp), True)
 
 

@@ -445,9 +445,18 @@ def _field_key_col(fields: Column, fname: str, kind: str) -> Column:
     if kind == "int":
         k = v.try_cast("long")
     elif kind == "day":
-        k = F.datediff(
-            F.to_date(F.substring(v, 1, 10)), F.to_date(F.lit("1970-01-01"))
-        ).cast("long")
+        # day-kind prune soundness needs lexicographic == chronological,
+        # which only the canonical zero-padded shape guarantees: a value
+        # like '999-01-01 …' parses via to_date yet sorts AFTER '2024-…',
+        # so it would match a string-compare predicate while its day key
+        # falls outside the box — require the 4-2-2 shape structurally
+        canon = v.rlike(r"^\d{4}-\d{2}-\d{2}")
+        k = F.when(
+            canon,
+            F.datediff(
+                F.to_date(F.substring(v, 1, 10)), F.to_date(F.lit("1970-01-01"))
+            ).cast("long"),
+        )
     else:
         raise ValueError(f"unknown z-layout field kind: {kind}")
     return F.when(k.isNotNull(), k).otherwise(bad)

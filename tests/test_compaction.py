@@ -142,7 +142,7 @@ def test_stream_ingest_deltas_flushes_per_batch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not finish in time"
         assert len(delta_batches(spark, path)) == 1
         idx = load_index_with_deltas(spark, path, CFG)
         got = sorted(r["doc_id"] for r in Wikisearch(idx).query("TEXT == 'alpha'").collect())

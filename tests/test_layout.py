@@ -427,3 +427,31 @@ def test_read_rejects_swapped_key_columns(spark, tmp_path):
     # transposed columns would prune against the wrong interleave
     with _pytest.raises(ValueError, match="column"):
         read_zordered_box(spark, str(tmp_path / "sw"), "b", 0, 6, "a", 0, 9)
+
+
+def test_day_kind_requires_canonical_date_shape(spark, tmp_path):
+    """Day-kind prune soundness rests on lexicographic == chronological for
+    the stored strings — only the zero-padded 4-2-2 shape guarantees it.
+    '999-01-01 …' parses as a date but sorts AFTER '2024-…', so it must be
+    rejected at write instead of silently landing outside any query box."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from accumulo_wikisearch_spark.operators.layout import (
+        ZLayout,
+        write_zordered_docs,
+    )
+
+    schema = "doc_id long, fields map<string,array<string>>"
+    bad = spark.createDataFrame(
+        [(1, {"UID": ["1"], "TS": ["999-01-01 08:00:00"]})], schema
+    )
+    with _pytest.raises(PySparkException, match="TS"):
+        write_zordered_docs(bad, str(tmp_path / "bad_day"), ZLayout("UID", "TS"))
+    ok = spark.createDataFrame(
+        [(1, {"UID": ["1"], "TS": ["2024-01-01 08:00:00"]}),
+         (2, {"UID": ["2"], "TS": ["2024-01-05 09:30:00"]})], schema
+    )
+    zl = write_zordered_docs(ok, str(tmp_path / "ok_day"), ZLayout("UID", "TS"))
+    assert zl.bits is not None
+    assert spark.read.parquet(str(tmp_path / "ok_day")).count() == 2

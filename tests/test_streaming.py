@@ -84,7 +84,7 @@ def test_stream_ingest_foreachbatch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not finish in time"
 
         idx = load_index(spark, f"{tmp}/index", CFG)
         r = idx.global_index.where(

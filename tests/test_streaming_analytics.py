@@ -18,7 +18,7 @@ from accumulo_wikisearch_spark.streaming.analytics import (
 EVENT_SCHEMA = "user_id long, ts long, event_type string"
 
 
-def _run_stream(df, name, output_mode="update", timeout_s=120):
+def _run_stream(df, name, output_mode="update", timeout_s=300):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -26,7 +26,7 @@ def _run_stream(df, name, output_mode="update", timeout_s=120):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    assert q.awaitTermination(timeout_s), f"stream {name} did not finish in {timeout_s}s"
     return q
 
 
