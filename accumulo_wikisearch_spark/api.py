@@ -33,11 +33,19 @@ _TEXT_MATCH_RE = re.compile(
 
 
 class Wikisearch:
-    """Facade over ONE immutable catalog. The cardinality/uid-posting and
-    plan caches assume the index never changes underneath them — all
-    incremental paths (streaming merge, compaction, deltas) construct NEW
-    WikisearchIndex instances; wrap those in a fresh Wikisearch rather
-    than swapping tables on a live engine."""
+    """Facade over ONE catalog. The cardinality/uid-posting and plan
+    caches assume the index does not change underneath them, so
+    incremental paths (streaming merge, deltas) construct NEW
+    WikisearchIndex instances — wrap those in a fresh Wikisearch.
+
+    Z-ordered DISK catalogs are the exception: their sidecar epoch makes
+    an in-place re-layout (compaction, streaming rewrite) detectable, so
+    the facade self-heals — ``_planned`` compares the per-query sidecar
+    read against the load-time layout and, on change, reloads the whole
+    catalog (fresh file listings) and drops every cache, instead of
+    replaying stale prune literals over rewritten files. Flat disk
+    catalogs have no such marker; the fresh-facade rule still applies to
+    them after any in-place rewrite."""
 
     def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
         self.index = index
@@ -66,7 +74,33 @@ class Wikisearch:
     def _planned(
         self, expr: str, auths: list[str] | None, force_path: str | None
     ) -> tuple[DataFrame, str]:
-        key = (expr, tuple(sorted(auths)) if auths else None, force_path)
+        # the plan cache must key on the z-layout IDENTITY, not just the
+        # query: a cached plan embeds the layout's zb/z-interval literals,
+        # and an in-place rewrite (compaction, streaming ingest) changes
+        # bits/offsets/epoch — replaying the old literals would silently
+        # drop rows. Resolving the layout here (one small sidecar read,
+        # z catalogs only) also lets run_query skip its own re-read.
+        from accumulo_wikisearch_spark.plans.planner import _current_zlayout
+
+        zl = _current_zlayout(self.index)
+        if zl != self.index.zlayout and self.index.catalog_path is not None:
+            # the sidecar changed since this index was loaded — the store
+            # was re-laid-out IN PLACE (compaction / streaming rewrite), so
+            # the old DataFrames' file listings point at deleted paths and
+            # every derived cache (plans, cardinalities, postings) is
+            # stale. Reload the catalog and start clean: a z facade
+            # self-heals across rewrites instead of failing mid-scan.
+            from accumulo_wikisearch_spark.operators.ingest import load_index
+
+            self.index = load_index(
+                self.index.docs_wide.sparkSession,
+                self.index.catalog_path,
+                self.index.config,
+            )
+            self._card_cache.clear()
+            self._plan_cache.clear()
+            zl = _current_zlayout(self.index)
+        key = (expr, tuple(sorted(auths)) if auths else None, force_path, zl)
         hit = self._plan_cache.get(key)
         if hit is None:
             hit = run_query(
@@ -76,6 +110,7 @@ class Wikisearch:
                 force_path,
                 self.multi_value_fields,
                 self._card_cache,
+                zlayout=zl,
             )
             if len(self._plan_cache) >= self._plan_cache_max:
                 self._plan_cache.pop(next(iter(self._plan_cache)))

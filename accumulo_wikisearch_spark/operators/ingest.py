@@ -66,6 +66,11 @@ class WikisearchIndex:
     # semantics every path-based table already has).
     zlayout: object | None = None
     zlayout_path: str | None = None
+    # catalog root when loaded from disk — lets the facade RELOAD the
+    # whole index (fresh file listings + caches) when it detects an
+    # in-place re-layout via the sidecar epoch; None for in-memory
+    # catalogs, which are immutable by construction
+    catalog_path: str | None = None
 
     _persisted: bool = False
     _indexed_cache: set[str] | None = None
@@ -601,4 +606,5 @@ def load_index(spark: SparkSession, path: str, config: EngineConfig | None = Non
         # the sidecar per query via zlayout_path (flat stores skip both)
         zlayout=zl,
         zlayout_path=f"{path}/docs_wide" if zl is not None else None,
+        catalog_path=path,
     )

@@ -232,6 +232,7 @@ def write_zordered(
     c2: str,
     bits: int | None = ZBITS,
     bucket_bits: int = BUCKET_BITS,
+    extra_partition_cols: tuple = (),
 ) -> int:
     """Write ``df`` partitioned by the z-value's top ``bucket_bits`` bits
     and z-sorted within each directory (row-group min/max clustering for
@@ -286,7 +287,7 @@ def write_zordered(
         .repartitionByRange(F.col("z"))
         .sortWithinPartitions("z")
         .write.mode("overwrite")
-        .partitionBy("zb")
+        .partitionBy(*extra_partition_cols, "zb")
         .parquet(path)
     )
     _write_meta(
@@ -425,6 +426,13 @@ class ZLayout:
     bucket_bits: int = BUCKET_BITS
     x_off: int | None = None  # None → per-dimension min at write
     y_off: int | None = None
+    # layout epoch: a unique token minted per rewrite, stamped into the
+    # sidecar AND into every data file (the _zep partition column). The
+    # sidecar read and Spark's file listing are not atomic with an
+    # in-place rewrite's delete+rename window — the epoch lets the prune
+    # DETECT params-vs-files skew and degrade those rows to unpruned
+    # (still predicate-verified) instead of silently mis-pruning.
+    epoch: str | None = None
 
 
 def _field_key_col(fields: Column, fname: str, kind: str) -> Column:
@@ -502,11 +510,22 @@ def write_zordered_docs(docs_wide: DataFrame, path: str, zl: ZLayout) -> ZLayout
         if bits is None:
             span = max(int(r[1] or 0) - x_off, int(r[3] or 0) - y_off, 0)
             bits = max(span.bit_length(), (zl.bucket_bits + 1) // 2, 1)
-    staged = raw.withColumn("_zx", F.col("_zx") - F.lit(x_off)).withColumn(
-        "_zy", F.col("_zy") - F.lit(y_off)
+    import uuid
+
+    epoch = uuid.uuid4().hex
+    staged = (
+        raw.withColumn("_zx", F.col("_zx") - F.lit(x_off))
+        .withColumn("_zy", F.col("_zy") - F.lit(y_off))
+        .withColumn("_zep", F.lit(epoch))
     )
     write_zordered(
-        staged, path, "_zx", "_zy", bits=bits, bucket_bits=zl.bucket_bits
+        staged,
+        path,
+        "_zx",
+        "_zy",
+        bits=bits,
+        bucket_bits=zl.bucket_bits,
+        extra_partition_cols=("_zep",),
     )
     resolved = ZLayout(
         zl.x_field,
@@ -517,6 +536,7 @@ def write_zordered_docs(docs_wide: DataFrame, path: str, zl: ZLayout) -> ZLayout
         zl.bucket_bits,
         x_off,
         y_off,
+        epoch,
     )
     _write_meta(
         docs_wide.sparkSession,
@@ -532,6 +552,7 @@ def write_zordered_docs(docs_wide: DataFrame, path: str, zl: ZLayout) -> ZLayout
             "y_kind": zl.y_kind,
             "x_off": x_off,
             "y_off": y_off,
+            "epoch": epoch,
         },
     )
     return resolved
@@ -552,6 +573,7 @@ def load_zlayout(spark: SparkSession, path: str) -> ZLayout | None:
         meta["bucket_bits"],
         meta["x_off"],
         meta["y_off"],
+        meta.get("epoch"),  # pre-epoch sidecars → None (legacy prune)
     )
 
 
@@ -571,7 +593,7 @@ def demote_docs(docs_wide: DataFrame) -> DataFrame:
     integer keys _zx/_zy) down to docs_wide's logical schema — required
     before unioning with flat delta tables, and the single definition of
     which columns are layout-derived."""
-    return docs_wide.drop("z", "zb", "_zx", "_zy")
+    return docs_wide.drop("z", "zb", "_zx", "_zy", "_zep")
 
 
 def zbox_from_query(node, zl: ZLayout) -> tuple[int, int, int, int] | None:
@@ -635,18 +657,36 @@ def zprune_docs(docs: DataFrame, node, zl: ZLayout) -> DataFrame:
     (``zb isin``) + coarse z interval (row-group skip) from the query
     box, leaving the full predicate re-verify to the caller — a pure
     superset prune, safe under every planner path (fullscan, doc-range,
-    anchor, posting semi-join). No-op when the query gives no box."""
+    anchor, posting semi-join). No-op when the query gives no box.
+
+    Epoch-guarded: rows whose ``_zep`` partition value differs from the
+    sidecar's epoch were written under DIFFERENT layout params (the
+    sidecar read and the file listing are not atomic with an in-place
+    rewrite), so the box's literals don't apply to them — they bypass
+    the prune and fall through to the caller's full-predicate verify.
+    In the consistent case every file carries the current epoch and the
+    guard adds nothing; both sides of the disjunction are partition
+    columns, so the whole predicate stays a directory-level filter."""
     box = zbox_from_query(node, zl)
     if box is None:
         return docs
+    stale = (
+        F.col("_zep") != F.lit(zl.epoch)
+        if zl.epoch is not None and "_zep" in docs.columns
+        else F.lit(False)
+    )
     x_lo, x_hi, y_lo, y_hi = box
     if x_lo > x_hi or y_lo > y_hi:
-        return docs.where(F.lit(False))
+        return docs.where(stale)
     buckets = zbuckets_for_box(x_lo, x_hi, y_lo, y_hi, zl.bits, zl.bucket_bits)
     if not buckets:
-        return docs.where(F.lit(False))
-    return docs.where(F.col("zb").isin(*buckets)).where(
-        _zranges_pred(x_lo, x_hi, y_lo, y_hi, zl.bits)
+        return docs.where(stale)
+    return docs.where(
+        stale
+        | (
+            F.col("zb").isin(*buckets)
+            & _zranges_pred(x_lo, x_hi, y_lo, y_hi, zl.bits)
+        )
     )
 
 

@@ -812,6 +812,9 @@ def _current_zlayout(index: WikisearchIndex):
     return load_zlayout(index.docs_wide.sparkSession, path)
 
 
+_ZL_UNSET = object()  # sentinel: caller did not resolve the layout
+
+
 def run_query(
     index: WikisearchIndex,
     node: ast.Node,
@@ -819,14 +822,19 @@ def run_query(
     force_path: str | None = None,
     multi_value_fields: frozenset[str] = frozenset({"TEXT"}),
     card_cache: dict | None = None,
+    zlayout=_ZL_UNSET,
 ) -> tuple[DataFrame, str]:
     """Execute a parsed query; returns (result_df, path) where path is
-    'optimized' or 'fullscan'. Result = (partition_id, language, doc_id)."""
+    'optimized' or 'fullscan'. Result = (partition_id, language, doc_id).
+
+    ``zlayout``: the resolved z layout to prune with — pass it when the
+    caller already read the sidecar this query (the facade does, to key
+    its plan cache on layout identity); defaults to resolving here."""
     planner = Planner(index, multi_value_fields, card_cache)
     nnf = to_nnf(node)
     nnf = planner.expand_unfielded(nnf, auths)
     docs = index.docs_wide
-    zl = _current_zlayout(index)
+    zl = _current_zlayout(index) if zlayout is _ZL_UNSET else zlayout
     if zl is not None:
         # z-ordered catalog: a two-key query box prunes docs_wide at the
         # directory + row-group level BEFORE any path below touches it —

@@ -304,3 +304,58 @@ def test_stream_ingest_into_zordered_catalog_keeps_layout(spark, tmp_path):
         ).count()
         == 1
     )
+
+
+def test_plan_cache_replans_after_inplace_relayout(spark, tmp_path):
+    """A long-lived facade over a z catalog must NOT replay a cached
+    plan's zb/z-interval literals after an in-place re-layout: compaction
+    re-derives bits/offsets (and mints a new epoch), so the old literals
+    describe a different clustering. The plan cache keys on the sidecar's
+    current identity — the second query below must carry the NEW epoch in
+    its plan and see the delta row the old clustering never held."""
+    from accumulo_wikisearch_spark.operators.layout import ZLayout, load_zlayout
+
+    zsf = {"ID": "id", "UID": "uid", "DAY": "day"}
+    schema = "id long, language string, text string, uid string, day string"
+    base = spark.createDataFrame(
+        [
+            (i, "enwiki", "tok", str(i % 40), f"2024-01-{(i % 9) + 1:02d} 08:00:00")
+            for i in range(60)
+        ],
+        schema,
+    )
+    path = str(tmp_path / "zlive")
+    write_index(
+        build_index(base, CFG, zsf), path, zorder=ZLayout("UID", "DAY", "int", "day")
+    )
+    eng = Wikisearch(load_index(spark, path, CFG))
+    box_q = (
+        "UID == '7' and DAY >= '2024-01-01 00:00:00'"
+        " and DAY <= '2024-01-09 23:59:59'"
+    )
+    # force_path=fullscan keeps the posting caches (documented as
+    # immutable-catalog-only) out of the picture; zprune applies anyway
+    first = sorted(
+        r["doc_id"] for r in eng.query(box_q, force_path="fullscan").collect()
+    )
+    assert first == [7, 47]
+
+    # domain-widening delta (uid up to 99 → bits grow) PLUS one more row
+    # inside the query box, then an in-place re-layout
+    d = spark.createDataFrame(
+        [(100, "enwiki", "tok", "7", "2024-01-03 09:00:00")]
+        + [
+            (i, "enwiki", "tok", str(i), f"2024-02-{(i % 9) + 1:02d} 08:00:00")
+            for i in range(70, 100)
+        ],
+        schema,
+    )
+    write_delta(build_index(d, CFG, zsf), path, 0)
+    compact_index(spark, path, CFG)
+    zl2 = load_zlayout(spark, f"{path}/docs_wide")
+    assert zl2 is not None and zl2.epoch is not None
+
+    df = eng.query(box_q, force_path="fullscan")  # SAME facade, SAME expr
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert zl2.epoch in plan, "facade replayed a pre-rewrite cached plan"
+    assert sorted(r["doc_id"] for r in df.collect()) == [7, 47, 100]
