@@ -224,6 +224,14 @@ def hist_build(
         .select(F.col(group_col).alias("grp"), b.alias("bucket"))
         .groupBy("grp", "bucket")
         .agg(F.count("*").alias("cnt"))
+        # the domain RIDES the table (constant, dictionary-encoded ~free):
+        # merge and quantile read it from here instead of trusting the
+        # caller to re-supply the exact build parameters — two histograms
+        # with different domains have incompatible bucket meanings, and a
+        # silent sum over them is garbage
+        .withColumn("dom_lo", F.lit(float(lo)))
+        .withColumn("dom_hi", F.lit(float(hi)))
+        .withColumn("dom_n", F.lit(int(n_buckets)))
     )
 
 
@@ -255,26 +263,81 @@ def hist_build_auto(
 
 def hist_merge(*hists: DataFrame) -> DataFrame:
     """Merge histograms from DISJOINT slices: per-bucket SUM (additive,
-    like :func:`cms_merge` — not idempotent)."""
+    like :func:`cms_merge` — not idempotent).
+
+    Raises ``ValueError`` when the inputs carry DIFFERENT [lo, hi,
+    n_buckets] domains — bucket k means a different value interval in
+    each, so a silent per-bucket sum would be garbage (e.g. two
+    :func:`hist_build_auto` tables over different slices). The check is
+    one bounded job over the union's domain columns: a histogram table
+    is ≤ n_buckets × groups rows by construction, so this is O(sketch),
+    never O(data). Tables from slices that must merge should share ONE
+    pre-derived domain via :func:`hist_build`."""
     out = hists[0]
     for h in hists[1:]:
         out = out.unionByName(h)
-    return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
+    if "dom_lo" not in out.columns:  # pre-domain tables: caller's contract
+        return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
+    doms = out.select("dom_lo", "dom_hi", "dom_n").distinct().collect()
+    if len(doms) > 1:
+        raise ValueError(
+            "hist_merge: mismatched histogram domains "
+            f"{sorted((r['dom_lo'], r['dom_hi'], r['dom_n']) for r in doms)}"
+            " — mergeable histograms must share one [lo, hi, n_buckets]"
+        )
+    return out.groupBy("grp", "bucket").agg(
+        F.sum("cnt").alias("cnt"),
+        F.first("dom_lo").alias("dom_lo"),
+        F.first("dom_hi").alias("dom_hi"),
+        F.first("dom_n").alias("dom_n"),
+    )
 
 
 def hist_quantile(
     hist: DataFrame,
     q: float,
-    lo: float = 0.0,
-    hi: float = 512.0,
-    n_buckets: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """(grp, est) — the q-quantile estimate per group: upper edge of the
     first bucket whose cumulative count reaches q·total. Error ≤ one
     bucket width; a purely local final step over ≤ n_buckets rows per
     group (float math — convenience endpoint; the oracle-checked
-    artifact is the histogram table)."""
+    artifact is the histogram table).
+
+    The domain defaults to the one the table CARRIES (written by
+    :func:`hist_build`); explicit arguments are only for pre-domain
+    tables and must agree with the table's own domain when both exist —
+    quantiling a [0, 512] build as [0, 100] silently rescales every
+    estimate."""
     from pyspark.sql import Window
+
+    if "dom_lo" in hist.columns:
+        doms = hist.select("dom_lo", "dom_hi", "dom_n").distinct().collect()
+        if len(doms) > 1:
+            raise ValueError(
+                f"hist_quantile: table carries {len(doms)} distinct domains"
+                " — it is not a single mergeable histogram"
+            )
+        if doms:
+            d = (doms[0]["dom_lo"], doms[0]["dom_hi"], doms[0]["dom_n"])
+            for got, want, name in (
+                (lo, d[0], "lo"),
+                (hi, d[1], "hi"),
+                (n_buckets, d[2], "n_buckets"),
+            ):
+                if got is not None and got != want:
+                    raise ValueError(
+                        f"hist_quantile: {name}={got} contradicts the "
+                        f"table's own domain {d}"
+                    )
+            lo, hi, n_buckets = d
+    if lo is None or hi is None or n_buckets is None:
+        raise ValueError(
+            "hist_quantile: table has no domain columns; pass lo/hi/"
+            "n_buckets from the build"
+        )
 
     w = Window.partitionBy("grp").orderBy("bucket")
     cum = hist.select(
@@ -790,7 +853,10 @@ def oracle_sql():
         "sketch_hist_merge": f"""
 SELECT event_type AS grp,
        greatest(least(floor(((value::DOUBLE - CAST({0.0!r} AS DOUBLE)) * CAST({256.0!r} AS DOUBLE)) / CAST({512.0!r} AS DOUBLE))::BIGINT, 255), 0) AS bucket,
-       count(*) AS cnt
+       count(*) AS cnt,
+       CAST({0.0!r} AS DOUBLE) AS dom_lo,
+       CAST({512.0!r} AS DOUBLE) AS dom_hi,
+       CAST(256 AS INTEGER) AS dom_n
 FROM events
 WHERE value IS NOT NULL
 GROUP BY 1, 2
@@ -806,9 +872,12 @@ WITH d AS (
 )
 SELECT event_type AS grp,
        greatest(least(floor(((value::DOUBLE - d.lo) * CAST({256.0!r} AS DOUBLE)) / (d.hi - d.lo))::BIGINT, 255), 0) AS bucket,
-       count(*) AS cnt
+       count(*) AS cnt,
+       d.lo AS dom_lo,
+       d.hi AS dom_hi,
+       CAST(256 AS INTEGER) AS dom_n
 FROM events, d
 WHERE value IS NOT NULL
-GROUP BY 1, 2
+GROUP BY 1, 2, 4, 5
 """,
     }

@@ -308,7 +308,8 @@ def test_hist_auto_domain_full_resolution(spark):
     assert len(fixed) == 1 and fixed[0]["bucket"] == 255
     auto = hist_build_auto(df, "g", "v")
     assert auto.count() > 100
-    med = hist_quantile(auto, 0.5, lo=10000.0, hi=10499.0).collect()[0]["est"]
+    # the table CARRIES its derived domain — no need to re-supply it
+    med = hist_quantile(auto, 0.5).collect()[0]["est"]
     assert abs(med - 10250) <= 3, med
     # degenerate all-equal column: one bucket, no divide-by-zero
     same = spark.range(0, 9).select(
@@ -345,3 +346,39 @@ def test_cms_candidate_keys_bounded_and_exact_set(spark):
     # and the probe plan is filter-then-distinct, never a join
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_hist_domain_rides_table_and_mismatch_raises(spark):
+    """Two auto-domain histograms over different slices carry different
+    [lo, hi] — summing their buckets would be garbage (bucket k means a
+    different value interval in each), so hist_merge must raise; and
+    hist_quantile must reject explicit args that contradict the table's
+    own domain instead of silently rescaling estimates."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.sketches import (
+        hist_build,
+        hist_build_auto,
+        hist_merge,
+        hist_quantile,
+    )
+
+    lo_slice = spark.range(0, 100).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    hi_slice = spark.range(5000, 5100).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    a = hist_build_auto(lo_slice, "g", "v")  # domain ≈ [0, 99]
+    b = hist_build_auto(hi_slice, "g", "v")  # domain ≈ [5000, 5099]
+    with _pytest.raises(ValueError, match="mismatched histogram domains"):
+        hist_merge(a, b)
+    # same slices under ONE shared domain merge fine
+    m = hist_merge(
+        hist_build(lo_slice, "g", "v", 0.0, 5100.0),
+        hist_build(hi_slice, "g", "v", 0.0, 5100.0),
+    )
+    assert m.agg(F.sum("cnt")).first()[0] == 200
+    # quantile args that contradict the carried domain raise
+    with _pytest.raises(ValueError, match="contradicts"):
+        hist_quantile(a, 0.5, lo=0.0, hi=100.0)
