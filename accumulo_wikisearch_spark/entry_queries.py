@@ -348,6 +348,56 @@ def _ev_zordered_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("event_id"))
 
 
+_ZDELTA_EV_CATALOGS: dict[str, str] = {}
+
+
+def _ev_zprune_with_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-ordered events catalog with a PENDING (un-compacted) delta:
+    90% of the corpus lands in the Morton-clustered base, 10% arrives as
+    a flat minor-compaction flush, and the same two-key box query runs
+    through the merge-read view — the planner prunes the z base
+    (zb directory filter + z intervals) and unions the flat delta rows
+    unpruned, so z-pruning stays alive BETWEEN compactions instead of
+    degrading to a full scan the moment one delta lands. The reference
+    keeps serving indexed scans during minor compactions
+    (README.md:206-219); oracle = the plain filter over ALL events."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import (
+        load_index_with_deltas,
+        write_delta,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.operators.layout import ZLayout
+    from accumulo_wikisearch_spark.sources.corpus import (
+        EVENT_SCALAR_FIELDS,
+        load_event_articles,
+    )
+
+    tune_runtime(spark)
+    cfg = EngineConfig()
+    path = _ZDELTA_EV_CATALOGS.get(sf_dir)
+    if path is None:
+        arts = load_event_articles(spark, sf_dir)
+        base = arts.where(F.col("id") % 10 != 7)
+        delta = arts.where(F.col("id") % 10 == 7)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-zdeltacat-")
+        write_index(
+            build_index(base, cfg, EVENT_SCALAR_FIELDS, unique_ids=True),
+            tmp,
+            zorder=ZLayout("USER_ID", "TS"),
+        )
+        write_delta(build_index(delta, cfg, EVENT_SCALAR_FIELDS, unique_ids=True), tmp, 0)
+        path = _ZDELTA_EV_CATALOGS[sf_dir] = tmp
+    eng = Wikisearch(load_index_with_deltas(spark, path, cfg))
+    return eng.query(
+        "USER_ID == '42' and TS >= '2024-01-10 00:00:00'"
+        " and TS <= '2024-01-20 00:00:00'"
+    ).select(F.col("doc_id").alias("event_id"))
+
+
 def _ev_bucketed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events corpus through the ZERO-exchange bucketed catalog (the
     ws_bucketed_and3 twin): write the events index as tables bucketed on
@@ -462,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
     out["ev_zordered_box"] = _ev_zordered_box
+    out["ev_zprune_with_deltas"] = _ev_zprune_with_deltas
     out["ev_bucketed_and"] = _ev_bucketed_and
 
     from accumulo_wikisearch_spark.operators import (
@@ -738,6 +789,9 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         " AND ts >= TIMESTAMP '2024-01-10 00:00:00'"
         " AND ts <= TIMESTAMP '2024-01-20 00:00:00'"
     )
+    # base(90%) + pending delta(10%) together hold the WHOLE corpus, so
+    # the merge-read answer must equal the plain filter over all events
+    out["ev_zprune_with_deltas"] = out["ev_zordered_box"]
 
     from accumulo_wikisearch_spark.operators import (
         analytics,

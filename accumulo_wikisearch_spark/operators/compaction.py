@@ -129,17 +129,6 @@ def load_index_with_deltas(
     batches = delta_batches(spark, path)
     if not batches:
         return index
-    if index.zlayout is not None:
-        # deltas are flat (no z/zb columns): the base docs_wide demotes to
-        # its logical schema for the union, and box pruning DISABLES on
-        # the merge-read view — pruning a union that contains unclustered
-        # rows would silently drop delta matches. Major compaction
-        # re-derives and restores the layout (compact_index).
-        from accumulo_wikisearch_spark.operators.layout import demote_docs
-
-        index.docs_wide = demote_docs(index.docs_wide)
-        index.zlayout = None
-        index.zlayout_path = None
     rd = spark.read.parquet
 
     def stacked(name: str) -> DataFrame | None:
@@ -169,6 +158,23 @@ def _fold_deltas(index: WikisearchIndex, stacked, config: EngineConfig) -> Wikis
         return fn(old, d) if d is not None else old
 
     gi = lambda old, d: merge_global_index(old, d, config.uid_max)
+
+    # z-ordered base + flat deltas: ``docs_wide`` demotes the base to its
+    # logical schema for the union (deltas have no z/zb columns), but the
+    # LAYOUT survives on the view — docs_wide_parts keeps the physical
+    # base separate so the planner prunes it and unions the (small) flat
+    # delta rows unpruned, per-side superset semantics. Pruning the
+    # UNION wholesale would silently drop delta matches; disabling
+    # pruning wholesale (the pre-r9 behavior) paid an unpruned base scan
+    # on every query between compactions.
+    base_docs, parts = index.docs_wide, None
+    d_docs = stacked("docs_wide")
+    if index.zlayout is not None and d_docs is not None:
+        from accumulo_wikisearch_spark.operators.layout import demote_docs
+
+        parts = (base_docs, d_docs)
+        base_docs = demote_docs(base_docs)
+
     return WikisearchIndex(
         config=config,
         doc_fields=u(index.doc_fields, "doc_fields"),
@@ -177,8 +183,12 @@ def _fold_deltas(index: WikisearchIndex, stacked, config: EngineConfig) -> Wikis
         reverse_index=fold(index.reverse_index, "reverse_index", gi),
         metadata=fold(index.metadata, "metadata", merge_metadata),
         term_index=fold(index.term_index, "term_index", merge_term_index),
-        docs_wide=u(index.docs_wide, "docs_wide"),
+        docs_wide=base_docs.unionByName(d_docs) if d_docs is not None else base_docs,
         documents=u(index.documents, "documents"),
+        zlayout=index.zlayout,
+        zlayout_path=index.zlayout_path,
+        catalog_path=index.catalog_path,
+        docs_wide_parts=parts,
     )
 
 
@@ -322,6 +332,15 @@ def apply_tombstones(index: WikisearchIndex, tombstones: DataFrame) -> Wikisearc
         term_index=anti(index.term_index),
         docs_wide=anti(index.docs_wide),
         documents=anti(index.documents),
+        zlayout=index.zlayout,
+        zlayout_path=index.zlayout_path,
+        catalog_path=index.catalog_path,
+        # the planner's pruned base ∪ deltas view must shadow deletes too
+        docs_wide_parts=(
+            tuple(anti(p) for p in index.docs_wide_parts)
+            if index.docs_wide_parts is not None
+            else None
+        ),
     )
 
 

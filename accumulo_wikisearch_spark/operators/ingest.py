@@ -72,6 +72,17 @@ class WikisearchIndex:
     # catalogs, which are immutable by construction
     catalog_path: str | None = None
 
+    # merge-read views of a z catalog with pending deltas set this to
+    # (z_base, flat_extra): the z-ordered base docs_wide WITH its physical
+    # layout columns, and the unioned flat delta rows. The planner then
+    # box-prunes the (huge) base side and unions the (small) delta side
+    # unpruned — z-pruning stays alive BETWEEN compactions instead of
+    # degrading every query to an unpruned scan the moment one delta
+    # lands (the reference keeps serving indexed scans during minor
+    # compactions; README.md:206-219). ``docs_wide`` itself remains the
+    # demoted flat union for every non-planner consumer.
+    docs_wide_parts: tuple | None = None
+
     _persisted: bool = False
     _indexed_cache: set[str] | None = None
     # the tokenized article base shared by field_index and docs_wide; caching

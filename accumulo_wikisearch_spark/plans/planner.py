@@ -772,6 +772,10 @@ def explain_plan(
 
         box = zbox_from_query(nnf, zl)
         info = {"fields": [zl.x_field, zl.y_field], "box": box}
+        if getattr(index, "docs_wide_parts", None) is not None:
+            # merge-read view: the prune applies to the z base side only;
+            # pending flat delta rows union in unpruned
+            info["pending_deltas"] = True
         if box is not None and box[0] <= box[1] and box[2] <= box[3]:
             bks = zbuckets_for_box(*box, zl.bits, zl.bucket_bits)
             info["buckets"] = len(bks)
@@ -842,9 +846,24 @@ def run_query(
         # it composes with fullscan, doc-range, anchor, and semi-join
         # alike (layout.ZLayout; RangeCalculator.java:683-705 is the
         # single-key analogue this generalizes)
-        from accumulo_wikisearch_spark.operators.layout import zprune_docs
+        from accumulo_wikisearch_spark.operators.layout import (
+            demote_docs,
+            zprune_docs,
+        )
 
-        docs = zprune_docs(docs, nnf, zl)
+        parts = getattr(index, "docs_wide_parts", None)
+        if parts is not None:
+            # merge-read with pending deltas: prune the (huge) z base,
+            # union the (small) flat delta rows UNpruned — per-side
+            # superset semantics, so the full predicate re-verify below
+            # stays the only correctness authority. The prune lands
+            # directly on the base scan (clean zb partition filter), not
+            # on the union, where the delta side's null layout columns
+            # would force the OR through every directory.
+            zbase, extra = parts
+            docs = demote_docs(zprune_docs(zbase, nnf, zl)).unionByName(extra)
+        else:
+            docs = zprune_docs(docs, nnf, zl)
     sec = F.col("language").isin(*auths) if auths else F.lit(True)
 
     tree, exact = None, False

@@ -224,6 +224,48 @@ def main() -> None:
         lambda: z_eng.query(box_q, force_path="fullscan").count(),
     )
 
+    # pending-deltas twins: 90% of the corpus in the base catalog, 10%
+    # un-compacted as a flat minor-compaction flush — the continuous-
+    # ingest steady state. The z side must keep its base-side pruning
+    # through the merge-read view (prune base ∪ flat deltas), not
+    # degrade to the flat side's full scan. force_path=fullscan so the
+    # row isolates the layout effect (no index assist).
+    from pyspark.sql import functions as F
+
+    from accumulo_wikisearch_spark.operators.compaction import (
+        load_index_with_deltas,
+        write_delta,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index as _bix
+    from accumulo_wikisearch_spark.sources.corpus import (
+        EVENT_SCALAR_FIELDS,
+        load_event_articles,
+    )
+
+    _arts = load_event_articles(spark, sf_dir)
+    _base_idx = _bix(
+        _arts.where(F.col("id") % 10 != 7), EngineConfig(), EVENT_SCALAR_FIELDS,
+        unique_ids=True,
+    )
+    _wix(_base_idx, f"{zroot}/flatd")
+    _wix(_base_idx, f"{zroot}/zd", zorder=ZLayout("USER_ID", "TS"))
+    _delta_idx = _bix(
+        _arts.where(F.col("id") % 10 == 7), EngineConfig(), EVENT_SCALAR_FIELDS,
+        unique_ids=True,
+    )
+    write_delta(_delta_idx, f"{zroot}/flatd", 0)
+    write_delta(_delta_idx, f"{zroot}/zd", 0)
+    flatd_eng = Wikisearch(load_index_with_deltas(spark, f"{zroot}/flatd", EngineConfig()))
+    zd_eng = Wikisearch(load_index_with_deltas(spark, f"{zroot}/zd", EngineConfig()))
+    timed(
+        "ev_boxscan_flat_deltas",
+        lambda: flatd_eng.query(box_q, force_path="fullscan").count(),
+    )
+    timed(
+        "ev_boxscan_z_deltas",
+        lambda: zd_eng.query(box_q, force_path="fullscan").count(),
+    )
+
     # random-query load (BASELINE.md "1000 queries, 10 clients" analogue,
     # scaled down): 24 distinct 2-3-term AND queries over 8 client threads;
     # reported seconds → q/s = 24 / value. Spark's scheduler interleaves the

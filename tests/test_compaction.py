@@ -212,13 +212,32 @@ def test_zordered_catalog_merge_read_and_compaction(spark, tmp_path):
     write_delta(build_index(d, CFG, zsf), path, 0)
 
     box_q = "UID == '7' and DAY >= '2024-01-01 00:00:00' and DAY <= '2024-01-09 23:59:59'"
-    # merge-read: flat view, no pruning, but EVERY row visible
+    # merge-read: the layout SURVIVES — the planner prunes the z base and
+    # unions the flat delta rows unpruned, so every row stays visible
+    # while the base side keeps its zb directory filter
     idx = load_index_with_deltas(spark, path, CFG)
-    assert idx.zlayout is None
+    assert idx.zlayout is not None and idx.docs_wide_parts is not None
     eng = Wikisearch(idx)
     assert eng.query("TEXT == 'tok'").count() == 90
+    df = eng.query(box_q, force_path="fullscan")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert any(
+        "zb" in seg[:200] for seg in plan.split("PartitionFilters")[1:]
+    ), "base-side scan lost its zb partition filter under pending deltas"
     want = sorted(r["doc_id"] for r in eng.query(box_q).collect())
     assert want == [7, 47]  # uid '7' repeats at i=7 and 47 in-base
+    # a box matching ONLY delta rows — uid 75 lies outside the base's key
+    # domain, so the base side prunes to NOTHING (empty box) and the flat
+    # delta side must still serve the match
+    feb_q = (
+        "UID == '75' and DAY >= '2024-02-01 00:00:00'"
+        " and DAY <= '2024-02-09 23:59:59'"
+    )
+    assert sorted(r["doc_id"] for r in eng.query(feb_q).collect()) == [75]
 
     # compaction restores the layout over the folded (wider) domain
     compact_index(spark, path, CFG)
