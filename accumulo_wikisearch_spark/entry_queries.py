@@ -348,6 +348,39 @@ def _ev_zordered_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("event_id"))
 
 
+_ZCAT_EV_CATALOGS: dict[str, str] = {}
+
+
+def _ev_zordered_cat_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (category × time) box through a kind='cat' z layout: EVENT_TYPE
+    dictionary-maps into the Morton key domain (sorted distinct values,
+    derived at write, persisted in the sidecar), so the second-most-common
+    event-store query shape — type eq × time range — prunes at the
+    directory level exactly like the (user × time) box. Oracle = the
+    plain filter."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
+    from accumulo_wikisearch_spark.operators.layout import ZLayout
+
+    tune_runtime(spark)
+    path = _ZCAT_EV_CATALOGS.get(sf_dir)
+    if path is None:
+        eng = get_events_engine(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-zcatcat-")
+        write_index(
+            eng.index, tmp, zorder=ZLayout("EVENT_TYPE", "TS", "cat", "day")
+        )
+        path = _ZCAT_EV_CATALOGS[sf_dir] = tmp
+    eng_disk = Wikisearch(load_index(spark, path, EngineConfig()))
+    return eng_disk.query(
+        "EVENT_TYPE == 'error' and TS >= '2024-01-08 00:00:00'"
+        " and TS <= '2024-01-18 00:00:00'"
+    ).select(F.col("doc_id").alias("event_id"))
+
+
 _ZDELTA_EV_CATALOGS: dict[str, str] = {}
 
 
@@ -512,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
     out["ev_zordered_box"] = _ev_zordered_box
+    out["ev_zordered_cat_box"] = _ev_zordered_cat_box
     out["ev_zprune_with_deltas"] = _ev_zprune_with_deltas
     out["ev_bucketed_and"] = _ev_bucketed_and
 
@@ -792,6 +826,11 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     # base(90%) + pending delta(10%) together hold the WHOLE corpus, so
     # the merge-read answer must equal the plain filter over all events
     out["ev_zprune_with_deltas"] = out["ev_zordered_box"]
+    out["ev_zordered_cat_box"] = (
+        "SELECT event_id FROM events WHERE event_type = 'error'"
+        " AND ts >= TIMESTAMP '2024-01-08 00:00:00'"
+        " AND ts <= TIMESTAMP '2024-01-18 00:00:00'"
+    )
 
     from accumulo_wikisearch_spark.operators import (
         analytics,

@@ -405,6 +405,15 @@ class ZLayout:
     - ``day``  — an ISO timestamp string's epoch-day (e.g. TS). ISO
       strings order chronologically, so ``==``/``<``/``<=``/``>``/``>=``
       conjuncts all contribute day bounds.
+    - ``cat``  — a low-cardinality categorical field (EVENT_TYPE-class):
+      values dictionary-map to dense integer codes (sorted distinct
+      values, derived at write, persisted in the sidecar). Only ``==``
+      conjuncts contribute bounds — the (category × time) box is the
+      most common event-store query shape after (user × time). An ``==``
+      against a value NOT in the dictionary constant-folds the box
+      empty: the write contract guarantees every stored value is in the
+      dictionary, so no current-epoch row can match (stale-epoch rows
+      bypass pruning via the ``_zep`` guard as always).
 
     CONTRACT (enforced per-row at write): every row has BOTH fields,
     single-valued, parseable under its kind, with offset-rebased keys in
@@ -433,9 +442,39 @@ class ZLayout:
     # DETECT params-vs-files skew and degrade those rows to unpruned
     # (still predicate-verified) instead of silently mis-pruning.
     epoch: str | None = None
+    # cat-kind dictionaries (sorted distinct values; code = position).
+    # None → derived from the data at write; tuples so the layout stays
+    # hashable for the facade's plan-cache key.
+    x_dict: tuple | None = None
+    y_dict: tuple | None = None
 
 
-def _field_key_col(fields: Column, fname: str, kind: str) -> Column:
+_CAT_DICT_MAX = 4096  # cat dictionaries compile into an array literal
+
+
+def _cat_dict(docs_wide: DataFrame, fname: str) -> tuple:
+    """The sorted distinct values of a cat-kind layout field — a bounded
+    collect (raises past ``_CAT_DICT_MAX``: a cat key must be genuinely
+    low-cardinality; a high-cardinality field belongs under ``int``)."""
+    rows = (
+        docs_wide.select(
+            F.explode(F.col("fields")[fname]).alias("v")
+        )
+        .distinct()
+        .limit(_CAT_DICT_MAX + 1)
+        .collect()
+    )
+    if len(rows) > _CAT_DICT_MAX:
+        raise ValueError(
+            f"cat z-layout field {fname} has more than {_CAT_DICT_MAX} "
+            "distinct values — use kind='int' or a coarser field"
+        )
+    return tuple(sorted(r["v"] for r in rows))
+
+
+def _field_key_col(
+    fields: Column, fname: str, kind: str, cat_dict: tuple | None = None
+) -> Column:
     """Integer z key of one layout field from the docs_wide fields map —
     raising per-row on a missing / multi-valued / unparseable value (the
     write-side contract check; rides the write scan, no extra pass)."""
@@ -465,18 +504,32 @@ def _field_key_col(fields: Column, fname: str, kind: str) -> Column:
                 F.to_date(F.substring(v, 1, 10)), F.to_date(F.lit("1970-01-01"))
             ).cast("long"),
         )
+    elif kind == "cat":
+        if not cat_dict:
+            raise ValueError(f"cat z-layout field {fname} needs a dictionary")
+        # dictionary code via ONE array literal (a per-value F.lit chain
+        # would cost ~1 ms py4j each); values outside the dictionary go
+        # NULL → the contract raise below
+        pos = F.array_position(F.lit(list(cat_dict)), v)
+        k = F.when(pos >= 1, (pos - 1).cast("long"))
     else:
         raise ValueError(f"unknown z-layout field kind: {kind}")
     return F.when(k.isNotNull(), k).otherwise(bad)
 
 
-def _literal_key(value, kind: str) -> int | None:
+def _literal_key(value, kind: str, cat_dict: tuple | None = None) -> int | None:
     """Query-literal → integer z key under ``kind``; None if the literal
     cannot be a key (then it contributes no bound — a query like
-    USER_ID == 'abc' simply gets no pruning from that conjunct)."""
+    USER_ID == 'abc' simply gets no pruning from that conjunct; cat-kind
+    callers instead fold the box empty, see :func:`zbox_from_query`)."""
     import datetime
 
     s = str(value)
+    if kind == "cat":
+        try:
+            return cat_dict.index(s) if cat_dict else None
+        except ValueError:
+            return None
     if kind == "int":
         try:
             return int(s, 10)
@@ -497,8 +550,13 @@ def write_zordered_docs(docs_wide: DataFrame, path: str, zl: ZLayout) -> ZLayout
     z-sort within tasks, directory per top-bits bucket). Returns the
     layout with ``bits``/offsets resolved (one cheap min/max agg when
     unset), all persisted in the store's ``_ZLAYOUT.json``."""
-    xk = _field_key_col(F.col("fields"), zl.x_field, zl.x_kind)
-    yk = _field_key_col(F.col("fields"), zl.y_field, zl.y_kind)
+    x_dict, y_dict = zl.x_dict, zl.y_dict
+    if zl.x_kind == "cat" and x_dict is None:
+        x_dict = _cat_dict(docs_wide, zl.x_field)
+    if zl.y_kind == "cat" and y_dict is None:
+        y_dict = _cat_dict(docs_wide, zl.y_field)
+    xk = _field_key_col(F.col("fields"), zl.x_field, zl.x_kind, x_dict)
+    yk = _field_key_col(F.col("fields"), zl.y_field, zl.y_kind, y_dict)
     raw = docs_wide.withColumn("_zx", xk).withColumn("_zy", yk)
     x_off, y_off, bits = zl.x_off, zl.y_off, zl.bits
     if x_off is None or y_off is None or bits is None:
@@ -537,6 +595,8 @@ def write_zordered_docs(docs_wide: DataFrame, path: str, zl: ZLayout) -> ZLayout
         x_off,
         y_off,
         epoch,
+        x_dict,
+        y_dict,
     )
     _write_meta(
         docs_wide.sparkSession,
@@ -553,6 +613,8 @@ def write_zordered_docs(docs_wide: DataFrame, path: str, zl: ZLayout) -> ZLayout
             "x_off": x_off,
             "y_off": y_off,
             "epoch": epoch,
+            "x_dict": list(x_dict) if x_dict is not None else None,
+            "y_dict": list(y_dict) if y_dict is not None else None,
         },
     )
     return resolved
@@ -574,15 +636,18 @@ def load_zlayout(spark: SparkSession, path: str) -> ZLayout | None:
         meta["x_off"],
         meta["y_off"],
         meta.get("epoch"),  # pre-epoch sidecars → None (legacy prune)
+        tuple(meta["x_dict"]) if meta.get("x_dict") is not None else None,
+        tuple(meta["y_dict"]) if meta.get("y_dict") is not None else None,
     )
 
 
 def refit(zl: ZLayout) -> ZLayout:
     """The rewrite-time layout for a store that already has ``zl``: keep
-    the user's choices (fields, kinds, bucket_bits), re-derive bits and
-    offsets from the data being written — new rows may have widened the
-    key domain. The ONE place this rule lives; major compaction and the
-    streaming rewrite both call it."""
+    the user's choices (fields, kinds, bucket_bits), re-derive bits,
+    offsets, and cat dictionaries from the data being written — new rows
+    may have widened the key domain or added categories. The ONE place
+    this rule lives; major compaction and the streaming rewrite both
+    call it."""
     return ZLayout(
         zl.x_field, zl.y_field, zl.x_kind, zl.y_kind, bucket_bits=zl.bucket_bits
     )
@@ -614,6 +679,7 @@ def zbox_from_query(node, zl: ZLayout) -> tuple[int, int, int, int] | None:
     hi = {zl.x_field: lim - 1, zl.y_field: lim - 1}
     kind = {zl.x_field: zl.x_kind, zl.y_field: zl.y_kind}
     off = {zl.x_field: zl.x_off or 0, zl.y_field: zl.y_off or 0}
+    cdict = {zl.x_field: zl.x_dict, zl.y_field: zl.y_dict}
     conjuncts = node.children if isinstance(node, ast.And) else (node,)
     touched = False
     for c in conjuncts:
@@ -626,8 +692,15 @@ def zbox_from_query(node, zl: ZLayout) -> tuple[int, int, int, int] | None:
             hi[c.field] = min(hi[c.field], math.floor(c.hi) - off[c.field])
             touched = True
         elif isinstance(c, ast.Cmp) and c.field in kind and not c.abs:
-            k = _literal_key(c.literal, kind[c.field])
+            k = _literal_key(c.literal, kind[c.field], cdict[c.field])
             if k is None:
+                if kind[c.field] == "cat" and c.op == ast.EQ:
+                    # the dictionary covers EVERY stored value (write
+                    # contract), so an == against an unknown category
+                    # matches no current-epoch row: fold the box empty
+                    # (stale-epoch rows bypass pruning via the _zep guard)
+                    lo[c.field], hi[c.field] = 1, 0
+                    touched = True
                 continue
             k -= off[c.field]
             if c.op == ast.EQ:

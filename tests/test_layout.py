@@ -466,3 +466,52 @@ def test_day_kind_requires_canonical_date_shape(spark, tmp_path):
     zl = write_zordered_docs(ok, str(tmp_path / "ok_day"), ZLayout("UID", "TS"))
     assert zl.bits is not None
     assert spark.read.parquet(str(tmp_path / "ok_day")).count() == 2
+
+
+def test_cat_kind_zlayout_engine_path(spark, sf_dir, tmp_path):
+    """kind='cat': a categorical field dictionary-maps into the z key
+    domain, so (category == x AND time range) boxes prune at the
+    directory level — the second-most-common event-store query shape.
+    The dictionary is derived at write, persisted in the sidecar, and an
+    == against an unknown category constant-folds the box empty."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
+    from accumulo_wikisearch_spark.operators.layout import ZLayout, load_zlayout
+    from accumulo_wikisearch_spark.sources.corpus import get_events_engine
+
+    eng = get_events_engine(spark, sf_dir)
+    zpath = str(tmp_path / "zcat_cat")
+    write_index(
+        eng.index, zpath, zorder=ZLayout("EVENT_TYPE", "TS", "cat", "day")
+    )
+    zl = load_zlayout(spark, f"{zpath}/docs_wide")
+    assert zl is not None and zl.x_dict is not None and len(zl.x_dict) >= 2
+    assert list(zl.x_dict) == sorted(zl.x_dict)  # code order == sorted order
+    zeng = Wikisearch(load_index(spark, zpath, EngineConfig()))
+    queries = [
+        # the target shape: category eq × time range
+        "EVENT_TYPE == 'error' and TS >= '2024-01-05 00:00:00'"
+        " and TS <= '2024-01-20 00:00:00'",
+        # category eq only (one-sided box)
+        "EVENT_TYPE == 'click' and USER_ID == '7'",
+        # Or root: no pruning may apply
+        "EVENT_TYPE == 'error' or USER_ID == '7'",
+    ]
+    for q in queries:
+        want = sorted(r["doc_id"] for r in eng.query(q).collect())
+        got = sorted(r["doc_id"] for r in zeng.query(q).collect())
+        assert got == want, q
+    # the prune reaches the scan as a zb directory filter
+    df = zeng.query(queries[0])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert any("zb" in seg[:200] for seg in plan.split("PartitionFilters")[1:])
+    # unknown category: box folds empty before any file is read
+    df2 = zeng.query("EVENT_TYPE == 'nosuchtype' and USER_ID == '7'")
+    optimized = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation <empty>" in optimized
+    assert df2.count() == 0
