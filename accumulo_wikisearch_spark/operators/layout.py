@@ -406,14 +406,17 @@ class ZLayout:
       strings order chronologically, so ``==``/``<``/``<=``/``>``/``>=``
       conjuncts all contribute day bounds.
     - ``cat``  — a low-cardinality categorical field (EVENT_TYPE-class):
-      values dictionary-map to dense integer codes (sorted distinct
-      values, derived at write, persisted in the sidecar). Only ``==``
-      conjuncts contribute bounds — the (category × time) box is the
-      most common event-store query shape after (user × time). An ``==``
-      against a value NOT in the dictionary constant-folds the box
-      empty: the write contract guarantees every stored value is in the
-      dictionary, so no current-epoch row can match (stale-epoch rows
-      bypass pruning via the ``_zep`` guard as always).
+      values dictionary-map to dense integer codes (SORTED distinct
+      values, derived at write, persisted in the sidecar). ``==``
+      conjuncts bound the code exactly — the (category × time) box is
+      the most common event-store query shape after (user × time) —
+      and because the dictionary is sorted, code order equals the
+      engine's lexicographic string order, so ``<``/``<=``/``>``/``>=``
+      conjuncts bound codes too (via bisect). An ``==`` against a value
+      NOT in the dictionary constant-folds the box empty: the write
+      contract guarantees every stored value is in the dictionary, so
+      no current-epoch row can match (stale-epoch rows bypass pruning
+      via the ``_zep`` guard as always).
 
     CONTRACT (enforced per-row at write): every row has BOTH fields,
     single-valued, parseable under its kind, with offset-rebased keys in
@@ -526,8 +529,15 @@ def _literal_key(value, kind: str, cat_dict: tuple | None = None) -> int | None:
 
     s = str(value)
     if kind == "cat":
+        # the dictionary holds NORMALIZED stored values and the engine's
+        # evaluation is case-insensitive (QueryEvaluator normalizes
+        # literals the same way) — the lookup must normalize too, or
+        # EVENT_TYPE == 'ERROR' would fold the box empty while the
+        # evaluator matches stored 'error'
+        from accumulo_wikisearch_spark.functions.normalize import normalize_str
+
         try:
-            return cat_dict.index(s) if cat_dict else None
+            return cat_dict.index(normalize_str(s)) if cat_dict else None
         except ValueError:
             return None
     if kind == "int":
@@ -692,6 +702,31 @@ def zbox_from_query(node, zl: ZLayout) -> tuple[int, int, int, int] | None:
             hi[c.field] = min(hi[c.field], math.floor(c.hi) - off[c.field])
             touched = True
         elif isinstance(c, ast.Cmp) and c.field in kind and not c.abs:
+            if kind[c.field] == "cat" and c.op in (ast.GE, ast.GT, ast.LE, ast.LT):
+                # the dictionary is SORTED, so code order == lexicographic
+                # order == the engine's string-compare order: range
+                # conjuncts bound codes exactly via bisect (superset: the
+                # strict ops admit the equal value too)
+                import bisect
+
+                from accumulo_wikisearch_spark.functions.normalize import (
+                    normalize_str,
+                )
+
+                # same normalizer the evaluator applies to the literal —
+                # the dictionary is sorted over normalized values
+                s, d = normalize_str(str(c.literal)), cdict[c.field] or ()
+                if c.op in (ast.GE, ast.GT):
+                    lo[c.field] = max(
+                        lo[c.field], bisect.bisect_left(d, s) - off[c.field]
+                    )
+                else:
+                    hi[c.field] = min(
+                        hi[c.field],
+                        bisect.bisect_right(d, s) - 1 - off[c.field],
+                    )
+                touched = True
+                continue
             k = _literal_key(c.literal, kind[c.field], cdict[c.field])
             if k is None:
                 if kind[c.field] == "cat" and c.op == ast.EQ:

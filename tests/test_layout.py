@@ -497,6 +497,14 @@ def test_cat_kind_zlayout_engine_path(spark, sf_dir, tmp_path):
         "EVENT_TYPE == 'click' and USER_ID == '7'",
         # Or root: no pruning may apply
         "EVENT_TYPE == 'error' or USER_ID == '7'",
+        # cat RANGE: sorted dictionary makes code order == string order,
+        # so lexicographic conjuncts bound the cat key too
+        "EVENT_TYPE >= 'e' and EVENT_TYPE <= 'f' and USER_ID == '7'",
+        "EVENT_TYPE > 'click' and TS >= '2024-01-05 00:00:00'"
+        " and TS <= '2024-01-12 00:00:00'",
+        # case-insensitive eval (Q13): the dict lookup must normalize the
+        # literal like the evaluator does, not fold the box empty
+        "EVENT_TYPE == 'ERROR' and USER_ID == '7'",
     ]
     for q in queries:
         want = sorted(r["doc_id"] for r in eng.query(q).collect())
