@@ -90,16 +90,24 @@ class Wikisearch:
             # every derived cache (plans, cardinalities, postings) is
             # stale. Reload the catalog and start clean: a z facade
             # self-heals across rewrites instead of failing mid-scan.
-            from accumulo_wikisearch_spark.operators.ingest import load_index
+            # Merge-read semantics are preserved: load_index_with_deltas
+            # folds any deltas that landed since (and reduces to a plain
+            # load when none exist) — a facade built over base+deltas must
+            # not silently downgrade to base-only.
+            from accumulo_wikisearch_spark.operators.compaction import (
+                load_index_with_deltas,
+            )
 
-            self.index = load_index(
+            self.index = load_index_with_deltas(
                 self.index.docs_wide.sparkSession,
                 self.index.catalog_path,
                 self.index.config,
             )
             self._card_cache.clear()
             self._plan_cache.clear()
-            zl = _current_zlayout(self.index)
+            # the layout the reload just resolved — a second sidecar read
+            # could race yet another rewrite and chase its own tail
+            zl = self.index.zlayout
         key = (expr, tuple(sorted(auths)) if auths else None, force_path, zl)
         hit = self._plan_cache.get(key)
         if hit is None:

@@ -702,6 +702,15 @@ def zbox_from_query(node, zl: ZLayout) -> tuple[int, int, int, int] | None:
             hi[c.field] = min(hi[c.field], math.floor(c.hi) - off[c.field])
             touched = True
         elif isinstance(c, ast.Cmp) and c.field in kind and not c.abs:
+            if kind[c.field] == "cat" and (
+                not isinstance(c.literal, str) or not cdict[c.field]
+            ):
+                # numeric literals take the evaluator's NUMERIC-coercion
+                # path (stored '04' matches FIELD == 4), which the
+                # string-ordered dictionary cannot bound; and a missing
+                # dictionary means "unknown", not "no values exist" —
+                # either way this conjunct contributes NO bound
+                continue
             if kind[c.field] == "cat" and c.op in (ast.GE, ast.GT, ast.LE, ast.LT):
                 # the dictionary is SORTED, so code order == lexicographic
                 # order == the engine's string-compare order: range

@@ -228,10 +228,51 @@ def hist_build(
         # merge and quantile read it from here instead of trusting the
         # caller to re-supply the exact build parameters — two histograms
         # with different domains have incompatible bucket meanings, and a
-        # silent sum over them is garbage
-        .withColumn("dom_lo", F.lit(float(lo)))
-        .withColumn("dom_hi", F.lit(float(hi)))
-        .withColumn("dom_n", F.lit(int(n_buckets)))
+        # silent sum over them is garbage. The same values ride the
+        # SCHEMA as column metadata (parquet round-trips it), so merge/
+        # quantile validate without running a job in the common case.
+        .select(
+            "grp",
+            "bucket",
+            "cnt",
+            *_dom_cols(float(lo), float(hi), int(n_buckets)),
+        )
+    )
+
+
+def _dom_cols(lo: float, hi: float, n_buckets: int) -> list:
+    """The three domain columns, value in the data AND in the field
+    metadata — the metadata copy makes domain validation a schema
+    lookup instead of a Spark job wherever the lineage preserves it."""
+    return [
+        F.lit(lo).alias("dom_lo", metadata={"v": lo}),
+        F.lit(hi).alias("dom_hi", metadata={"v": hi}),
+        F.lit(n_buckets).alias("dom_n", metadata={"v": n_buckets}),
+    ]
+
+
+def _dom_from_schema(df: DataFrame) -> tuple | None:
+    """(lo, hi, n) from the table's field metadata, or None when any of
+    it was lost along the lineage (callers then fall back to the bounded
+    distinct job over the data copy)."""
+    try:
+        vals = []
+        for c in ("dom_lo", "dom_hi", "dom_n"):
+            m = df.schema[c].metadata
+            if "v" not in m:
+                return None
+            vals.append(m["v"])
+        return (float(vals[0]), float(vals[1]), int(vals[2]))
+    except (KeyError, TypeError, ValueError):
+        return None
+
+
+def _dom_from_data(df: DataFrame) -> list[tuple]:
+    """Distinct (lo, hi, n) rows actually present — one bounded job
+    (histogram tables are ≤ n_buckets × groups rows by construction)."""
+    rows = df.select("dom_lo", "dom_hi", "dom_n").distinct().collect()
+    return sorted(
+        (float(r["dom_lo"]), float(r["dom_hi"]), int(r["dom_n"])) for r in rows
     )
 
 
@@ -268,29 +309,37 @@ def hist_merge(*hists: DataFrame) -> DataFrame:
     Raises ``ValueError`` when the inputs carry DIFFERENT [lo, hi,
     n_buckets] domains — bucket k means a different value interval in
     each, so a silent per-bucket sum would be garbage (e.g. two
-    :func:`hist_build_auto` tables over different slices). The check is
-    one bounded job over the union's domain columns: a histogram table
-    is ≤ n_buckets × groups rows by construction, so this is O(sketch),
-    never O(data). Tables from slices that must merge should share ONE
-    pre-derived domain via :func:`hist_build`."""
+    :func:`hist_build_auto` tables over different slices). Validation
+    is a SCHEMA lookup when every input still carries the domain in its
+    field metadata (hist_build stamps it; parquet round-trips it) — no
+    job, so per-micro-batch streaming merges pay nothing. Inputs whose
+    lineage lost the metadata fall back to one bounded job over the
+    data copy (a histogram is ≤ n_buckets × groups rows by
+    construction: O(sketch), never O(data)). Tables from slices that
+    must merge should share ONE pre-derived domain via
+    :func:`hist_build`."""
     out = hists[0]
     for h in hists[1:]:
         out = out.unionByName(h)
     if "dom_lo" not in out.columns:  # pre-domain tables: caller's contract
         return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
-    doms = out.select("dom_lo", "dom_hi", "dom_n").distinct().collect()
+    metas = [_dom_from_schema(h) for h in hists]
+    if all(m is not None for m in metas):
+        doms = sorted(set(metas))
+    else:
+        doms = _dom_from_data(out)
     if len(doms) > 1:
         raise ValueError(
-            "hist_merge: mismatched histogram domains "
-            f"{sorted((r['dom_lo'], r['dom_hi'], r['dom_n']) for r in doms)}"
+            f"hist_merge: mismatched histogram domains {doms}"
             " — mergeable histograms must share one [lo, hi, n_buckets]"
         )
-    return out.groupBy("grp", "bucket").agg(
-        F.sum("cnt").alias("cnt"),
-        F.first("dom_lo").alias("dom_lo"),
-        F.first("dom_hi").alias("dom_hi"),
-        F.first("dom_n").alias("dom_n"),
-    )
+    merged = out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
+    if doms:
+        return merged.select(
+            "grp", "bucket", "cnt", *_dom_cols(*doms[0])
+        )
+    # all inputs empty: keep the (empty) domain columns as they were
+    return out.sparkSession.createDataFrame([], out.schema)
 
 
 def hist_quantile(
@@ -314,14 +363,15 @@ def hist_quantile(
     from pyspark.sql import Window
 
     if "dom_lo" in hist.columns:
-        doms = hist.select("dom_lo", "dom_hi", "dom_n").distinct().collect()
+        meta = _dom_from_schema(hist)
+        doms = [meta] if meta is not None else _dom_from_data(hist)
         if len(doms) > 1:
             raise ValueError(
                 f"hist_quantile: table carries {len(doms)} distinct domains"
                 " — it is not a single mergeable histogram"
             )
         if doms:
-            d = (doms[0]["dom_lo"], doms[0]["dom_hi"], doms[0]["dom_n"])
+            d = doms[0]
             for got, want, name in (
                 (lo, d[0], "lo"),
                 (hi, d[1], "hi"),

@@ -18,7 +18,20 @@ from accumulo_wikisearch_spark.streaming.analytics import (
 EVENT_SCHEMA = "user_id long, ts long, event_type string"
 
 
-def _run_stream(df, name, output_mode="update", timeout_s=300):
+def _run_stream(df, name, output_mode="update", timeout_s=300, drain_only=False):
+    """Run an availableNow stream to completion, loudly (the r8
+    silent-timeout lesson: ignoring awaitTermination's False reads a
+    half-filled sink and fails on DATA).
+
+    ``drain_only`` is for streams holding a pending PROCESSING-TIME
+    timer (sessionize's gap timeout): those never self-terminate — the
+    availableNow query spins empty "cleaning up state" batches until
+    the timer fires, 30 MINUTES for the default gap — so completion is
+    the first committed EMPTY batch (all available data processed and
+    its update-mode output emitted), after which the idle query is
+    stopped. Watermark-flushing streams (dropDuplicatesWithinWatermark,
+    append-mode aggs) must NOT use it: their held rows are only emitted
+    by later batches, and availableNow runs those and terminates."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -26,7 +39,26 @@ def _run_stream(df, name, output_mode="update", timeout_s=300):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(timeout_s), f"stream {name} did not finish in {timeout_s}s"
+    if not drain_only:
+        assert q.awaitTermination(timeout_s), (
+            f"stream {name} did not finish in {timeout_s}s"
+        )
+        return q
+    deadline = time.time() + timeout_s
+    while q.isActive:
+        lp = q.lastProgress
+        if lp is not None and lp["numInputRows"] == 0:
+            break
+        if time.time() > deadline:
+            q.stop()
+            raise AssertionError(
+                f"stream {name} did not drain its input in {timeout_s}s"
+            )
+        time.sleep(0.3)
+    if q.exception() is not None:
+        raise q.exception()
+    q.stop()
+    assert q.awaitTermination(timeout_s), f"stream {name} did not stop"
     return q
 
 
@@ -74,7 +106,7 @@ def test_sessionize_stream_across_batches(spark):
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{tmp}/in/*")
         )
-        _run_stream(sessionize_stream(stream), "sessions")
+        _run_stream(sessionize_stream(stream), "sessions", drain_only=True)
         rows = spark.sql("SELECT * FROM sessions ORDER BY session_start").collect()
         assert b0_done  # silence lint; ordering of file pickup is by path
 
@@ -97,7 +129,11 @@ def test_sessionize_single_batch_splits(spark, gap):
             [(7, 0, "x"), (7, 10, "x"), (7, 10_000, "x")], EVENT_SCHEMA
         ).write.parquet(f"{tmp}/in/b0")
         stream = spark.readStream.schema(EVENT_SCHEMA).parquet(f"{tmp}/in/*")
-        _run_stream(sessionize_stream(stream, gap_seconds=gap), "sessions_one")
+        _run_stream(
+            sessionize_stream(stream, gap_seconds=gap),
+            "sessions_one",
+            drain_only=True,
+        )
         rows = spark.sql("SELECT * FROM sessions_one").collect()
         closed = [r for r in rows if r["closed"]]
         assert [(r["session_start"], r["session_end"], r["n_events"]) for r in closed] == [
