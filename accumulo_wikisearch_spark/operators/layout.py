@@ -693,7 +693,50 @@ def zbox_from_query(node, zl: ZLayout) -> tuple[int, int, int, int] | None:
     conjuncts = node.children if isinstance(node, ast.And) else (node,)
     touched = False
     for c in conjuncts:
-        if isinstance(c, ast.Between) and c.field in kind:
+        if isinstance(c, ast.Or):
+            # IN-list shape: a top-level conjunct that is an Or of ==
+            # leaves ALL on the same key field bounds that key by the
+            # HULL of the branch keys — every result row satisfies one
+            # branch, so its key lies in [min, max] (superset; the gaps
+            # re-verify away). Branches whose literal cannot be a stored
+            # value (unparseable int/day string, category outside the
+            # dictionary) are dropped from the hull; if every branch is
+            # impossible the box folds empty. Any branch that is not a
+            # plain string == on the shared field (ranges, other fields,
+            # negation, numeric literals with their coercion semantics)
+            # makes the conjunct contribute nothing — never unsound.
+            fields = {
+                b.field
+                for b in c.children
+                if isinstance(b, ast.Cmp)
+            }
+            if len(fields) != 1:
+                continue
+            (f,) = fields
+            if f not in kind or (kind[f] == "cat" and not cdict[f]):
+                continue
+            ks, usable = [], True
+            for b in c.children:
+                if (
+                    not isinstance(b, ast.Cmp)
+                    or b.op != ast.EQ
+                    or b.abs
+                    or not isinstance(b.literal, str)
+                ):
+                    usable = False
+                    break
+                k = _literal_key(b.literal, kind[f], cdict[f])
+                if k is not None:
+                    ks.append(k - off[f])
+            if not usable:
+                continue
+            if not ks:  # every branch impossible: no stored row matches
+                lo[f], hi[f] = 1, 0
+            else:
+                lo[f] = max(lo[f], min(ks))
+                hi[f] = min(hi[f], max(ks))
+            touched = True
+        elif isinstance(c, ast.Between) and c.field in kind:
             if kind[c.field] != "int":
                 continue
             import math

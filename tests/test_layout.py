@@ -523,3 +523,55 @@ def test_cat_kind_zlayout_engine_path(spark, sf_dir, tmp_path):
     optimized = df2._jdf.queryExecution().optimizedPlan().toString()
     assert "LocalRelation <empty>" in optimized
     assert df2.count() == 0
+
+
+def test_zbox_or_hull_bounds():
+    """A top-level conjunct that is an Or of same-field == leaves bounds
+    the key by the HULL of the branch keys; impossible branches drop out;
+    non-eq/mixed-field/numeric-literal branches disable the conjunct."""
+    from accumulo_wikisearch_spark.operators.layout import ZLayout, zbox_from_query
+    from accumulo_wikisearch_spark.plans import ast
+
+    zl = ZLayout("U", "T", "int", "day", bits=8, bucket_bits=4, x_off=100, y_off=19700)
+    day = (
+        ast.Cmp("T", ast.GE, "2023-12-13 00:00:00"),  # epoch day 19704
+        ast.Cmp("T", ast.LE, "2023-12-20 23:59:59"),  # epoch day 19711
+    )
+    in_list = ast.Or((ast.Cmp("U", ast.EQ, "142"), ast.Cmp("U", ast.EQ, "150")))
+    assert zbox_from_query(ast.And((in_list,) + day), zl) == (42, 50, 4, 11)
+    # an unparseable branch cannot be a stored value: it drops from the hull
+    with_bad = ast.Or(
+        (ast.Cmp("U", ast.EQ, "142"), ast.Cmp("U", ast.EQ, "nope"))
+    )
+    assert zbox_from_query(ast.And((with_bad,) + day), zl) == (42, 42, 4, 11)
+    # ALL branches impossible → empty box
+    all_bad = ast.Or((ast.Cmp("U", ast.EQ, "x"), ast.Cmp("U", ast.EQ, "y")))
+    box = zbox_from_query(ast.And((all_bad,) + day), zl)
+    assert box is not None and box[0] > box[1]
+    # mixed fields / non-eq ops / numeric literals: conjunct contributes
+    # nothing (still bounded by the day range alone)
+    for orx in (
+        ast.Or((ast.Cmp("U", ast.EQ, "142"), ast.Cmp("OTHER", ast.EQ, "z"))),
+        ast.Or((ast.Cmp("U", ast.EQ, "142"), ast.Cmp("U", ast.GE, "150"))),
+        ast.Or((ast.Cmp("U", ast.EQ, "142"), ast.Cmp("U", ast.EQ, 150))),
+    ):
+        assert zbox_from_query(ast.And((orx,) + day), zl) == (0, 255, 4, 11)
+
+
+def test_engine_or_hull_through_z_catalog(spark, sf_dir, tmp_path):
+    """(USER_ID in-list) × time range through the engine path: the hull
+    bound prunes, the full predicate re-verifies the gaps, results match
+    the flat engine exactly."""
+    eng, zeng = _flat_and_z_engines(spark, sf_dir, tmp_path)
+    queries = [
+        "(USER_ID == '7' or USER_ID == '9') and TS >= '2024-01-05 00:00:00'"
+        " and TS <= '2024-01-20 00:00:00'",
+        # one impossible branch drops from the hull
+        "(USER_ID == '7' or USER_ID == 'nosuch') and EVENT_TYPE == 'click'",
+        # every branch impossible: empty, same as flat
+        "(USER_ID == 'aa' or USER_ID == 'bb') and EVENT_TYPE == 'click'",
+    ]
+    for q in queries:
+        want = sorted(r["doc_id"] for r in eng.query(q).collect())
+        got = sorted(r["doc_id"] for r in zeng.query(q).collect())
+        assert got == want, q
