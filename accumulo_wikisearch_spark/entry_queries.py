@@ -348,6 +348,27 @@ def _ev_zordered_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("event_id"))
 
 
+def _ev_zordered_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list × time range through the z engine path: a top-level
+    ``(USER_ID == a or USER_ID == b or ...)`` conjunct bounds the user
+    key by the HULL of the branch keys (layout.zbox_from_query), so the
+    second-most-common multi-entity query shape prunes directories too —
+    the gaps between the listed users re-verify away. Reuses the
+    ev_zordered_box catalog; oracle = the plain IN filter."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import load_index
+
+    tune_runtime(spark)
+    _ev_zordered_box(spark, sf_dir)  # ensure the shared z catalog exists
+    path = _ZORDERED_EV_CATALOGS[sf_dir]
+    eng_disk = Wikisearch(load_index(spark, path, EngineConfig()))
+    return eng_disk.query(
+        "(USER_ID == '41' or USER_ID == '42' or USER_ID == '45')"
+        " and TS >= '2024-01-10 00:00:00' and TS <= '2024-01-20 00:00:00'"
+    ).select(F.col("doc_id").alias("event_id"))
+
+
 _ZCAT_EV_CATALOGS: dict[str, str] = {}
 
 
@@ -546,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_written_and"] = _ev_written_and
     out["ev_zordered_box"] = _ev_zordered_box
     out["ev_zordered_cat_box"] = _ev_zordered_cat_box
+    out["ev_zordered_inlist"] = _ev_zordered_inlist
     out["ev_zprune_with_deltas"] = _ev_zprune_with_deltas
     out["ev_bucketed_and"] = _ev_bucketed_and
 
@@ -830,6 +852,11 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         "SELECT event_id FROM events WHERE event_type = 'error'"
         " AND ts >= TIMESTAMP '2024-01-08 00:00:00'"
         " AND ts <= TIMESTAMP '2024-01-18 00:00:00'"
+    )
+    out["ev_zordered_inlist"] = (
+        "SELECT event_id FROM events WHERE user_id IN (41, 42, 45)"
+        " AND ts >= TIMESTAMP '2024-01-10 00:00:00'"
+        " AND ts <= TIMESTAMP '2024-01-20 00:00:00'"
     )
 
     from accumulo_wikisearch_spark.operators import (
