@@ -526,6 +526,21 @@ def write_index(index: WikisearchIndex, path: str, zorder=None) -> None:
     finally:
         if tok is not None and not tok_was_cached:
             tok.unpersist()
+    # an EMPTY catalog (e.g. compaction after full tombstoning) leaves the
+    # partitionBy table dirs with no data files — unreadable on load (no
+    # schema). Rewrite any such dir as one schema-only file (partition
+    # cols demoted to regular columns; identical read schema). The z
+    # docs_wide writer handles its own store the same way.
+    from accumulo_wikisearch_spark.operators.layout import ensure_readable_store
+
+    for name in (
+        "field_index",
+        "doc_fields",
+        "term_index",
+        "documents",
+        "docs_wide",
+    ):
+        ensure_readable_store(getattr(index, name), f"{path}/{name}")
 
 
 def write_index_bucketed(

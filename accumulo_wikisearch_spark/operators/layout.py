@@ -81,6 +81,26 @@ def _check_bucket_bits(bits: int, bucket_bits: int) -> None:
         )
 
 
+def ensure_readable_store(df: DataFrame, path: str) -> None:
+    """A ``partitionBy`` write of an EMPTY DataFrame leaves a directory
+    with no data files, which cannot be read back (no schema to infer) —
+    a fully-tombstoned catalog would become permanently unloadable after
+    compaction. Detect that (one FS listing, no job) and rewrite the
+    store as one schema-only parquet file with the partition columns as
+    regular columns: identical read schema, trivially empty."""
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                return  # data files exist: nothing to do
+    df.limit(0).write.mode("overwrite").parquet(path)
+
+
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     """Persist the store's layout parameters beside it (underscore-prefixed
     → invisible to Spark's data-file listing; Hadoop FS API so s3/hdfs
@@ -281,15 +301,17 @@ def write_zordered(
 
     z = zvalue_col(_checked(c1), _checked(c2), bits)
     shift = 2 * bits - bucket_bits
+    staged = df.withColumn("z", z).withColumn(
+        "zb", F.shiftright(F.col("z"), shift).cast("int")
+    )
     (
-        df.withColumn("z", z)
-        .withColumn("zb", F.shiftright(F.col("z"), shift).cast("int"))
-        .repartitionByRange(F.col("z"))
+        staged.repartitionByRange(F.col("z"))
         .sortWithinPartitions("z")
         .write.mode("overwrite")
         .partitionBy(*extra_partition_cols, "zb")
         .parquet(path)
     )
+    ensure_readable_store(staged, path)
     _write_meta(
         df.sparkSession,
         path,
@@ -508,13 +530,21 @@ def _field_key_col(
             ).cast("long"),
         )
     elif kind == "cat":
-        if not cat_dict:
+        if cat_dict is None:
             raise ValueError(f"cat z-layout field {fname} needs a dictionary")
-        # dictionary code via ONE array literal (a per-value F.lit chain
-        # would cost ~1 ms py4j each); values outside the dictionary go
-        # NULL → the contract raise below
-        pos = F.array_position(F.lit(list(cat_dict)), v)
-        k = F.when(pos >= 1, (pos - 1).cast("long"))
+        if not cat_dict:
+            # a legitimately EMPTY corpus derives an empty dictionary
+            # (major compaction after full tombstoning): vacuously fine —
+            # no row can have a key, and any actual row hits the contract
+            # raise below instead of a write-time crash that would leave
+            # the catalog permanently un-compactable
+            k = F.lit(None).cast("long")
+        else:
+            # dictionary code via ONE array literal (a per-value F.lit
+            # chain would cost ~1 ms py4j each); values outside the
+            # dictionary go NULL → the contract raise below
+            pos = F.array_position(F.lit(list(cat_dict)), v)
+            k = F.when(pos >= 1, (pos - 1).cast("long"))
     else:
         raise ValueError(f"unknown z-layout field kind: {kind}")
     return F.when(k.isNotNull(), k).otherwise(bad)

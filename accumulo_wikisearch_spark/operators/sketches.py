@@ -324,19 +324,44 @@ def hist_merge(*hists: DataFrame) -> DataFrame:
     if "dom_lo" not in out.columns:  # pre-domain tables: caller's contract
         return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
     metas = [_dom_from_schema(h) for h in hists]
-    if all(m is not None for m in metas):
-        doms = sorted(set(metas))
+    if all(m is not None for m in metas) and len(set(metas)) == 1:
+        doms = [metas[0]]
     else:
+        # metadata missing on some input, or it DISAGREES — consult the
+        # data copy (one bounded job): an EMPTY input's placeholder
+        # metadata must not veto a well-defined merge, since it
+        # contributes no rows (its domain rows don't exist either)
         doms = _dom_from_data(out)
     if len(doms) > 1:
         raise ValueError(
             f"hist_merge: mismatched histogram domains {doms}"
             " — mergeable histograms must share one [lo, hi, n_buckets]"
         )
-    merged = out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
+    # the eager check above trusts per-input schema metadata, which a
+    # hand-built unionByName can poison (it carries ONE side's metadata
+    # for mixed rows). Guard in the SAME aggregation pass — zero extra
+    # scans: any (grp, bucket) group that received rows from two
+    # domains raises at action time.
+    nd = F.count_distinct(
+        F.struct("dom_lo", "dom_hi", "dom_n")
+    ).alias("_nd")
+    merged = out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"), nd)
     if doms:
+        ok = F.col("_nd") == 1
+        guard = lambda c: F.when(ok, c).otherwise(
+            F.raise_error(
+                F.lit(
+                    "hist_merge: rows from different histogram domains "
+                    "collided in one bucket — the input table mixes "
+                    "incompatible builds"
+                )
+            )
+        )
         return merged.select(
-            "grp", "bucket", "cnt", *_dom_cols(*doms[0])
+            "grp",
+            "bucket",
+            guard(F.col("cnt")).alias("cnt"),
+            *_dom_cols(*doms[0]),
         )
     # all inputs empty: keep the (empty) domain columns as they were
     return out.sparkSession.createDataFrame([], out.schema)
@@ -362,8 +387,10 @@ def hist_quantile(
     estimate."""
     from pyspark.sql import Window
 
+    meta_trusted = False
     if "dom_lo" in hist.columns:
         meta = _dom_from_schema(hist)
+        meta_trusted = meta is not None
         doms = [meta] if meta is not None else _dom_from_data(hist)
         if len(doms) > 1:
             raise ValueError(
@@ -390,11 +417,31 @@ def hist_quantile(
         )
 
     w = Window.partitionBy("grp").orderBy("bucket")
+    cnt = F.col("cnt")
+    if meta_trusted:
+        # schema metadata can lie on a hand-unioned table (it carries one
+        # side's fields for mixed rows): guard in the SAME window pass —
+        # a group whose rows span two domains raises at action time
+        # instead of silently rescaling the estimate
+        nd = F.size(
+            F.collect_set(F.struct("dom_lo", "dom_hi", "dom_n")).over(
+                Window.partitionBy("grp")
+            )
+        )
+        cnt = F.when(nd == 1, cnt).otherwise(
+            F.raise_error(
+                F.lit(
+                    "hist_quantile: group mixes rows from different "
+                    "histogram domains — the table mixes incompatible "
+                    "builds"
+                )
+            )
+        )
     cum = hist.select(
         "grp",
         "bucket",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy("grp")).alias("total"),
+        F.sum(cnt).over(w).alias("cum"),
+        F.sum(cnt).over(Window.partitionBy("grp")).alias("total"),
     )
     width = (hi - lo) / n_buckets
     hit = cum.where(F.col("cum") >= F.lit(q) * F.col("total"))

@@ -43,3 +43,16 @@ def duck(sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+def zb_partition_filtered(df) -> bool:
+    """True when some scan in df's formatted plan carries a `zb`
+    PartitionFilter — the ONE definition of the fragile explain-string
+    parse the z-layout plan pins share."""
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return any("zb" in seg[:200] for seg in plan.split("PartitionFilters")[1:])

@@ -219,14 +219,10 @@ def test_zordered_catalog_merge_read_and_compaction(spark, tmp_path):
     assert idx.zlayout is not None and idx.docs_wide_parts is not None
     eng = Wikisearch(idx)
     assert eng.query("TEXT == 'tok'").count() == 90
-    df = eng.query(box_q, force_path="fullscan")
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    assert any(
-        "zb" in seg[:200] for seg in plan.split("PartitionFilters")[1:]
+    from tests.conftest import zb_partition_filtered
+
+    assert zb_partition_filtered(
+        eng.query(box_q, force_path="fullscan")
     ), "base-side scan lost its zb partition filter under pending deltas"
     want = sorted(r["doc_id"] for r in eng.query(box_q).collect())
     assert want == [7, 47]  # uid '7' repeats at i=7 and 47 in-base
@@ -378,3 +374,34 @@ def test_plan_cache_replans_after_inplace_relayout(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert zl2.epoch in plan, "facade replayed a pre-rewrite cached plan"
     assert sorted(r["doc_id"] for r in df.collect()) == [7, 47, 100]
+
+
+def test_compact_fully_tombstoned_cat_catalog(spark, tmp_path):
+    """Major compaction of a cat-kind z catalog whose docs are ALL
+    tombstoned: the refit derives an EMPTY dictionary, which must write
+    an empty store instead of raising — otherwise the catalog is
+    permanently un-compactable."""
+    from accumulo_wikisearch_spark.operators.layout import ZLayout, load_zlayout
+
+    zsf = {"ID": "id", "KIND": "kind", "DAY": "day"}
+    schema = "id long, language string, text string, kind string, day string"
+    base = spark.createDataFrame(
+        [(i, "enwiki", "tok", ["a", "b"][i % 2], "2024-01-05 08:00:00") for i in range(6)],
+        schema,
+    )
+    path = str(tmp_path / "zcat_tomb")
+    write_index(
+        build_index(base, CFG, zsf),
+        path,
+        zorder=ZLayout("KIND", "DAY", "cat", "day"),
+    )
+    write_tombstones(
+        spark.createDataFrame([(i,) for i in range(6)], "doc_id long"), path, 0
+    )
+    compact_index(spark, path, CFG)
+    idx = load_index(spark, path, CFG)
+    assert idx.documents.count() == 0
+    zl = load_zlayout(spark, f"{path}/docs_wide")
+    assert zl is not None and zl.x_dict == ()  # layout survives, empty dict
+    # and the empty catalog still answers queries (no pruning crash)
+    assert Wikisearch(idx).query("KIND == 'a'").count() == 0

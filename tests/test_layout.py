@@ -204,19 +204,14 @@ def test_engine_zprune_empty_box_reads_zero_files(spark, sf_dir, tmp_path):
 
 def test_engine_zprune_reaches_scan_as_partition_filter(spark, sf_dir, tmp_path):
     _eng, zeng = _flat_and_z_engines(spark, sf_dir, tmp_path)
-    df = zeng.query(
-        "USER_ID == '7' and TS >= '2024-01-05 00:00:00'"
-        " and TS <= '2024-01-20 00:00:00'"
-    )
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    assert "PartitionFilters" in plan
+    from tests.conftest import zb_partition_filtered
+
     # some docs_wide scan in the plan is directory-pruned on zb
-    assert any(
-        "zb" in seg[:200] for seg in plan.split("PartitionFilters")[1:]
+    assert zb_partition_filtered(
+        zeng.query(
+            "USER_ID == '7' and TS >= '2024-01-05 00:00:00'"
+            " and TS <= '2024-01-20 00:00:00'"
+        )
     )
 
 
@@ -511,13 +506,9 @@ def test_cat_kind_zlayout_engine_path(spark, sf_dir, tmp_path):
         got = sorted(r["doc_id"] for r in zeng.query(q).collect())
         assert got == want, q
     # the prune reaches the scan as a zb directory filter
-    df = zeng.query(queries[0])
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    assert any("zb" in seg[:200] for seg in plan.split("PartitionFilters")[1:])
+    from tests.conftest import zb_partition_filtered
+
+    assert zb_partition_filtered(zeng.query(queries[0]))
     # unknown category: box folds empty before any file is read
     df2 = zeng.query("EVENT_TYPE == 'nosuchtype' and USER_ID == '7'")
     optimized = df2._jdf.queryExecution().optimizedPlan().toString()

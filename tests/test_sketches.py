@@ -382,3 +382,38 @@ def test_hist_domain_rides_table_and_mismatch_raises(spark):
     # quantile args that contradict the carried domain raise
     with _pytest.raises(ValueError, match="contradicts"):
         hist_quantile(a, 0.5, lo=0.0, hi=100.0)
+
+
+def test_hist_guards_catch_poisoned_union_and_allow_empty_merge(spark):
+    """Two defense layers beyond the eager metadata check: (1) a
+    hand-built unionByName carries ONE side's schema metadata for mixed
+    rows — the in-pass guards must raise at action instead of silently
+    blending domains; (2) an EMPTY auto-built histogram carries a
+    placeholder domain that must not veto a well-defined merge (it
+    contributes no rows)."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from accumulo_wikisearch_spark.operators.sketches import (
+        hist_build_auto,
+        hist_merge,
+        hist_quantile,
+    )
+
+    lo_slice = spark.range(0, 100).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    hi_slice = spark.range(5000, 5100).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    a = hist_build_auto(lo_slice, "g", "v")
+    b = hist_build_auto(hi_slice, "g", "v")
+    poisoned = a.unionByName(b)  # schema metadata = a's domain, rows = both
+    with _pytest.raises(PySparkException, match="different histogram domains"):
+        hist_quantile(poisoned, 0.5).collect()
+    with _pytest.raises(PySparkException, match="different histogram domains"):
+        hist_merge(poisoned).collect()
+    # empty slice: placeholder domain, zero rows — merge must succeed
+    empty = hist_build_auto(lo_slice.where(F.lit(False)), "g", "v")
+    m = hist_merge(a, empty)
+    assert m.agg(F.sum("cnt")).first()[0] == 100
