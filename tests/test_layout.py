@@ -376,13 +376,74 @@ def test_engine_zordered_matches_flat_on_generated_queries(spark, sf_dir, tmp_pa
 
     def leaf():
         r = rng.random()
-        if r < 0.35:
+        if r < 0.3:
             op = rng.choice(["==", "!=", ">=", "<="])
             return f"USER_ID {op} '{rng.choice(users)}'"
+        if r < 0.6:
+            op = rng.choice(["==", ">=", "<=", ">", "<"])
+            return f"TS {op} '{rng.choice(days)}'"
+        if r < 0.8:
+            return f"EVENT_TYPE == '{rng.choice(types)}'"
+        # IN-list shape: exercises the OR-of-eq hull when it lands as a
+        # top-level conjunct (and plain Or semantics everywhere else)
+        picks = rng.sample(users, rng.choice([2, 3]))
+        return "(" + " or ".join(f"USER_ID == '{u}'" for u in picks) + ")"
+
+    def node(depth):
+        if depth == 0 or rng.random() < 0.4:
+            lf = leaf()
+            return f"not ({lf})" if rng.random() < 0.15 else lf
+        con = rng.choice(["and", "or"])
+        return f"({node(depth - 1)} {con} {node(depth - 1)})"
+
+    for i in range(60):
+        q = node(2)
+        want = sorted(r["doc_id"] for r in eng.query(q).collect())
+        got = sorted(r["doc_id"] for r in zeng.query(q).collect())
+        assert got == want, (i, q)
+
+
+def test_engine_cat_zordered_matches_flat_on_generated_queries(
+    spark, sf_dir, tmp_path
+):
+    """The cat-layout twin of the randomized sweep: category eq (mixed
+    case, unknown values), lexicographic category ranges, IN-lists, day
+    ranges, negations, nested or/and — identical answers through the
+    (EVENT_TYPE, TS) cat×day z catalog and the in-memory engine."""
+    import random
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
+    from accumulo_wikisearch_spark.operators.layout import ZLayout
+    from accumulo_wikisearch_spark.sources.corpus import get_events_engine
+
+    eng = get_events_engine(spark, sf_dir)
+    zpath = str(tmp_path / "zcat_fuzz")
+    write_index(
+        eng.index, zpath, zorder=ZLayout("EVENT_TYPE", "TS", "cat", "day")
+    )
+    zeng = Wikisearch(load_index(spark, zpath, EngineConfig()))
+    rng = random.Random(17)
+    types = [
+        "click", "view", "error", "purchase", "signup",
+        "ERROR", "Click", "nosuchtype", "e", "f",
+    ]
+    days = [f"2024-01-{d:02d} 00:00:00" for d in (1, 3, 5, 9, 12, 20, 28)]
+    users = ["0", "7", "42", "nosuch"]
+
+    def leaf():
+        r = rng.random()
+        if r < 0.4:
+            op = rng.choice(["==", "!=", ">=", "<=", ">", "<"])
+            return f"EVENT_TYPE {op} '{rng.choice(types)}'"
         if r < 0.7:
             op = rng.choice(["==", ">=", "<=", ">", "<"])
             return f"TS {op} '{rng.choice(days)}'"
-        return f"EVENT_TYPE == '{rng.choice(types)}'"
+        if r < 0.85:
+            return f"USER_ID == '{rng.choice(users)}'"
+        picks = rng.sample(types, rng.choice([2, 3]))
+        return "(" + " or ".join(f"EVENT_TYPE == '{t}'" for t in picks) + ")"
 
     def node(depth):
         if depth == 0 or rng.random() < 0.4:
