@@ -340,14 +340,16 @@ def hist_merge(*hists: DataFrame) -> DataFrame:
     # the eager check above trusts per-input schema metadata, which a
     # hand-built unionByName can poison (it carries ONE side's metadata
     # for mixed rows). Guard in the SAME aggregation pass — zero extra
-    # scans: any (grp, bucket) group that received rows from two
-    # domains raises at action time.
-    nd = F.count_distinct(
-        F.struct("dom_lo", "dom_hi", "dom_n")
-    ).alias("_nd")
-    merged = out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"), nd)
+    # scans AND zero extra exchanges: min==max over the domain struct is
+    # a plain aggregate pair (count_distinct would trigger the
+    # distinct-aggregate rewrite, +1 exchange); any (grp, bucket) group
+    # that received rows from two domains raises at action time.
+    s = F.struct("dom_lo", "dom_hi", "dom_n")
+    merged = out.groupBy("grp", "bucket").agg(
+        F.sum("cnt").alias("cnt"), (F.min(s) == F.max(s)).alias("_ok")
+    )
     if doms:
-        ok = F.col("_nd") == 1
+        ok = F.col("_ok")
         guard = lambda c: F.when(ok, c).otherwise(
             F.raise_error(
                 F.lit(
@@ -423,12 +425,10 @@ def hist_quantile(
         # side's fields for mixed rows): guard in the SAME window pass —
         # a group whose rows span two domains raises at action time
         # instead of silently rescaling the estimate
-        nd = F.size(
-            F.collect_set(F.struct("dom_lo", "dom_hi", "dom_n")).over(
-                Window.partitionBy("grp")
-            )
-        )
-        cnt = F.when(nd == 1, cnt).otherwise(
+        s = F.struct("dom_lo", "dom_hi", "dom_n")
+        wg = Window.partitionBy("grp")
+        same = F.min(s).over(wg) == F.max(s).over(wg)
+        cnt = F.when(same, cnt).otherwise(
             F.raise_error(
                 F.lit(
                     "hist_quantile: group mixes rows from different "
