@@ -96,7 +96,13 @@ def hll_registers(
     ``m`` rows per group regardless of input size. Registers from disjoint
     slices merge with ``MAX`` (see :func:`merge_registers`). String value
     columns are hashed through :func:`hash60_col` first; other
-    non-integral types raise."""
+    non-integral types raise.
+
+    The table CARRIES its n_buckets (``hll_m`` column + field metadata,
+    the histogram-domain pattern): two register tables with different
+    bucket counts route the same value to different registers, so a
+    silent MAX-merge or estimate across them is garbage —
+    :func:`merge_registers` and :func:`hll_estimate` validate it."""
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
     h = _mix31(_key_col(df, value_col))
     v = (h / n_buckets).cast("long")  # value bits above the bucket index
@@ -112,17 +118,56 @@ def hll_registers(
         )
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("rho"))
+        .select("grp", "bucket", "rho", *_sz_cols(_HLL_SZ, (n_buckets,)))
     )
+
+
+_HLL_SZ = ("hll_m",)
 
 
 def merge_registers(*sketches: DataFrame) -> DataFrame:
     """Merge register tables from disjoint data slices: element-wise MAX.
     The merge is what makes the sketch distributive — per-partition /
-    per-day sketches combine without touching the raw data again."""
+    per-day sketches combine without touching the raw data again.
+
+    Raises ``ValueError`` when the inputs were built with DIFFERENT
+    ``n_buckets`` — bucket k holds a different value population in each,
+    so a silent MAX would quietly corrupt every estimate downstream.
+    Validation is a schema lookup when every input carries the sizing
+    metadata (no job), with a bounded data-copy fallback; a row-local
+    guard in the merge pass catches metadata-poisoned unions (the
+    histogram-domain enforcement pattern, applied to its sibling)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+    if "hll_m" not in out.columns:  # pre-sizing tables: caller's contract
+        return out.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+    szs = _sz_resolve(sketches, out, _HLL_SZ)
+    if len(szs) > 1:
+        raise ValueError(
+            f"merge_registers: mismatched HLL sizings {szs}"
+            " — mergeable register tables must share one n_buckets"
+        )
+    if szs:
+        guarded = out.select(
+            "grp",
+            "bucket",
+            _sz_guard(
+                szs[0],
+                _HLL_SZ,
+                F.col("rho"),
+                "merge_registers: input rows carry a different n_buckets "
+                "than the table's declared sizing — the input mixes "
+                "incompatible builds",
+            ).alias("rho"),
+        )
+        return (
+            guarded.groupBy("grp", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .select("grp", "bucket", "rho", *_sz_cols(_HLL_SZ, szs[0]))
+        )
+    # all inputs empty: keep the (empty) sizing columns as they were
+    return out.sparkSession.createDataFrame([], out.schema)
 
 
 def bitset_test(words: list[int], pos: Column) -> Column:
@@ -147,35 +192,120 @@ def bitset_test(words: list[int], pos: Column) -> Column:
     )
 
 
+_CMS_SZ = ("cms_w", "cms_d")
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge CMS counter tables from DISJOINT data slices: per-cell SUM —
     the additive sibling of :func:`merge_registers`. NOT idempotent
     (unlike the HLL MAX-merge): merging a slice twice double-counts it,
     so a replay/checkpoint bug is a visible count shift, not a silent
-    no-op."""
+    no-op.
+
+    Raises ``ValueError`` when the inputs carry DIFFERENT (width, depth)
+    sizings — cell (r, c) counts a different key population in each, so
+    a silent sum breaks the one-sided (never-undercount) estimate
+    contract. Schema-metadata fast path, bounded data fallback
+    (≤ width×depth rows by construction), row-local poisoned-union
+    guard — the histogram-domain enforcement pattern."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    if "cms_w" not in out.columns:  # pre-sizing tables
+        return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    szs = _sz_resolve(sketches, out, _CMS_SZ)
+    if len(szs) > 1:
+        raise ValueError(
+            f"cms_merge: mismatched CMS sizings {szs} — mergeable"
+            " counter tables must share one (width, depth)"
+        )
+    if szs:
+        guarded = out.select(
+            "row",
+            "col",
+            _sz_guard(
+                szs[0],
+                _CMS_SZ,
+                F.col("cnt"),
+                "cms_merge: input rows carry a different CMS sizing "
+                "than the table's declared one — the input mixes "
+                "incompatible builds",
+            ).alias("cnt"),
+        )
+        return (
+            guarded.groupBy("row", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select("row", "col", "cnt", *_sz_cols(_CMS_SZ, szs[0]))
+        )
+    return out.sparkSession.createDataFrame([], out.schema)
+
+
+_BLOOM_SZ = ("bf_words", "bf_bpw", "bf_k")
 
 
 def bloom_merge(*blooms: DataFrame) -> DataFrame:
     """Merge Bloom bitsets built with the same sizing: per-word ``bit_or``
-    — associative, commutative AND idempotent, so slices may overlap."""
+    — associative, commutative AND idempotent, so slices may overlap.
+
+    Raises ``ValueError`` when the inputs carry DIFFERENT (n_words,
+    bits_per_word, n_hashes) sizings — bit k means a different key
+    population in each, and a probe against the blended bitset can
+    return FALSE NEGATIVES, the one error a Bloom filter promises never
+    to make (``curation.decontaminate_bloom`` builds on exactly that
+    promise: a contaminated doc sneaking through is a silent eval leak).
+    Validation is a schema lookup when every input carries the sizing
+    metadata (no job; :func:`bloom_build` stamps it and parquet
+    round-trips it), with a bounded data fallback (≤ n_words rows by
+    construction); a row-local guard in the merge pass catches
+    metadata-poisoned unions. Pre-sizing tables keep the old
+    caller's-contract behavior."""
     out = blooms[0]
     for b in blooms[1:]:
         out = out.unionByName(b)
-    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    if "bf_words" not in out.columns:  # pre-sizing tables
+        return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    szs = _sz_resolve(blooms, out, _BLOOM_SZ)
+    if len(szs) > 1:
+        raise ValueError(
+            f"bloom_merge: mismatched Bloom sizings {szs} — merging"
+            " filters built with different (n_words, bits_per_word,"
+            " n_hashes) can produce false negatives"
+        )
+    if szs:
+        guarded = out.select(
+            "word",
+            _sz_guard(
+                szs[0],
+                _BLOOM_SZ,
+                F.col("bits"),
+                "bloom_merge: input rows carry a different Bloom sizing "
+                "than the table's declared one — the input mixes "
+                "incompatible builds",
+            ).alias("bits"),
+        )
+        return (
+            guarded.groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+            .select("word", "bits", *_sz_cols(_BLOOM_SZ, szs[0]))
+        )
+    return out.sparkSession.createDataFrame([], out.schema)
 
 
-def hll_estimate(registers: DataFrame, n_buckets: int = 256) -> DataFrame:
+def hll_estimate(registers: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """Distinct-count estimate per group from a register table — the local
     final step (float math, so this is the convenience endpoint; the
     oracle-checked artifact is the register table itself).
 
     Standard HLL estimator with the linear-counting small-range correction
-    (empty registers counted via m - #used)."""
-    m = n_buckets
+    (empty registers counted via m - #used).
+
+    ``n_buckets`` defaults to the sizing the table CARRIES (stamped by
+    :func:`hll_registers`); an explicit argument that contradicts it
+    raises — estimating a 1024-bucket table as 256 silently skews every
+    count. Pre-sizing tables fall back to the historical default 256."""
+    m = _resolve_sizing(
+        registers, _HLL_SZ, (n_buckets,), (256,), "hll_estimate"
+    )[0]
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = registers.groupBy("grp").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_sum_pow"),
@@ -240,37 +370,129 @@ def hist_build(
     )
 
 
-def _dom_cols(lo: float, hi: float, n_buckets: int) -> list:
-    """The three domain columns, value in the data AND in the field
-    metadata — the metadata copy makes domain validation a schema
-    lookup instead of a Spark job wherever the lineage preserves it."""
+def _sz_cols(names: tuple[str, ...], vals: tuple) -> list:
+    """Sizing/domain columns, value in the data AND in the field
+    metadata — the metadata copy makes validation a schema lookup
+    instead of a Spark job wherever the lineage preserves it. The
+    pattern every sketch in the family uses: a histogram's [lo, hi, n]
+    domain, a Bloom filter's (n_words, bits_per_word, n_hashes), a
+    CMS's (width, depth), an HLL table's n_buckets — two sketches
+    built with different sizings have incompatible cell meanings, and
+    a silent merge/probe across them is garbage (for Bloom, it can
+    even produce FALSE NEGATIVES — the one error the filter promises
+    never to make)."""
     return [
-        F.lit(lo).alias("dom_lo", metadata={"v": lo}),
-        F.lit(hi).alias("dom_hi", metadata={"v": hi}),
-        F.lit(n_buckets).alias("dom_n", metadata={"v": n_buckets}),
+        F.lit(v).alias(n, metadata={"v": v}) for n, v in zip(names, vals)
     ]
 
 
-def _dom_from_schema(df: DataFrame) -> tuple | None:
-    """(lo, hi, n) from the table's field metadata, or None when any of
-    it was lost along the lineage (callers then fall back to the bounded
-    distinct job over the data copy)."""
+def _sz_from_schema(df: DataFrame, names: tuple[str, ...]) -> tuple | None:
+    """Sizing values from the table's field metadata, or None when any
+    of it was lost along the lineage (callers then fall back to the
+    bounded distinct job over the data copy)."""
     try:
         vals = []
-        for c in ("dom_lo", "dom_hi", "dom_n"):
+        for c in names:
             m = df.schema[c].metadata
             if "v" not in m:
                 return None
             vals.append(m["v"])
-        return (float(vals[0]), float(vals[1]), int(vals[2]))
+        return tuple(vals)
     except (KeyError, TypeError, ValueError):
         return None
 
 
+def _sz_from_data(df: DataFrame, names: tuple[str, ...]) -> list[tuple]:
+    """Distinct sizing rows actually present — one bounded job (sketch
+    tables are sketch-sized by construction: ≤ n_words / width×depth /
+    n_buckets×groups rows — never O(data))."""
+    rows = df.select(*names).distinct().collect()
+    return sorted(tuple(r[c] for c in names) for r in rows)
+
+
+def _sz_resolve(
+    sketches: tuple[DataFrame, ...], union: DataFrame, names: tuple[str, ...]
+) -> list[tuple]:
+    """The distinct sizings across merge inputs: a schema lookup when
+    every input still carries consistent field metadata (no job),
+    else one bounded job over the union's data copy — an EMPTY input's
+    placeholder metadata must not veto a well-defined merge, since it
+    contributes no rows (its sizing rows don't exist either)."""
+    metas = [_sz_from_schema(s, names) for s in sketches]
+    if all(m is not None for m in metas) and len(set(metas)) == 1:
+        return [metas[0]]
+    return _sz_from_data(union, names)
+
+
+def _sz_guard(expected: tuple, names: tuple[str, ...], out_col: Column, msg: str) -> Column:
+    """Row-local poisoning guard: schema metadata can lie on a
+    hand-built ``unionByName`` (it carries ONE side's fields for mixed
+    rows), so every row's own sizing values are compared against the
+    RESOLVED sizing literals in the same pass — zero extra scans, zero
+    extra exchanges, and (unlike the r9 collision guard, which only
+    fired when rows from two builds landed in the same group) it
+    catches poisoned rows whose sizings live in disjoint groups too."""
+    ok = F.lit(True)
+    for n, v in zip(names, expected):
+        ok = ok & (F.col(n) == F.lit(v))
+    return F.when(ok, out_col).otherwise(F.raise_error(F.lit(msg)))
+
+
+def _resolve_sizing(
+    df: DataFrame,
+    names: tuple[str, ...],
+    args: tuple,
+    legacy_defaults: tuple,
+    fn_name: str,
+) -> tuple:
+    """Resolve an endpoint's sizing parameters: the table's own stamped
+    sizing when present (schema fast path, bounded data-copy fallback),
+    else the caller's explicit arguments, else the historical defaults
+    (pre-sizing tables). An explicit argument that CONTRADICTS the
+    table's stamped sizing raises — probing/estimating a sketch with the
+    wrong sizing is as silently wrong as a mismatched merge."""
+    if names[0] in df.columns:
+        t = _sz_from_schema(df, names)
+        szs = [t] if t is not None else _sz_from_data(df, names)
+        if len(szs) > 1:
+            raise ValueError(
+                f"{fn_name}: table carries {len(szs)} distinct sizings"
+                f" {szs} — it is not a single mergeable sketch"
+            )
+        if szs:
+            t = szs[0]
+            for got, want, n in zip(args, t, names):
+                if got is not None and got != want:
+                    raise ValueError(
+                        f"{fn_name}: {n}={got} contradicts the table's"
+                        f" own sizing {dict(zip(names, t))}"
+                    )
+            return tuple(t)
+    return tuple(
+        a if a is not None else d for a, d in zip(args, legacy_defaults)
+    )
+
+
+_HIST_SZ = ("dom_lo", "dom_hi", "dom_n")
+
+
+def _dom_cols(lo: float, hi: float, n_buckets: int) -> list:
+    """Histogram [lo, hi, n_buckets] domain columns (see :func:`_sz_cols`)."""
+    return _sz_cols(_HIST_SZ, (lo, hi, n_buckets))
+
+
+def _dom_from_schema(df: DataFrame) -> tuple | None:
+    t = _sz_from_schema(df, _HIST_SZ)
+    if t is None:
+        return None
+    try:
+        return (float(t[0]), float(t[1]), int(t[2]))
+    except (TypeError, ValueError):
+        return None
+
+
 def _dom_from_data(df: DataFrame) -> list[tuple]:
-    """Distinct (lo, hi, n) rows actually present — one bounded job
-    (histogram tables are ≤ n_buckets × groups rows by construction)."""
-    rows = df.select("dom_lo", "dom_hi", "dom_n").distinct().collect()
+    rows = df.select(*_HIST_SZ).distinct().collect()
     return sorted(
         (float(r["dom_lo"]), float(r["dom_hi"]), int(r["dom_n"])) for r in rows
     )
@@ -339,31 +561,28 @@ def hist_merge(*hists: DataFrame) -> DataFrame:
         )
     # the eager check above trusts per-input schema metadata, which a
     # hand-built unionByName can poison (it carries ONE side's metadata
-    # for mixed rows). Guard in the SAME aggregation pass — zero extra
-    # scans AND zero extra exchanges: min==max over the domain struct is
-    # a plain aggregate pair (count_distinct would trigger the
-    # distinct-aggregate rewrite, +1 exchange); any (grp, bucket) group
-    # that received rows from two domains raises at action time.
-    s = F.struct("dom_lo", "dom_hi", "dom_n")
-    merged = out.groupBy("grp", "bucket").agg(
-        F.sum("cnt").alias("cnt"), (F.min(s) == F.max(s)).alias("_ok")
-    )
+    # for mixed rows). Guard row-locally in the SAME pass against the
+    # RESOLVED domain literals (see _sz_guard) — zero extra scans/
+    # exchanges, and unlike the r9 min==max collision guard it also
+    # catches poisoned rows whose domains live in DISJOINT (grp, bucket)
+    # groups (those used to be silently re-stamped with doms[0]).
     if doms:
-        ok = F.col("_ok")
-        guard = lambda c: F.when(ok, c).otherwise(
-            F.raise_error(
-                F.lit(
-                    "hist_merge: rows from different histogram domains "
-                    "collided in one bucket — the input table mixes "
-                    "incompatible builds"
-                )
-            )
-        )
-        return merged.select(
+        guarded = out.select(
             "grp",
             "bucket",
-            guard(F.col("cnt")).alias("cnt"),
-            *_dom_cols(*doms[0]),
+            _sz_guard(
+                doms[0],
+                _HIST_SZ,
+                F.col("cnt"),
+                "hist_merge: input rows carry a different histogram "
+                "domain than the table's declared one — the input "
+                "mixes incompatible builds",
+            ).alias("cnt"),
+        )
+        return (
+            guarded.groupBy("grp", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select("grp", "bucket", "cnt", *_dom_cols(*doms[0]))
         )
     # all inputs empty: keep the (empty) domain columns as they were
     return out.sparkSession.createDataFrame([], out.schema)
@@ -422,20 +641,17 @@ def hist_quantile(
     cnt = F.col("cnt")
     if meta_trusted:
         # schema metadata can lie on a hand-unioned table (it carries one
-        # side's fields for mixed rows): guard in the SAME window pass —
-        # a group whose rows span two domains raises at action time
-        # instead of silently rescaling the estimate
-        s = F.struct("dom_lo", "dom_hi", "dom_n")
-        wg = Window.partitionBy("grp")
-        same = F.min(s).over(wg) == F.max(s).over(wg)
-        cnt = F.when(same, cnt).otherwise(
-            F.raise_error(
-                F.lit(
-                    "hist_quantile: group mixes rows from different "
-                    "histogram domains — the table mixes incompatible "
-                    "builds"
-                )
-            )
+        # side's fields for mixed rows): guard each row against the
+        # resolved domain literals in the SAME pass (row-local — cheaper
+        # and stronger than the r9 per-group window min==max, which
+        # missed a poisoned row that was alone in its group)
+        cnt = _sz_guard(
+            (lo, hi, n_buckets),
+            _HIST_SZ,
+            cnt,
+            "hist_quantile: rows carry a different histogram domain "
+            "than the table's declared one — the table mixes "
+            "incompatible builds",
         )
     cum = hist.select(
         "grp",
@@ -480,7 +696,13 @@ def bloom_build(
 
     Merge = ``bit_or`` per word — associative/commutative like the HLL
     registers, so partial filters from corpus slices combine for free.
-    String keys hash through :func:`hash60_col` first."""
+    String keys hash through :func:`hash60_col` first.
+
+    The table CARRIES its (n_words, bits_per_word, n_hashes) sizing
+    (``bf_*`` columns + field metadata, the histogram-domain pattern):
+    :func:`bloom_merge` and :func:`bloom_probe` validate against it, so
+    a filter can never be silently blended or probed with the wrong
+    geometry — the failure mode that produces false negatives."""
     m = n_words * bits_per_word
     pos = F.explode(
         F.array(*_bloom_positions(_key_col(df, key_col), m, n_hashes))
@@ -495,6 +717,9 @@ def bloom_build(
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
+        .select(
+            "word", "bits", *_sz_cols(_BLOOM_SZ, (n_words, bits_per_word, n_hashes))
+        )
     )
 
 
@@ -502,16 +727,30 @@ def bloom_probe(
     df: DataFrame,
     key_col: str,
     bloom: DataFrame,
-    n_words: int = 64,
-    bits_per_word: int = 60,
-    n_hashes: int = 3,
+    n_words: int | None = None,
+    bits_per_word: int | None = None,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Probe keys against a Bloom bitset: (key, in_bloom 0/1).
 
     No false negatives ever; false positives at the standard
     (1 - e^{-kn/m})^k rate — and because the hash is deterministic, the
     exact same positives on every engine (the oracle replays them bit
-    for bit). The filter side broadcasts; the probe never shuffles."""
+    for bit). The filter side broadcasts; the probe never shuffles.
+
+    The sizing defaults to what the filter table CARRIES (stamped by
+    :func:`bloom_build`); explicit arguments that contradict it raise —
+    probing with the wrong geometry hits the wrong bits and breaks the
+    no-false-negative guarantee. Pre-sizing tables fall back to the
+    historical defaults (64, 60, 3)."""
+    n_words, bits_per_word, n_hashes = _resolve_sizing(
+        bloom,
+        _BLOOM_SZ,
+        (n_words, bits_per_word, n_hashes),
+        (64, 60, 3),
+        "bloom_probe",
+    )
+    bloom = bloom.select("word", "bits")  # sizing cols would collide below
     m = n_words * bits_per_word
     pts = df.select(
         F.col(key_col).alias("key"),
@@ -569,7 +808,12 @@ def cms_build(
     (row, col) cells — the additive sibling of the HLL MAX-merge.
     Estimates are one-sided: never under the true count (Cormode &
     Muthukrishnan, J. Algorithms 2005). String keys hash through
-    :func:`hash60_col` first."""
+    :func:`hash60_col` first.
+
+    The table CARRIES its (width, depth) sizing (``cms_*`` columns +
+    field metadata): :func:`cms_merge` and :func:`cms_estimate`
+    validate against it — a mixed-sizing sum or a wrong-geometry probe
+    silently breaks the never-undercount contract otherwise."""
     return (
         df.select(
             F.explode(
@@ -579,6 +823,7 @@ def cms_build(
         .select("rc.row", "rc.col")
         .groupBy("row", "col")
         .agg(F.count("*").alias("cnt"))
+        .select("row", "col", "cnt", *_sz_cols(_CMS_SZ, (width, depth)))
     )
 
 
@@ -586,12 +831,22 @@ def cms_estimate(
     df: DataFrame,
     key_col: str,
     cms: DataFrame,
-    width: int = 1024,
-    depth: int = 3,
+    width: int | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """Point-query the sketch: (key, est_count) = min over the key's
     ``depth`` counters. The counter table broadcasts; the probe never
-    shuffles the key side. Integer, deterministic, engine-exact."""
+    shuffles the key side. Integer, deterministic, engine-exact.
+
+    The sizing defaults to what the counter table CARRIES (stamped by
+    :func:`cms_build`); explicit contradicting arguments raise — a
+    wrong-geometry probe reads the wrong cells and can UNDERCOUNT, the
+    one error CMS promises never to make. Pre-sizing tables fall back
+    to the historical defaults (1024, 3)."""
+    width, depth = _resolve_sizing(
+        cms, _CMS_SZ, (width, depth), (1024, 3), "cms_estimate"
+    )
+    cms = cms.select("row", "col", "cnt")  # sizing cols would collide below
     pts = df.select(
         F.col(key_col).alias("key"),
         F.explode(
@@ -638,8 +893,8 @@ def _over_threshold_member(
     df: DataFrame,
     key_col: str,
     threshold: int,
-    width: int = 1024,
-    depth: int = 3,
+    width: int | None = None,
+    depth: int | None = None,
     cms: DataFrame | None = None,
 ) -> F.Column:
     """Codegen membership predicate "this row's key has CMS estimate ≥
@@ -647,9 +902,17 @@ def _over_threshold_member(
     compile into per-depth-row literal bitmasks and the row passes iff
     ALL its cells are over — i.e. iff min-over-cells (the estimate)
     clears the bar. Shared by :func:`cms_heavy_hitters` and
-    :func:`cms_candidate_keys`; no distinct, no join."""
+    :func:`cms_candidate_keys`; no distinct, no join. A supplied ``cms``
+    table's stamped sizing wins (contradicting arguments raise — the
+    bitmask geometry must match the build's)."""
     if cms is None:
+        width = 1024 if width is None else width
+        depth = 3 if depth is None else depth
         cms = cms_build(df, key_col, width, depth)
+    else:
+        width, depth = _resolve_sizing(
+            cms, _CMS_SZ, (width, depth), (1024, 3), "cms_candidate_keys"
+        )
     hot = cms.where(F.col("cnt") >= threshold).collect()
     words_per_row = (width + 59) // 60  # 60 usable bits/long (sign-safe)
     bitmaps = [[0] * words_per_row for _ in range(depth)]
@@ -669,8 +932,8 @@ def cms_candidate_keys(
     key_col: str,
     threshold: int,
     cms: DataFrame | None = None,
-    width: int = 1024,
-    depth: int = 3,
+    width: int | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """BOUNDED probe set for :func:`cms_estimate`: the distinct keys
     whose estimate clears ``threshold``. The filter is the literal-bitset
@@ -797,7 +1060,8 @@ s3 AS (SELECT grp, xor(h, h >> 9) AS h FROM s2),
 s4 AS (SELECT grp, (h * 69621) % 2147483647 AS h FROM s3)
 SELECT grp, (h % 256)::INTEGER AS bucket,
        max(CASE WHEN h // 256 = 0 THEN 24
-                ELSE 24 - length(bin(h // 256)) END)::INTEGER AS rho
+                ELSE 24 - length(bin(h // 256)) END)::INTEGER AS rho,
+       CAST(256 AS INTEGER) AS hll_m
 FROM s4 GROUP BY 1, 2
 """
 
@@ -870,7 +1134,10 @@ def _bloom_table_sql(
     return (
         f"WITH bpts AS ({bpts})\n"
         f"SELECT pos // {bpw} AS word,"
-        f" bit_or(1::BIGINT << (pos % {bpw})::INTEGER) AS bits\n"
+        f" bit_or(1::BIGINT << (pos % {bpw})::INTEGER) AS bits,"
+        f" CAST({n_words} AS INTEGER) AS bf_words,"
+        f" CAST({bpw} AS INTEGER) AS bf_bpw,"
+        f" CAST({n_hashes} AS INTEGER) AS bf_k\n"
         "FROM bpts GROUP BY 1"
     )
 
@@ -887,7 +1154,10 @@ def _cms_table_sql(tab: str, key: str, width: int = 1024, depth: int = 3) -> str
     )
     return (
         f"WITH cells AS ({cells})\n"
-        "SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2"
+        "SELECT row, col, count(*) AS cnt,"
+        f" CAST({width} AS INTEGER) AS cms_w,"
+        f" CAST({depth} AS INTEGER) AS cms_d"
+        " FROM cells GROUP BY 1, 2"
     )
 
 

@@ -56,15 +56,13 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
 
 
 def test_bloom_partial_filters_merge_with_bit_or(spark):
-    from accumulo_wikisearch_spark.operators.sketches import bloom_build
+    from accumulo_wikisearch_spark.operators.sketches import bloom_build, bloom_merge
 
     all_keys = spark.range(0, 400).select(F.col("id").alias("k"))
     direct = bloom_build(all_keys, "k")
     a = bloom_build(all_keys.where(F.col("k") < 200), "k")
     b = bloom_build(all_keys.where(F.col("k") >= 200), "k")
-    merged = (
-        a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
-    )
+    merged = bloom_merge(a, b)
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
 
@@ -87,11 +85,11 @@ def test_cms_one_sided_error_and_additive_merge(spark):
     assert all(est[k] >= truth[k] for k in truth)
     assert est[0] >= 500 and est[0] <= 520
     # additive merge: half-stream sketches summed == direct sketch
+    from accumulo_wikisearch_spark.operators.sketches import cms_merge
+
     a = cms_build(stream.where(F.col("k") % 2 == 0), "k")
     b = cms_build(stream.where(F.col("k") % 2 == 1), "k")
-    merged = (
-        a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
-    )
+    merged = cms_merge(a, b)
     assert merged.exceptAll(cms).count() == 0
     assert cms.exceptAll(merged).count() == 0
 
@@ -181,7 +179,7 @@ def test_negative_keys_match_duckdb_oracle(spark):
     )
     want = {
         (grp, b): rho
-        for grp, b, rho in con.execute(_reg_sql("t", "g", "v")).fetchall()
+        for grp, b, rho, _m in con.execute(_reg_sql("t", "g", "v")).fetchall()
     }
     assert got == want
 
@@ -409,11 +407,152 @@ def test_hist_guards_catch_poisoned_union_and_allow_empty_merge(spark):
     a = hist_build_auto(lo_slice, "g", "v")
     b = hist_build_auto(hi_slice, "g", "v")
     poisoned = a.unionByName(b)  # schema metadata = a's domain, rows = both
-    with _pytest.raises(PySparkException, match="different histogram domains"):
+    with _pytest.raises(PySparkException, match="different histogram domain"):
         hist_quantile(poisoned, 0.5).collect()
-    with _pytest.raises(PySparkException, match="different histogram domains"):
+    with _pytest.raises(PySparkException, match="different histogram domain"):
         hist_merge(poisoned).collect()
     # empty slice: placeholder domain, zero rows — merge must succeed
     empty = hist_build_auto(lo_slice.where(F.lit(False)), "g", "v")
     m = hist_merge(a, empty)
     assert m.agg(F.sum("cnt")).first()[0] == 100
+
+
+def test_sketch_sizing_mismatch_merges_raise(spark):
+    """The r10 siblings of the histogram-domain fix: Bloom/CMS/HLL tables
+    carry their sizing, and a mixed-sizing merge raises instead of
+    silently corrupting (a blended Bloom bitset can FALSE-NEGATIVE — the
+    one error the filter promises never to make; a blended CMS can
+    undercount; blended HLL registers skew every estimate)."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        cms_build,
+        cms_merge,
+        merge_registers,
+    )
+
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="mismatched Bloom sizings"):
+        bloom_merge(bloom_build(keys, "k", n_words=64), bloom_build(keys, "k", n_words=32))
+    with _pytest.raises(ValueError, match="mismatched Bloom sizings"):
+        bloom_merge(
+            bloom_build(keys, "k", n_hashes=3), bloom_build(keys, "k", n_hashes=4)
+        )
+    with _pytest.raises(ValueError, match="mismatched CMS sizings"):
+        cms_merge(cms_build(keys, "k", width=1024), cms_build(keys, "k", width=512))
+    df = keys.select(F.lit("g").alias("g"), F.col("k").alias("v"))
+    with _pytest.raises(ValueError, match="mismatched HLL sizings"):
+        merge_registers(
+            hll_registers(df, "g", "v", n_buckets=256),
+            hll_registers(df, "g", "v", n_buckets=128),
+        )
+
+
+def test_sketch_sizing_probe_contradiction_raises(spark):
+    """Probe/estimate endpoints are as dangerous as merges: probing a
+    Bloom filter or CMS with the wrong geometry reads the wrong bits/
+    cells. Explicit arguments that contradict the table's stamped sizing
+    raise; omitted arguments resolve FROM the table (so a non-default
+    build probes correctly with no extra caller bookkeeping)."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+        cms_candidate_keys,
+        cms_estimate,
+    )
+
+    keys = spark.range(0, 300).select(F.col("id").alias("k"))
+    bloom32 = bloom_build(keys, "k", n_words=32)
+    # args omitted: sizing comes from the table — still no false negatives
+    assert bloom_probe(keys, "k", bloom32).where(F.col("in_bloom") == 0).count() == 0
+    with _pytest.raises(ValueError, match="contradicts"):
+        bloom_probe(keys, "k", bloom32, n_words=64)
+    cms512 = cms_build(keys, "k", width=512)
+    # args omitted: estimates resolve the build's geometry — never undercount
+    ests = cms_estimate(keys, "k", cms512)
+    assert ests.where(F.col("est_count") < 1).count() == 0
+    with _pytest.raises(ValueError, match="contradicts"):
+        cms_estimate(keys, "k", cms512, width=1024)
+    with _pytest.raises(ValueError, match="contradicts"):
+        cms_candidate_keys(keys, "k", 5, cms=cms512, width=1024)
+    df = keys.select(F.lit("g").alias("g"), F.col("k").alias("v"))
+    regs128 = hll_registers(df, "g", "v", n_buckets=128)
+    est = hll_estimate(regs128).collect()[0]["est_distinct"]
+    assert 200 <= est <= 400  # resolved m=128 from the table
+    with _pytest.raises(ValueError, match="contradicts"):
+        hll_estimate(regs128, n_buckets=256)
+
+
+def test_sketch_sizing_poisoned_union_guard(spark):
+    """A hand-built unionByName carries ONE side's schema metadata for
+    mixed rows — the eager check passes, so the row-local in-pass guard
+    must raise at action time (same defense layer as the histogram
+    domain guard, now on all three siblings)."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from accumulo_wikisearch_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        cms_build,
+        cms_merge,
+        merge_registers,
+    )
+
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    pb = bloom_build(keys, "k", n_words=64).unionByName(
+        bloom_build(keys, "k", n_words=32)
+    )
+    with _pytest.raises(PySparkException, match="different Bloom sizing"):
+        bloom_merge(pb).collect()
+    pc = cms_build(keys, "k", width=1024).unionByName(
+        cms_build(keys, "k", width=512)
+    )
+    with _pytest.raises(PySparkException, match="different CMS sizing"):
+        cms_merge(pc).collect()
+    df = keys.select(F.lit("g").alias("g"), F.col("k").alias("v"))
+    pr = hll_registers(df, "g", "v", n_buckets=256).unionByName(
+        hll_registers(df, "g", "v", n_buckets=128)
+    )
+    with _pytest.raises(PySparkException, match="different n_buckets"):
+        merge_registers(pr).collect()
+
+
+def test_sketch_sizing_survives_parquet_and_legacy_tables_still_work(spark, tmp_path):
+    """(1) Sizing metadata round-trips parquet, so at-rest sketch stores
+    validate via the schema fast path; (2) pre-sizing tables (no bf_*/
+    cms_*/hll_m columns) keep the historical caller's-contract behavior
+    — old stores don't break."""
+    from accumulo_wikisearch_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+        cms_merge,
+        merge_registers,
+    )
+
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    bloom_build(keys, "k", n_words=32).write.parquet(str(tmp_path / "b"))
+    back = spark.read.parquet(str(tmp_path / "b"))
+    assert back.schema["bf_words"].metadata.get("v") == 32
+    # probe resolves the non-default sizing from the round-tripped table
+    assert bloom_probe(keys, "k", back).where(F.col("in_bloom") == 0).count() == 0
+    merged = bloom_merge(back, back)  # idempotent, same sizing — fine
+    assert merged.schema["bf_words"].metadata.get("v") == 32
+    # legacy tables: plain (word, bits) / (row, col, cnt) / (grp, bucket, rho)
+    legacy_bloom = back.select("word", "bits")
+    lm = bloom_merge(legacy_bloom, legacy_bloom)
+    assert lm.columns == ["word", "bits"]
+    legacy_regs = spark.createDataFrame(
+        [("g", 1, 3), ("g", 2, 5)], "grp string, bucket int, rho int"
+    )
+    assert merge_registers(legacy_regs, legacy_regs).count() == 2
+    legacy_cms = spark.createDataFrame(
+        [(1, 7, 4)], "row int, col int, cnt bigint"
+    )
+    assert cms_merge(legacy_cms, legacy_cms).first()["cnt"] == 8
