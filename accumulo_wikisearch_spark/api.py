@@ -38,16 +38,18 @@ class Wikisearch:
     incremental paths (streaming merge, deltas) construct NEW
     WikisearchIndex instances — wrap those in a fresh Wikisearch.
 
-    Z-ordered DISK catalogs are the exception: their sidecar epoch makes
-    an in-place re-layout (compaction, streaming rewrite) detectable, so
-    the facade self-heals — ``_planned`` compares the per-query sidecar
-    read against the load-time layout and, on change, reloads the whole
-    catalog (fresh file listings) and drops every cache, instead of
-    replaying stale prune literals over rewritten files. Flat disk
-    catalogs have no such marker; the fresh-facade rule still applies to
-    them after any in-place rewrite."""
+    DISK catalogs self-heal: every rewrite (compaction, streaming
+    ingest) bumps the catalog's manifest version atomically
+    (``operators/manifest.py``), and ``_planned`` compares it per query
+    (one FS listing) — on change it reloads the whole catalog (fresh
+    file listings) and drops every cache. Z-ordered catalogs keep the
+    additional sidecar-epoch comparison (it also covers legacy z stores
+    rewritten before the manifest existed), since a cached plan embeds
+    the layout's prune literals."""
 
     def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
+        import threading
+
         self.index = index
         self.multi_value_fields = multi_value_fields
         # shared cardinality cache across queries (plan-cache analogue, O12)
@@ -59,6 +61,11 @@ class Wikisearch:
         # extended to the whole plan. Bounded FIFO.
         self._plan_cache: dict = {}
         self._plan_cache_max = 256
+        # serializes the self-heal (reload + cache clears) against
+        # concurrent query threads — the throughput/during-ingest shape:
+        # without it, racing threads trigger redundant reloads and the
+        # FIFO eviction can race a clear() into a KeyError
+        self._heal_lock = threading.Lock()
 
     @classmethod
     def ingest(
@@ -82,37 +89,53 @@ class Wikisearch:
         # z catalogs only) also lets run_query skip its own re-read.
         from accumulo_wikisearch_spark.plans.planner import _current_zlayout
 
-        zl = _current_zlayout(self.index)
-        if zl != self.index.zlayout and self.index.catalog_path is not None:
-            # the sidecar changed since this index was loaded — the store
-            # was re-laid-out IN PLACE (compaction / streaming rewrite), so
-            # the old DataFrames' file listings point at deleted paths and
-            # every derived cache (plans, cardinalities, postings) is
-            # stale. Reload the catalog and start clean: a z facade
-            # self-heals across rewrites instead of failing mid-scan.
-            # Merge-read semantics are preserved: load_index_with_deltas
-            # folds any deltas that landed since (and reduces to a plain
-            # load when none exist) — a facade built over base+deltas must
-            # not silently downgrade to base-only.
-            from accumulo_wikisearch_spark.operators.compaction import (
-                load_index_with_deltas,
-            )
+        with self._heal_lock:
+            zl = _current_zlayout(self.index)
+            stale = zl != self.index.zlayout
+            if self.index.catalog_path is not None:
+                # the universal freshness probe: every catalog rewrite
+                # bumps the manifest version atomically, so ONE listing
+                # detects compaction/streaming rewrites on flat catalogs
+                # too (the z sidecar epoch only covered z stores)
+                from accumulo_wikisearch_spark.operators.manifest import (
+                    manifest_version,
+                )
 
-            self.index = load_index_with_deltas(
-                self.index.docs_wide.sparkSession,
-                self.index.catalog_path,
-                self.index.config,
-            )
-            self._card_cache.clear()
-            self._plan_cache.clear()
-            # the layout the reload just resolved — a second sidecar read
-            # could race yet another rewrite and chase its own tail
-            zl = self.index.zlayout
-        key = (expr, tuple(sorted(auths)) if auths else None, force_path, zl)
-        hit = self._plan_cache.get(key)
+                mv = manifest_version(
+                    self.index.docs_wide.sparkSession, self.index.catalog_path
+                )
+                stale = stale or mv != self.index.manifest_version
+            if stale and self.index.catalog_path is not None:
+                # the store was rewritten IN PLACE (compaction / streaming
+                # rewrite): old DataFrames' file listings will age out of
+                # the retention window and every derived cache (plans,
+                # cardinalities, postings) is stale. Reload the catalog
+                # and start clean — the facade self-heals across rewrites
+                # instead of failing mid-scan. Merge-read semantics are
+                # preserved: load_index_with_deltas folds any deltas that
+                # landed since (and reduces to a plain load when none
+                # exist) — a facade built over base+deltas must not
+                # silently downgrade to base-only.
+                from accumulo_wikisearch_spark.operators.compaction import (
+                    load_index_with_deltas,
+                )
+
+                self.index = load_index_with_deltas(
+                    self.index.docs_wide.sparkSession,
+                    self.index.catalog_path,
+                    self.index.config,
+                )
+                self._card_cache.clear()
+                self._plan_cache.clear()
+                # the layout the reload just resolved — a second sidecar
+                # read could race yet another rewrite and chase its tail
+                zl = self.index.zlayout
+            index = self.index
+            key = (expr, tuple(sorted(auths)) if auths else None, force_path, zl)
+            hit = self._plan_cache.get(key)
         if hit is None:
             hit = run_query(
-                self.index,
+                index,
                 parser.parse(expr),
                 auths,
                 force_path,
@@ -120,9 +143,13 @@ class Wikisearch:
                 self._card_cache,
                 zlayout=zl,
             )
-            if len(self._plan_cache) >= self._plan_cache_max:
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = hit
+            with self._heal_lock:
+                if len(self._plan_cache) >= self._plan_cache_max:
+                    # snapshot a key: a racing clear() must not KeyError
+                    k0 = next(iter(self._plan_cache), None)
+                    if k0 is not None:
+                        self._plan_cache.pop(k0, None)
+                self._plan_cache[key] = hit
         return hit
 
     def query(

@@ -95,12 +95,21 @@ def _fs(spark: SparkSession, path: str):
 
 
 def delta_batches(spark: SparkSession, path: str) -> list[str]:
-    """List flushed delta batch directories under ``{path}/deltas``."""
+    """PENDING delta batch directories under ``{path}/deltas`` — batches a
+    compaction already folded are excluded (their dirs linger only as
+    reader grace for merge-reads planned before the swap; merging them
+    again would double-count) and are physically removed when the
+    manifest that folded them retires."""
+    from accumulo_wikisearch_spark.operators.manifest import folded_deltas
+
     fs, hpath, _ = _fs(spark, f"{path}/deltas")
     if not fs.exists(hpath):
         return []
+    done = folded_deltas(spark, path)
     return sorted(
-        st.getPath().getName() for st in fs.listStatus(hpath) if st.isDirectory()
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and st.getPath().getName() not in done
     )
 
 
@@ -188,42 +197,34 @@ def _fold_deltas(index: WikisearchIndex, stacked, config: EngineConfig) -> Wikis
         zlayout=index.zlayout,
         zlayout_path=index.zlayout_path,
         catalog_path=index.catalog_path,
+        manifest_version=index.manifest_version,
         docs_wide_parts=parts,
     )
 
 
-def swap_in_catalog(spark: SparkSession, tmp: str, path: str) -> None:
-    """Atomically-enough swap of a fully-written staged catalog into
-    place: per-table delete + rename, only AFTER every table write in
-    ``tmp`` succeeded. Shared by major compaction and the streaming
-    in-place rewrite — a mid-write failure (e.g. a z-contract violation
-    raising per-row inside the docs_wide writer) leaves the live catalog
-    untouched instead of half-overwritten and desynced."""
-    fs, _, jvm = _fs(spark, path)
-    HPath = jvm.org.apache.hadoop.fs.Path
-    # verify the staged catalog is complete BEFORE deleting anything live:
-    # a missing tmp table (earlier write raised between tables) must abort
-    # the swap with the live catalog intact
-    missing = [n for n in _ALL_TABLES if not fs.exists(HPath(f"{tmp}/{n}"))]
-    if missing:
-        raise RuntimeError(
-            f"swap_in_catalog: staged catalog {tmp} is missing tables "
-            f"{missing}; live catalog left untouched"
-        )
-    for name in _ALL_TABLES:
-        old = HPath(f"{path}/{name}")
-        if fs.exists(old):
-            fs.delete(old, True)
-        # Hadoop FileSystem.rename reports failure by RETURNING false
-        # (missing source, dest-exists race, cross-FS move) — the live
-        # table was just deleted, so a silent false would leave the
-        # catalog permanently missing this table
-        if not fs.rename(HPath(f"{tmp}/{name}"), old):
-            raise RuntimeError(
-                f"swap_in_catalog: rename {tmp}/{name} -> {path}/{name} "
-                f"failed; catalog is missing table {name}"
-            )
-    fs.delete(HPath(tmp), True)
+def swap_in_catalog(
+    spark: SparkSession, tmp: str, path: str, folded_deltas: tuple[str, ...] = ()
+) -> int:
+    """Swap a fully-written staged catalog into place ATOMICALLY for
+    concurrent readers: adopt ``tmp`` as the next versioned generation
+    directory and flip the catalog's manifest pointer (one directory
+    rename + one manifest-file create — see ``operators/manifest.py``).
+    Shared by major compaction and the streaming in-place rewrite.
+    ``folded_deltas`` names the delta batches the staged catalog already
+    folded in — recorded in the manifest so new loads skip them while
+    their files serve in-flight merge-read queries.
+
+    This replaces the r9 per-table delete+rename, which was crash-safe
+    but left two holes the r9 review named: a mid-loop failure produced
+    a MIXED-GENERATION catalog (earlier tables swapped, later ones old),
+    and a concurrent reader could hit FILE_NOT_FOUND between a table's
+    delete and its rename. With the manifest pointer, readers either
+    resolve the old generation (whose files are retained until the NEXT
+    rewrite) or the new one — never a mix, never a gap. Returns the new
+    manifest version (the facade's freshness marker)."""
+    from accumulo_wikisearch_spark.operators.manifest import adopt_generation
+
+    return adopt_generation(spark, tmp, path, _ALL_TABLES, folded=folded_deltas)
 
 
 def compact_index(
@@ -246,9 +247,11 @@ def compact_index(
     layout should re-fit it. (The merge-read view between compactions
     serves flat/unpruned — see ``load_index_with_deltas``.)"""
     from accumulo_wikisearch_spark.operators.layout import load_zlayout, refit
+    from accumulo_wikisearch_spark.operators.manifest import resolve_root
 
     config = config or EngineConfig()
-    zl = load_zlayout(spark, f"{path}/docs_wide")
+    root, _ = resolve_root(spark, path)
+    zl = load_zlayout(spark, f"{root}/docs_wide")
     zorder = refit(zl) if zl is not None else None
     batches = delta_batches(spark, path)
     merged = load_index_with_deltas(spark, path, config)
@@ -259,23 +262,25 @@ def compact_index(
         merged.reverse_index = rebuild_global_index(
             merged.field_index, config.uid_max, reverse=True
         )
-    files_before = _count_files(spark, path) + _count_files(spark, f"{path}/deltas")
+    # count the CURRENT generation only — the retained previous
+    # generation's files serve in-flight readers, not the catalog size
+    files_before = _count_files(spark, root) + _count_files(spark, f"{path}/deltas")
 
     tmp = f"{path}/_compact_tmp"
     write_index(merged, tmp, zorder=zorder)
-    swap_in_catalog(spark, tmp, path)
-    fs, _, jvm = _fs(spark, path)
-    HPath = jvm.org.apache.hadoop.fs.Path
-    dpath = HPath(f"{path}/deltas")
-    if fs.exists(dpath):
-        fs.delete(dpath, True)
+    # the folded batches ride the manifest instead of being deleted here:
+    # a merge-read planned before the swap still scans their files, and a
+    # load planned after skips them — deleting eagerly (the r9 behavior)
+    # raced concurrent readers into FILE_NOT_EXIST mid-query
+    swap_in_catalog(spark, tmp, path, folded_deltas=tuple(batches))
     # invalidate cached plans over the replaced files (rename does not
     # trigger Spark's automatic overwrite invalidation)
     spark.catalog.refreshByPath(path)
+    new_root, _ = resolve_root(spark, path)
     return {
         "n_deltas": len(batches),
         "files_before": files_before,
-        "files_after": _count_files(spark, path),
+        "files_after": _count_files(spark, new_root),
     }
 
 
@@ -335,6 +340,7 @@ def apply_tombstones(index: WikisearchIndex, tombstones: DataFrame) -> Wikisearc
         zlayout=index.zlayout,
         zlayout_path=index.zlayout_path,
         catalog_path=index.catalog_path,
+        manifest_version=index.manifest_version,
         # the planner's pruned base ∪ deltas view must shadow deletes too
         docs_wide_parts=(
             tuple(anti(p) for p in index.docs_wide_parts)
@@ -387,10 +393,16 @@ def catalog_stats(spark: SparkSession, path: str) -> list[dict]:
     The reference README records exactly this (wiki 47.3 GB, wikiIndex
     5.1 GB, wikiReverseIndex 5.5 GB — a ≈6:1 size increase over the input,
     ``README.md:112-120``); this is our measured analogue for capacity
-    planning, plus the small-file count that tells you when to compact."""
+    planning, plus the small-file count that tells you when to compact.
+    Stats describe the CURRENT generation (resolved through the
+    manifest); the retained previous generation is reader grace space,
+    not catalog capacity."""
+    from accumulo_wikisearch_spark.operators.manifest import resolve_root
+
+    root, _ = resolve_root(spark, path)
     out = []
     for name in _ALL_TABLES:
-        tpath = f"{path}/{name}"
+        tpath = f"{root}/{name}"
         fs, hpath, _ = _fs(spark, tpath)
         if not fs.exists(hpath):
             continue

@@ -71,6 +71,12 @@ class WikisearchIndex:
     # in-place re-layout via the sidecar epoch; None for in-memory
     # catalogs, which are immutable by construction
     catalog_path: str | None = None
+    # the catalog's manifest version at load time (operators/manifest.py):
+    # None for legacy never-rewritten catalogs and in-memory ones. The
+    # facade compares it per query against the on-disk manifest — the
+    # universal freshness marker a rewrite (compaction, streaming ingest)
+    # bumps atomically, closing the self-heal gap flat catalogs had.
+    manifest_version: int | None = None
 
     # merge-read views of a z catalog with pending deltas set this to
     # (z_base, flat_extra): the z-ordered base docs_wide WITH its physical
@@ -613,24 +619,30 @@ def load_index_bucketed(
 
 def load_index(spark: SparkSession, path: str, config: EngineConfig | None = None) -> WikisearchIndex:
     from accumulo_wikisearch_spark.operators.layout import load_zlayout
+    from accumulo_wikisearch_spark.operators.manifest import resolve_root
 
     config = config or EngineConfig()
-    zl = load_zlayout(spark, f"{path}/docs_wide")
+    # a rewritten catalog resolves through its manifest pointer to the
+    # current generation directory; never-rewritten catalogs keep their
+    # flat legacy layout (root == path, version None)
+    root, version = resolve_root(spark, path)
+    zl = load_zlayout(spark, f"{root}/docs_wide")
     rd = spark.read.parquet
     return WikisearchIndex(
         config=config,
-        doc_fields=rd(f"{path}/doc_fields"),
-        field_index=rd(f"{path}/field_index"),
-        global_index=rd(f"{path}/global_index"),
-        reverse_index=rd(f"{path}/reverse_index"),
-        metadata=rd(f"{path}/metadata"),
-        term_index=rd(f"{path}/term_index"),
-        docs_wide=rd(f"{path}/docs_wide"),
-        documents=rd(f"{path}/documents"),
+        doc_fields=rd(f"{root}/doc_fields"),
+        field_index=rd(f"{root}/field_index"),
+        global_index=rd(f"{root}/global_index"),
+        reverse_index=rd(f"{root}/reverse_index"),
+        metadata=rd(f"{root}/metadata"),
+        term_index=rd(f"{root}/term_index"),
+        docs_wide=rd(f"{root}/docs_wide"),
+        documents=rd(f"{root}/documents"),
         # a z-ordered store self-describes via _ZLAYOUT.json; the planner
         # then box-prunes docs_wide scans (layout.zprune_docs), re-reading
         # the sidecar per query via zlayout_path (flat stores skip both)
         zlayout=zl,
-        zlayout_path=f"{path}/docs_wide" if zl is not None else None,
+        zlayout_path=f"{root}/docs_wide" if zl is not None else None,
         catalog_path=path,
+        manifest_version=version,
     )

@@ -30,6 +30,18 @@ def _arts(spark, rows):
     return spark.createDataFrame(rows, SCHEMA)
 
 
+def _current_sidecar(spark, path):
+    """The CURRENT generation's z sidecar: rewrites land in a new
+    manifest-pointed generation, and the legacy/previous generation's
+    sidecar is retained for reader grace — reading it would observe
+    the pre-rewrite layout."""
+    from accumulo_wikisearch_spark.operators.layout import load_zlayout
+    from accumulo_wikisearch_spark.operators.manifest import resolve_root
+
+    root, _ = resolve_root(spark, path)
+    return load_zlayout(spark, f"{root}/docs_wide")
+
+
 @pytest.fixture()
 def catalog(spark, tmp_path):
     """Base index (docs 0-14, all containing 'tok') + two flushed deltas
@@ -237,7 +249,7 @@ def test_zordered_catalog_merge_read_and_compaction(spark, tmp_path):
 
     # compaction restores the layout over the folded (wider) domain
     compact_index(spark, path, CFG)
-    zl = load_zlayout(spark, f"{path}/docs_wide")
+    zl = _current_sidecar(spark, path)
     assert zl is not None and zl.x_field == "UID"
     idx2 = load_index(spark, path, CFG)
     assert idx2.zlayout is not None
@@ -268,7 +280,7 @@ def test_compaction_preserves_custom_bucket_bits(spark, tmp_path):
     )
     write_delta(build_index(d, CFG, zsf), path, 0)
     compact_index(spark, path, CFG)
-    zl = load_zlayout(spark, f"{path}/docs_wide")
+    zl = _current_sidecar(spark, path)
     # the user's directory fan-out survives every compaction
     assert zl is not None and zl.bucket_bits == 6
 
@@ -305,7 +317,7 @@ def test_stream_ingest_into_zordered_catalog_keeps_layout(spark, tmp_path):
         .start()
     )
     assert sq.awaitTermination(300), "stream did not finish in time"
-    zl = load_zlayout(spark, f"{path}/docs_wide")
+    zl = _current_sidecar(spark, path)
     assert zl is not None and zl.x_field == "UID"
     spark.catalog.refreshByPath(path)
     idx = load_index(spark, path, CFG)
@@ -367,7 +379,7 @@ def test_plan_cache_replans_after_inplace_relayout(spark, tmp_path):
     )
     write_delta(build_index(d, CFG, zsf), path, 0)
     compact_index(spark, path, CFG)
-    zl2 = load_zlayout(spark, f"{path}/docs_wide")
+    zl2 = _current_sidecar(spark, path)
     assert zl2 is not None and zl2.epoch is not None
 
     df = eng.query(box_q, force_path="fullscan")  # SAME facade, SAME expr
@@ -401,7 +413,100 @@ def test_compact_fully_tombstoned_cat_catalog(spark, tmp_path):
     compact_index(spark, path, CFG)
     idx = load_index(spark, path, CFG)
     assert idx.documents.count() == 0
-    zl = load_zlayout(spark, f"{path}/docs_wide")
+    zl = _current_sidecar(spark, path)
     assert zl is not None and zl.x_dict == ()  # layout survives, empty dict
     # and the empty catalog still answers queries (no pruning crash)
     assert Wikisearch(idx).query("KIND == 'a'").count() == 0
+
+
+def test_concurrent_queries_during_compaction(spark, catalog):
+    """The r10 manifest-pointer guarantee (reference parity: Accumulo
+    serves consistent scans THROUGH major compactions, README.md:206-219):
+    a facade queried in a loop while compact_index runs concurrently must
+    see zero errors and zero mixed-generation reads — every answer is the
+    full 25-doc 'tok' set, whether served from the pre-swap merge-read view
+    (base + 2 deltas) or the post-swap compacted generation. The old
+    per-table delete+rename could serve FILE_NOT_FOUND or a catalog with
+    table A new and table B old mid-swap."""
+    import threading
+
+    eng = Wikisearch(load_index_with_deltas(spark, catalog, CFG))
+    assert eng.query("TEXT == 'tok'").count() == 25  # warm: base+deltas
+
+    errors = []
+
+    def compact():
+        try:
+            compact_index(spark, catalog, CFG)
+        except Exception as e:  # surfaced in the main thread's assert
+            errors.append(e)
+
+    t = threading.Thread(target=compact)
+    t.start()
+    counts = []
+    while t.is_alive():
+        counts.append(eng.query("TEXT == 'tok'").count())
+    t.join()
+    # a few more after the swap: the facade must self-heal onto gen-1
+    for _ in range(3):
+        counts.append(eng.query("TEXT == 'tok'").count())
+    assert not errors, errors
+    assert counts and set(counts) == {25}, sorted(set(counts))
+    assert eng.index.manifest_version == 1  # healed onto the new generation
+
+
+def test_manifest_versions_retention_and_flat_catalog_self_heal(spark, tmp_path):
+    """Manifest mechanics end-to-end: (1) a FLAT catalog facade self-heals
+    after an in-place rewrite — the r9 gap where only z catalogs carried a
+    freshness marker; (2) adoption is crash-tolerant (an orphan gen dir
+    from a writer that died before publishing is skipped past and cleaned
+    up); (3) retention keeps current + previous generations and drops the
+    legacy root tables once two versioned generations exist."""
+    from accumulo_wikisearch_spark.operators.manifest import (
+        manifest_version,
+        read_manifest,
+        resolve_root,
+    )
+
+    path = str(tmp_path / "flat")
+    base = _arts(
+        spark, [(i, "enwiki", "tok", f"t{i}") for i in range(8)]
+    )
+    write_index(build_index(base, CFG, SF), path)
+    eng = Wikisearch(load_index(spark, path, CFG))
+    assert eng.index.manifest_version is None  # legacy layout, no manifest
+    assert eng.query("TEXT == 'tok'").count() == 8
+
+    # simulate a writer that crashed after staging gen-3 but before
+    # publishing its manifest: an unreferenced orphan directory
+    import os
+
+    os.makedirs(f"{path}/gen-000003/junk")
+
+    d = _arts(spark, [(100, "enwiki", "tok", "t100")])
+    write_delta(build_index(d, CFG, SF), path, 0)
+    compact_index(spark, path, CFG)
+    v1 = manifest_version(spark, path)
+    assert v1 == 4  # numbering skipped past the orphan
+    root, _ = resolve_root(spark, path)
+    assert root == f"{path}/{read_manifest(spark, path)['generation']}"
+    # the SAME facade sees the folded delta without a manual reload —
+    # flat catalogs now self-heal exactly like z ones
+    assert eng.query("TEXT == 'tok'").count() == 9
+    assert eng.index.manifest_version == v1
+    # legacy root tables are still there (reader grace for gen-None)
+    assert os.path.isdir(f"{path}/documents")
+
+    compact_index(spark, path, CFG)
+    v2 = manifest_version(spark, path)
+    assert v2 == v1 + 1
+    names = set(os.listdir(path))
+    # orphan cleaned, current+previous generations retained, legacy gone
+    assert f"gen-{v1:06d}" in names and f"gen-{v2:06d}" in names
+    assert "gen-000003" not in names
+    assert "documents" not in names
+    assert {n for n in names if n.startswith("_MANIFEST")} == {
+        f"_MANIFEST.{v1:06d}.json",
+        f"_MANIFEST.{v2:06d}.json",
+    }
+    assert eng.query("TEXT == 'tok'").count() == 9
