@@ -554,7 +554,24 @@ def _literal_key(value, kind: str, cat_dict: tuple | None = None) -> int | None:
     """Query-literal → integer z key under ``kind``; None if the literal
     cannot be a key (then it contributes no bound — a query like
     USER_ID == 'abc' simply gets no pruning from that conjunct; cat-kind
-    callers instead fold the box empty, see :func:`zbox_from_query`)."""
+    callers instead fold the box empty, see :func:`zbox_from_query`).
+
+    SOUNDNESS INVARIANT (cross-language parser parity): returning None
+    asserts "no STORED row can string-match this literal". That holds
+    because (a) the write contract rejects any value the Spark-side key
+    derivation can't parse (``_field_key_col`` raises per row), and (b)
+    every string Spark's ``try_cast(… AS LONG)`` / canon-shape
+    ``to_date`` accepts, the Python parser here accepts WITH THE SAME
+    KEY — int(s, 10) trims whitespace and takes signs exactly like
+    Spark's cast, and both reject decimals/scientific/hex; fromisoformat
+    over the first 10 chars mirrors the canon ``\\d{4}-\\d{2}-\\d{2}`` +
+    to_date pair on the same Gregorian calendar. Python accepting MORE
+    (unicode digits, '4_000', beyond-int64) only widens the OR-hull —
+    sound. The reverse (Spark accepting a literal Python drops) would
+    silently tighten the hull past a matchable branch and LOSE ROWS;
+    ``tests/test_layout.py::test_literal_key_parser_parity_with_spark``
+    pins the alignment over the edge shapes (signed, padded, decimal,
+    unicode-digit, overflow, malformed dates)."""
     import datetime
 
     s = str(value)
@@ -755,6 +772,13 @@ def zbox_from_query(node, zl: ZLayout) -> tuple[int, int, int, int] | None:
                 ):
                     usable = False
                     break
+                # dropping a None branch from the hull is sound ONLY
+                # under _literal_key's parser-parity invariant: None
+                # must mean "no stored row can match this branch" (the
+                # write contract + Spark/Python parse alignment pinned
+                # by test_literal_key_parser_parity_with_spark) — if
+                # Spark's cast accepted a literal Python rejects, the
+                # hull would tighten past a matchable branch
                 k = _literal_key(b.literal, kind[f], cdict[f])
                 if k is not None:
                     ks.append(k - off[f])

@@ -627,3 +627,63 @@ def test_engine_or_hull_through_z_catalog(spark, sf_dir, tmp_path):
         want = sorted(r["doc_id"] for r in eng.query(q).collect())
         got = sorted(r["doc_id"] for r in zeng.query(q).collect())
         assert got == want, q
+
+
+def test_literal_key_parser_parity_with_spark(spark):
+    """Pins _literal_key's soundness invariant (see its docstring): for
+    every literal Spark's storage-side parser accepts — try_cast(AS LONG)
+    for int kind, canon shape + to_date for day kind — the Python parser
+    must accept it WITH THE SAME KEY, else the OR-hull would drop a
+    matchable branch and silently lose rows. Python-only acceptances are
+    allowed (they only widen the hull). Edge shapes per the r9 review:
+    signed, whitespace-padded, decimal, scientific, hex, unicode-digit,
+    underscore-grouped, int64-overflow, malformed/uncanonical dates."""
+    from pyspark.sql import functions as F
+
+    from accumulo_wikisearch_spark.operators.layout import _literal_key
+
+    int_lits = [
+        "4", "04", "+4", "-4", " 4", "4 ", "  +07  ", "4.0", "4.5", "4.",
+        ".5", "1e3", "0x1A", "٤", "4_000", "9223372036854775807",
+        "9223372036854775808", "-9223372036854775808", "", ".", "-",
+        "Infinity", "NaN", "tok",
+    ]
+    got = {
+        r["s"]: r["k"]
+        for r in spark.createDataFrame([(s,) for s in int_lits], "s string")
+        .select("s", F.col("s").try_cast("long").alias("k"))
+        .collect()
+    }
+    for s in int_lits:
+        spark_k, py_k = got[s], _literal_key(s, "int")
+        if spark_k is not None:  # storable ⇒ Python must agree exactly
+            assert py_k == spark_k, (s, spark_k, py_k)
+
+    day_lits = [
+        "2024-01-05", "2024-01-05 08:00:00", "2024-01-05T08:00:00",
+        "2024-1-5", "2024-02-30", "999-01-01", "20240105", "0001-01-01",
+        "9999-12-31", "2024-01-05x", "not a date", "",
+    ]
+    # the storage-side day parser: canon 4-2-2 shape + to_date(first 10)
+    rows = (
+        spark.createDataFrame([(s,) for s in day_lits], "s string")
+        .select(
+            "s",
+            F.when(
+                F.col("s").rlike(r"^\d{4}-\d{2}-\d{2}"),
+                F.datediff(
+                    # try_to_date: the write side's to_date RAISES on a
+                    # canon-shaped-but-invalid date ('2024-02-30'), i.e.
+                    # such values cannot be stored — for the parity
+                    # check that is equivalent to "storage rejects"
+                    F.expr("try_to_date(substring(s, 1, 10))"),
+                    F.to_date(F.lit("1970-01-01")),
+                ),
+            ).alias("k"),
+        )
+        .collect()
+    )
+    for r in rows:
+        spark_k, py_k = r["k"], _literal_key(r["s"], "day")
+        if spark_k is not None:
+            assert py_k == spark_k, (r["s"], spark_k, py_k)

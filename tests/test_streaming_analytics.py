@@ -18,7 +18,10 @@ from accumulo_wikisearch_spark.streaming.analytics import (
 EVENT_SCHEMA = "user_id long, ts long, event_type string"
 
 
-def _run_stream(df, name, output_mode="update", timeout_s=300, drain_only=False):
+def _run_stream(
+    df, name, output_mode="update", timeout_s=300, drain_only=False,
+    expected_rows=None,
+):
     """Run an availableNow stream to completion, loudly (the r8
     silent-timeout lesson: ignoring awaitTermination's False reads a
     half-filled sink and fails on DATA).
@@ -27,11 +30,15 @@ def _run_stream(df, name, output_mode="update", timeout_s=300, drain_only=False)
     timer (sessionize's gap timeout): those never self-terminate — the
     availableNow query spins empty "cleaning up state" batches until
     the timer fires, 30 MINUTES for the default gap — so completion is
-    the first committed EMPTY batch (all available data processed and
-    its update-mode output emitted), after which the idle query is
-    stopped. Watermark-flushing streams (dropDuplicatesWithinWatermark,
-    append-mode aggs) must NOT use it: their held rows are only emitted
-    by later batches, and availableNow runs those and terminates."""
+    the first committed EMPTY batch AFTER all ``expected_rows`` input
+    rows were consumed, after which the idle query is stopped. The
+    row-count requirement matters with maxFilesPerTrigger=1: a
+    state-cleanup/timer batch can interleave BEFORE the remaining
+    queued files, and treating that first zero-input progress as
+    completion would read a half-filled sink (r9 ADVICE). Watermark-
+    flushing streams (dropDuplicatesWithinWatermark, append-mode aggs)
+    must NOT use drain_only: their held rows are only emitted by later
+    batches, and availableNow runs those and terminates."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -44,15 +51,28 @@ def _run_stream(df, name, output_mode="update", timeout_s=300, drain_only=False)
             f"stream {name} did not finish in {timeout_s}s"
         )
         return q
+    assert expected_rows is not None, "drain_only needs expected_rows"
     deadline = time.time() + timeout_s
     while q.isActive:
+        # recentProgress keeps the last ~100 batches; summing distinct
+        # batchIds gives total consumed input regardless of how the
+        # scheduler interleaved data batches with empty timer batches
+        seen: dict[int, int] = {}
+        for p in q.recentProgress:
+            seen[p["batchId"]] = p["numInputRows"]
+        total_in = sum(seen.values())
         lp = q.lastProgress
-        if lp is not None and lp["numInputRows"] == 0:
+        if (
+            total_in >= expected_rows
+            and lp is not None
+            and lp["numInputRows"] == 0
+        ):
             break
         if time.time() > deadline:
             q.stop()
             raise AssertionError(
-                f"stream {name} did not drain its input in {timeout_s}s"
+                f"stream {name} drained {total_in}/{expected_rows} rows"
+                f" in {timeout_s}s"
             )
         time.sleep(0.3)
     if q.exception() is not None:
@@ -106,7 +126,10 @@ def test_sessionize_stream_across_batches(spark):
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{tmp}/in/*")
         )
-        _run_stream(sessionize_stream(stream), "sessions", drain_only=True)
+        _run_stream(
+            sessionize_stream(stream), "sessions", drain_only=True,
+            expected_rows=4,
+        )
         rows = spark.sql("SELECT * FROM sessions ORDER BY session_start").collect()
         assert b0_done  # silence lint; ordering of file pickup is by path
 
@@ -133,6 +156,7 @@ def test_sessionize_single_batch_splits(spark, gap):
             sessionize_stream(stream, gap_seconds=gap),
             "sessions_one",
             drain_only=True,
+            expected_rows=3,
         )
         rows = spark.sql("SELECT * FROM sessions_one").collect()
         closed = [r for r in rows if r["closed"]]
