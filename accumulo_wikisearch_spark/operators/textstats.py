@@ -25,8 +25,14 @@ def text_quality(docs: DataFrame) -> DataFrame:
     """Per-doc quality features, integer-valued for oracle stability:
     token counts, distinct ratio, stopword count, word lengths, and a
     composite keep/drop flag (the usual pretraining heuristics)."""
-    toks = F.split(F.col("text"), " ")
-    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    # hoist the tokenizer into its own projection: each output column
+    # embeds its own copy of every expression it references, so an
+    # un-hoisted `toks` re-tokenizes per reference in the interpreted
+    # HOF evaluator (the text_repetition r10 finding; CollapseProject
+    # cannot inline a multiply-referenced non-trivial alias)
+    toks_expr = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    tokenized = docs.select("doc_id", toks_expr.alias("toks"))
+    toks = F.col("toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -38,7 +44,7 @@ def text_quality(docs: DataFrame) -> DataFrame:
         & (F.lit(10) * n_distinct >= F.lit(4) * n_tokens)
         & (stopword_cnt > 0)
     )
-    return docs.select(
+    return tokenized.select(
         "doc_id",
         n_tokens.cast("int").alias("n_tokens"),
         n_distinct.cast("int").alias("n_distinct"),
@@ -55,17 +61,22 @@ def token_counts(docs: DataFrame) -> DataFrame:
     punctuation runs) plus a length/4 correction for long words — a
     deterministic, library-free approximation of BPE token counts.
     """
-    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0))
+    # tokenizer hoisted once per row (see text_quality's note)
+    toks_expr = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    tokenized = docs.select(
+        "doc_id", F.length("text").alias("_nc"), toks_expr.alias("toks")
+    )
+    ws = F.size(F.col("toks"))
     # pieces: every word contributes ceil(len/4) subword units
     pieces = F.aggregate(
-        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0),
+        F.col("toks"),
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
     )
-    return docs.select(
+    return tokenized.select(
         "doc_id",
         ws.cast("int").alias("ws_tokens"),
-        F.length("text").cast("int").alias("n_chars"),
+        F.col("_nc").cast("int").alias("n_chars"),
         pieces.cast("int").alias("bpe_estimate"),
     )
 
@@ -83,17 +94,37 @@ def text_repetition(docs: DataFrame) -> DataFrame:
 
     Integer-valued for oracle stability; ``keep`` applies the Gopher-like
     thresholds (dup fraction ≤ 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4) via
-    cross-multiplication — no floats. Scan-local: per-row array ops, NO
+    cross-multiplication — no floats. Scan-local: per-row work, NO
     explode, NO shuffle; at 100 TB this is a free rider on any corpus
-    scan."""
+    scan.
+
+    Kernel choice (r10, measured at sf0.1 — full adjudication in
+    docs/SCALE.md): this stays a JVM expression. An Arrow
+    ``mapInPandas`` kernel was REJECTED by measurement — a no-op Python
+    job alone floors at ~0.21 s single-partition / ~0.44 s at 32 tasks
+    on this host (~13 ms/task serialized worker acquisition + fixed
+    setup), which already exceeds the entire JVM query; the pure-Python
+    n-gram kernel (0.18 s single-core for the whole sf0.1 table) cannot
+    amortize that. Within the JVM, ``toks`` is hoisted into its own
+    projection (one tokenize per row in the analyzed plan instead of
+    one per referencing expression; CollapseProject cannot inline a
+    multiply-referenced non-trivial alias) and grams build via
+    ``concat_ws(element_at…)`` (no per-gram array slice) — in-session
+    A/Bs put this at parity-to-modestly-better vs the r5 form (both
+    floor ~0.22-0.28 s depending on session), i.e. the remaining cost
+    is the interpreted HOF evaluator itself, not the formulation."""
     toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    tokenized = docs.select("doc_id", toks.alias("toks"))
+    tk = F.col("toks")
 
     def gram_counts(n: int):
         g = F.when(
-            F.size(toks) >= n,
+            F.size(tk) >= n,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
+                F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(n)]
+                ),
             ),
         ).otherwise(F.array().cast("array<string>"))
         tot = F.size(g)
@@ -108,7 +139,7 @@ def text_repetition(docs: DataFrame) -> DataFrame:
         & (F.lit(50) * dup3 <= F.lit(9) * tot3)  # ≤ 0.18
         & (F.lit(25) * dup4 <= F.lit(4) * tot4)  # ≤ 0.16
     )
-    return docs.select(
+    return tokenized.select(
         "doc_id",
         tot2.alias("tot2"),
         dup2.alias("dup2"),
