@@ -997,6 +997,19 @@ def queries():
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         return cms_heavy_hitters(events, "user_id", 70)
 
+    def _bloom_sized(spark, sf_dir):
+        # NON-DEFAULT geometry (32 words, 4 hashes), probed WITHOUT
+        # re-supplying it: bloom_probe resolves the sizing from the
+        # table's r10 stamping — the driver check proves the resolution
+        # path end-to-end (a wrong-geometry probe would flip bits and
+        # hash-mismatch the oracle, which replays the exact 32/60/4
+        # positions)
+        tune_runtime(spark)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        bloom = bloom_build(orders, "o_custkey", n_words=32, n_hashes=4)
+        return bloom_probe(customer, "c_custkey", bloom)
+
     def _registers_string(spark, sf_dir):
         # STRING value column: routed through hash60 (r6 ask) — distinct
         # source labels per language, sketched
@@ -1026,6 +1039,7 @@ def queries():
         "sketch_hll_registers": _registers,
         "sketch_hll_merge": _merge,
         "sketch_bloom_semijoin": _bloom,
+        "sketch_bloom_sized_probe": _bloom_sized,
         "sketch_cms_counts": _cms,
         "sketch_cms_heavy": _heavy,
         "sketch_hll_string": _registers_string,
@@ -1203,6 +1217,10 @@ def oracle_sql():
         "sketch_hll_merge": _reg_sql("documents", "lang", "doc_id"),
         "sketch_bloom_semijoin": _bloom_sql(
             "orders", "o_custkey", "customer", "c_custkey"
+        ),
+        "sketch_bloom_sized_probe": _bloom_sql(
+            "orders", "o_custkey", "customer", "c_custkey",
+            n_words=32, n_hashes=4,
         ),
         "sketch_cms_counts": _cms_sql("events", "user_id", min_est=50),
         # exact HAVING query on purpose: the CMS prefilter must not
