@@ -92,6 +92,7 @@ class Wikisearch:
         with self._heal_lock:
             zl = _current_zlayout(self.index)
             stale = zl != self.index.zlayout
+            mv = None
             if self.index.catalog_path is not None:
                 # the universal freshness probe: every catalog rewrite
                 # bumps the manifest version atomically, so ONE listing
@@ -125,14 +126,26 @@ class Wikisearch:
                     self.index.catalog_path,
                     self.index.config,
                 )
-                self._card_cache.clear()
-                self._plan_cache.clear()
+                # REPLACE (don't clear) both caches: a query thread that
+                # planned against the pre-heal index may still insert its
+                # results after this point — with fresh dict objects its
+                # late writes land in the ORPHANED dicts and are never
+                # served (the r10 review's stale-plan-after-heal race)
+                self._card_cache = {}
+                self._plan_cache = {}
                 # the layout the reload just resolved — a second sidecar
                 # read could race yet another rewrite and chase its tail
                 zl = self.index.zlayout
+                mv = self.index.manifest_version
             index = self.index
-            key = (expr, tuple(sorted(auths)) if auths else None, force_path, zl)
-            hit = self._plan_cache.get(key)
+            # the manifest version joins the key so a plan built against
+            # generation N can never be served to a generation-M query
+            # even if their layouts compare equal (flat catalogs: both zl
+            # None); the captured cache OBJECT pins late inserts to the
+            # epoch they were planned in
+            plan_cache, card_cache = self._plan_cache, self._card_cache
+            key = (expr, tuple(sorted(auths)) if auths else None, force_path, zl, mv)
+            hit = plan_cache.get(key)
         if hit is None:
             hit = run_query(
                 index,
@@ -140,16 +153,16 @@ class Wikisearch:
                 auths,
                 force_path,
                 self.multi_value_fields,
-                self._card_cache,
+                card_cache,
                 zlayout=zl,
             )
             with self._heal_lock:
-                if len(self._plan_cache) >= self._plan_cache_max:
-                    # snapshot a key: a racing clear() must not KeyError
-                    k0 = next(iter(self._plan_cache), None)
+                if len(plan_cache) >= self._plan_cache_max:
+                    # snapshot a key: a racing replace must not KeyError
+                    k0 = next(iter(plan_cache), None)
                     if k0 is not None:
-                        self._plan_cache.pop(k0, None)
-                self._plan_cache[key] = hit
+                        plan_cache.pop(k0, None)
+                plan_cache[key] = hit
         return hit
 
     def query(

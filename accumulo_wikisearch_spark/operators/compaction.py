@@ -118,24 +118,55 @@ def write_delta(delta: WikisearchIndex, path: str, batch_id: int | str) -> None:
 
     The minor-compaction flush: small files, no repartition (the batch is
     micro-batch-sized), no rewrite of the base. ``build_index`` on the new
-    articles produces the delta catalog."""
+    articles produces the delta catalog.
+
+    Batch ids must be fresh ACROSS COMPACTIONS: a compaction records the
+    ids it folded in the catalog manifest (their dirs linger only as
+    reader grace), so re-flushing under a retired id would overwrite a
+    grace dir whose name every new load EXCLUDES — the batch would be
+    silently invisible and later deleted by retention. Raised here loudly
+    instead (hits e.g. a restarted stream whose fresh checkpoint restarts
+    Spark's batchId at 0 — give each stream incarnation its own id
+    prefix). Re-flushing a still-PENDING id remains allowed: that is the
+    crash-retry overwrite."""
+    spark = delta.documents.sparkSession
+    from accumulo_wikisearch_spark.operators.manifest import folded_deltas
+
+    if str(batch_id) in folded_deltas(spark, path):
+        raise ValueError(
+            f"write_delta: batch id {batch_id!r} was already FOLDED by a"
+            f" compaction of {path} — its directory is retired reader-grace"
+            f" space and new loads exclude the name. Use a fresh batch id"
+            f" (e.g. prefix stream restarts with an incarnation token)."
+        )
     base = f"{path}/deltas/{batch_id}"
     for name in _ALL_TABLES:
         getattr(delta, name).write.mode("overwrite").parquet(f"{base}/{name}")
 
 
 def load_index_with_deltas(
-    spark: SparkSession, path: str, config: EngineConfig | None = None
+    spark: SparkSession,
+    path: str,
+    config: EngineConfig | None = None,
+    batches: list[str] | None = None,
 ) -> WikisearchIndex:
     """Merge-read: base catalog folded with every flushed delta.
 
     Append-only tables union (duplicate doc ids behave as the reference's
     multimap — one more value per field); aggregated tables re-run their
     combiner fold so e.g. a posting that crossed ``uid_max`` across batches
-    correctly degrades to count-only."""
+    correctly degrades to count-only.
+
+    ``batches`` pins the EXACT pending-delta set to fold; compact_index
+    passes the list it will record as folded, so a delta flushed between
+    its listing and this load stays pending instead of being folded into
+    the new generation WITHOUT being recorded — the r10 review's
+    double-count TOCTOU (the unrecorded batch would merge-read on top of
+    a base that already contains it)."""
     config = config or EngineConfig()
     index = load_index(spark, path, config)
-    batches = delta_batches(spark, path)
+    if batches is None:
+        batches = delta_batches(spark, path)
     if not batches:
         return index
     rd = spark.read.parquet
@@ -253,8 +284,13 @@ def compact_index(
     root, _ = resolve_root(spark, path)
     zl = load_zlayout(spark, f"{root}/docs_wide")
     zorder = refit(zl) if zl is not None else None
+    # list the pending deltas ONCE and thread the same list through the
+    # merge-read and the folded-deltas manifest record: re-listing inside
+    # load_index_with_deltas could pick up a delta flushed in between,
+    # folding it WITHOUT recording it — every later merge-read would then
+    # double-count that batch on top of a base that already contains it
     batches = delta_batches(spark, path)
-    merged = load_index_with_deltas(spark, path, config)
+    merged = load_index_with_deltas(spark, path, config, batches=batches)
     if _stacked_tombstones(spark, path, batches) is not None:
         # deletes happened: advisory postings are stale — rebuild them
         # exactly from the tombstone-applied field index
@@ -262,9 +298,13 @@ def compact_index(
         merged.reverse_index = rebuild_global_index(
             merged.field_index, config.uid_max, reverse=True
         )
-    # count the CURRENT generation only — the retained previous
-    # generation's files serve in-flight readers, not the catalog size
-    files_before = _count_files(spark, root) + _count_files(spark, f"{path}/deltas")
+    # count the CURRENT generation plus the PENDING deltas only —
+    # retained previous-generation files and already-folded delta dirs
+    # are reader grace space, not catalog size (counting them would
+    # inflate the files_before/files_after compact-now signal)
+    files_before = _count_files(spark, root) + sum(
+        _count_files(spark, f"{path}/deltas/{b}") for b in batches
+    )
 
     tmp = f"{path}/_compact_tmp"
     write_index(merged, tmp, zorder=zorder)

@@ -550,6 +550,14 @@ def _field_key_col(
     return F.when(k.isNotNull(), k).otherwise(bad)
 
 
+# the characters Spark's string→numeric cast trims from both ends
+# (java.lang.Character.isWhitespace ∪ isISOControl as applied by
+# UTF8String.trimAll): ASCII controls, space, DEL..APC controls
+_TRIMMED_BY_SPARK_CAST = "".join(
+    chr(c) for c in list(range(0x21)) + list(range(0x7F, 0xA0))
+)
+
+
 def _literal_key(value, kind: str, cat_dict: tuple | None = None) -> int | None:
     """Query-literal → integer z key under ``kind``; None if the literal
     cannot be a key (then it contributes no bound — a query like
@@ -589,7 +597,14 @@ def _literal_key(value, kind: str, cat_dict: tuple | None = None) -> int | None:
             return None
     if kind == "int":
         try:
-            return int(s, 10)
+            # Spark's string→long cast trims WHITESPACE AND ISO CONTROL
+            # characters (UTF8String.trimAll: 0x00-0x20 plus 0x7f-0x9f),
+            # while int(s, 10) only tolerates whitespace — a literal like
+            # '\\x004' is STORABLE (cast gives 4) yet int() raises, which
+            # would drop a matchable OR-hull branch (r10 review finding,
+            # reproduced empirically). Strip the same set before parsing;
+            # over-stripping is sound (it can only widen the hull).
+            return int(s.strip(_TRIMMED_BY_SPARK_CAST), 10)
         except ValueError:
             return None
     try:

@@ -48,8 +48,13 @@ import uuid
 
 from pyspark.sql import SparkSession
 
-_MANIFEST_RE = re.compile(r"^_MANIFEST\.(\d{6})\.json$")
-_GEN_RE = re.compile(r"^gen-(\d{6})$")
+# \d{6,}: the zero-pad is cosmetic (names sort nicely up to v999999) but
+# versions compare NUMERICALLY everywhere, so the counter keeps working
+# past 6 digits — a fixed-width pattern would stop matching v1000000,
+# freezing the resolved version and wedging every later adoption on a
+# taken generation name
+_MANIFEST_RE = re.compile(r"^_MANIFEST\.(\d{6,})\.json$")
+_GEN_RE = re.compile(r"^gen-(\d{6,})$")
 
 
 def _fs(spark: SparkSession, path: str):

