@@ -185,13 +185,25 @@ class Wikisearch:
         ``plans/planner.py:explain_plan``."""
         from accumulo_wikisearch_spark.plans.planner import explain_plan
 
+        index, card_cache = self._snapshot()
         return explain_plan(
-            self.index,
+            index,
             parser.parse(expr),
             auths,
             self.multi_value_fields,
-            self._card_cache,
+            card_cache,
         )
+
+    def _snapshot(self):
+        """(index, card_cache) read as a consistent PAIR under the heal
+        lock: a racing self-heal replaces both attributes, and an
+        unlocked two-step read could pair the pre-heal index with the
+        post-heal cache — priming it with stale postings that later
+        queries would serve as literal candidate relations (r10 review).
+        A fully pre-heal pair is safe: its cache dict is orphaned by the
+        heal's replace-don't-clear."""
+        with self._heal_lock:
+            return self.index, self._card_cache
 
     def count_only(self, expr: str, auths: list[str] | None = None) -> DataFrame:
         """Count matching docs, answering from the global index ALONE when
@@ -214,13 +226,14 @@ class Wikisearch:
         )
 
         node = parser.parse(expr)
-        planner = Planner(self.index, self.multi_value_fields, self._card_cache)
+        index, card_cache = self._snapshot()  # consistent pair under the heal lock
+        planner = Planner(index, self.multi_value_fields, card_cache)
         nnf = planner.expand_unfielded(to_nnf(node), auths)
         tree, exact = reduce_to_index_tree(
             nnf, planner.indexed_fields(), self.multi_value_fields
         )
         if exact and isinstance(tree, IxLeaf) and tree.kind == "eq" and not tree.negated:
-            gi = self.index.global_index.where(
+            gi = index.global_index.where(
                 (F.col("field") == tree.field) & (F.col("norm_value") == tree.value)
             )
             if auths:
@@ -233,7 +246,7 @@ class Wikisearch:
             # metadata lookup)
             keys = planner.driver_candidates(tree, auths)
             if keys is not None:
-                spark = self.index.global_index.sparkSession
+                spark = index.global_index.sparkSession
                 return spark.sql(f"SELECT CAST({len(keys)} AS BIGINT) AS n")
         return self.query(expr, auths=auths).agg(F.count("*").cast("long").alias("n"))
 

@@ -113,8 +113,15 @@ def delta_batches(spark: SparkSession, path: str) -> list[str]:
     )
 
 
-def write_delta(delta: WikisearchIndex, path: str, batch_id: int | str) -> None:
+def write_delta(
+    delta: WikisearchIndex,
+    path: str,
+    batch_id: int | str,
+    on_folded: str = "raise",
+) -> bool:
     """Flush one ingest batch as ``{path}/deltas/{batch_id}/{table}``.
+    Returns True when the batch was written, False when an already-folded
+    id was skipped (``on_folded="skip"``).
 
     The minor-compaction flush: small files, no repartition (the batch is
     micro-batch-sized), no rewrite of the base. ``build_index`` on the new
@@ -122,26 +129,58 @@ def write_delta(delta: WikisearchIndex, path: str, batch_id: int | str) -> None:
 
     Batch ids must be fresh ACROSS COMPACTIONS: a compaction records the
     ids it folded in the catalog manifest (their dirs linger only as
-    reader grace), so re-flushing under a retired id would overwrite a
-    grace dir whose name every new load EXCLUDES — the batch would be
-    silently invisible and later deleted by retention. Raised here loudly
-    instead (hits e.g. a restarted stream whose fresh checkpoint restarts
-    Spark's batchId at 0 — give each stream incarnation its own id
-    prefix). Re-flushing a still-PENDING id remains allowed: that is the
-    crash-retry overwrite."""
+    reader grace), so re-flushing under a retired id would land in a dir
+    every new load EXCLUDES — silently invisible and later deleted by
+    retention. ``on_folded`` picks the semantics when the id is already
+    folded:
+
+    - ``"raise"`` (default, manual flushes): loud error — a fresh-
+      checkpoint stream restart that reuses Spark's batchId 0 with NEW
+      content must pick a new id (e.g. an incarnation prefix), not lose
+      data.
+    - ``"skip"``: idempotent no-op — the AT-LEAST-ONCE replay semantics
+      ``stream_ingest_deltas`` needs. A foreachBatch replay re-delivers
+      the SAME deterministic batch content (the offset log pins the
+      input files), so if a compaction folded the id in between, the
+      data is already in the base and re-raising would crash-loop the
+      restarted query forever.
+
+    Re-flushing a still-PENDING id is always allowed (crash-retry
+    overwrite). Single-maintenance-writer contract: flushes, compactions
+    and streaming rewrites of one catalog must not run concurrently with
+    EACH OTHER (readers are lock-free — that is what the manifest
+    protects); the post-write re-check below converts the cross-writer
+    misuse (a compaction folding this id mid-flush) into a loud error
+    instead of silent invisibility."""
+    assert on_folded in ("raise", "skip")
     spark = delta.documents.sparkSession
     from accumulo_wikisearch_spark.operators.manifest import folded_deltas
 
-    if str(batch_id) in folded_deltas(spark, path):
+    def _folded() -> bool:
+        return str(batch_id) in folded_deltas(spark, path)
+
+    if _folded():
+        if on_folded == "skip":
+            return False
         raise ValueError(
             f"write_delta: batch id {batch_id!r} was already FOLDED by a"
             f" compaction of {path} — its directory is retired reader-grace"
             f" space and new loads exclude the name. Use a fresh batch id"
-            f" (e.g. prefix stream restarts with an incarnation token)."
+            f" (e.g. prefix stream restarts with an incarnation token), or"
+            f" on_folded='skip' for at-least-once replays of identical"
+            f" content."
         )
     base = f"{path}/deltas/{batch_id}"
     for name in _ALL_TABLES:
         getattr(delta, name).write.mode("overwrite").parquet(f"{base}/{name}")
+    if _folded():
+        raise RuntimeError(
+            f"write_delta: a concurrent compaction folded batch {batch_id!r}"
+            f" while this flush was writing — the catalog's maintenance ops"
+            f" are single-writer; this flush's data may be excluded and"
+            f" must be re-flushed under a FRESH id."
+        )
+    return True
 
 
 def load_index_with_deltas(
@@ -478,7 +517,12 @@ def stream_ingest_deltas(
         if batch_df.isEmpty():
             return
         delta = build_index(batch_df, config, scalar_fields, text_col)
-        write_delta(delta, index_path, batch_id)
+        # on_folded="skip": foreachBatch is AT-LEAST-ONCE — a replay
+        # after a crash-between-flush-and-commit re-delivers the same
+        # deterministic batch; if a compaction folded it in between, the
+        # data is already in the base and raising would crash-loop the
+        # restarted query on the same batchId forever
+        write_delta(delta, index_path, batch_id, on_folded="skip")
 
     writer = stream_articles.writeStream.foreachBatch(process_batch).outputMode(
         "update"

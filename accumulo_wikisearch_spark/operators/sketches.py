@@ -138,13 +138,9 @@ def merge_registers(*sketches: DataFrame) -> DataFrame:
     guard in the merge pass catches metadata-poisoned unions (the
     histogram-domain enforcement pattern, applied to its sibling)."""
     if not _check_mixed_legacy(sketches, _HLL_SZ, "merge_registers"):
-        out = sketches[0]  # pre-sizing tables: caller's contract
-        for s in sketches[1:]:
-            out = out.unionByName(s)
+        out = _union_all(sketches)  # pre-sizing tables: caller's contract
         return out.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
-    out = sketches[0]
-    for s in sketches[1:]:
-        out = out.unionByName(s)
+    out = _union_all(sketches)
     szs = _sz_resolve(sketches, out, _HLL_SZ)
     if len(szs) > 1:
         raise ValueError(
@@ -212,13 +208,9 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     (≤ width×depth rows by construction), row-local poisoned-union
     guard — the histogram-domain enforcement pattern."""
     if not _check_mixed_legacy(sketches, _CMS_SZ, "cms_merge"):
-        out = sketches[0]  # pre-sizing tables: caller's contract
-        for s in sketches[1:]:
-            out = out.unionByName(s)
+        out = _union_all(sketches)  # pre-sizing tables: caller's contract
         return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
-    out = sketches[0]
-    for s in sketches[1:]:
-        out = out.unionByName(s)
+    out = _union_all(sketches)
     szs = _sz_resolve(sketches, out, _CMS_SZ)
     if len(szs) > 1:
         raise ValueError(
@@ -266,13 +258,9 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     metadata-poisoned unions. Pre-sizing tables keep the old
     caller's-contract behavior."""
     if not _check_mixed_legacy(blooms, _BLOOM_SZ, "bloom_merge"):
-        out = blooms[0]  # pre-sizing tables: caller's contract
-        for b in blooms[1:]:
-            out = out.unionByName(b)
+        out = _union_all(blooms)  # pre-sizing tables: caller's contract
         return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
-    out = blooms[0]
-    for b in blooms[1:]:
-        out = out.unionByName(b)
+    out = _union_all(blooms)
     szs = _sz_resolve(blooms, out, _BLOOM_SZ)
     if len(szs) > 1:
         raise ValueError(
@@ -417,6 +405,15 @@ def _sz_from_data(df: DataFrame, names: tuple[str, ...]) -> list[tuple]:
     n_buckets×groups rows — never O(data))."""
     rows = df.select(*names).distinct().collect()
     return sorted(tuple(r[c] for c in names) for r in rows)
+
+
+def _union_all(frames) -> DataFrame:
+    """unionByName fold over ≥1 sketch tables — the single definition of
+    the merge functions' stacking step (8 call sites)."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _check_mixed_legacy(
@@ -572,13 +569,9 @@ def hist_merge(*hists: DataFrame) -> DataFrame:
     must merge should share ONE pre-derived domain via
     :func:`hist_build`."""
     if not _check_mixed_legacy(hists, _HIST_SZ, "hist_merge"):
-        out = hists[0]  # pre-domain tables: caller's contract
-        for h in hists[1:]:
-            out = out.unionByName(h)
+        out = _union_all(hists)  # pre-domain tables: caller's contract
         return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
-    out = hists[0]
-    for h in hists[1:]:
-        out = out.unionByName(h)
+    out = _union_all(hists)
     metas = [_dom_from_schema(h) for h in hists]
     if all(m is not None for m in metas) and len(set(metas)) == 1:
         doms = [metas[0]]
