@@ -1024,6 +1024,16 @@ def queries():
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         return cms_heavy_hitters(events, "user_id", 70)
 
+    def _hist_quantile(spark, sf_dir):
+        # the quantile endpoint over a carried-domain table: median event
+        # value per type, error ≤ one bucket width. Exactness: with the
+        # default [0, 512]×256 domain the bucket width is exactly 2.0,
+        # so every estimate is an exactly-representable double both
+        # engines compute identically (lo + (b+1)·width)
+        tune_runtime(spark)
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return hist_quantile(hist_build(events, "event_type", "value"), 0.5)
+
     def _bloom_sized(spark, sf_dir):
         # NON-DEFAULT geometry (32 words, 4 hashes), probed WITHOUT
         # re-supplying it: bloom_probe resolves the sizing from the
@@ -1072,6 +1082,7 @@ def queries():
         "sketch_hll_string": _registers_string,
         "sketch_hist_merge": _hist,
         "sketch_hist_auto": _hist_auto,
+        "sketch_hist_quantile": _hist_quantile,
     }
 
 
@@ -1272,6 +1283,28 @@ SELECT event_type AS grp,
 FROM events
 WHERE value IS NOT NULL
 GROUP BY 1, 2
+""",
+        # the quantile endpoint: cumulative scan over the direct-build
+        # histogram; estimates are exact multiples of the 2.0 bucket
+        # width, so the doubles hash-match bit for bit
+        "sketch_hist_quantile": f"""
+WITH h AS (
+  SELECT event_type AS grp,
+         greatest(least(floor(((value::DOUBLE - CAST({0.0!r} AS DOUBLE)) * CAST({256.0!r} AS DOUBLE)) / CAST({512.0!r} AS DOUBLE))::BIGINT, 255), 0) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), c AS (
+  SELECT grp, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS total
+  FROM h
+), hit AS (
+  SELECT grp, min(bucket) AS b FROM c WHERE cum >= 0.5 * total GROUP BY grp
+)
+SELECT grp,
+       CAST({0.0!r} AS DOUBLE)
+         + (b + 1) * ((CAST({512.0!r} AS DOUBLE) - CAST({0.0!r} AS DOUBLE)) / 256) AS est
+FROM hit
 """,
         # the auto-domain twin: the oracle re-derives the SAME min/max in
         # SQL (exact IEEE ops → identical doubles → identical buckets)
