@@ -95,3 +95,57 @@ def test_stream_ingest_foreachbatch(spark):
 
         got = sorted(x["doc_id"] for x in Wikisearch(idx).query("TEXT == 'alpha'").collect())
         assert got == [1, 2]
+
+
+def test_concurrent_queries_during_stream_ingest(spark):
+    """The streaming twin of the compaction concurrency test: a facade
+    queried in a loop while stream_ingest rewrites the catalog in place
+    (one generation adoption per micro-batch) must see zero errors and
+    only VALID counts — each answer is the doc count of some prefix of
+    the batch sequence, monotonically growing, never a mixed-generation
+    or FILE_NOT_FOUND read. The facade self-heals onto each new manifest
+    version mid-loop ('query during ingest', reference README.md:206-219)."""
+    import threading
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+
+    with tempfile.TemporaryDirectory() as tmp:
+        base = _arts(
+            spark, [(i, "enwiki", "tok base", f"t{i}") for i in range(5)]
+        )
+        write_index(build_index(base, CFG, SF), f"{tmp}/index")
+        eng = Wikisearch(load_index(spark, f"{tmp}/index", CFG))
+        assert eng.query("TEXT == 'tok'").count() == 5
+
+        # three single-file batches → three in-place rewrites
+        for b in range(3):
+            _arts(
+                spark, [(100 + b * 10 + j, "enwiki", "tok", f"n{b}{j}") for j in range(2)]
+            ).coalesce(1).write.parquet(f"{tmp}/incoming/b{b}")
+
+        stream = (
+            spark.readStream.schema(
+                "id long, language string, text string, title string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/incoming/*")
+        )
+        q = (
+            stream_ingest(stream, f"{tmp}/index", CFG, SF, checkpoint=f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        errors, counts = [], []
+        try:
+            while q.isActive:
+                counts.append(eng.query("TEXT == 'tok'").count())
+        except Exception as e:  # pragma: no cover - the assertion target
+            errors.append(e)
+        assert q.awaitTermination(300), "stream did not finish in time"
+        for _ in range(3):
+            counts.append(eng.query("TEXT == 'tok'").count())
+        assert not errors, errors
+        valid = {5, 7, 9, 11}  # prefixes of the batch sequence
+        assert set(counts) <= valid, sorted(set(counts))
+        assert counts[-1] == 11  # healed onto the final generation
+        assert counts == sorted(counts), "doc count must grow monotonically"
