@@ -303,6 +303,21 @@ def hll_estimate(registers: DataFrame, n_buckets: int | None = None) -> DataFram
     m = _resolve_sizing(
         registers, _HLL_SZ, (n_buckets,), (256,), "hll_estimate"
     )[0]
+    if _HLL_SZ[0] in registers.columns:
+        # row-local guard (see bloom_probe): registers from a different
+        # n_buckets would be aggregated under the wrong m
+        registers = registers.select(
+            "grp",
+            "bucket",
+            _sz_guard(
+                (m,),
+                _HLL_SZ,
+                F.col("rho"),
+                "hll_estimate: register rows carry a different n_buckets "
+                "than the table's declared sizing — the table mixes "
+                "incompatible builds",
+            ).alias("rho"),
+        )
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = registers.groupBy("grp").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_sum_pow"),
@@ -777,7 +792,24 @@ def bloom_probe(
         (64, 60, 3),
         "bloom_probe",
     )
-    bloom = bloom.select("word", "bits")  # sizing cols would collide below
+    if _BLOOM_SZ[0] in bloom.columns:
+        # row-local guard on the (broadcast-tiny) filter side: a
+        # metadata-poisoned union passes the schema fast path above, and
+        # probing its minority-sizing words reads the WRONG bits — the
+        # false-negative failure mode. Same defense the merges carry.
+        bloom = bloom.select(
+            "word",
+            _sz_guard(
+                (n_words, bits_per_word, n_hashes),
+                _BLOOM_SZ,
+                F.col("bits"),
+                "bloom_probe: filter rows carry a different Bloom sizing "
+                "than the table's declared one — the table mixes "
+                "incompatible builds",
+            ).alias("bits"),
+        )
+    else:
+        bloom = bloom.select("word", "bits")  # sizing cols would collide below
     m = n_words * bits_per_word
     pts = df.select(
         F.col(key_col).alias("key"),
@@ -873,7 +905,24 @@ def cms_estimate(
     width, depth = _resolve_sizing(
         cms, _CMS_SZ, (width, depth), (1024, 3), "cms_estimate"
     )
-    cms = cms.select("row", "col", "cnt")  # sizing cols would collide below
+    if _CMS_SZ[0] in cms.columns:
+        # row-local guard (see bloom_probe): poisoned-union cells under a
+        # different (width, depth) map keys to the wrong counters — the
+        # undercount failure mode CMS promises never to have
+        cms = cms.select(
+            "row",
+            "col",
+            _sz_guard(
+                (width, depth),
+                _CMS_SZ,
+                F.col("cnt"),
+                "cms_estimate: counter rows carry a different CMS sizing "
+                "than the table's declared one — the table mixes "
+                "incompatible builds",
+            ).alias("cnt"),
+        )
+    else:
+        cms = cms.select("row", "col", "cnt")  # sizing cols would collide below
     pts = df.select(
         F.col(key_col).alias("key"),
         F.explode(
@@ -941,6 +990,17 @@ def _over_threshold_member(
             cms, _CMS_SZ, (width, depth), (1024, 3), "cms_candidate_keys"
         )
     hot = cms.where(F.col("cnt") >= threshold).collect()
+    if _CMS_SZ[0] in cms.columns:
+        # the rows are on the driver anyway — reject poisoned-union cells
+        # whose sizing differs from the resolved geometry (their (row,
+        # col) coordinates live in a different counter grid)
+        for c in hot:
+            if (c["cms_w"], c["cms_d"]) != (width, depth):
+                raise ValueError(
+                    "cms_candidate_keys: counter rows carry a different "
+                    "CMS sizing than the table's declared one — the "
+                    "table mixes incompatible builds"
+                )
     words_per_row = (width + 59) // 60  # 60 usable bits/long (sign-safe)
     bitmaps = [[0] * words_per_row for _ in range(depth)]
     for c in hot:

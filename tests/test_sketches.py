@@ -586,3 +586,41 @@ def test_mixed_legacy_and_sized_merge_raises_clearly(spark):
     sized_regs = hll_registers(df, "g", "v")
     with _pytest.raises(ValueError, match="legacy"):
         merge_registers(sized_regs, sized_regs.select("grp", "bucket", "rho"))
+
+
+def test_probe_endpoints_reject_poisoned_tables(spark):
+    """The probe/estimate endpoints carry the same row-local guard as
+    the merges: a metadata-poisoned union (schema says one sizing, rows
+    carry two) must raise at action instead of probing minority-sizing
+    cells — for Bloom that failure mode is a FALSE NEGATIVE, for CMS an
+    undercount, for HLL a wrong-m estimate."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from accumulo_wikisearch_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+        cms_candidate_keys,
+        cms_estimate,
+    )
+
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    pb = bloom_build(keys, "k", n_words=64).unionByName(
+        bloom_build(keys, "k", n_words=32)
+    )
+    with _pytest.raises(PySparkException, match="different Bloom sizing"):
+        bloom_probe(keys, "k", pb).collect()
+    pc = cms_build(keys, "k", width=1024).unionByName(
+        cms_build(keys, "k", width=512)
+    )
+    with _pytest.raises(PySparkException, match="different CMS sizing"):
+        cms_estimate(keys, "k", pc).collect()
+    with _pytest.raises(ValueError, match="different CMS sizing"):
+        cms_candidate_keys(keys, "k", 1, cms=pc).collect()
+    df = keys.select(F.lit("g").alias("g"), F.col("k").alias("v"))
+    pr = hll_registers(df, "g", "v", n_buckets=256).unionByName(
+        hll_registers(df, "g", "v", n_buckets=128)
+    )
+    with _pytest.raises(PySparkException, match="different n_buckets"):
+        hll_estimate(pr).collect()
