@@ -303,21 +303,9 @@ def hll_estimate(registers: DataFrame, n_buckets: int | None = None) -> DataFram
     m = _resolve_sizing(
         registers, _HLL_SZ, (n_buckets,), (256,), "hll_estimate"
     )[0]
-    if _HLL_SZ[0] in registers.columns:
-        # row-local guard (see bloom_probe): registers from a different
-        # n_buckets would be aggregated under the wrong m
-        registers = registers.select(
-            "grp",
-            "bucket",
-            _sz_guard(
-                (m,),
-                _HLL_SZ,
-                F.col("rho"),
-                "hll_estimate: register rows carry a different n_buckets "
-                "than the table's declared sizing — the table mixes "
-                "incompatible builds",
-            ).alias("rho"),
-        )
+    registers = _guarded_table(
+        registers, _HLL_SZ, (m,), ("grp", "bucket"), "rho", "hll_estimate", "register"
+    )
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = registers.groupBy("grp").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_sum_pow"),
@@ -465,6 +453,37 @@ def _sz_resolve(
     if all(m is not None for m in metas) and len(set(metas)) == 1:
         return [metas[0]]
     return _sz_from_data(union, names)
+
+
+def _guarded_table(
+    df: DataFrame,
+    names: tuple[str, ...],
+    expected: tuple,
+    keep_cols: tuple[str, ...],
+    value_col: str,
+    fn_name: str,
+    noun: str,
+) -> DataFrame:
+    """The probe/estimate endpoints' poisoning defense, shared: when the
+    sketch table carries sizing columns, project it down to its payload
+    with every row's sizing checked against the RESOLVED one (see
+    :func:`_sz_guard`); legacy tables just drop to the payload columns.
+    The guard evaluates per row inside whatever job consumes the table —
+    aggregation, broadcast build, or a threshold filter — so poisoned
+    rows raise at action time even when a downstream predicate would
+    have filtered them out."""
+    if names[0] not in df.columns:
+        return df.select(*keep_cols, value_col)
+    return df.select(
+        *keep_cols,
+        _sz_guard(
+            expected,
+            names,
+            F.col(value_col),
+            f"{fn_name}: {noun} rows carry a different sizing than the "
+            "table's declared one — the table mixes incompatible builds",
+        ).alias(value_col),
+    )
 
 
 def _sz_guard(expected: tuple, names: tuple[str, ...], out_col: Column, msg: str) -> Column:
@@ -792,24 +811,20 @@ def bloom_probe(
         (64, 60, 3),
         "bloom_probe",
     )
-    if _BLOOM_SZ[0] in bloom.columns:
-        # row-local guard on the (broadcast-tiny) filter side: a
-        # metadata-poisoned union passes the schema fast path above, and
-        # probing its minority-sizing words reads the WRONG bits — the
-        # false-negative failure mode. Same defense the merges carry.
-        bloom = bloom.select(
-            "word",
-            _sz_guard(
-                (n_words, bits_per_word, n_hashes),
-                _BLOOM_SZ,
-                F.col("bits"),
-                "bloom_probe: filter rows carry a different Bloom sizing "
-                "than the table's declared one — the table mixes "
-                "incompatible builds",
-            ).alias("bits"),
-        )
-    else:
-        bloom = bloom.select("word", "bits")  # sizing cols would collide below
+    # row-local guard on the (broadcast-tiny) filter side: a metadata-
+    # poisoned union passes the schema fast path above, and probing its
+    # minority-sizing words reads the WRONG bits — the false-negative
+    # failure mode. Same defense the merges carry; also drops the sizing
+    # columns, which would collide with the probe join below.
+    bloom = _guarded_table(
+        bloom,
+        _BLOOM_SZ,
+        (n_words, bits_per_word, n_hashes),
+        ("word",),
+        "bits",
+        "bloom_probe",
+        "filter",
+    )
     m = n_words * bits_per_word
     pts = df.select(
         F.col(key_col).alias("key"),
@@ -905,24 +920,12 @@ def cms_estimate(
     width, depth = _resolve_sizing(
         cms, _CMS_SZ, (width, depth), (1024, 3), "cms_estimate"
     )
-    if _CMS_SZ[0] in cms.columns:
-        # row-local guard (see bloom_probe): poisoned-union cells under a
-        # different (width, depth) map keys to the wrong counters — the
-        # undercount failure mode CMS promises never to have
-        cms = cms.select(
-            "row",
-            "col",
-            _sz_guard(
-                (width, depth),
-                _CMS_SZ,
-                F.col("cnt"),
-                "cms_estimate: counter rows carry a different CMS sizing "
-                "than the table's declared one — the table mixes "
-                "incompatible builds",
-            ).alias("cnt"),
-        )
-    else:
-        cms = cms.select("row", "col", "cnt")  # sizing cols would collide below
+    # row-local guard (see bloom_probe): poisoned-union cells under a
+    # different (width, depth) map keys to the wrong counters — the
+    # undercount failure mode CMS promises never to have
+    cms = _guarded_table(
+        cms, _CMS_SZ, (width, depth), ("row", "col"), "cnt", "cms_estimate", "counter"
+    )
     pts = df.select(
         F.col(key_col).alias("key"),
         F.explode(
@@ -989,18 +992,16 @@ def _over_threshold_member(
         width, depth = _resolve_sizing(
             cms, _CMS_SZ, (width, depth), (1024, 3), "cms_candidate_keys"
         )
+    # guard BEFORE the threshold filter: a poisoned table whose
+    # minority-sizing cells are all SUB-threshold would otherwise pass
+    # silently and drop that build's hot keys from the candidate set (a
+    # CMS false negative) — guarding the projection makes every row
+    # evaluate during this collect job, like the sibling endpoints
+    cms = _guarded_table(
+        cms, _CMS_SZ, (width, depth), ("row", "col"), "cnt",
+        "cms_candidate_keys", "counter",
+    )
     hot = cms.where(F.col("cnt") >= threshold).collect()
-    if _CMS_SZ[0] in cms.columns:
-        # the rows are on the driver anyway — reject poisoned-union cells
-        # whose sizing differs from the resolved geometry (their (row,
-        # col) coordinates live in a different counter grid)
-        for c in hot:
-            if (c["cms_w"], c["cms_d"]) != (width, depth):
-                raise ValueError(
-                    "cms_candidate_keys: counter rows carry a different "
-                    "CMS sizing than the table's declared one — the "
-                    "table mixes incompatible builds"
-                )
     words_per_row = (width + 59) // 60  # 60 usable bits/long (sign-safe)
     bitmaps = [[0] * words_per_row for _ in range(depth)]
     for c in hot:

@@ -609,18 +609,28 @@ def test_probe_endpoints_reject_poisoned_tables(spark):
     pb = bloom_build(keys, "k", n_words=64).unionByName(
         bloom_build(keys, "k", n_words=32)
     )
-    with _pytest.raises(PySparkException, match="different Bloom sizing"):
+    with _pytest.raises(PySparkException, match="different sizing"):
         bloom_probe(keys, "k", pb).collect()
     pc = cms_build(keys, "k", width=1024).unionByName(
         cms_build(keys, "k", width=512)
     )
-    with _pytest.raises(PySparkException, match="different CMS sizing"):
+    with _pytest.raises(PySparkException, match="different sizing"):
         cms_estimate(keys, "k", pc).collect()
-    with _pytest.raises(ValueError, match="different CMS sizing"):
+    with _pytest.raises(PySparkException, match="different sizing"):
         cms_candidate_keys(keys, "k", 1, cms=pc).collect()
+    # the r10 second-pass hole: minority-sizing cells all SUB-threshold
+    # (each key once in the 512 build, threshold far above) must STILL
+    # raise — a post-filter guard would never see them and silently drop
+    # that build's hot keys from the candidate set
+    hot = spark.range(0, 500).select(F.lit(7).cast("long").alias("k"))
+    pc2 = cms_build(hot, "k", width=1024).unionByName(
+        cms_build(keys, "k", width=512)
+    )
+    with _pytest.raises(PySparkException, match="different sizing"):
+        cms_candidate_keys(hot, "k", 400, cms=pc2).collect()
     df = keys.select(F.lit("g").alias("g"), F.col("k").alias("v"))
     pr = hll_registers(df, "g", "v", n_buckets=256).unionByName(
         hll_registers(df, "g", "v", n_buckets=128)
     )
-    with _pytest.raises(PySparkException, match="different n_buckets"):
+    with _pytest.raises(PySparkException, match="different sizing"):
         hll_estimate(pr).collect()

@@ -105,8 +105,6 @@ def test_concurrent_queries_during_stream_ingest(spark):
     the batch sequence, monotonically growing, never a mixed-generation
     or FILE_NOT_FOUND read. The facade self-heals onto each new manifest
     version mid-loop ('query during ingest', reference README.md:206-219)."""
-    import threading
-
     from accumulo_wikisearch_spark.api import Wikisearch
 
     with tempfile.TemporaryDirectory() as tmp:
