@@ -34,18 +34,23 @@ _TEXT_MATCH_RE = re.compile(
 
 class Wikisearch:
     """Facade over ONE catalog. The cardinality/uid-posting and plan
-    caches assume the index does not change underneath them, so
-    incremental paths (streaming merge, deltas) construct NEW
-    WikisearchIndex instances — wrap those in a fresh Wikisearch.
+    caches assume the index does not change underneath them; in-memory
+    indexes (``build_index`` / ``incremental_update`` results) are
+    immutable by construction, so updating one means wrapping the new
+    WikisearchIndex in a fresh Wikisearch.
 
-    DISK catalogs self-heal: every rewrite (compaction, streaming
-    ingest) bumps the catalog's manifest version atomically
-    (``operators/manifest.py``), and ``_planned`` compares it per query
-    (one FS listing) — on change it reloads the whole catalog (fresh
-    file listings) and drops every cache. Z-ordered catalogs keep the
-    additional sidecar-epoch comparison (it also covers legacy z stores
-    rewritten before the manifest existed), since a cached plan embeds
-    the layout's prune literals."""
+    DISK catalogs self-heal — the facade's answers track the store with
+    the reference's queries-see-writes-during-ingest freshness
+    (README.md:206-219): every rewrite (compaction, streaming rewrite)
+    bumps the catalog's manifest version atomically
+    (``operators/manifest.py``), every ``write_delta`` /
+    ``stream_ingest_deltas`` flush changes the pending-delta name set,
+    and ``_planned`` compares BOTH per query (two FS listings) — on
+    change it reloads the catalog through the merge-read view (fresh
+    file listings, pending deltas folded) and drops every cache.
+    Z-ordered catalogs keep the additional sidecar-epoch comparison (it
+    also covers legacy z stores rewritten before the manifest existed),
+    since a cached plan embeds the layout's prune literals."""
 
     def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
         import threading
@@ -66,6 +71,27 @@ class Wikisearch:
         # without it, racing threads trigger redundant reloads and the
         # FIFO eviction can race a clear() into a KeyError
         self._heal_lock = threading.Lock()
+        # (manifest_version, frozenset of folded delta names): manifests
+        # are immutable and retention only changes the set when a new
+        # version publishes, so the folded exclusion set is cacheable per
+        # version — the pending-delta probe then costs ONE listStatus of
+        # {path}/deltas instead of re-opening every manifest per query
+        self._folded_cache: tuple | None = None
+
+    def _pending_deltas(self, spark, path: str, mv: int | None) -> frozenset:
+        """Names of PENDING delta batches on disk right now — one
+        listStatus of ``{path}/deltas`` (the folded-name exclusion set is
+        served from the per-manifest-version cache)."""
+        from accumulo_wikisearch_spark.operators.compaction import delta_batches
+        from accumulo_wikisearch_spark.operators.manifest import folded_deltas
+
+        cached = self._folded_cache
+        if cached is not None and cached[0] == mv:
+            folded = cached[1]
+        else:
+            folded = frozenset(folded_deltas(spark, path))
+            self._folded_cache = (mv, folded)
+        return frozenset(delta_batches(spark, path, folded=folded))
 
     @classmethod
     def ingest(
@@ -97,15 +123,25 @@ class Wikisearch:
                 # the universal freshness probe: every catalog rewrite
                 # bumps the manifest version atomically, so ONE listing
                 # detects compaction/streaming rewrites on flat catalogs
-                # too (the z sidecar epoch only covered z stores)
+                # too (the z sidecar epoch only covered z stores); a
+                # SECOND listing of {path}/deltas catches newly-flushed
+                # PENDING batches, which bump neither marker — without
+                # it a long-lived facade over a stream_ingest_deltas
+                # catalog misses streamed rows until the next compaction
+                # (the reference's queries see writes DURING ingest,
+                # README.md:206-219)
                 from accumulo_wikisearch_spark.operators.manifest import (
                     manifest_version,
                 )
 
-                mv = manifest_version(
-                    self.index.docs_wide.sparkSession, self.index.catalog_path
+                spark = self.index.docs_wide.sparkSession
+                mv = manifest_version(spark, self.index.catalog_path)
+                pending = self._pending_deltas(spark, self.index.catalog_path, mv)
+                stale = (
+                    stale
+                    or mv != self.index.manifest_version
+                    or pending != frozenset(self.index.merged_deltas or ())
                 )
-                stale = stale or mv != self.index.manifest_version
             if stale and self.index.catalog_path is not None:
                 # the store was rewritten IN PLACE (compaction / streaming
                 # rewrite): old DataFrames' file listings will age out of

@@ -526,6 +526,54 @@ def _ws_bucketed_and3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+_DELTA_FRESH_CATALOGS: dict[str, str] = {}
+
+
+def _ws_facade_delta_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's pending-delta freshness (r11): 90% of the wiki corpus
+    is the at-rest base catalog; the facade is constructed over the plain
+    base-only load and WARMED, then the remaining 10% arrives as a
+    minor-compaction flush (write_delta — which bumps NEITHER the
+    manifest version nor the z epoch). The next query's freshness probe
+    must detect the new pending-delta name and upgrade to the merge-read
+    view with no manual reload — the reference's queries see writes
+    DURING ingest (reference README.md:206-219). Oracle = the brute-force
+    filter over the FULL corpus: a stale facade misses every delta match."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import write_delta
+    from accumulo_wikisearch_spark.operators.ingest import (
+        build_index,
+        load_index,
+        write_index,
+    )
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=frozenset({"TEXT"}))
+    jexl = "TEXT == 'dup' and TEXT == 'key'"
+    path = _DELTA_FRESH_CATALOGS.get(sf_dir)
+    if path is None:
+        arts = load_articles(spark, sf_dir)
+        base = arts.where(F.col("id") % 10 != 3)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-freshcat-")
+        write_index(build_index(base, cfg, SCALAR_FIELDS, unique_ids=True), tmp)
+        eng = Wikisearch(load_index(spark, tmp, cfg))
+        eng.query(jexl).count()  # warm: base-only answer, plan cached
+        delta = build_index(
+            arts.where(F.col("id") % 10 == 3), cfg, SCALAR_FIELDS, unique_ids=True
+        )
+        write_delta(delta, tmp, 0)
+        path = _DELTA_FRESH_CATALOGS[sf_dir] = tmp
+    else:
+        # cache hit: the delta is already pending; a fresh base-only
+        # facade still proves the probe (first query must fold it)
+        eng = Wikisearch(load_index(spark, path, cfg))
+    return eng.query(jexl).select("doc_id")
+
+
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqFieldNameValueIterator parity: distinct values in a range."""
     tune_runtime(spark)
@@ -562,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_metadata_freq"] = _ws_metadata_freq
     out["ws_written_and3"] = _ws_written_and3
     out["ws_bucketed_and3"] = _ws_bucketed_and3
+    out["ws_facade_delta_freshness"] = _ws_facade_delta_freshness
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
@@ -825,6 +874,14 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         f"AND list_contains({TOK},'vector') AND list_contains({TOK},'the')"
     )
     out["ws_bucketed_and3"] = out["ws_written_and3"]
+    # same truth as ws_and2 over the FULL corpus — the entry differs in
+    # the physical path (base catalog + pending delta folded by the
+    # facade's freshness probe); a stale facade would miss the ~10% of
+    # matches that live in the flushed delta
+    out["ws_facade_delta_freshness"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
+        f"AND list_contains({TOK},'key')"
+    )
     out["ws_metadata_freq"] = (
         "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "
         "FROM documents, (VALUES ('ID'),('SOURCE'),('NCHARS'),('LANG')) AS f(field) "

@@ -94,22 +94,31 @@ def _fs(spark: SparkSession, path: str):
     return fs, hpath, jvm
 
 
-def delta_batches(spark: SparkSession, path: str) -> list[str]:
+def delta_batches(
+    spark: SparkSession, path: str, folded: set[str] | None = None
+) -> list[str]:
     """PENDING delta batch directories under ``{path}/deltas`` — batches a
     compaction already folded are excluded (their dirs linger only as
     reader grace for merge-reads planned before the swap; merging them
     again would double-count) and are physically removed when the
-    manifest that folded them retires."""
+    manifest that folded them retires. ``folded`` supplies a precomputed
+    exclusion set (the facade's per-manifest-version cache) so the call
+    stays ONE listStatus."""
     from accumulo_wikisearch_spark.operators.manifest import folded_deltas
 
     fs, hpath, _ = _fs(spark, f"{path}/deltas")
     if not fs.exists(hpath):
         return []
-    done = folded_deltas(spark, path)
+    done = folded_deltas(spark, path) if folded is None else folded
     return sorted(
         st.getPath().getName()
         for st in fs.listStatus(hpath)
-        if st.isDirectory() and st.getPath().getName() not in done
+        if st.isDirectory()
+        and st.getPath().getName() not in done
+        # in-progress flushes stage under a hidden name and publish by
+        # ONE directory rename — a lock-free reader (merge-read load or
+        # the facade's freshness probe) must never see half a batch
+        and not st.getPath().getName().startswith((".", "_"))
     )
 
 
@@ -119,9 +128,11 @@ def write_delta(
     batch_id: int | str,
     on_folded: str = "raise",
 ) -> bool:
-    """Flush one ingest batch as ``{path}/deltas/{batch_id}/{table}``.
-    Returns True when the batch was written, False when an already-folded
-    id was skipped (``on_folded="skip"``).
+    """Flush one ingest batch as ``{path}/deltas/{batch_id}/{table}``,
+    published ATOMICALLY (tables land in a hidden staging dir, one rename
+    makes the batch visible — see :func:`_publish_delta`). Returns True
+    when the batch was written, False when an already-folded id was
+    skipped (``on_folded="skip"``).
 
     The minor-compaction flush: small files, no repartition (the batch is
     micro-batch-sized), no rewrite of the base. ``build_index`` on the new
@@ -171,8 +182,10 @@ def write_delta(
             f" content."
         )
     base = f"{path}/deltas/{batch_id}"
+    staged = f"{path}/deltas/._staged_{batch_id}"
     for name in _ALL_TABLES:
-        getattr(delta, name).write.mode("overwrite").parquet(f"{base}/{name}")
+        getattr(delta, name).write.mode("overwrite").parquet(f"{staged}/{name}")
+    _publish_delta(spark, staged, base)
     if _folded():
         raise RuntimeError(
             f"write_delta: a concurrent compaction folded batch {batch_id!r}"
@@ -181,6 +194,37 @@ def write_delta(
             f" must be re-flushed under a FRESH id."
         )
     return True
+
+
+def _publish_delta(spark: SparkSession, staged: str, final: str) -> None:
+    """Make a staged delta batch visible ATOMICALLY: one directory rename
+    from the hidden staging name to the batch name. Lock-free readers
+    (merge-read loads, the facade's pending-delta freshness probe) list
+    batch names — they either see the whole committed batch or none of
+    it, never a half-flushed one (the minor-compaction analogue of the
+    manifest's atomic generation adoption; without it, a facade healing
+    mid-flush would plan against partial tables and, because the batch
+    NAME doesn't change when the flush completes, stay stale on them).
+
+    When the destination already exists (crash-retry overwrite of a
+    still-pending id, or a tombstone flush joining an existing data
+    batch), children move one by one instead — the abnormal/auxiliary
+    path, documented as such."""
+    fs, _, jvm = _fs(spark, final)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(HPath(final)) and fs.rename(HPath(staged), HPath(final)):
+        return
+    for st in fs.listStatus(HPath(staged)):
+        child = st.getPath().getName()
+        dst = HPath(f"{final}/{child}")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(st.getPath(), dst):
+            raise RuntimeError(
+                f"_publish_delta: rename {staged}/{child} -> {final}/{child}"
+                " failed; the batch remains staged and invisible to readers"
+            )
+    fs.delete(HPath(staged), True)
 
 
 def load_index_with_deltas(
@@ -224,7 +268,11 @@ def load_index_with_deltas(
     else:
         merged = _fold_deltas(index, stacked, config)
     tombs = _stacked_tombstones(spark, path, batches)
-    return apply_tombstones(merged, tombs) if tombs is not None else merged
+    out = apply_tombstones(merged, tombs) if tombs is not None else merged
+    # record WHICH pending batches this view folded: the facade's
+    # freshness probe compares it against the live pending set per query
+    out.merged_deltas = tuple(batches)
+    return out
 
 
 def _fold_deltas(index: WikisearchIndex, stacked, config: EngineConfig) -> WikisearchIndex:
@@ -337,13 +385,15 @@ def compact_index(
         merged.reverse_index = rebuild_global_index(
             merged.field_index, config.uid_max, reverse=True
         )
-    # count the CURRENT generation plus the PENDING deltas only —
-    # retained previous-generation files and already-folded delta dirs
-    # are reader grace space, not catalog size (counting them would
-    # inflate the files_before/files_after compact-now signal)
-    files_before = _count_files(spark, root) + sum(
-        _count_files(spark, f"{path}/deltas/{b}") for b in batches
-    )
+    # count the CURRENT generation's TABLE directories plus the PENDING
+    # deltas only — retained previous-generation files and already-folded
+    # delta dirs are reader grace space, not catalog size, and on a
+    # legacy catalog root == path, where a recursive root count would
+    # sweep in deltas/ (double-counting every pending batch) and any
+    # orphan gen-* dir, skewing the compact-now signal
+    files_before = sum(
+        _count_files(spark, f"{root}/{t}") for t in _ALL_TABLES
+    ) + sum(_count_files(spark, f"{path}/deltas/{b}") for b in batches)
 
     tmp = f"{path}/_compact_tmp"
     write_index(merged, tmp, zorder=zorder)
@@ -359,7 +409,9 @@ def compact_index(
     return {
         "n_deltas": len(batches),
         "files_before": files_before,
-        "files_after": _count_files(spark, new_root),
+        "files_after": sum(
+            _count_files(spark, f"{new_root}/{t}") for t in _ALL_TABLES
+        ),
     }
 
 
@@ -375,13 +427,51 @@ def _count_files(spark: SparkSession, path: str) -> int:
     return n
 
 
-def write_tombstones(doc_ids: DataFrame, path: str, batch_id: int | str) -> None:
+def write_tombstones(
+    doc_ids: DataFrame, path: str, batch_id: int | str, on_folded: str = "raise"
+) -> bool:
     """Flush a deletion batch: doc ids whose documents are removed from the
     catalog — Accumulo's delete markers, which likewise shadow cells at
     merge time rather than rewriting files. ``doc_ids`` needs a ``doc_id``
-    column."""
+    column.
+
+    Batch-id freshness is enforced exactly like :func:`write_delta` (same
+    pre-write raise / post-write re-check): a tombstone flush under an id a
+    compaction already FOLDED lands in retired reader-grace space that
+    every new load excludes and retention later deletes — the deleted
+    documents would silently RESURFACE, strictly worse than the data-delta
+    hole (missing rows are visible; undeleted rows are not). Returns True
+    when written, False when an already-folded id was skipped
+    (``on_folded="skip"``, the at-least-once replay semantics)."""
+    assert on_folded in ("raise", "skip")
+    spark = doc_ids.sparkSession
+    from accumulo_wikisearch_spark.operators.manifest import folded_deltas
+
+    def _folded() -> bool:
+        return str(batch_id) in folded_deltas(spark, path)
+
+    if _folded():
+        if on_folded == "skip":
+            return False
+        raise ValueError(
+            f"write_tombstones: batch id {batch_id!r} was already FOLDED by"
+            f" a compaction of {path} — a tombstone flush under a retired id"
+            f" is excluded by every new load, so the deletes would silently"
+            f" never apply. Use a fresh batch id (e.g. an incarnation"
+            f" prefix), or on_folded='skip' for at-least-once replays."
+        )
     base = f"{path}/deltas/{batch_id}"
-    doc_ids.select("doc_id").write.mode("overwrite").parquet(f"{base}/tombstones")
+    staged = f"{path}/deltas/._staged_t_{batch_id}"
+    doc_ids.select("doc_id").write.mode("overwrite").parquet(f"{staged}/tombstones")
+    _publish_delta(spark, staged, base)
+    if _folded():
+        raise RuntimeError(
+            f"write_tombstones: a concurrent compaction folded batch"
+            f" {batch_id!r} while this flush was writing — maintenance ops"
+            f" are single-writer; re-flush the deletes under a FRESH id or"
+            f" they never apply."
+        )
+    return True
 
 
 def _stacked_tombstones(
@@ -420,6 +510,7 @@ def apply_tombstones(index: WikisearchIndex, tombstones: DataFrame) -> Wikisearc
         zlayout_path=index.zlayout_path,
         catalog_path=index.catalog_path,
         manifest_version=index.manifest_version,
+        merged_deltas=index.merged_deltas,
         # the planner's pruned base ∪ deltas view must shadow deletes too
         docs_wide_parts=(
             tuple(anti(p) for p in index.docs_wide_parts)
@@ -496,6 +587,22 @@ def catalog_stats(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str | None:
+    """The streaming query id persisted in ``{checkpoint}/metadata`` —
+    minted once at the query's FIRST start and kept for every restart of
+    the same checkpoint; a FRESH checkpoint (new or wiped directory)
+    mints a new id. Exactly the incarnation-token semantics delta ids
+    need. None when the file isn't there (pre-start, non-stream use)."""
+    from accumulo_wikisearch_spark.operators.manifest import _open_json
+
+    fs, _, jvm = _fs(spark, checkpoint)
+    body = _open_json(fs, jvm, f"{checkpoint}/metadata")
+    if body is None:
+        return None
+    qid = body.get("id")
+    return str(qid) if qid else None
+
+
 def stream_ingest_deltas(
     stream_articles: DataFrame,
     index_path: str,
@@ -503,6 +610,7 @@ def stream_ingest_deltas(
     scalar_fields: dict[str, str],
     text_col: str = "text",
     checkpoint: str | None = None,
+    incarnation: str | None = None,
 ):
     """Continuous ingest, LSM-style: each micro-batch flushes a delta
     (O(batch) work) instead of rewriting the whole catalog; readers use
@@ -510,19 +618,45 @@ def stream_ingest_deltas(
 
     This is the 100 TB shape of ``streaming/incremental.py:stream_ingest``
     (which rewrites the full index per batch — fine for small catalogs,
-    quadratic over a day of micro-batches at scale)."""
+    quadratic over a day of micro-batches at scale).
+
+    Delta ids are namespaced ``{incarnation}-{batchId}`` so the folded-id
+    skip (at-least-once replay safety) applies only WITHIN one stream
+    incarnation: Spark's raw batchIds restart at 0 on a fresh checkpoint,
+    and after any compaction a bare-batchId restart carrying NEW content
+    would silently skip-drop its first batches — the exact hole
+    ``write_delta``'s error message warns about. ``incarnation`` defaults
+    to the streaming query id persisted in ``{checkpoint}/metadata``
+    (stable across restarts of the same checkpoint — replays of identical
+    content still skip; re-minted for a fresh checkpoint — new content
+    gets fresh ids), or a random token when running checkpoint-less
+    (no offset log → no replay to dedupe)."""
+    import uuid as _uuid
+
     from accumulo_wikisearch_spark.operators.ingest import build_index
+
+    token: list[str] = [incarnation] if incarnation is not None else []
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if not token:
+            tok = (
+                _checkpoint_query_id(batch_df.sparkSession, checkpoint)
+                if checkpoint
+                else None
+            )
+            # the metadata file is written at query START, before any
+            # batch runs; the uuid fallback covers checkpoint-less runs
+            token.append(tok or _uuid.uuid4().hex[:12])
         delta = build_index(batch_df, config, scalar_fields, text_col)
         # on_folded="skip": foreachBatch is AT-LEAST-ONCE — a replay
         # after a crash-between-flush-and-commit re-delivers the same
         # deterministic batch; if a compaction folded it in between, the
         # data is already in the base and raising would crash-loop the
-        # restarted query on the same batchId forever
-        write_delta(delta, index_path, batch_id, on_folded="skip")
+        # restarted query on the same batchId forever. The incarnation
+        # prefix bounds the skip to THIS stream's own replays.
+        write_delta(delta, index_path, f"{token[0]}-{batch_id}", on_folded="skip")
 
     writer = stream_articles.writeStream.foreachBatch(process_batch).outputMode(
         "update"

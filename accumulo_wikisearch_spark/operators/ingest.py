@@ -77,6 +77,16 @@ class WikisearchIndex:
     # universal freshness marker a rewrite (compaction, streaming ingest)
     # bumps atomically, closing the self-heal gap flat catalogs had.
     manifest_version: int | None = None
+    # PENDING delta batches folded into this view at load time: () for a
+    # plain load (base only), the folded batch names for a merge-read,
+    # None for in-memory catalogs. The facade's freshness probe compares
+    # it per query against the on-disk pending set — write_delta /
+    # stream_ingest_deltas flush batches WITHOUT bumping the manifest
+    # (that's the point: O(batch) work, no rewrite), so the manifest
+    # version alone misses them and a long-lived facade would serve
+    # stale results until the next compaction; the reference's queries
+    # see writes DURING ingest (README.md:206-219).
+    merged_deltas: tuple | None = None
 
     # merge-read views of a z catalog with pending deltas set this to
     # (z_base, flat_extra): the z-ordered base docs_wide WITH its physical
@@ -645,4 +655,8 @@ def load_index(spark: SparkSession, path: str, config: EngineConfig | None = Non
         zlayout_path=f"{root}/docs_wide" if zl is not None else None,
         catalog_path=path,
         manifest_version=version,
+        # a plain load folds NO pending deltas; the facade probe compares
+        # this against the on-disk pending set and upgrades to the
+        # merge-read view on first query when batches are waiting
+        merged_deltas=(),
     )

@@ -84,19 +84,49 @@ def manifest_version(spark: SparkSession, path: str) -> int | None:
     return max(versions) if versions else None
 
 
-def read_manifest(spark: SparkSession, path: str) -> dict | None:
-    """The current manifest's content, or None for a legacy catalog."""
-    v = manifest_version(spark, path)
-    if v is None:
-        return None
-    fs, _, jvm = _fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_MANIFEST.{v:06d}.json")
-    stream = fs.open(p)
+def _open_json(fs, jvm, pathstr: str) -> dict | None:
+    """Read a small JSON file via the Hadoop FS, or None when it vanished
+    between a listing and this open. Readers are lock-free by design
+    (single-writer covers maintenance ops only), so a concurrent
+    adoption's retention CAN delete the oldest manifest in exactly that
+    window — treating the vanished file as absent reads the same state a
+    moment-later listing would, instead of crashing the reader's
+    self-heal mid-rewrite (the one moment it matters most)."""
+    from py4j.protocol import Py4JJavaError
+
+    p = jvm.org.apache.hadoop.fs.Path(pathstr)
+    try:
+        stream = fs.open(p)
+    except Py4JJavaError as e:
+        if "FileNotFoundException" in str(e.java_exception):
+            return None
+        raise
     try:
         data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
     return json.loads(data.decode())
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict | None:
+    """The current manifest's content, or None for a legacy catalog.
+
+    Retries the resolve+open when the resolved manifest vanished
+    underneath it: retention only deletes a manifest once a NEWER one is
+    published, so re-resolving converges on the fresh version."""
+    fs, _, jvm = _fs(spark, path)
+    for _ in range(5):
+        v = manifest_version(spark, path)
+        if v is None:
+            return None
+        body = _open_json(fs, jvm, f"{path}/_MANIFEST.{v:06d}.json")
+        if body is not None:
+            return body
+    raise RuntimeError(
+        f"read_manifest: manifest of {path} kept vanishing between resolve"
+        " and open across 5 attempts — retention should only delete a"
+        " manifest after publishing a newer one"
+    )
 
 
 def resolve_root(spark: SparkSession, path: str) -> tuple[str, int | None]:
@@ -118,13 +148,12 @@ def folded_deltas(spark: SparkSession, path: str) -> set[str]:
     out: set[str] = set()
     for n in _listing(spark, path):
         if _MANIFEST_RE.match(n):
-            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{n}")
-            stream = fs.open(p)
-            try:
-                data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-            finally:
-                stream.close()
-            out.update(json.loads(data.decode()).get("folded_deltas", []))
+            # tolerate a manifest deleted between the listing and this
+            # open (a concurrent adoption's retention): its folded delta
+            # dirs are deleted WITH it, so skipping it is exact
+            body = _open_json(fs, jvm, f"{path}/{n}")
+            if body is not None:
+                out.update(body.get("folded_deltas", []))
     return out
 
 
@@ -218,12 +247,12 @@ def _retain(
     for n in _listing(spark, path):
         m = _MANIFEST_RE.match(n)
         if m and int(m.group(1)) not in keep:
-            stream = fs.open(HPath(f"{path}/{n}"))
-            try:
-                data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-            finally:
-                stream.close()
-            for b in json.loads(data.decode()).get("folded_deltas", []):
+            # an already-missing manifest means someone else retired it —
+            # its folded delta dirs went with it (same tolerance as
+            # folded_deltas; maintenance is single-writer but belt-and-
+            # braces here costs nothing)
+            body = _open_json(fs, jvm, f"{path}/{n}") or {}
+            for b in body.get("folded_deltas", []):
                 fs.delete(HPath(f"{path}/deltas/{b}"), True)
             fs.delete(HPath(f"{path}/{n}"), True)
             continue

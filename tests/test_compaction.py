@@ -533,3 +533,179 @@ def test_write_delta_rejects_retired_batch_ids(spark, tmp_path):
     write_delta(d2, path, "restart1-0")
     idx = load_index_with_deltas(spark, path, CFG)
     assert idx.documents.count() == 8  # 6 base + folded 50 + pending 51
+
+
+def test_write_tombstones_rejects_retired_batch_ids(spark, tmp_path):
+    """r10 ADVICE: write_tombstones needs the same folded-id guard as
+    write_delta — a tombstone flush under a retired id lands in reader
+    grace space every new load excludes, so the deletes silently never
+    apply (the documents RESURFACE, worse than a missing data delta)."""
+    path = str(tmp_path / "treuse")
+    base = _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(6)])
+    write_index(build_index(base, CFG, SF), path)
+    d = build_index(_arts(spark, [(50, "enwiki", "tok", "t50")]), CFG, SF)
+    write_delta(d, path, 0)
+    compact_index(spark, path, CFG)
+
+    tombs = spark.createDataFrame([(50,)], "doc_id long")
+    with pytest.raises(ValueError, match="already FOLDED"):
+        write_tombstones(tombs, path, 0)
+    assert write_tombstones(tombs, path, 0, on_folded="skip") is False
+    # fresh id applies: doc 50 shadowed out of the merge-read view
+    assert write_tombstones(tombs, path, "restart1-0") is True
+    eng = Wikisearch(load_index_with_deltas(spark, path, CFG))
+    assert 50 not in {r["doc_id"] for r in eng.query("TEXT == 'tok'").collect()}
+
+
+def test_folded_deltas_tolerates_vanished_manifest(spark, catalog, monkeypatch):
+    """r10 ADVICE: folded_deltas lists manifests then opens each — a
+    concurrent adoption's retention can delete the oldest manifest in
+    that window. A lock-free reader must skip the vanished file (its
+    folded delta dirs are deleted with it), not crash with
+    FileNotFoundException mid-self-heal."""
+    from accumulo_wikisearch_spark.operators import manifest
+
+    compact_index(spark, catalog, CFG)  # mints one real manifest
+
+    real_listing = manifest._listing
+
+    def phantom_listing(spark_, path_):
+        # simulate the race: the listing saw a manifest that a concurrent
+        # retention deleted before our open
+        return real_listing(spark_, path_) + ["_MANIFEST.000099.json"]
+
+    monkeypatch.setattr(manifest, "_listing", phantom_listing)
+    folded = manifest.folded_deltas(spark, catalog)
+    assert folded == {"0", "1"}  # the real manifest's record, phantom skipped
+
+
+def test_compact_files_before_counts_pending_deltas_once(spark, catalog):
+    """r10 ADVICE: on a legacy (never-rewritten) catalog root == path, so
+    a recursive root count swept in deltas/ and then added the pending
+    batches AGAIN — files_before must equal table files + each pending
+    delta counted exactly once."""
+    from accumulo_wikisearch_spark.operators.compaction import (
+        _ALL_TABLES,
+        _count_files,
+    )
+
+    tables = sum(_count_files(spark, f"{catalog}/{t}") for t in _ALL_TABLES)
+    deltas = sum(
+        _count_files(spark, f"{catalog}/deltas/{b}")
+        for b in delta_batches(spark, catalog)
+    )
+    stats = compact_index(spark, catalog, CFG)
+    assert stats["files_before"] == tables + deltas
+    assert stats["files_after"] > 0
+
+
+def test_stream_ingest_deltas_fresh_checkpoint_after_compaction(spark):
+    """r10 ADVICE: delta ids are namespaced per stream INCARNATION (the
+    checkpoint's persisted query id), so an at-least-once replay within
+    one checkpoint still skips, but a FRESH-checkpoint restart whose
+    batchIds begin at 0 again with NEW content does not collide with an
+    id an earlier compaction folded — without the namespace, the new
+    stream's first batch is silently skip-dropped."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/index"
+        write_index(
+            build_index(_arts(spark, [(1, "enwiki", "alpha", "t1")]), CFG, SF), path
+        )
+
+        def run_stream(src: str, ckpt: str):
+            q = (
+                stream_ingest_deltas(
+                    spark.readStream.schema(SCHEMA).parquet(f"{src}/*"),
+                    path,
+                    CFG,
+                    SF,
+                    checkpoint=ckpt,
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), "stream did not finish in time"
+
+        _arts(spark, [(2, "enwiki", "alpha", "t2")]).write.parquet(f"{tmp}/in1/b0")
+        run_stream(f"{tmp}/in1", f"{tmp}/ckpt1")
+        assert len(delta_batches(spark, path)) == 1
+        compact_index(spark, path, CFG)  # folds incarnation1's batch 0
+
+        # new stream, fresh checkpoint, NEW content — Spark batchId 0 again
+        _arts(spark, [(3, "enwiki", "alpha", "t3")]).write.parquet(f"{tmp}/in2/b0")
+        run_stream(f"{tmp}/in2", f"{tmp}/ckpt2")
+        assert len(delta_batches(spark, path)) == 1  # landed, not skip-dropped
+        eng = Wikisearch(load_index_with_deltas(spark, path, CFG))
+        got = sorted(r["doc_id"] for r in eng.query("TEXT == 'alpha'").collect())
+        assert got == [1, 2, 3]
+
+
+def test_facade_sees_pending_deltas_without_reload(spark, catalog):
+    """r10 verdict lead item: write_delta / stream_ingest_deltas flush
+    batches WITHOUT bumping the manifest, so the facade's freshness probe
+    must also compare the pending-delta NAME SET — a long-lived facade
+    serves every flushed batch on its next query, not only after the next
+    compaction (reference: queries see writes DURING ingest,
+    README.md:206-219)."""
+    eng = Wikisearch(load_index(spark, catalog, CFG))
+    # first query upgrades the base-only load to the merge-read view
+    assert eng.query("TEXT == 'tok'").count() == 25  # base 15 + delta 10
+    assert eng.query("TEXT == 'alpha'").count() == 1
+    # a delta flushed AFTER the facade warmed is seen on the next query
+    d3 = build_index(_arts(spark, [(200, "enwiki", "tok", "t200")]), CFG, SF)
+    write_delta(d3, catalog, 5)
+    assert eng.query("TEXT == 'tok'").count() == 26
+    # tombstone flushes are freshness events too
+    write_tombstones(spark.createDataFrame([(200,)], "doc_id long"), catalog, 6)
+    assert eng.query("TEXT == 'tok'").count() == 25
+    # compaction folds everything; the facade follows the manifest flip
+    compact_index(spark, catalog, CFG)
+    assert eng.query("TEXT == 'tok'").count() == 25
+    assert eng.index.manifest_version == 1
+
+
+def test_facade_queries_during_stream_ingest_deltas(spark):
+    """The streaming twin of test_concurrent_queries_during_compaction:
+    a facade queried in a loop while stream_ingest_deltas flushes batches
+    observes each batch's rows WITHOUT a manual reload — counts grow
+    monotonically through the valid prefix set, zero errors. Atomic batch
+    publish (_publish_delta) guarantees no count reflects half a flush."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/index"
+        base = _arts(spark, [(i, "enwiki", "tok base", f"t{i}") for i in range(5)])
+        write_index(build_index(base, CFG, SF), path)
+        eng = Wikisearch(load_index(spark, path, CFG))
+        assert eng.query("TEXT == 'tok'").count() == 5
+
+        for b in range(3):
+            _arts(
+                spark,
+                [(100 + b * 10 + j, "enwiki", "tok", f"n{b}{j}") for j in range(2)],
+            ).coalesce(1).write.parquet(f"{tmp}/incoming/b{b}")
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/incoming/*")
+        )
+        q = (
+            stream_ingest_deltas(
+                stream, path, CFG, SF, checkpoint=f"{tmp}/ckpt"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        errors, counts = [], []
+        try:
+            while q.isActive:
+                counts.append(eng.query("TEXT == 'tok'").count())
+        except Exception as e:  # pragma: no cover - the assertion target
+            errors.append(e)
+        assert q.awaitTermination(300), "stream did not finish in time"
+        for _ in range(3):
+            counts.append(eng.query("TEXT == 'tok'").count())
+        assert not errors, errors
+        valid = {5, 7, 9, 11}  # prefixes of the flushed batch sequence
+        assert set(counts) <= valid, sorted(set(counts))
+        assert counts[-1] == 11  # every flushed batch visible, no reload
+        assert counts == sorted(counts), "doc count must grow monotonically"
