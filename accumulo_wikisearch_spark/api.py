@@ -81,7 +81,9 @@ class Wikisearch:
     def _pending_deltas(self, spark, path: str, mv: int | None) -> frozenset:
         """Names of PENDING delta batches on disk right now — one
         listStatus of ``{path}/deltas`` (the folded-name exclusion set is
-        served from the per-manifest-version cache)."""
+        served from the per-manifest-version cache). Called lock-free:
+        two threads racing the cache recompute both derive the same value
+        for the same version, and the tuple assignment is atomic."""
         from accumulo_wikisearch_spark.operators.compaction import delta_batches
         from accumulo_wikisearch_spark.operators.manifest import folded_deltas
 
@@ -115,73 +117,85 @@ class Wikisearch:
         # z catalogs only) also lets run_query skip its own re-read.
         from accumulo_wikisearch_spark.plans.planner import _current_zlayout
 
+        # snapshot (index, caches) as a consistent triple, then probe
+        # LOCK-FREE: the probe is FS I/O (a z-sidecar read + two
+        # listStatus calls), and serializing every query thread on it
+        # capped a facade at the object store's LIST latency (~20-50 ms
+        # → ~20-50 plans/s regardless of cluster size). The heal lock is
+        # taken only when staleness is actually detected.
         with self._heal_lock:
-            zl = _current_zlayout(self.index)
-            stale = zl != self.index.zlayout
-            mv = None
-            if self.index.catalog_path is not None:
-                # the universal freshness probe: every catalog rewrite
-                # bumps the manifest version atomically, so ONE listing
-                # detects compaction/streaming rewrites on flat catalogs
-                # too (the z sidecar epoch only covered z stores); a
-                # SECOND listing of {path}/deltas catches newly-flushed
-                # PENDING batches, which bump neither marker — without
-                # it a long-lived facade over a stream_ingest_deltas
-                # catalog misses streamed rows until the next compaction
-                # (the reference's queries see writes DURING ingest,
-                # README.md:206-219)
-                from accumulo_wikisearch_spark.operators.manifest import (
-                    manifest_version,
-                )
-
-                spark = self.index.docs_wide.sparkSession
-                mv = manifest_version(spark, self.index.catalog_path)
-                pending = self._pending_deltas(spark, self.index.catalog_path, mv)
-                stale = (
-                    stale
-                    or mv != self.index.manifest_version
-                    or pending != frozenset(self.index.merged_deltas or ())
-                )
-            if stale and self.index.catalog_path is not None:
-                # the store was rewritten IN PLACE (compaction / streaming
-                # rewrite): old DataFrames' file listings will age out of
-                # the retention window and every derived cache (plans,
-                # cardinalities, postings) is stale. Reload the catalog
-                # and start clean — the facade self-heals across rewrites
-                # instead of failing mid-scan. Merge-read semantics are
-                # preserved: load_index_with_deltas folds any deltas that
-                # landed since (and reduces to a plain load when none
-                # exist) — a facade built over base+deltas must not
-                # silently downgrade to base-only.
-                from accumulo_wikisearch_spark.operators.compaction import (
-                    load_index_with_deltas,
-                )
-
-                self.index = load_index_with_deltas(
-                    self.index.docs_wide.sparkSession,
-                    self.index.catalog_path,
-                    self.index.config,
-                )
-                # REPLACE (don't clear) both caches: a query thread that
-                # planned against the pre-heal index may still insert its
-                # results after this point — with fresh dict objects its
-                # late writes land in the ORPHANED dicts and are never
-                # served (the r10 review's stale-plan-after-heal race)
-                self._card_cache = {}
-                self._plan_cache = {}
-                # the layout the reload just resolved — a second sidecar
-                # read could race yet another rewrite and chase its tail
-                zl = self.index.zlayout
-                mv = self.index.manifest_version
             index = self.index
-            # the manifest version joins the key so a plan built against
-            # generation N can never be served to a generation-M query
-            # even if their layouts compare equal (flat catalogs: both zl
-            # None); the captured cache OBJECT pins late inserts to the
-            # epoch they were planned in
             plan_cache, card_cache = self._plan_cache, self._card_cache
-            key = (expr, tuple(sorted(auths)) if auths else None, force_path, zl, mv)
-            hit = plan_cache.get(key)
+        zl = _current_zlayout(index)
+        stale = zl != index.zlayout
+        mv = None
+        if index.catalog_path is not None:
+            # the universal freshness probe: every catalog rewrite
+            # bumps the manifest version atomically, so ONE listing
+            # detects compaction/streaming rewrites on flat catalogs
+            # too (the z sidecar epoch only covered z stores); a
+            # SECOND listing of {path}/deltas catches newly-flushed
+            # PENDING batches, which bump neither marker — without
+            # it a long-lived facade over a stream_ingest_deltas
+            # catalog misses streamed rows until the next compaction
+            # (the reference's queries see writes DURING ingest,
+            # README.md:206-219)
+            from accumulo_wikisearch_spark.operators.manifest import (
+                manifest_version,
+            )
+
+            spark = index.docs_wide.sparkSession
+            mv = manifest_version(spark, index.catalog_path)
+            pending = self._pending_deltas(spark, index.catalog_path, mv)
+            stale = (
+                stale
+                or mv != index.manifest_version
+                or pending != frozenset(index.merged_deltas or ())
+            )
+        if stale and index.catalog_path is not None:
+            with self._heal_lock:
+                if self.index is index:
+                    # the store changed underneath us (rewrite flipped the
+                    # manifest, a re-layout changed the sidecar, or a delta
+                    # batch was flushed): old DataFrames' file listings age
+                    # out of the retention window and every derived cache
+                    # (plans, cardinalities, postings) is stale. Reload the
+                    # catalog and start clean — the facade self-heals
+                    # instead of failing mid-scan. Merge-read semantics are
+                    # preserved: load_index_with_deltas folds any pending
+                    # deltas (and reduces to a plain load when none exist).
+                    from accumulo_wikisearch_spark.operators.compaction import (
+                        load_index_with_deltas,
+                    )
+
+                    self.index = load_index_with_deltas(
+                        spark, index.catalog_path, index.config
+                    )
+                    # REPLACE (don't clear) both caches: a query thread
+                    # that planned against the pre-heal index may still
+                    # insert its results after this point — with fresh
+                    # dict objects its late writes land in the ORPHANED
+                    # dicts and are never served (the r10 review's
+                    # stale-plan-after-heal race)
+                    self._card_cache = {}
+                    self._plan_cache = {}
+                # else: another thread healed while we probed — adopt its
+                # freshly-loaded index without re-probing (each query
+                # probes at most once, the same freshness contract the
+                # under-lock probe gave). Either way, take the layout and
+                # version the reload resolved — a second sidecar read
+                # could race yet another rewrite and chase its tail.
+                index = self.index
+                zl = index.zlayout
+                mv = index.manifest_version
+                plan_cache, card_cache = self._plan_cache, self._card_cache
+        # the manifest version joins the key so a plan built against
+        # generation N can never be served to a generation-M query even
+        # if their layouts compare equal (flat catalogs: both zl None);
+        # the captured cache OBJECT pins late inserts to the epoch they
+        # were planned in. Dict reads are GIL-atomic — no lock needed.
+        key = (expr, tuple(sorted(auths)) if auths else None, force_path, zl, mv)
+        hit = plan_cache.get(key)
         if hit is None:
             hit = run_query(
                 index,
