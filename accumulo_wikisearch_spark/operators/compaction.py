@@ -321,7 +321,11 @@ def _fold_deltas(index: WikisearchIndex, stacked, config: EngineConfig) -> Wikis
 
 
 def swap_in_catalog(
-    spark: SparkSession, tmp: str, path: str, folded_deltas: tuple[str, ...] = ()
+    spark: SparkSession,
+    tmp: str,
+    path: str,
+    folded_deltas: tuple[str, ...] = (),
+    retain_generations: int = 2,
 ) -> int:
     """Swap a fully-written staged catalog into place ATOMICALLY for
     concurrent readers: adopt ``tmp`` as the next versioned generation
@@ -342,15 +346,31 @@ def swap_in_catalog(
     manifest version (the facade's freshness marker)."""
     from accumulo_wikisearch_spark.operators.manifest import adopt_generation
 
-    return adopt_generation(spark, tmp, path, _ALL_TABLES, folded=folded_deltas)
+    return adopt_generation(
+        spark,
+        tmp,
+        path,
+        _ALL_TABLES,
+        folded=folded_deltas,
+        retain_generations=retain_generations,
+    )
 
 
 def compact_index(
-    spark: SparkSession, path: str, config: EngineConfig | None = None
+    spark: SparkSession,
+    path: str,
+    config: EngineConfig | None = None,
+    retain_generations: int = 2,
 ) -> dict[str, int]:
     """Major compaction: fold base + deltas, rewrite the sorted base layout,
     drop the delta directories. Returns ``{n_deltas, files_before,
     files_after}`` (part-file counts across the catalog).
+
+    ``retain_generations`` sizes the reader-grace window (how many
+    catalog generations stay on disk — see
+    ``manifest.adopt_generation``): the default 2 covers readers one
+    full rewrite stale; raise it when scans can outlive two maintenance
+    cycles (long scans × aggressive compaction cadence).
 
     Writes go to ``_compact_tmp`` first, then swap into place — Accumulo's
     compact-to-tmp-then-rename, and the only safe order: the merged lineage
@@ -401,7 +421,13 @@ def compact_index(
     # a merge-read planned before the swap still scans their files, and a
     # load planned after skips them — deleting eagerly (the r9 behavior)
     # raced concurrent readers into FILE_NOT_EXIST mid-query
-    swap_in_catalog(spark, tmp, path, folded_deltas=tuple(batches))
+    swap_in_catalog(
+        spark,
+        tmp,
+        path,
+        folded_deltas=tuple(batches),
+        retain_generations=retain_generations,
+    )
     # invalidate cached plans over the replaced files (rename does not
     # trigger Spark's automatic overwrite invalidation)
     spark.catalog.refreshByPath(path)

@@ -163,6 +163,7 @@ def adopt_generation(
     path: str,
     required_tables: tuple[str, ...],
     folded: tuple[str, ...] = (),
+    retain_generations: int = 2,
 ) -> int:
     """Adopt a fully-staged catalog directory as the next generation and
     publish it atomically. Returns the new version.
@@ -174,15 +175,31 @@ def adopt_generation(
        gen-N yet — the manifest doesn't exist);
     3. publish ``_MANIFEST.N.json`` via tmp-write + rename to a
        never-existing name — the atomic pointer flip;
-    4. retention: drop generations/manifests older than the PREVIOUS
-       one, and the legacy root tables once they are two rewrites stale.
-       In-flight readers of the previous generation (or, for the first
-       rewrite, the legacy layout) keep their files.
+    4. retention: keep the newest ``retain_generations`` generations
+       (current + N−1 previous) and drop everything older, including the
+       legacy root tables once ``retain_generations`` versioned
+       generations exist to cover their readers. In-flight readers of a
+       retained generation (or, before that, the legacy layout) keep
+       their files.
+
+    ``retain_generations`` is the reader-grace window: the default 2
+    guarantees a query planned against the current generation survives
+    ONE full rewrite completing mid-scan; a deployment whose scans can
+    outlive TWO maintenance cycles (long scans × aggressive compaction
+    cadence — real at 100 TB) should raise it, trading one extra
+    generation of disk per increment. Values below 2 are rejected:
+    retention would delete the files of queries planned a moment ago.
 
     A crash between 2 and 3 leaves an orphan gen directory that no
     manifest references; version numbering (max over manifests AND gen
     dirs, +1) skips past it and retention removes it on the next
     successful adoption."""
+    if retain_generations < 2:
+        raise ValueError(
+            f"adopt_generation: retain_generations={retain_generations}"
+            " — must keep at least current + previous (2) or in-flight"
+            " readers lose their files mid-scan"
+        )
     fs, _, jvm = _fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path
     missing = [
@@ -194,8 +211,11 @@ def adopt_generation(
             f"{missing}; live catalog left untouched"
         )
     names = _listing(spark, path)
-    prev_v = manifest_version(spark, path)
-    taken = [int(m.group(1)) for n in names if (m := _MANIFEST_RE.match(n))]
+    existing = sorted(
+        (int(m.group(1)) for n in names if (m := _MANIFEST_RE.match(n))),
+        reverse=True,
+    )
+    taken = list(existing)
     taken += [int(m.group(1)) for n in names if (m := _GEN_RE.match(n))]
     v = max(taken, default=0) + 1
     gen = f"gen-{v:06d}"
@@ -227,7 +247,14 @@ def adopt_generation(
             f"adopt_generation: publishing _MANIFEST.{v:06d}.json failed;"
             f" staged generation {gen} remains unreferenced"
         )
-    _retain(spark, path, keep={v, prev_v} - {None}, required_tables=required_tables)
+    keep = {v} | set(existing[: retain_generations - 1])
+    _retain(
+        spark,
+        path,
+        keep=keep,
+        required_tables=required_tables,
+        retain_generations=retain_generations,
+    )
     return v
 
 
@@ -236,12 +263,15 @@ def _retain(
     path: str,
     keep: set[int],
     required_tables: tuple[str, ...],
+    retain_generations: int = 2,
 ) -> None:
     """Drop generations and manifests not in ``keep`` (together with the
     delta directories a retired manifest had folded — out of every
-    reader's grace window by now), plus the legacy root tables once a
-    previous GENERATION exists to serve readers that are one rewrite
-    stale (i.e. from the second adoption on)."""
+    reader's grace window by now), plus the legacy root tables once
+    ``retain_generations`` versioned generations exist to serve every
+    reader inside the grace window (legacy readers are the oldest
+    possible — they only lose files when the window is fully covered by
+    versioned generations)."""
     fs, _, jvm = _fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path
     for n in _listing(spark, path):
@@ -259,7 +289,7 @@ def _retain(
         m = _GEN_RE.match(n)
         if m and int(m.group(1)) not in keep:
             fs.delete(HPath(f"{path}/{n}"), True)
-    if len(keep) >= 2:  # current + previous generation both versioned
+    if len(keep) >= retain_generations:  # grace window fully versioned
         for t in required_tables:
             legacy = HPath(f"{path}/{t}")
             if fs.exists(legacy):

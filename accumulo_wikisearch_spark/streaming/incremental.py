@@ -116,6 +116,40 @@ def incremental_update(
     )
 
 
+# part-file count past which stream_ingest warns per batch that it is
+# rewriting a catalog big enough to want the delta path instead
+REWRITE_WARN_FILES = 64
+
+
+def _warn_if_large_rewrite(spark, index_path: str, threshold: int) -> bool:
+    """Emit a RuntimeWarning when the catalog stream_ingest is about to
+    rewrite IN FULL is already large — the O(catalog)-per-batch write
+    amplification is a scale trap if this path was picked for continuous
+    ingest of a big store. Returns whether it warned (tested directly;
+    the per-batch listing is one recursive listFiles, trivial next to the
+    full rewrite it gates)."""
+    import warnings
+
+    from accumulo_wikisearch_spark.operators.compaction import _count_files
+    from accumulo_wikisearch_spark.operators.manifest import resolve_root
+
+    root, _ = resolve_root(spark, index_path)
+    n = _count_files(spark, root)
+    if n <= threshold:
+        return False
+    warnings.warn(
+        f"stream_ingest rewrites the ENTIRE catalog every micro-batch and"
+        f" {index_path} already holds {n} part files (> {threshold}) — for"
+        f" continuous ingest use operators.compaction.stream_ingest_deltas"
+        f" (O(batch) flushes + periodic compaction); stream_ingest earns"
+        f" its keep as the periodic RE-CLUSTERING rewrite for z-ordered"
+        f" catalogs, not as the steady-state ingest path.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return True
+
+
 def stream_ingest(
     stream_articles: DataFrame,
     index_path: str,
@@ -123,13 +157,26 @@ def stream_ingest(
     scalar_fields: dict[str, str],
     text_col: str = "text",
     checkpoint: str | None = None,
+    rewrite_warn_files: int = REWRITE_WARN_FILES,
 ):
-    """Continuous ingest: readStream → foreachBatch(merge + overwrite).
+    """Full-rewrite streaming ingest: readStream → foreachBatch(merge +
+    rewrite). This is the RE-CLUSTERING variant — each micro-batch folds
+    the batch in and rewrites the WHOLE catalog (a z-ordered store gets
+    re-clustered with refit bits/offsets every batch).
 
-    ``stream_articles`` is a streaming DataFrame with the articles contract.
-    Each micro-batch rebuilds the delta tables and folds them into the
-    stored global index — the streaming analogue of "query during ingest"
-    (reference README.md:206-219: ingest and query run concurrently).
+    **Scale warning — O(catalog) write amplification per batch.** Over a
+    day of micro-batches the bytes written are quadratic in catalog
+    size; for CONTINUOUS ingest use
+    :func:`accumulo_wikisearch_spark.operators.compaction.stream_ingest_deltas`
+    (O(batch) delta flushes, scan-time merge-read, periodic compaction —
+    the reference's own minor/major-compaction shape,
+    README.md:206-219). This path earns its keep only when every batch
+    should leave the store fully re-clustered and the catalog is small,
+    or as a scheduled re-layout job. A per-batch RuntimeWarning fires
+    once the catalog exceeds ``rewrite_warn_files`` part files.
+
+    ``stream_articles`` is a streaming DataFrame with the articles
+    contract.
     """
     from accumulo_wikisearch_spark.operators.compaction import swap_in_catalog
     from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
@@ -139,6 +186,7 @@ def stream_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _warn_if_large_rewrite(spark, index_path, rewrite_warn_files)
         current = load_index(spark, index_path, config)
         # a z-ordered catalog keeps its layout across rewrites: refit
         # re-derives bits/offsets (fresh rows may widen the key domain)

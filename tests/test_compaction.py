@@ -709,3 +709,36 @@ def test_facade_queries_during_stream_ingest_deltas(spark):
         assert set(counts) <= valid, sorted(set(counts))
         assert counts[-1] == 11  # every flushed batch visible, no reload
         assert counts == sorted(counts), "doc count must grow monotonically"
+
+
+def test_reader_grace_across_back_to_back_rewrites(spark, tmp_path):
+    """Pins the documented reader-grace guarantee and the r11 knob: by
+    default _retain keeps current+previous generations, so a reader
+    planned against generation N survives ONE full rewrite completing
+    mid-scan; retain_generations=3 extends the window through TWO
+    back-to-back rewrites (the long-scan × aggressive-compaction shape
+    that is real at 100 TB). Values below 2 are rejected outright."""
+    import os
+
+    from accumulo_wikisearch_spark.operators.compaction import swap_in_catalog
+
+    path = str(tmp_path / "grace")
+    base = _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(8)])
+    write_index(build_index(base, CFG, SF), path)
+    compact_index(spark, path, CFG)  # mints gen 1
+    reader = load_index(spark, path, CFG).documents.select("doc_id")
+    assert reader.count() == 8  # planned against gen 1's files
+
+    compact_index(spark, path, CFG)  # gen 2; default grace keeps gen 1
+    assert reader.count() == 8  # one rewrite completed mid-scan: covered
+
+    compact_index(spark, path, CFG, retain_generations=3)  # gen 3, keeps {3,2,1}
+    assert reader.count() == 8  # TWO rewrites since planning: knob covers it
+
+    compact_index(spark, path, CFG, retain_generations=3)  # gen 4, keeps {4,3,2}
+    names = set(os.listdir(path))
+    assert "gen-000001" not in names  # now out of even the widened window
+    assert {"gen-000002", "gen-000003", "gen-000004"} <= names
+
+    with pytest.raises(ValueError, match="retain_generations"):
+        swap_in_catalog(spark, f"{path}/_nope", path, retain_generations=1)

@@ -147,3 +147,24 @@ def test_concurrent_queries_during_stream_ingest(spark):
         assert set(counts) <= valid, sorted(set(counts))
         assert counts[-1] == 11  # healed onto the final generation
         assert counts == sorted(counts), "doc count must grow monotonically"
+
+
+def test_stream_ingest_warns_on_large_catalog_rewrite(spark, tmp_path):
+    """r10 verdict ask #6: stream_ingest is the O(catalog)-per-batch
+    RE-CLUSTERING variant, not the continuous-ingest path — once the
+    catalog exceeds the file threshold it must warn per batch and point
+    at stream_ingest_deltas; below the threshold it stays silent."""
+    import warnings
+
+    import pytest
+
+    from accumulo_wikisearch_spark.streaming.incremental import _warn_if_large_rewrite
+
+    path = str(tmp_path / "warnidx")
+    write_index(build_index(_arts(spark, [(1, "enwiki", "alpha", "t1")]), CFG, SF), path)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning would raise
+        assert _warn_if_large_rewrite(spark, path, 10_000) is False
+    with pytest.warns(RuntimeWarning, match="stream_ingest_deltas"):
+        assert _warn_if_large_rewrite(spark, path, 0) is True
