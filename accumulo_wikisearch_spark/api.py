@@ -106,23 +106,21 @@ class Wikisearch:
     ) -> "Wikisearch":
         return cls(build_index(articles, config, scalar_fields, text_col, unique_ids))
 
-    def _planned(
-        self, expr: str, auths: list[str] | None, force_path: str | None
-    ) -> tuple[DataFrame, str]:
-        # the plan cache must key on the z-layout IDENTITY, not just the
-        # query: a cached plan embeds the layout's zb/z-interval literals,
-        # and an in-place rewrite (compaction, streaming ingest) changes
-        # bits/offsets/epoch — replaying the old literals would silently
-        # drop rows. Resolving the layout here (one small sidecar read,
-        # z catalogs only) also lets run_query skip its own re-read.
+    def _fresh(self):
+        """Probe-and-heal, the single freshness gate EVERY serving path
+        goes through — one facade must never answer ``query()`` from the
+        merge-read view and ``count_only()``/``scored_search()`` from a
+        stale one. Returns a consistent
+        ``(index, card_cache, plan_cache, zlayout, manifest_version)``.
+
+        The probe runs LOCK-FREE: it is FS I/O (a z-sidecar read + two
+        listStatus calls), and serializing every caller on it capped a
+        facade at the object store's LIST latency (~20-50 ms → ~20-50
+        plans/s regardless of cluster size). The heal lock is taken only
+        when staleness is actually detected. In-memory catalogs
+        (catalog_path None) skip the FS work entirely."""
         from accumulo_wikisearch_spark.plans.planner import _current_zlayout
 
-        # snapshot (index, caches) as a consistent triple, then probe
-        # LOCK-FREE: the probe is FS I/O (a z-sidecar read + two
-        # listStatus calls), and serializing every query thread on it
-        # capped a facade at the object store's LIST latency (~20-50 ms
-        # → ~20-50 plans/s regardless of cluster size). The heal lock is
-        # taken only when staleness is actually detected.
         with self._heal_lock:
             index = self.index
             plan_cache, card_cache = self._plan_cache, self._card_cache
@@ -189,6 +187,18 @@ class Wikisearch:
                 zl = index.zlayout
                 mv = index.manifest_version
                 plan_cache, card_cache = self._plan_cache, self._card_cache
+        return index, card_cache, plan_cache, zl, mv
+
+    def _planned(
+        self, expr: str, auths: list[str] | None, force_path: str | None
+    ) -> tuple[DataFrame, str]:
+        # the plan cache must key on the z-layout IDENTITY, not just the
+        # query: a cached plan embeds the layout's zb/z-interval literals,
+        # and an in-place rewrite (compaction, streaming ingest) changes
+        # bits/offsets/epoch — replaying the old literals would silently
+        # drop rows. _fresh resolves the layout (one small sidecar read,
+        # z catalogs only), which also lets run_query skip its own re-read.
+        index, card_cache, plan_cache, zl, mv = self._fresh()
         # the manifest version joins the key so a plan built against
         # generation N can never be served to a generation-M query even
         # if their layouts compare equal (flat catalogs: both zl None);
@@ -245,15 +255,15 @@ class Wikisearch:
         )
 
     def _snapshot(self):
-        """(index, card_cache) read as a consistent PAIR under the heal
-        lock: a racing self-heal replaces both attributes, and an
-        unlocked two-step read could pair the pre-heal index with the
-        post-heal cache — priming it with stale postings that later
-        queries would serve as literal candidate relations (r10 review).
-        A fully pre-heal pair is safe: its cache dict is orphaned by the
-        heal's replace-don't-clear."""
-        with self._heal_lock:
-            return self.index, self._card_cache
+        """(index, card_cache) as a consistent PAIR, freshness probe
+        applied (``_fresh``). An unlocked two-step attribute read could
+        pair the pre-heal index with the post-heal cache — priming it
+        with stale postings that later queries would serve as literal
+        candidate relations (r10 review); and before r11 this path did
+        not probe at all, so count_only/explain answered stale while
+        query() answered fresh from the SAME facade."""
+        index, card_cache, *_ = self._fresh()
+        return index, card_cache
 
     def count_only(self, expr: str, auths: list[str] | None = None) -> DataFrame:
         """Count matching docs, answering from the global index ALONE when
@@ -332,7 +342,8 @@ class Wikisearch:
         )
         if auths:
             cond = cond & F.col("language").isin(*auths)
-        return self.index.documents.where(cond).select("doc_id", "text")
+        index = self._snapshot()[0]  # freshness probe, like every path
+        return index.documents.where(cond).select("doc_id", "text")
 
     def fetch_documents(self, results: DataFrame) -> DataFrame:
         """Assemble result documents: id + fields + DOCUMENT content pointer
@@ -348,7 +359,7 @@ class Wikisearch:
             F.col("language"),
             F.col("doc_id").cast("string"),
         )
-        assembled = self.index.doc_fields.groupBy(
+        assembled = self._snapshot()[0].doc_fields.groupBy(
             "partition_id", "language", "doc_id"
         ).agg(
             F.map_from_entries(
@@ -374,7 +385,7 @@ class Wikisearch:
         range→OR expansion; here it is a pushed-down distinct scan."""
         from accumulo_wikisearch_spark.functions.normalize import normalize_str
 
-        fi = self.index.field_index.where(
+        fi = self._snapshot()[0].field_index.where(
             (F.col("field") == field.upper())
             & F.col("norm_value").between(normalize_str(lo), normalize_str(hi))
         )
@@ -388,7 +399,7 @@ class Wikisearch:
         """Ranked search on the TermWeight index: docs containing ``term``
         ordered by term frequency (occurrences, tf)."""
         t = normalize_str(term)
-        ti = self.index.term_index.where(F.col("norm_value") == t)
+        ti = self._snapshot()[0].term_index.where(F.col("norm_value") == t)
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
         out = ti.select(
@@ -405,7 +416,7 @@ class Wikisearch:
         equality filter is the AND, so no per-term join chain is needed —
         the right shape when terms share the ranking aggregation anyway."""
         ts = sorted({normalize_str(t) for t in terms})
-        ti = self.index.term_index.where(F.col("norm_value").isin(*ts))
+        ti = self._snapshot()[0].term_index.where(F.col("norm_value").isin(*ts))
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
         g = (
@@ -440,7 +451,7 @@ class Wikisearch:
         """
         ts = [normalize_str(t) for t in terms]
         keys = ["partition_id", "language", "doc_id"]
-        ti = self.index.term_index
+        ti = self._snapshot()[0].term_index
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
         cur = ti.where(F.col("norm_value") == ts[0]).select(
@@ -480,14 +491,15 @@ class Wikisearch:
         ``TEXT_MATCH('TEXT == ''dup''')`` or use double quotes
         ``TEXT_MATCH("TEXT == 'dup'")``.
         """
-        spark = self.index.documents.sparkSession
+        index = self._snapshot()[0]  # views and TEXT_MATCH share one probe epoch
+        spark = index.documents.sparkSession
         for name, df in [
-            ("ws_documents", self.index.documents),
-            ("ws_docs_wide", self.index.docs_wide),
-            ("ws_field_index", self.index.field_index),
-            ("ws_global_index", self.index.global_index),
-            ("ws_metadata", self.index.metadata),
-            ("ws_term_index", self.index.term_index),
+            ("ws_documents", index.documents),
+            ("ws_docs_wide", index.docs_wide),
+            ("ws_field_index", index.field_index),
+            ("ws_global_index", index.global_index),
+            ("ws_metadata", index.metadata),
+            ("ws_term_index", index.term_index),
         ]:
             df.createOrReplaceTempView(name)
 
@@ -514,7 +526,7 @@ class Wikisearch:
         RangeCalculator.java:664-672). One pushed-down scan of the tiny
         global-index slice; no corpus access."""
         norm = sorted({normalize_str(t) for t in terms})
-        gi = self.index.global_index.where(F.col("norm_value").isin(*norm))
+        gi = self._snapshot()[0].global_index.where(F.col("norm_value").isin(*norm))
         if auths:
             gi = gi.where(F.col("language").isin(*auths))
         return gi.groupBy(
@@ -534,12 +546,13 @@ class Wikisearch:
         the cached corpus count; both sides of the plan are a broadcast join
         against the per-term scan of the TermWeight index."""
         ts = sorted({normalize_str(t) for t in terms})
-        n_total = self.index.doc_count()
-        ti = self.index.term_index.where(F.col("norm_value").isin(*ts))
+        index = self._snapshot()[0]
+        n_total = index.doc_count()
+        ti = index.term_index.where(F.col("norm_value").isin(*ts))
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
         df_tbl = (
-            self.index.global_index.where(
+            index.global_index.where(
                 (F.col("field") == "TEXT") & F.col("norm_value").isin(*ts)
             )
             .groupBy("norm_value")
@@ -587,14 +600,15 @@ class Wikisearch:
         one broadcast of the ≤|terms| df rows, one groupBy on doc. The AND
         is the n-distinct-terms filter on the same aggregation."""
         ts = sorted({normalize_str(t) for t in terms})
-        n_total = self.index.doc_count()
-        a_total = self.index.token_count()
+        index = self._snapshot()[0]
+        n_total = index.doc_count()
+        a_total = index.token_count()
         keys = ["partition_id", "language", "doc_id"]
-        ti = self.index.term_index.where(F.col("norm_value").isin(*ts))
+        ti = index.term_index.where(F.col("norm_value").isin(*ts))
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
         df_tbl = (
-            self.index.global_index.where(
+            index.global_index.where(
                 (F.col("field") == "TEXT") & F.col("norm_value").isin(*ts)
             )
             .groupBy("norm_value")
@@ -642,13 +656,14 @@ class Wikisearch:
         Fully distributed: the seed's term list and the per-term df table
         stay DataFrames (broadcast — ≤ seed-term-count rows); candidates come
         from one pushed-down scan of the term index."""
-        n_total = self.index.doc_count()
-        ti = self.index.term_index
+        index = self._snapshot()[0]
+        n_total = index.doc_count()
+        ti = index.term_index
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
         seed_terms = ti.where(F.col("doc_id") == doc_id).select("norm_value")
         df_tbl = (
-            self.index.global_index.where(F.col("field") == "TEXT")
+            index.global_index.where(F.col("field") == "TEXT")
             .join(F.broadcast(seed_terms), "norm_value")
             .groupBy("norm_value")
             .agg(F.sum("count").alias("df"))

@@ -655,6 +655,11 @@ def test_facade_sees_pending_deltas_without_reload(spark, catalog):
     d3 = build_index(_arts(spark, [(200, "enwiki", "tok", "t200")]), CFG, SF)
     write_delta(d3, catalog, 5)
     assert eng.query("TEXT == 'tok'").count() == 26
+    # EVERY serving path shares the probe epoch — the same facade must
+    # not answer query() from the merge-read view but count_only /
+    # scored_search from a stale one
+    assert eng.count_only("TEXT == 'tok'").collect()[0]["n"] == 26
+    assert eng.scored_search("tok").count() == 26
     # tombstone flushes are freshness events too
     write_tombstones(spark.createDataFrame([(200,)], "doc_id long"), catalog, 6)
     assert eng.query("TEXT == 'tok'").count() == 25
