@@ -127,6 +127,7 @@ class Wikisearch:
         zl = _current_zlayout(index)
         stale = zl != index.zlayout
         mv = None
+        pending = None
         if index.catalog_path is not None:
             # the universal freshness probe: every catalog rewrite
             # bumps the manifest version atomically, so ONE listing
@@ -152,7 +153,21 @@ class Wikisearch:
             )
         if stale and index.catalog_path is not None:
             with self._heal_lock:
-                if self.index is index:
+                cur = self.index
+                # another thread may have healed while we probed — its
+                # reload is adoptable ONLY if it is at least as fresh as
+                # what OUR probe observed: a winner that loaded before a
+                # delta published (but before we probed it) would make a
+                # client miss its own completed write (r11 review). A
+                # mismatch in either direction just reloads — newest
+                # state wins, and a redundant reload is rare and cheap
+                # next to serving a stale answer.
+                if (
+                    cur is index
+                    or cur.manifest_version != mv
+                    or frozenset(cur.merged_deltas or ()) != pending
+                    or cur.zlayout != zl
+                ):
                     # the store changed underneath us (rewrite flipped the
                     # manifest, a re-layout changed the sidecar, or a delta
                     # batch was flushed): old DataFrames' file listings age
@@ -177,12 +192,9 @@ class Wikisearch:
                     # stale-plan-after-heal race)
                     self._card_cache = {}
                     self._plan_cache = {}
-                # else: another thread healed while we probed — adopt its
-                # freshly-loaded index without re-probing (each query
-                # probes at most once, the same freshness contract the
-                # under-lock probe gave). Either way, take the layout and
-                # version the reload resolved — a second sidecar read
-                # could race yet another rewrite and chase its tail.
+                # take the layout and version the adopted reload resolved
+                # — a second sidecar read could race yet another rewrite
+                # and chase its tail
                 index = self.index
                 zl = index.zlayout
                 mv = index.manifest_version
@@ -198,7 +210,18 @@ class Wikisearch:
         # bits/offsets/epoch — replaying the old literals would silently
         # drop rows. _fresh resolves the layout (one small sidecar read,
         # z catalogs only), which also lets run_query skip its own re-read.
-        index, card_cache, plan_cache, zl, mv = self._fresh()
+        return self._plan_with(self._fresh(), expr, auths, force_path)
+
+    def _plan_with(
+        self, state, expr: str, auths: list[str] | None, force_path: str | None
+    ) -> tuple[DataFrame, str]:
+        """Plan ``expr`` against an ALREADY-PROBED epoch (a ``_fresh()``
+        tuple). Callers that compose several plans or pair a plan with
+        direct table reads (``sql``'s views, ``count_only``'s fallback)
+        pass one state so every piece answers from the same epoch — a
+        second probe could heal mid-composition and silently mix epochs
+        (r11 review)."""
+        index, card_cache, plan_cache, zl, mv = state
         # the manifest version joins the key so a plan built against
         # generation N can never be served to a generation-M query even
         # if their layouts compare equal (flat catalogs: both zl None);
@@ -286,7 +309,8 @@ class Wikisearch:
         )
 
         node = parser.parse(expr)
-        index, card_cache = self._snapshot()  # consistent pair under the heal lock
+        state = self._fresh()  # ONE probe; the fallback plans on the same epoch
+        index, card_cache = state[0], state[1]
         planner = Planner(index, self.multi_value_fields, card_cache)
         nnf = planner.expand_unfielded(to_nnf(node), auths)
         tree, exact = reduce_to_index_tree(
@@ -308,7 +332,9 @@ class Wikisearch:
             if keys is not None:
                 spark = index.global_index.sparkSession
                 return spark.sql(f"SELECT CAST({len(keys)} AS BIGINT) AS n")
-        return self.query(expr, auths=auths).agg(F.count("*").cast("long").alias("n"))
+        return self._plan_with(state, expr, auths, None)[0].agg(
+            F.count("*").cast("long").alias("n")
+        )
 
     def query_page(
         self,
@@ -491,7 +517,12 @@ class Wikisearch:
         ``TEXT_MATCH('TEXT == ''dup''')`` or use double quotes
         ``TEXT_MATCH("TEXT == 'dup'")``.
         """
-        index = self._snapshot()[0]  # views and TEXT_MATCH share one probe epoch
+        # ONE probe: the registered views AND every TEXT_MATCH plan come
+        # from the same state tuple — re-probing inside the substitution
+        # callback could heal to a newer epoch mid-statement, semi-joining
+        # delta doc_ids against views that don't contain them
+        state = self._fresh()
+        index = state[0]
         spark = index.documents.sparkSession
         for name, df in [
             ("ws_documents", index.documents),
@@ -508,7 +539,7 @@ class Wikisearch:
         def repl(m: re.Match) -> str:
             jexl = m.group(1) if m.group(1) is not None else m.group(2)
             jexl = jexl.replace("''", "'")
-            res = self.query(jexl, auths=auths)
+            res = self._plan_with(state, jexl, auths, None)[0]
             counter[0] += 1
             view = f"_ws_text_match_{counter[0]}"
             res.select("doc_id").createOrReplaceTempView(view)

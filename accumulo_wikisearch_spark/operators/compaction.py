@@ -122,6 +122,23 @@ def delta_batches(
     )
 
 
+def _check_batch_id(batch_id: int | str, fn_name: str) -> None:
+    """Reject batch ids the listing layer can't see or parse: names
+    starting with '.' or '_' are reserved (staging dirs, Spark metadata
+    — hidden from every listing, so the flush would publish
+    'successfully' and then never be merge-read, folded, or compacted:
+    silent data loss with a success return), and '/' would nest
+    directories under deltas/ that list as a different name than the
+    one recorded."""
+    s = str(batch_id)
+    if not s or s.startswith((".", "_")) or "/" in s:
+        raise ValueError(
+            f"{fn_name}: invalid batch id {batch_id!r} — ids must be"
+            " non-empty, must not start with '.' or '_' (hidden from"
+            " delta listings), and must not contain '/'"
+        )
+
+
 def write_delta(
     delta: WikisearchIndex,
     path: str,
@@ -164,6 +181,7 @@ def write_delta(
     misuse (a compaction folding this id mid-flush) into a loud error
     instead of silent invisibility."""
     assert on_folded in ("raise", "skip")
+    _check_batch_id(batch_id, "write_delta")
     spark = delta.documents.sparkSession
     from accumulo_wikisearch_spark.operators.manifest import folded_deltas
 
@@ -182,7 +200,7 @@ def write_delta(
             f" content."
         )
     base = f"{path}/deltas/{batch_id}"
-    staged = f"{path}/deltas/._staged_{batch_id}"
+    staged = f"{path}/deltas/._staged_data_{batch_id}"
     for name in _ALL_TABLES:
         getattr(delta, name).write.mode("overwrite").parquet(f"{staged}/{name}")
     _publish_delta(spark, staged, base)
@@ -196,7 +214,9 @@ def write_delta(
     return True
 
 
-def _publish_delta(spark: SparkSession, staged: str, final: str) -> None:
+def _publish_delta(
+    spark: SparkSession, staged: str, final: str, merge: bool = False
+) -> None:
     """Make a staged delta batch visible ATOMICALLY: one directory rename
     from the hidden staging name to the batch name. Lock-free readers
     (merge-read loads, the facade's pending-delta freshness probe) list
@@ -206,14 +226,29 @@ def _publish_delta(spark: SparkSession, staged: str, final: str) -> None:
     mid-flush would plan against partial tables and, because the batch
     NAME doesn't change when the flush completes, stay stale on them).
 
-    When the destination already exists (crash-retry overwrite of a
-    still-pending id, or a tombstone flush joining an existing data
-    batch), children move one by one instead — the abnormal/auxiliary
-    path, documented as such."""
+    When the destination already exists:
+
+    - ``merge=False`` (data batches): crash-retry overwrite — the stale
+      pending dir is deleted WHOLE, then one rename. Readers in the gap
+      see the batch absent (a consistent not-yet-published state), never
+      a mix of old and new tables (r11 review: per-child delete+rename
+      re-opened exactly the half-batch window this function closes).
+    - ``merge=True`` (a tombstone flush joining an existing data batch):
+      only the staged children move in; a reader in a child's
+      delete+rename gap sees the batch without that child — for
+      tombstones that is the consistent deletes-not-yet-published
+      state."""
     fs, _, jvm = _fs(spark, final)
     HPath = jvm.org.apache.hadoop.fs.Path
-    if not fs.exists(HPath(final)) and fs.rename(HPath(staged), HPath(final)):
-        return
+    if fs.exists(HPath(final)) and not merge:
+        fs.delete(HPath(final), True)
+    if not fs.exists(HPath(final)):
+        if fs.rename(HPath(staged), HPath(final)):
+            return
+        raise RuntimeError(
+            f"_publish_delta: rename {staged} -> {final} failed; the batch"
+            " remains staged and invisible to readers"
+        )
     for st in fs.listStatus(HPath(staged)):
         child = st.getPath().getName()
         dst = HPath(f"{final}/{child}")
@@ -431,6 +466,16 @@ def compact_index(
     # invalidate cached plans over the replaced files (rename does not
     # trigger Spark's automatic overwrite invalidation)
     spark.catalog.refreshByPath(path)
+    # sweep crashed flushes' staging leftovers: maintenance ops are
+    # single-writer, so any ._staged_* dir still under deltas/ at this
+    # point is an orphan no publish will ever claim — the hidden-name
+    # filter keeps it out of every listing, so without this sweep the
+    # dead parquet accumulates invisibly forever
+    fs, dh, jvm = _fs(spark, f"{path}/deltas")
+    if fs.exists(dh):
+        for st in fs.listStatus(dh):
+            if st.getPath().getName().startswith("._staged_"):
+                fs.delete(st.getPath(), True)
     new_root, _ = resolve_root(spark, path)
     return {
         "n_deltas": len(batches),
@@ -470,6 +515,7 @@ def write_tombstones(
     when written, False when an already-folded id was skipped
     (``on_folded="skip"``, the at-least-once replay semantics)."""
     assert on_folded in ("raise", "skip")
+    _check_batch_id(batch_id, "write_tombstones")
     spark = doc_ids.sparkSession
     from accumulo_wikisearch_spark.operators.manifest import folded_deltas
 
@@ -487,9 +533,11 @@ def write_tombstones(
             f" prefix), or on_folded='skip' for at-least-once replays."
         )
     base = f"{path}/deltas/{batch_id}"
-    staged = f"{path}/deltas/._staged_t_{batch_id}"
+    staged = f"{path}/deltas/._staged_tomb_{batch_id}"
     doc_ids.select("doc_id").write.mode("overwrite").parquet(f"{staged}/tombstones")
-    _publish_delta(spark, staged, base)
+    # merge=True: a tombstone flush may join an EXISTING pending data
+    # batch under the same id — replacing would delete its data tables
+    _publish_delta(spark, staged, base, merge=True)
     if _folded():
         raise RuntimeError(
             f"write_tombstones: a concurrent compaction folded batch"
@@ -658,22 +706,47 @@ def stream_ingest_deltas(
     gets fresh ids), or a random token when running checkpoint-less
     (no offset log → no replay to dedupe)."""
     import uuid as _uuid
+    import warnings
 
     from accumulo_wikisearch_spark.operators.ingest import build_index
 
+    if incarnation is not None:
+        _check_batch_id(f"{incarnation}-0", "stream_ingest_deltas(incarnation)")
     token: list[str] = [incarnation] if incarnation is not None else []
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if not token:
-            tok = (
-                _checkpoint_query_id(batch_df.sparkSession, checkpoint)
-                if checkpoint
-                else None
-            )
-            # the metadata file is written at query START, before any
-            # batch runs; the uuid fallback covers checkpoint-less runs
+            tok = None
+            if checkpoint:
+                # written at query START, before any batch runs
+                tok = _checkpoint_query_id(batch_df.sparkSession, checkpoint)
+                if tok is None:
+                    warnings.warn(
+                        f"stream_ingest_deltas: could not read the query id"
+                        f" from {checkpoint}/metadata — replay protection"
+                        f" degrades to a per-run token, so a crash replay"
+                        f" re-ingests its in-flight batch as duplicates."
+                        f" Pass incarnation= to pin it.",
+                        RuntimeWarning,
+                    )
+            else:
+                conf_ckpt = batch_df.sparkSession.conf.get(
+                    "spark.sql.streaming.checkpointLocation", None
+                )
+                if conf_ckpt:
+                    # the query IS checkpointed (replays possible) but we
+                    # can't locate ITS metadata under the conf root — a
+                    # silent per-run token would double-ingest replays
+                    warnings.warn(
+                        "stream_ingest_deltas: the session sets"
+                        " spark.sql.streaming.checkpointLocation but no"
+                        " checkpoint= was passed here — replay protection"
+                        " degrades to a per-run token. Pass checkpoint="
+                        " (or incarnation=) so restarts dedupe.",
+                        RuntimeWarning,
+                    )
             token.append(tok or _uuid.uuid4().hex[:12])
         delta = build_index(batch_df, config, scalar_fields, text_col)
         # on_folded="skip": foreachBatch is AT-LEAST-ONCE — a replay

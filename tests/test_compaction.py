@@ -747,3 +747,63 @@ def test_reader_grace_across_back_to_back_rewrites(spark, tmp_path):
 
     with pytest.raises(ValueError, match="retain_generations"):
         swap_in_catalog(spark, f"{path}/_nope", path, retain_generations=1)
+
+
+def test_batch_ids_that_listings_cannot_see_are_rejected(spark, tmp_path):
+    """r11 review: delta listings hide names starting with '.' or '_'
+    (staging convention), so a flush under such an id would publish
+    'successfully' and then never be merge-read, folded, or compacted —
+    silent data loss with a success return. Both flush kinds and the
+    stream incarnation must reject them eagerly."""
+    path = str(tmp_path / "badid")
+    write_index(build_index(_arts(spark, [(1, "enwiki", "tok", "t1")]), CFG, SF), path)
+    d = build_index(_arts(spark, [(2, "enwiki", "tok", "t2")]), CFG, SF)
+    tombs = spark.createDataFrame([(1,)], "doc_id long")
+    for bad in ("_backfill", ".hidden", "a/b", ""):
+        with pytest.raises(ValueError, match="invalid batch id"):
+            write_delta(d, path, bad)
+        with pytest.raises(ValueError, match="invalid batch id"):
+            write_tombstones(tombs, path, bad)
+    (tmp_path / "none").mkdir()
+    with pytest.raises(ValueError, match="invalid batch id"):
+        stream_ingest_deltas(
+            spark.readStream.schema(SCHEMA).parquet(str(tmp_path / "none")),
+            path,
+            CFG,
+            SF,
+            incarnation="_job1",
+        )
+
+
+def test_tombstones_join_existing_data_batch_without_clobbering(spark, tmp_path):
+    """r11 review: a tombstone flush under the SAME id as a pending data
+    batch must MERGE into its directory (publish mode merge=True) — a
+    whole-dir replace would silently delete the batch's data tables."""
+    path = str(tmp_path / "join")
+    write_index(build_index(_arts(spark, [(1, "enwiki", "tok", "t1")]), CFG, SF), path)
+    d = build_index(
+        _arts(spark, [(2, "enwiki", "tok", "t2"), (3, "enwiki", "tok", "t3")]), CFG, SF
+    )
+    write_delta(d, path, 0)
+    write_tombstones(spark.createDataFrame([(2,)], "doc_id long"), path, 0)
+    eng = Wikisearch(load_index_with_deltas(spark, path, CFG))
+    got = sorted(r["doc_id"] for r in eng.query("TEXT == 'tok'").collect())
+    assert got == [1, 3]  # batch-0 data survived; its tombstone applied
+
+
+def test_compaction_sweeps_crashed_staging_leftovers(spark, tmp_path):
+    """r11 review: a flush that crashed between staging and publish
+    leaves a hidden ._staged_* dir no listing can see — compaction (the
+    single-writer maintenance point) must sweep it or the dead parquet
+    accumulates invisibly forever."""
+    import os
+
+    path = str(tmp_path / "sweep")
+    write_index(build_index(_arts(spark, [(1, "enwiki", "tok", "t1")]), CFG, SF), path)
+    orphan = f"{path}/deltas/._staged_data_crashed"
+    os.makedirs(orphan)
+    with open(f"{orphan}/junk", "w") as f:
+        f.write("x")
+    assert delta_batches(spark, path) == []  # hidden from listings
+    compact_index(spark, path, CFG)
+    assert not os.path.exists(orphan)

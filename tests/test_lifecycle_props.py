@@ -1,0 +1,99 @@
+"""Property-fuzzed catalog maintenance lifecycle (r11).
+
+The fixed LSM tests pin one schedule each (flush→compact,
+tombstone→compact, …); hypothesis draws RANDOM maintenance schedules —
+interleaved delta flushes, tombstone flushes, and major compactions
+with varying reader-grace windows — and asserts that ONE long-lived
+facade tracks the catalog exactly after every step, with no manual
+reload: the freshness probe must catch every kind of change (pending
+batch appeared, manifest version flipped, deltas folded), and the
+merge-read fold + tombstone shadowing must compose in any order.
+
+The oracle is a plain Python dict of live documents — the simplest
+possible statement of what the reference's scan-time combiner stack
+guarantees (Accumulo scans see every flushed write and no deleted one,
+README.md:206-219).
+"""
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from accumulo_wikisearch_spark.api import Wikisearch
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.operators.compaction import (
+    compact_index,
+    write_delta,
+    write_tombstones,
+)
+from accumulo_wikisearch_spark.operators.ingest import (
+    build_index,
+    load_index,
+    write_index,
+)
+
+# uid_max=4 so drawn schedules cross the exact-uid → degraded posting
+# tier boundary as doc counts grow
+CFG = EngineConfig(num_partitions=1, uid_max=4)
+SF = {"ID": "id", "TITLE": "title"}
+SCHEMA = "id long, language string, text string, title string"
+
+op_st = st.one_of(
+    st.tuples(st.just("flush"), st.integers(1, 3)),  # flush k fresh docs
+    st.tuples(st.just("tombstone"), st.integers(2, 4)),  # delete ids % k == 0
+    st.tuples(st.just("compact"), st.sampled_from([2, 3])),  # retain window
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(op_st, min_size=1, max_size=5))
+def test_random_maintenance_schedule_facade_matches_oracle(spark, ops):
+    path = tempfile.mkdtemp(prefix="wikisearch-lifecycle-") + "/index"
+
+    def arts(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+
+    next_id = [0]
+
+    def fresh_rows(n):
+        rows = [
+            (next_id[0] + i, "enwiki", "tok", f"t{next_id[0] + i}")
+            for i in range(n)
+        ]
+        next_id[0] += n
+        return rows
+
+    base_rows = fresh_rows(3)
+    write_index(build_index(arts(base_rows), CFG, SF), path)
+    live = {r[0] for r in base_rows}
+    eng = Wikisearch(load_index(spark, path, CFG))  # never reloaded by hand
+    bid = [0]
+
+    for op, k in ops:
+        if op == "flush":
+            rows = fresh_rows(k)
+            write_delta(build_index(arts(rows), CFG, SF), path, f"b{bid[0]}")
+            bid[0] += 1
+            live |= {r[0] for r in rows}
+        elif op == "tombstone":
+            dead = sorted(i for i in live if i % k == 0)
+            if not dead:
+                continue
+            write_tombstones(
+                spark.createDataFrame([(i,) for i in dead], "doc_id long"),
+                path,
+                f"b{bid[0]}",
+            )
+            bid[0] += 1
+            live -= set(dead)
+        else:
+            compact_index(spark, path, CFG, retain_generations=k)
+        got = sorted(r["doc_id"] for r in eng.query("TEXT == 'tok'").collect())
+        assert got == sorted(live), f"after {op}({k}): {got} != {sorted(live)}"
