@@ -200,10 +200,18 @@ def write_delta(
             f" content."
         )
     base = f"{path}/deltas/{batch_id}"
-    staged = f"{path}/deltas/._staged_data_{batch_id}"
+    fs, _, jvm = _fs(spark, base)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/tombstones")):
+        # one id = one flush: the crash-retry overwrite below deletes the
+        # pending dir WHOLE, which would silently destroy these deletes
+        raise ValueError(
+            f"write_delta: batch id {batch_id!r} already holds a TOMBSTONE"
+            f" flush — each id belongs to exactly one flush; use a fresh id"
+        )
+    staged = f"{path}/deltas/{_STAGED_DATA}{batch_id}"
     for name in _ALL_TABLES:
         getattr(delta, name).write.mode("overwrite").parquet(f"{staged}/{name}")
-    _publish_delta(spark, staged, base)
+    _publish_delta(spark, staged, base, expect=_ALL_TABLES)
     if _folded():
         raise RuntimeError(
             f"write_delta: a concurrent compaction folded batch {batch_id!r}"
@@ -214,8 +222,17 @@ def write_delta(
     return True
 
 
+# the hidden staging convention, in ONE place: names under deltas/ with
+# this prefix are in-flight or crashed flushes — excluded from every
+# listing, swept by compaction. _check_batch_id's '.'/'_' rejection is
+# what keeps user batch ids out of this namespace.
+_STAGED_PREFIX = "._staged_"
+_STAGED_DATA = _STAGED_PREFIX + "data_"
+_STAGED_TOMB = _STAGED_PREFIX + "tomb_"
+
+
 def _publish_delta(
-    spark: SparkSession, staged: str, final: str, merge: bool = False
+    spark: SparkSession, staged: str, final: str, expect: tuple[str, ...]
 ) -> None:
     """Make a staged delta batch visible ATOMICALLY: one directory rename
     from the hidden staging name to the batch name. Lock-free readers
@@ -226,40 +243,39 @@ def _publish_delta(
     mid-flush would plan against partial tables and, because the batch
     NAME doesn't change when the flush completes, stay stale on them).
 
-    When the destination already exists:
+    ``expect`` names the children the staged dir must contain — a
+    completeness gate that turns two single-writer-contract violations
+    into LOUD errors instead of silent partial batches: a concurrent
+    compaction's staging sweep deleting this dir mid-write (earlier
+    tables vanish, later writes recreate the dir), and any writer crash
+    pattern that leaves a subset.
 
-    - ``merge=False`` (data batches): crash-retry overwrite — the stale
-      pending dir is deleted WHOLE, then one rename. Readers in the gap
-      see the batch absent (a consistent not-yet-published state), never
-      a mix of old and new tables (r11 review: per-child delete+rename
-      re-opened exactly the half-batch window this function closes).
-    - ``merge=True`` (a tombstone flush joining an existing data batch):
-      only the staged children move in; a reader in a child's
-      delete+rename gap sees the batch without that child — for
-      tombstones that is the consistent deletes-not-yet-published
-      state."""
-    fs, _, jvm = _fs(spark, final)
+    A pre-existing destination is a crash-retry overwrite of a
+    still-pending id: the stale dir is deleted WHOLE (a failed delete
+    raises — falling through would reopen the half-batch window), then
+    one rename. Readers in the gap see the batch absent — a consistent
+    not-yet-published state, never a mix of old and new tables."""
+    fs, _, jvm = _fs(spark, staged)
     HPath = jvm.org.apache.hadoop.fs.Path
-    if fs.exists(HPath(final)) and not merge:
-        fs.delete(HPath(final), True)
-    if not fs.exists(HPath(final)):
-        if fs.rename(HPath(staged), HPath(final)):
-            return
+    missing = [n for n in expect if not fs.exists(HPath(f"{staged}/{n}"))]
+    if missing:
+        raise RuntimeError(
+            f"_publish_delta: staged batch {staged} is missing {missing} —"
+            " a concurrent compaction's staging sweep or a partial write;"
+            " maintenance ops are single-writer. Nothing was published;"
+            " re-flush the batch."
+        )
+    if fs.exists(HPath(final)) and not fs.delete(HPath(final), True):
+        raise RuntimeError(
+            f"_publish_delta: could not delete the stale pending batch"
+            f" {final} for the crash-retry overwrite; the retry remains"
+            " staged and invisible to readers"
+        )
+    if not fs.rename(HPath(staged), HPath(final)):
         raise RuntimeError(
             f"_publish_delta: rename {staged} -> {final} failed; the batch"
             " remains staged and invisible to readers"
         )
-    for st in fs.listStatus(HPath(staged)):
-        child = st.getPath().getName()
-        dst = HPath(f"{final}/{child}")
-        if fs.exists(dst):
-            fs.delete(dst, True)
-        if not fs.rename(st.getPath(), dst):
-            raise RuntimeError(
-                f"_publish_delta: rename {staged}/{child} -> {final}/{child}"
-                " failed; the batch remains staged and invisible to readers"
-            )
-    fs.delete(HPath(staged), True)
 
 
 def load_index_with_deltas(
@@ -471,10 +487,10 @@ def compact_index(
     # point is an orphan no publish will ever claim — the hidden-name
     # filter keeps it out of every listing, so without this sweep the
     # dead parquet accumulates invisibly forever
-    fs, dh, jvm = _fs(spark, f"{path}/deltas")
+    fs, dh, _ = _fs(spark, f"{path}/deltas")
     if fs.exists(dh):
         for st in fs.listStatus(dh):
-            if st.getPath().getName().startswith("._staged_"):
+            if st.getPath().getName().startswith(_STAGED_PREFIX):
                 fs.delete(st.getPath(), True)
     new_root, _ = resolve_root(spark, path)
     return {
@@ -533,11 +549,24 @@ def write_tombstones(
             f" prefix), or on_folded='skip' for at-least-once replays."
         )
     base = f"{path}/deltas/{batch_id}"
-    staged = f"{path}/deltas/._staged_tomb_{batch_id}"
+    fs, _, jvm = _fs(spark, base)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(HPath(base)) and not fs.exists(HPath(f"{base}/tombstones")):
+        # one id = one flush. A tombstone flush "joining" a pending data
+        # batch under the same id would be INVISIBLE to the facade's
+        # freshness probe (the batch NAME set doesn't change — r11 second
+        # review), so a live facade would keep serving the deleted docs
+        # until the next compaction; and the data crash-retry overwrite
+        # deletes the dir whole, destroying joined deletes. Fresh ids
+        # make every tombstone flush a probe-visible event.
+        raise ValueError(
+            f"write_tombstones: batch id {batch_id!r} already holds a DATA"
+            f" flush — each id belongs to exactly one flush; use a fresh id"
+            f" (a joined flush would be invisible to live facades)"
+        )
+    staged = f"{path}/deltas/{_STAGED_TOMB}{batch_id}"
     doc_ids.select("doc_id").write.mode("overwrite").parquet(f"{staged}/tombstones")
-    # merge=True: a tombstone flush may join an EXISTING pending data
-    # batch under the same id — replacing would delete its data tables
-    _publish_delta(spark, staged, base, merge=True)
+    _publish_delta(spark, staged, base, expect=("tombstones",))
     if _folded():
         raise RuntimeError(
             f"write_tombstones: a concurrent compaction folded batch"

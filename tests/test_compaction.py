@@ -775,20 +775,31 @@ def test_batch_ids_that_listings_cannot_see_are_rejected(spark, tmp_path):
         )
 
 
-def test_tombstones_join_existing_data_batch_without_clobbering(spark, tmp_path):
-    """r11 review: a tombstone flush under the SAME id as a pending data
-    batch must MERGE into its directory (publish mode merge=True) — a
-    whole-dir replace would silently delete the batch's data tables."""
+def test_one_batch_id_one_flush_kind(spark, tmp_path):
+    """r11 second review: a tombstone flush 'joining' a pending data
+    batch under the same id is INVISIBLE to the facade's freshness probe
+    (the batch NAME set doesn't change), and a later data crash-retry
+    would delete the joined deletes — so each id belongs to exactly one
+    flush kind, both directions raise, and fresh ids keep every flush a
+    probe-visible event."""
     path = str(tmp_path / "join")
     write_index(build_index(_arts(spark, [(1, "enwiki", "tok", "t1")]), CFG, SF), path)
     d = build_index(
         _arts(spark, [(2, "enwiki", "tok", "t2"), (3, "enwiki", "tok", "t3")]), CFG, SF
     )
     write_delta(d, path, 0)
-    write_tombstones(spark.createDataFrame([(2,)], "doc_id long"), path, 0)
+    tombs = spark.createDataFrame([(2,)], "doc_id long")
+    with pytest.raises(ValueError, match="already holds a DATA"):
+        write_tombstones(tombs, path, 0)
+    # a LIVE facade warmed on the pre-delete epoch...
     eng = Wikisearch(load_index_with_deltas(spark, path, CFG))
+    assert eng.query("TEXT == 'tok'").count() == 3
+    write_tombstones(tombs, path, 1)  # fresh id: probe-visible, applies
+    with pytest.raises(ValueError, match="already holds a TOMBSTONE"):
+        write_delta(d, path, 1)
+    # ...sees the deletes on its next query (batch '1' joins the name set)
     got = sorted(r["doc_id"] for r in eng.query("TEXT == 'tok'").collect())
-    assert got == [1, 3]  # batch-0 data survived; its tombstone applied
+    assert got == [1, 3]  # doc 2 shadowed, no manual reload
 
 
 def test_compaction_sweeps_crashed_staging_leftovers(spark, tmp_path):
