@@ -52,11 +52,26 @@ class Wikisearch:
     also covers legacy z stores rewritten before the manifest existed),
     since a cached plan embeds the layout's prune literals."""
 
-    def __init__(self, index: WikisearchIndex, multi_value_fields: frozenset[str] = frozenset({"TEXT"})):
+    def __init__(
+        self,
+        index: WikisearchIndex,
+        multi_value_fields: frozenset[str] = frozenset({"TEXT"}),
+        probe_ttl_s: float = 0.0,
+    ):
         import threading
 
         self.index = index
         self.multi_value_fields = multi_value_fields
+        # > 0 trades freshness for probe amortization: a probe result is
+        # reused for this many seconds, so a facade serving thousands of
+        # q/s against an object store pays LIST twice per TTL instead of
+        # twice per query — at the cost of serving results up to TTL
+        # seconds stale after a flush/rewrite. The default 0 probes every
+        # query (the reference's queries-see-writes-during-ingest
+        # freshness); staleness is BOUNDED either way, and a heal always
+        # resolves the newest state.
+        self.probe_ttl_s = probe_ttl_s
+        self._probe_stamp = 0.0  # monotonic time of the last full probe
         # shared cardinality cache across queries (plan-cache analogue, O12)
         self._card_cache: dict = {}
         # full plan cache: (expr, auths, force_path) → (DataFrame, path).
@@ -119,11 +134,22 @@ class Wikisearch:
         plans/s regardless of cluster size). The heal lock is taken only
         when staleness is actually detected. In-memory catalogs
         (catalog_path None) skip the FS work entirely."""
+        import time
+
         from accumulo_wikisearch_spark.plans.planner import _current_zlayout
 
         with self._heal_lock:
             index = self.index
             plan_cache, card_cache = self._plan_cache, self._card_cache
+        if (
+            self.probe_ttl_s > 0
+            and time.monotonic() - self._probe_stamp < self.probe_ttl_s
+        ):
+            # inside the TTL: serve the last-probed epoch as-is. Stale by
+            # at most probe_ttl_s after a flush/rewrite — the documented
+            # trade. (Attribute reads are GIL-atomic; a racing full probe
+            # only makes this window end sooner.)
+            return index, card_cache, plan_cache, index.zlayout, index.manifest_version
         zl = _current_zlayout(index)
         stale = zl != index.zlayout
         mv = None
@@ -199,6 +225,7 @@ class Wikisearch:
                 zl = index.zlayout
                 mv = index.manifest_version
                 plan_cache, card_cache = self._plan_cache, self._card_cache
+        self._probe_stamp = time.monotonic()
         return index, card_cache, plan_cache, zl, mv
 
     def _planned(

@@ -818,3 +818,19 @@ def test_compaction_sweeps_crashed_staging_leftovers(spark, tmp_path):
     assert delta_batches(spark, path) == []  # hidden from listings
     compact_index(spark, path, CFG)
     assert not os.path.exists(orphan)
+
+
+def test_probe_ttl_amortizes_listings_with_bounded_staleness(spark, tmp_path):
+    """probe_ttl_s > 0 trades freshness for probe amortization: inside
+    the TTL the facade serves the last-probed epoch (a flush is NOT yet
+    visible — bounded staleness, documented); once the TTL lapses the
+    next query probes and folds it. Default 0 keeps per-query probing."""
+    path = str(tmp_path / "ttl")
+    base = _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(4)])
+    write_index(build_index(base, CFG, SF), path)
+    eng = Wikisearch(load_index(spark, path, CFG), probe_ttl_s=300.0)
+    assert eng.query("TEXT == 'tok'").count() == 4  # full probe, stamps TTL
+    write_delta(build_index(_arts(spark, [(9, "enwiki", "tok", "t9")]), CFG, SF), path, 0)
+    assert eng.query("TEXT == 'tok'").count() == 4  # inside TTL: stale-by-design
+    eng._probe_stamp = 0.0  # TTL lapses
+    assert eng.query("TEXT == 'tok'").count() == 5  # next probe folds the batch
