@@ -71,7 +71,11 @@ class Wikisearch:
         # freshness); staleness is BOUNDED either way, and a heal always
         # resolves the newest state.
         self.probe_ttl_s = probe_ttl_s
-        self._probe_stamp = 0.0  # monotonic time of the last full probe
+        # monotonic time of the last full probe; -inf = never probed
+        # (monotonic()'s epoch is undefined — on a freshly-booted host
+        # 0.0 would read as "probed uptime seconds ago" and silently
+        # serve the construction epoch through the first TTL window)
+        self._probe_stamp = float("-inf")
         # shared cardinality cache across queries (plan-cache analogue, O12)
         self._card_cache: dict = {}
         # full plan cache: (expr, auths, force_path) → (DataFrame, path).

@@ -148,8 +148,10 @@ def write_delta(
     """Flush one ingest batch as ``{path}/deltas/{batch_id}/{table}``,
     published ATOMICALLY (tables land in a hidden staging dir, one rename
     makes the batch visible — see :func:`_publish_delta`). Returns True
-    when the batch was written, False when an already-folded id was
-    skipped (``on_folded="skip"``).
+    when the batch was written, False when it was a no-op: the id was
+    already folded (``on_folded="skip"``) or already published (batch
+    dirs are immutable; an at-least-once replay's content is already
+    there — new content needs a new id).
 
     The minor-compaction flush: small files, no repartition (the batch is
     micro-batch-sized), no rewrite of the base. ``build_index`` on the new
@@ -173,8 +175,10 @@ def write_delta(
       data is already in the base and re-raising would crash-loop the
       restarted query forever.
 
-    Re-flushing a still-PENDING id is always allowed (crash-retry
-    overwrite). Single-maintenance-writer contract: flushes, compactions
+    Re-flushing an already-PUBLISHED pending id is a no-op (publishes
+    are atomic, so the dir's presence proves completion; a crashed
+    attempt leaves only a hidden staged dir and retries cleanly).
+    Single-maintenance-writer contract: flushes, compactions
     and streaming rewrites of one catalog must not run concurrently with
     EACH OTHER (readers are lock-free — that is what the manifest
     protects); the post-write re-check below converts the cross-writer
@@ -201,13 +205,23 @@ def write_delta(
         )
     base = f"{path}/deltas/{batch_id}"
     fs, _, jvm = _fs(spark, base)
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/tombstones")):
-        # one id = one flush: the crash-retry overwrite below deletes the
-        # pending dir WHOLE, which would silently destroy these deletes
+    HPath = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(HPath(f"{base}/tombstones")):
+        # one id = one flush kind — and this id's is tombstones
         raise ValueError(
             f"write_delta: batch id {batch_id!r} already holds a TOMBSTONE"
             f" flush — each id belongs to exactly one flush; use a fresh id"
         )
+    if fs.exists(HPath(base)):
+        # already PUBLISHED (publishes are atomic, so an existing dir is a
+        # completed one): an at-least-once replay re-delivers identical
+        # content, and rewriting would swap part files out from under any
+        # live facade that folded this batch — probe-invisible (same
+        # name, same manifest version), leaving it on deleted files.
+        # Batch dirs are immutable once published; NEW content needs a
+        # NEW id. A crashed earlier attempt never reaches here (it leaves
+        # only a hidden staged dir, which compaction sweeps).
+        return False
     staged = f"{path}/deltas/{_STAGED_DATA}{batch_id}"
     for name in _ALL_TABLES:
         getattr(delta, name).write.mode("overwrite").parquet(f"{staged}/{name}")
@@ -244,20 +258,25 @@ def _publish_delta(
     NAME doesn't change when the flush completes, stay stale on them).
 
     ``expect`` names the children the staged dir must contain — a
-    completeness gate that turns two single-writer-contract violations
-    into LOUD errors instead of silent partial batches: a concurrent
-    compaction's staging sweep deleting this dir mid-write (earlier
-    tables vanish, later writes recreate the dir), and any writer crash
-    pattern that leaves a subset.
+    completeness gate (ONE listStatus) that turns two single-writer-
+    contract violations into LOUD errors instead of silent partial
+    batches: a concurrent compaction's staging sweep deleting this dir
+    mid-write (earlier tables vanish, later writes recreate the dir),
+    and any writer crash pattern that leaves a subset.
 
-    A pre-existing destination is a crash-retry overwrite of a
-    still-pending id: the stale dir is deleted WHOLE (a failed delete
-    raises — falling through would reopen the half-batch window), then
-    one rename. Readers in the gap see the batch absent — a consistent
-    not-yet-published state, never a mix of old and new tables."""
+    Published batch dirs are IMMUTABLE: a pre-existing destination means
+    an earlier publish SUCCEEDED (publishes are atomic — a crashed
+    attempt leaves only a hidden staged dir), and replacing it would
+    swap part files out from under a live facade that folded the batch —
+    probe-invisible (same name, same manifest version), so the facade
+    scans deleted files until an unrelated marker moves. The writers
+    skip before staging when the destination exists; hitting it here
+    means a concurrent duplicate flush — raise (also: a Hadoop rename
+    onto an existing directory would nest the staged dir INSIDE it)."""
     fs, _, jvm = _fs(spark, staged)
     HPath = jvm.org.apache.hadoop.fs.Path
-    missing = [n for n in expect if not fs.exists(HPath(f"{staged}/{n}"))]
+    have = {st.getPath().getName() for st in fs.listStatus(HPath(staged))}
+    missing = [n for n in expect if n not in have]
     if missing:
         raise RuntimeError(
             f"_publish_delta: staged batch {staged} is missing {missing} —"
@@ -265,11 +284,12 @@ def _publish_delta(
             " maintenance ops are single-writer. Nothing was published;"
             " re-flush the batch."
         )
-    if fs.exists(HPath(final)) and not fs.delete(HPath(final), True):
+    if fs.exists(HPath(final)):
         raise RuntimeError(
-            f"_publish_delta: could not delete the stale pending batch"
-            f" {final} for the crash-retry overwrite; the retry remains"
-            " staged and invisible to readers"
+            f"_publish_delta: {final} already exists — published batch"
+            " dirs are immutable (a live facade's folded file listings"
+            " point into them); a concurrent duplicate flush raced this"
+            " one. The staged dir is left for compaction's sweep."
         )
     if not fs.rename(HPath(staged), HPath(final)):
         raise RuntimeError(
@@ -528,8 +548,9 @@ def write_tombstones(
     every new load excludes and retention later deletes — the deleted
     documents would silently RESURFACE, strictly worse than the data-delta
     hole (missing rows are visible; undeleted rows are not). Returns True
-    when written, False when an already-folded id was skipped
-    (``on_folded="skip"``, the at-least-once replay semantics)."""
+    when written, False on a no-op: an already-folded id skipped
+    (``on_folded="skip"``, the at-least-once replay semantics) or an
+    already-published immutable tombstone batch (new deletes → new id)."""
     assert on_folded in ("raise", "skip")
     _check_batch_id(batch_id, "write_tombstones")
     spark = doc_ids.sparkSession
@@ -551,19 +572,27 @@ def write_tombstones(
     base = f"{path}/deltas/{batch_id}"
     fs, _, jvm = _fs(spark, base)
     HPath = jvm.org.apache.hadoop.fs.Path
-    if fs.exists(HPath(base)) and not fs.exists(HPath(f"{base}/tombstones")):
-        # one id = one flush. A tombstone flush "joining" a pending data
-        # batch under the same id would be INVISIBLE to the facade's
-        # freshness probe (the batch NAME set doesn't change — r11 second
-        # review), so a live facade would keep serving the deleted docs
-        # until the next compaction; and the data crash-retry overwrite
-        # deletes the dir whole, destroying joined deletes. Fresh ids
-        # make every tombstone flush a probe-visible event.
-        raise ValueError(
-            f"write_tombstones: batch id {batch_id!r} already holds a DATA"
-            f" flush — each id belongs to exactly one flush; use a fresh id"
-            f" (a joined flush would be invisible to live facades)"
-        )
+    if fs.exists(HPath(base)):
+        # one id = one flush. A tombstone flush "joining" a data batch
+        # under the same id would be INVISIBLE to the facade's freshness
+        # probe (the batch NAME set doesn't change — r11 second review),
+        # so a live facade would keep serving the deleted docs until the
+        # next compaction. The check covers legacy joined dirs too (data
+        # tables PLUS tombstones, written by the removed merge path) —
+        # overwriting one would silently destroy its data tables.
+        if any(
+            st.getPath().getName() in _ALL_TABLES
+            for st in fs.listStatus(HPath(base))
+        ):
+            raise ValueError(
+                f"write_tombstones: batch id {batch_id!r} already holds a"
+                f" DATA flush — each id belongs to exactly one flush; use a"
+                f" fresh id (a joined flush would be invisible to live"
+                f" facades)"
+            )
+        # tombstones-only: already PUBLISHED — immutable, replay no-op
+        # (same rationale as write_delta; new deletes need a new id)
+        return False
     staged = f"{path}/deltas/{_STAGED_TOMB}{batch_id}"
     doc_ids.select("doc_id").write.mode("overwrite").parquet(f"{staged}/tombstones")
     _publish_delta(spark, staged, base, expect=("tombstones",))

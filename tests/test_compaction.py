@@ -517,14 +517,15 @@ def test_write_delta_rejects_retired_batch_ids(spark, tmp_path):
     retained reader grace whose NAME every new load excludes — a re-flush
     under the same id (a restarted stream's fresh checkpoint restarts
     batchIds at 0) would be silently invisible and later deleted by
-    retention. write_delta must raise loudly on retired ids while still
-    allowing the crash-retry overwrite of a PENDING id."""
+    retention. write_delta must raise loudly on retired ids; a replay of
+    a PUBLISHED pending id is an immutable no-op (r11: rewriting its
+    part files would strand live facades that folded the batch)."""
     path = str(tmp_path / "reuse")
     base = _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(6)])
     write_index(build_index(base, CFG, SF), path)
     d = build_index(_arts(spark, [(50, "enwiki", "tok", "t50")]), CFG, SF)
     write_delta(d, path, 0)
-    write_delta(d, path, 0)  # pending overwrite = crash retry, allowed
+    assert write_delta(d, path, 0) is False  # already published: immutable no-op
     compact_index(spark, path, CFG)
     with pytest.raises(ValueError, match="already FOLDED"):
         write_delta(d, path, 0)
@@ -832,5 +833,34 @@ def test_probe_ttl_amortizes_listings_with_bounded_staleness(spark, tmp_path):
     assert eng.query("TEXT == 'tok'").count() == 4  # full probe, stamps TTL
     write_delta(build_index(_arts(spark, [(9, "enwiki", "tok", "t9")]), CFG, SF), path, 0)
     assert eng.query("TEXT == 'tok'").count() == 4  # inside TTL: stale-by-design
-    eng._probe_stamp = 0.0  # TTL lapses
+    eng._probe_stamp = float("-inf")  # TTL lapses
     assert eng.query("TEXT == 'tok'").count() == 5  # next probe folds the batch
+
+
+def test_published_batches_are_immutable(spark, tmp_path):
+    """r11 third review: an existing batch dir proves a COMPLETED atomic
+    publish, and rewriting it would swap part files out from under a
+    live facade that folded the batch — probe-invisible (same name, same
+    manifest version), stranding the facade on deleted files. Replays
+    are no-ops; a legacy joined dir (data + tombstones) refuses a
+    tombstone overwrite that would destroy its data tables."""
+    import os
+
+    path = str(tmp_path / "immut")
+    write_index(build_index(_arts(spark, [(1, "enwiki", "tok", "t1")]), CFG, SF), path)
+    d = build_index(_arts(spark, [(2, "enwiki", "tok", "t2")]), CFG, SF)
+    assert write_delta(d, path, 0) is True
+    eng = Wikisearch(load_index(spark, path, CFG))
+    assert eng.query("TEXT == 'tok'").count() == 2  # facade folded batch 0
+
+    d_other = build_index(_arts(spark, [(9, "enwiki", "tok", "t9")]), CFG, SF)
+    assert write_delta(d_other, path, 0) is False  # immutable: no rewrite
+    assert eng.query("TEXT == 'tok'").count() == 2  # facade unharmed, files intact
+
+    tombs = spark.createDataFrame([(2,)], "doc_id long")
+    assert write_tombstones(tombs, path, 5) is True
+    assert write_tombstones(tombs, path, 5) is False  # published: no-op
+    # legacy joined dir (pre-r11 merge path): data tables + tombstones
+    os.rename(f"{path}/deltas/5/tombstones", f"{path}/deltas/0/tombstones")
+    with pytest.raises(ValueError, match="already holds a DATA"):
+        write_tombstones(tombs, path, 0)
