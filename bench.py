@@ -293,6 +293,37 @@ def main() -> None:
         list(ex.map(run_one, batch))
     times["throughput_24q_8clients"] = round(time.time() - t, 3)
 
+    # disk-catalog twin (r11): the same 24 queries × 8 threads against an
+    # AT-REST catalog facade, where EVERY query pays the freshness probe
+    # (manifest + pending-delta listings, lock-free). Measures that
+    # concurrent clients don't serialize on the probe — the lane the
+    # under-lock probe would cap at the FS's LIST latency. Catalog write
+    # is untimed (index-build cost, measured elsewhere).
+    import tempfile as _tf
+
+    from accumulo_wikisearch_spark.api import Wikisearch as _WS
+    from accumulo_wikisearch_spark.config import EngineConfig as _EC
+    from accumulo_wikisearch_spark.operators.ingest import (
+        load_index as _li,
+        write_index as _wi,
+    )
+
+    _thr_dir = _tf.mkdtemp(prefix="wikisearch-thrdisk-")
+    _wi(eng.index, _thr_dir)
+    disk_eng = _WS(
+        _li(spark, _thr_dir, _EC(unevaluated_fields=frozenset({"TEXT"})))
+    )
+
+    def run_one_disk(jexl):
+        return disk_eng.query(jexl).count()
+
+    with ThreadPoolExecutor(max_workers=8) as ex:  # warm
+        list(ex.map(run_one_disk, batch[:8]))
+    t = time.time()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(run_one_disk, batch))
+    times["throughput_24q_8clients_disk"] = round(time.time() - t, 3)
+
     # queries during ingest (reference README.md:206-219: concurrent
     # ingest@132 articles/s slowed queries to 1.5-12.2s): a writer thread
     # continuously folds fresh article deltas into the global index (the
