@@ -574,6 +574,47 @@ def _ws_facade_delta_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.query(jexl).select("doc_id")
 
 
+_TOMB_FRESH_CATALOGS: dict[str, str] = {}
+
+
+def _ws_facade_tombstone_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pending TOMBSTONE flush through the facade (r11): the full wiki
+    corpus is the at-rest catalog, a tombstone delta deletes every doc
+    with ``id % 20 == 4``, and a base-only facade answers WITHOUT a
+    manual reload — its freshness probe sees the pending batch name and
+    upgrades to the merge-read view, whose broadcast anti-join shadows
+    the deleted docs (Accumulo's delete markers at scan time). Oracle =
+    the brute-force filter excluding the deleted ids; a stale facade
+    would return them."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import write_tombstones
+    from accumulo_wikisearch_spark.operators.ingest import (
+        build_index,
+        load_index,
+        write_index,
+    )
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=frozenset({"TEXT"}))
+    path = _TOMB_FRESH_CATALOGS.get(sf_dir)
+    if path is None:
+        arts = load_articles(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-tombcat-")
+        write_index(build_index(arts, cfg, SCALAR_FIELDS, unique_ids=True), tmp)
+        write_tombstones(
+            arts.where(F.col("id") % 20 == 4).select(F.col("id").alias("doc_id")),
+            tmp,
+            "t0",
+        )
+        path = _TOMB_FRESH_CATALOGS[sf_dir] = tmp
+    eng = Wikisearch(load_index(spark, path, cfg))
+    return eng.query("TEXT == 'dup'").select("doc_id")
+
+
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqFieldNameValueIterator parity: distinct values in a range."""
     tune_runtime(spark)
@@ -611,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_written_and3"] = _ws_written_and3
     out["ws_bucketed_and3"] = _ws_bucketed_and3
     out["ws_facade_delta_freshness"] = _ws_facade_delta_freshness
+    out["ws_facade_tombstone_freshness"] = _ws_facade_tombstone_freshness
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
@@ -881,6 +923,12 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out["ws_facade_delta_freshness"] = (
         f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
         f"AND list_contains({TOK},'key')"
+    )
+    # the tombstoned ids (doc_id % 20 = 4) must NOT come back — a stale
+    # facade (or unapplied delete markers) would return them
+    out["ws_facade_tombstone_freshness"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
+        f"AND doc_id % 20 <> 4"
     )
     out["ws_metadata_freq"] = (
         "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "
