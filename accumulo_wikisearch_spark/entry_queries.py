@@ -526,24 +526,19 @@ def _ws_bucketed_and3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
-_DELTA_FRESH_CATALOGS: dict[str, str] = {}
+_FRESHNESS_CFG_FIELDS = frozenset({"TEXT"})
 
 
-def _ws_facade_delta_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The facade's pending-delta freshness (r11): 90% of the wiki corpus
-    is the at-rest base catalog; the facade is constructed over the plain
-    base-only load and WARMED, then the remaining 10% arrives as a
-    minor-compaction flush (write_delta — which bumps NEITHER the
-    manifest version nor the z epoch). The next query's freshness probe
-    must detect the new pending-delta name and upgrade to the merge-read
-    view with no manual reload — the reference's queries see writes
-    DURING ingest (reference README.md:206-219). Oracle = the brute-force
-    filter over the FULL corpus: a stale facade misses every delta match."""
+def _cached_fresh_catalog(spark, sf_dir, cache, prefix, base_pred, flush):
+    """Shared scaffold of the facade-freshness entries: write the base
+    catalog for ``base_pred`` rows once per sf_dir, run ``flush`` (the
+    pending write_delta/write_tombstones event), cache the path. Returns
+    a base-only facade over it — whose first query must fold the pending
+    batch via the freshness probe."""
     import tempfile
 
     from accumulo_wikisearch_spark.api import Wikisearch
     from accumulo_wikisearch_spark.config import EngineConfig
-    from accumulo_wikisearch_spark.operators.compaction import write_delta
     from accumulo_wikisearch_spark.operators.ingest import (
         build_index,
         load_index,
@@ -551,27 +546,54 @@ def _ws_facade_delta_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
 
-    tune_runtime(spark)
-    cfg = EngineConfig(unevaluated_fields=frozenset({"TEXT"}))
-    jexl = "TEXT == 'dup' and TEXT == 'key'"
-    path = _DELTA_FRESH_CATALOGS.get(sf_dir)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    path = cache.get(sf_dir)
     if path is None:
         arts = load_articles(spark, sf_dir)
-        base = arts.where(F.col("id") % 10 != 3)
-        tmp = tempfile.mkdtemp(prefix="wikisearch-freshcat-")
-        write_index(build_index(base, cfg, SCALAR_FIELDS, unique_ids=True), tmp)
-        eng = Wikisearch(load_index(spark, tmp, cfg))
-        eng.query(jexl).count()  # warm: base-only answer, plan cached
+        tmp = tempfile.mkdtemp(prefix=prefix)
+        write_index(
+            build_index(arts.where(base_pred(arts)), cfg, SCALAR_FIELDS, unique_ids=True),
+            tmp,
+        )
+        flush(arts, tmp, cfg)
+        path = cache[sf_dir] = tmp
+    return Wikisearch(load_index(spark, path, cfg))
+
+
+_DELTA_FRESH_CATALOGS: dict[str, str] = {}
+
+
+def _ws_facade_delta_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's pending-delta freshness (r11): 90% of the wiki corpus
+    is the at-rest base catalog; the remaining 10% is a pending
+    minor-compaction flush (write_delta — which bumps NEITHER the
+    manifest version nor the z epoch). The base-only facade's first
+    query's freshness probe must detect the pending-delta name and
+    upgrade to the merge-read view with no manual reload — the
+    reference's queries see writes DURING ingest (reference
+    README.md:206-219). Oracle = the brute-force filter over the FULL
+    corpus: a stale facade misses every delta match."""
+    from accumulo_wikisearch_spark.operators.compaction import write_delta
+    from accumulo_wikisearch_spark.operators.ingest import build_index
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS
+
+    tune_runtime(spark)
+
+    def flush(arts, tmp, cfg):
         delta = build_index(
             arts.where(F.col("id") % 10 == 3), cfg, SCALAR_FIELDS, unique_ids=True
         )
         write_delta(delta, tmp, 0)
-        path = _DELTA_FRESH_CATALOGS[sf_dir] = tmp
-    else:
-        # cache hit: the delta is already pending; a fresh base-only
-        # facade still proves the probe (first query must fold it)
-        eng = Wikisearch(load_index(spark, path, cfg))
-    return eng.query(jexl).select("doc_id")
+
+    eng = _cached_fresh_catalog(
+        spark,
+        sf_dir,
+        _DELTA_FRESH_CATALOGS,
+        "wikisearch-freshcat-",
+        lambda arts: F.col("id") % 10 != 3,
+        flush,
+    )
+    return eng.query("TEXT == 'dup' and TEXT == 'key'").select("doc_id")
 
 
 _TOMB_FRESH_CATALOGS: dict[str, str] = {}
@@ -586,32 +608,25 @@ def _ws_facade_tombstone_freshness(spark: SparkSession, sf_dir: str) -> DataFram
     the deleted docs (Accumulo's delete markers at scan time). Oracle =
     the brute-force filter excluding the deleted ids; a stale facade
     would return them."""
-    import tempfile
-
-    from accumulo_wikisearch_spark.api import Wikisearch
-    from accumulo_wikisearch_spark.config import EngineConfig
     from accumulo_wikisearch_spark.operators.compaction import write_tombstones
-    from accumulo_wikisearch_spark.operators.ingest import (
-        build_index,
-        load_index,
-        write_index,
-    )
-    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
 
     tune_runtime(spark)
-    cfg = EngineConfig(unevaluated_fields=frozenset({"TEXT"}))
-    path = _TOMB_FRESH_CATALOGS.get(sf_dir)
-    if path is None:
-        arts = load_articles(spark, sf_dir)
-        tmp = tempfile.mkdtemp(prefix="wikisearch-tombcat-")
-        write_index(build_index(arts, cfg, SCALAR_FIELDS, unique_ids=True), tmp)
+
+    def flush(arts, tmp, cfg):
         write_tombstones(
             arts.where(F.col("id") % 20 == 4).select(F.col("id").alias("doc_id")),
             tmp,
             "t0",
         )
-        path = _TOMB_FRESH_CATALOGS[sf_dir] = tmp
-    eng = Wikisearch(load_index(spark, path, cfg))
+
+    eng = _cached_fresh_catalog(
+        spark,
+        sf_dir,
+        _TOMB_FRESH_CATALOGS,
+        "wikisearch-tombcat-",
+        lambda arts: F.lit(True),
+        flush,
+    )
     return eng.query("TEXT == 'dup'").select("doc_id")
 
 

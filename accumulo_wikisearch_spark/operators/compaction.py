@@ -148,10 +148,10 @@ def write_delta(
     """Flush one ingest batch as ``{path}/deltas/{batch_id}/{table}``,
     published ATOMICALLY (tables land in a hidden staging dir, one rename
     makes the batch visible — see :func:`_publish_delta`). Returns True
-    when the batch was written, False when it was a no-op: the id was
-    already folded (``on_folded="skip"``) or already published (batch
-    dirs are immutable; an at-least-once replay's content is already
-    there — new content needs a new id).
+    when the batch was written; under ``on_folded="skip"`` a duplicate
+    id (already folded OR already published — batch dirs are immutable)
+    is an at-least-once replay no-op returning False, while the default
+    ``"raise"`` makes any duplicate id loud.
 
     The minor-compaction flush: small files, no repartition (the batch is
     micro-batch-sized), no rewrite of the base. ``build_index`` on the new
@@ -214,14 +214,25 @@ def write_delta(
         )
     if fs.exists(HPath(base)):
         # already PUBLISHED (publishes are atomic, so an existing dir is a
-        # completed one): an at-least-once replay re-delivers identical
-        # content, and rewriting would swap part files out from under any
-        # live facade that folded this batch — probe-invisible (same
+        # completed one): rewriting would swap part files out from under
+        # any live facade that folded this batch — probe-invisible (same
         # name, same manifest version), leaving it on deleted files.
-        # Batch dirs are immutable once published; NEW content needs a
-        # NEW id. A crashed earlier attempt never reaches here (it leaves
-        # only a hidden staged dir, which compaction sweeps).
-        return False
+        # Batch dirs are immutable once published. ``on_folded`` is the
+        # duplicate-id policy here too: "skip" = an at-least-once replay
+        # re-delivering identical content (no-op by design); "raise"
+        # (default) = loud, because a MANUAL reuse with new content would
+        # otherwise silently drop the new rows. A crashed earlier attempt
+        # never reaches here (it leaves only a hidden staged dir, which
+        # compaction sweeps).
+        if on_folded == "skip":
+            return False
+        raise ValueError(
+            f"write_delta: batch id {batch_id!r} is already PUBLISHED —"
+            f" batch dirs are immutable once published (live facades'"
+            f" folded file listings point into them). At-least-once"
+            f" replays of identical content should pass on_folded='skip';"
+            f" NEW content needs a NEW id."
+        )
     staged = f"{path}/deltas/{_STAGED_DATA}{batch_id}"
     for name in _ALL_TABLES:
         getattr(delta, name).write.mode("overwrite").parquet(f"{staged}/{name}")
@@ -275,7 +286,11 @@ def _publish_delta(
     onto an existing directory would nest the staged dir INSIDE it)."""
     fs, _, jvm = _fs(spark, staged)
     HPath = jvm.org.apache.hadoop.fs.Path
-    have = {st.getPath().getName() for st in fs.listStatus(HPath(staged))}
+    have = (
+        {st.getPath().getName() for st in fs.listStatus(HPath(staged))}
+        if fs.exists(HPath(staged))
+        else set()  # swept whole: every expected child is "missing"
+    )
     missing = [n for n in expect if n not in have]
     if missing:
         raise RuntimeError(
@@ -548,9 +563,9 @@ def write_tombstones(
     every new load excludes and retention later deletes — the deleted
     documents would silently RESURFACE, strictly worse than the data-delta
     hole (missing rows are visible; undeleted rows are not). Returns True
-    when written, False on a no-op: an already-folded id skipped
-    (``on_folded="skip"``, the at-least-once replay semantics) or an
-    already-published immutable tombstone batch (new deletes → new id)."""
+    when written; under ``on_folded="skip"`` a duplicate id (folded or
+    already published) is a replay no-op returning False, while the
+    default ``"raise"`` makes any duplicate id loud."""
     assert on_folded in ("raise", "skip")
     _check_batch_id(batch_id, "write_tombstones")
     spark = doc_ids.sparkSession
@@ -590,9 +605,18 @@ def write_tombstones(
                 f" fresh id (a joined flush would be invisible to live"
                 f" facades)"
             )
-        # tombstones-only: already PUBLISHED — immutable, replay no-op
-        # (same rationale as write_delta; new deletes need a new id)
-        return False
+        # tombstones-only: already PUBLISHED — immutable. Same
+        # duplicate-id policy as write_delta: replay skips, manual reuse
+        # with NEW deletes raises (silently dropping deletes is the
+        # resurface failure this function exists to prevent).
+        if on_folded == "skip":
+            return False
+        raise ValueError(
+            f"write_tombstones: batch id {batch_id!r} is already PUBLISHED"
+            f" — batch dirs are immutable once published. At-least-once"
+            f" replays should pass on_folded='skip'; NEW deletes need a"
+            f" NEW id."
+        )
     staged = f"{path}/deltas/{_STAGED_TOMB}{batch_id}"
     doc_ids.select("doc_id").write.mode("overwrite").parquet(f"{staged}/tombstones")
     _publish_delta(spark, staged, base, expect=("tombstones",))

@@ -525,7 +525,9 @@ def test_write_delta_rejects_retired_batch_ids(spark, tmp_path):
     write_index(build_index(base, CFG, SF), path)
     d = build_index(_arts(spark, [(50, "enwiki", "tok", "t50")]), CFG, SF)
     write_delta(d, path, 0)
-    assert write_delta(d, path, 0) is False  # already published: immutable no-op
+    with pytest.raises(ValueError, match="already PUBLISHED"):
+        write_delta(d, path, 0)  # manual duplicate id: loud by default
+    assert write_delta(d, path, 0, on_folded="skip") is False  # replay no-op
     compact_index(spark, path, CFG)
     with pytest.raises(ValueError, match="already FOLDED"):
         write_delta(d, path, 0)
@@ -854,12 +856,16 @@ def test_published_batches_are_immutable(spark, tmp_path):
     assert eng.query("TEXT == 'tok'").count() == 2  # facade folded batch 0
 
     d_other = build_index(_arts(spark, [(9, "enwiki", "tok", "t9")]), CFG, SF)
-    assert write_delta(d_other, path, 0) is False  # immutable: no rewrite
+    with pytest.raises(ValueError, match="already PUBLISHED"):
+        write_delta(d_other, path, 0)  # NEW content under a used id: loud
+    assert write_delta(d_other, path, 0, on_folded="skip") is False  # replay
     assert eng.query("TEXT == 'tok'").count() == 2  # facade unharmed, files intact
 
     tombs = spark.createDataFrame([(2,)], "doc_id long")
     assert write_tombstones(tombs, path, 5) is True
-    assert write_tombstones(tombs, path, 5) is False  # published: no-op
+    with pytest.raises(ValueError, match="already PUBLISHED"):
+        write_tombstones(tombs, path, 5)  # manual duplicate id: loud
+    assert write_tombstones(tombs, path, 5, on_folded="skip") is False  # replay
     # legacy joined dir (pre-r11 merge path): data tables + tombstones
     os.rename(f"{path}/deltas/5/tombstones", f"{path}/deltas/0/tombstones")
     with pytest.raises(ValueError, match="already holds a DATA"):
