@@ -630,6 +630,66 @@ def _ws_facade_tombstone_freshness(spark: SparkSession, sf_dir: str) -> DataFram
     return eng.query("TEXT == 'dup'").select("doc_id")
 
 
+_TIME_TRAVEL_CATALOGS: dict[str, str] = {}
+
+
+def _cat_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot read (r11): the catalog lives through two
+    full rewrite cycles — base (80% of the corpus) + a delta (the
+    ``id % 10 == 8`` decile) compacted into snapshot v1, then a second
+    delta (the ``== 9`` decile) compacted into snapshot v2. Loading
+    ``at_version=1`` must see EXACTLY v1's rows: the first folded delta
+    included, the later decile invisible, and no self-heal onto v2 —
+    the reproducibility pin a training pipeline records so every
+    re-read of its corpus is byte-identical regardless of ongoing
+    ingest (Iceberg/Delta snapshot-id reads, applied to our
+    manifest-pointer catalog). Oracle = the brute-force filter over
+    the corpus MINUS the post-snapshot decile."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import (
+        compact_index,
+        write_delta,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import (
+        build_index,
+        load_index,
+        write_index,
+    )
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    path = _TIME_TRAVEL_CATALOGS.get(sf_dir)
+    if path is None:
+        arts = load_articles(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-timetravel-")
+        write_index(
+            build_index(
+                arts.where(F.col("id") % 10 <= 7),
+                cfg,
+                SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            tmp,
+        )
+        delta8 = build_index(
+            arts.where(F.col("id") % 10 == 8), cfg, SCALAR_FIELDS, unique_ids=True
+        )
+        write_delta(delta8, tmp, "tt-0")
+        compact_index(spark, tmp, cfg)  # mints snapshot v1 (90%)
+        delta9 = build_index(
+            arts.where(F.col("id") % 10 == 9), cfg, SCALAR_FIELDS, unique_ids=True
+        )
+        write_delta(delta9, tmp, "tt-1")
+        compact_index(spark, tmp, cfg)  # mints snapshot v2 (100%)
+        path = _TIME_TRAVEL_CATALOGS[sf_dir] = tmp
+    eng = Wikisearch(load_index(spark, path, cfg, at_version=1))
+    return eng.query("TEXT == 'dup'").select("doc_id")
+
+
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqFieldNameValueIterator parity: distinct values in a range."""
     tune_runtime(spark)
@@ -668,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_bucketed_and3"] = _ws_bucketed_and3
     out["ws_facade_delta_freshness"] = _ws_facade_delta_freshness
     out["ws_facade_tombstone_freshness"] = _ws_facade_tombstone_freshness
+    out["cat_time_travel"] = _cat_time_travel
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
@@ -944,6 +1005,13 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out["ws_facade_tombstone_freshness"] = (
         f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
         f"AND doc_id % 20 <> 4"
+    )
+    # snapshot v1 = everything folded by the FIRST compaction (base 80% +
+    # the id%10==8 delta); the id%10==9 decile landed after v1 and must be
+    # invisible to the pinned read even though the CURRENT catalog has it
+    out["cat_time_travel"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
+        f"AND doc_id % 10 <> 9"
     )
     out["ws_metadata_freq"] = (
         "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "

@@ -627,11 +627,61 @@ def load_index_bucketed(
     )
 
 
-def load_index(spark: SparkSession, path: str, config: EngineConfig | None = None) -> WikisearchIndex:
+def load_index(
+    spark: SparkSession,
+    path: str,
+    config: EngineConfig | None = None,
+    at_version: int | None = None,
+) -> WikisearchIndex:
+    """Open a catalog — current state, or a pinned snapshot.
+
+    ``at_version=N`` is time travel: resolve through ``_MANIFEST.N.json``
+    to the exact generation the rewrite at version N published (its
+    folded deltas included; anything flushed or rewritten later
+    excluded). Published generations are immutable, so the returned
+    index is a FROZEN snapshot — the facade's freshness probe and the
+    merge-read delta fold are deliberately disabled (``catalog_path``
+    None), and a query plan never pays an FS probe. This is the
+    reproducibility pin a training pipeline needs: record
+    ``manifest.list_versions()[-1]`` when a run starts and every re-read
+    of the corpus sees byte-identical data regardless of ongoing ingest.
+    A snapshot stays readable while its manifest is retained
+    (``retain_generations`` on the maintenance ops sizes that history);
+    loading a retired version raises with the retained list."""
     from accumulo_wikisearch_spark.operators.layout import load_zlayout
-    from accumulo_wikisearch_spark.operators.manifest import resolve_root
+    from accumulo_wikisearch_spark.operators.manifest import (
+        read_manifest_at,
+        resolve_root,
+    )
 
     config = config or EngineConfig()
+    if at_version is not None:
+        m = read_manifest_at(spark, path, at_version)
+        root, version = f"{path}/{m['generation']}", int(m["version"])
+        zl = load_zlayout(spark, f"{root}/docs_wide")
+        rd = spark.read.parquet
+        return WikisearchIndex(
+            config=config,
+            doc_fields=rd(f"{root}/doc_fields"),
+            field_index=rd(f"{root}/field_index"),
+            global_index=rd(f"{root}/global_index"),
+            reverse_index=rd(f"{root}/reverse_index"),
+            metadata=rd(f"{root}/metadata"),
+            term_index=rd(f"{root}/term_index"),
+            docs_wide=rd(f"{root}/docs_wide"),
+            documents=rd(f"{root}/documents"),
+            # zlayout_path stays None: the generation is immutable, so
+            # load-time prune parameters are valid for the snapshot's
+            # whole lifetime — no per-query sidecar re-read
+            zlayout=zl,
+            zlayout_path=None,
+            # catalog_path None = the facade treats this like an
+            # in-memory index: no freshness probe, no self-heal, no
+            # pending-delta fold — a snapshot must never drift
+            catalog_path=None,
+            manifest_version=version,
+            merged_deltas=None,
+        )
     # a rewritten catalog resolves through its manifest pointer to the
     # current generation directory; never-rewritten catalogs keep their
     # flat legacy layout (root == path, version None)

@@ -108,6 +108,44 @@ def _open_json(fs, jvm, pathstr: str) -> dict | None:
     return json.loads(data.decode())
 
 
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Manifest versions still retained on disk, ascending — the set a
+    reader can pin with ``load_index(..., at_version=...)``. Empty for a
+    legacy (never-rewritten) catalog. How much history this holds is the
+    ``retain_generations`` knob on compaction/adoption: the default 2
+    keeps the current and previous snapshots."""
+    return sorted(
+        int(m.group(1))
+        for n in _listing(spark, path)
+        if (m := _MANIFEST_RE.match(n))
+    )
+
+
+def read_manifest_at(spark: SparkSession, path: str, version: int) -> dict:
+    """The manifest of an EXACT retained version — the time-travel
+    resolve. Raises with the retained-version list when ``version`` was
+    never published or has been retired by retention (the remediation is
+    a larger ``retain_generations`` on the maintenance ops, which sizes
+    how many snapshots stay readable)."""
+    fs, _, jvm = _fs(spark, path)
+    body = _open_json(fs, jvm, f"{path}/_MANIFEST.{int(version):06d}.json")
+    if body is None:
+        avail = list_versions(spark, path)
+        have = (
+            str(avail)
+            if avail
+            else "none — legacy catalog, no rewrite has published a manifest yet"
+        )
+        raise ValueError(
+            f"time travel: catalog {path} has no retained version"
+            f" {version} (retained: {have}). Versions older than the"
+            " retention window are deleted with their generation; raise"
+            " retain_generations on compact_index/adopt_generation to"
+            " keep more history."
+        )
+    return body
+
+
 def read_manifest(spark: SparkSession, path: str) -> dict | None:
     """The current manifest's content, or None for a legacy catalog.
 

@@ -1,0 +1,120 @@
+"""Time-travel snapshot reads over the manifest-pointer catalog:
+``load_index(..., at_version=N)`` pins the exact generation the rewrite
+at version N published — the reproducibility pin a training pipeline
+records so re-reads are byte-identical regardless of ongoing ingest.
+Snapshot history is sized by the same ``retain_generations`` knob as
+reader grace; reading a retired version raises with the retained list.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.api import Wikisearch
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.operators.compaction import compact_index, write_delta
+from accumulo_wikisearch_spark.operators.ingest import build_index, load_index, write_index
+from accumulo_wikisearch_spark.operators.manifest import list_versions
+
+CFG = EngineConfig(num_partitions=1, uid_max=20)
+SF = {"ID": "id", "TITLE": "title"}
+SCHEMA = "id long, language string, text string, title string"
+
+
+def _arts(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _delta(spark, path, ids, batch):
+    d = _arts(spark, [(i, "enwiki", "tok wave", f"t{i}") for i in ids])
+    write_delta(build_index(d, CFG, SF), path, batch)
+
+
+@pytest.fixture()
+def versioned_catalog(spark, tmp_path):
+    """Catalog with two snapshots: v1 = docs 0-9, v2 = docs 0-14."""
+    path = str(tmp_path / "tt")
+    base = _arts(spark, [(i, "enwiki", "tok base", f"t{i}") for i in range(5)])
+    write_index(build_index(base, CFG, SF), path)
+    _delta(spark, path, range(5, 10), "b0")
+    compact_index(spark, path, CFG)  # v1
+    _delta(spark, path, range(10, 15), "b1")
+    compact_index(spark, path, CFG)  # v2
+    return path
+
+
+def test_list_versions(spark, versioned_catalog, tmp_path):
+    assert list_versions(spark, versioned_catalog) == [1, 2]
+    # legacy catalog: no manifest yet
+    legacy = str(tmp_path / "legacy")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "x", "t")]), CFG, SF), legacy)
+    assert list_versions(spark, legacy) == []
+
+
+def test_snapshot_reads_exact_generation(spark, versioned_catalog):
+    v1 = load_index(spark, versioned_catalog, CFG, at_version=1)
+    v2 = load_index(spark, versioned_catalog, CFG, at_version=2)
+    cur = load_index(spark, versioned_catalog, CFG)
+    assert sorted(r["doc_id"] for r in v1.documents.select("doc_id").collect()) == list(range(10))
+    assert v2.documents.count() == 15
+    assert cur.documents.count() == 15
+    assert v1.manifest_version == 1 and v2.manifest_version == 2
+    # global index is the snapshot's own fold, not the current one
+    tok = v1.global_index.where(
+        (F.col("field") == "TEXT") & (F.col("norm_value") == "tok")
+    ).collect()[0]
+    assert tok["count"] == 10
+
+
+def test_snapshot_query_through_facade(spark, versioned_catalog):
+    eng = Wikisearch(load_index(spark, versioned_catalog, CFG, at_version=1))
+    assert eng.query("TEXT == 'tok'").count() == 10
+    assert sorted(
+        r["doc_id"] for r in eng.query("TEXT == 'wave'").collect()
+    ) == list(range(5, 10))
+
+
+def test_snapshot_is_frozen_against_later_writes(spark, versioned_catalog):
+    """A pinned snapshot must NOT self-heal: flush a new delta (which the
+    live facade's freshness probe would fold) and the snapshot keeps
+    answering from its generation."""
+    eng = Wikisearch(load_index(spark, versioned_catalog, CFG, at_version=1))
+    assert eng.query("TEXT == 'tok'").count() == 10
+    _delta(spark, versioned_catalog, range(20, 25), "b2")
+    # live view folds the pending delta via the probe...
+    live = Wikisearch(load_index(spark, versioned_catalog, CFG))
+    assert live.query("TEXT == 'tok'").count() == 20
+    # ...the snapshot does not move
+    assert eng.query("TEXT == 'tok'").count() == 10
+    assert eng.index.catalog_path is None
+
+
+def test_retired_version_raises_with_retained_list(spark, versioned_catalog):
+    # third rewrite with the default retain_generations=2 retires v1
+    _delta(spark, versioned_catalog, range(15, 18), "b2")
+    compact_index(spark, versioned_catalog, CFG)  # v3; retention drops v1
+    assert list_versions(spark, versioned_catalog) == [2, 3]
+    with pytest.raises(ValueError, match=r"no retained version 1.*\[2, 3\]"):
+        load_index(spark, versioned_catalog, CFG, at_version=1)
+
+
+def test_retain_generations_extends_snapshot_history(spark, tmp_path):
+    path = str(tmp_path / "tt3")
+    write_index(
+        build_index(_arts(spark, [(0, "enwiki", "tok", "t0")]), CFG, SF), path
+    )
+    for n, batch in enumerate(["b0", "b1", "b2"]):
+        _delta(spark, path, [n + 1], batch)
+        compact_index(spark, path, CFG, retain_generations=3)
+    assert list_versions(spark, path) == [1, 2, 3]
+    for v in (1, 2, 3):
+        snap = load_index(spark, path, CFG, at_version=v)
+        assert snap.documents.count() == 1 + v
+
+
+def test_never_published_version_raises(spark, versioned_catalog, tmp_path):
+    with pytest.raises(ValueError, match="no retained version 99"):
+        load_index(spark, versioned_catalog, CFG, at_version=99)
+    legacy = str(tmp_path / "legacy2")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "x", "t")]), CFG, SF), legacy)
+    with pytest.raises(ValueError, match="legacy catalog"):
+        load_index(spark, legacy, CFG, at_version=1)
