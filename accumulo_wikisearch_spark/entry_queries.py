@@ -645,23 +645,30 @@ def _cat_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest (Iceberg/Delta snapshot-id reads, applied to our
     manifest-pointer catalog). Oracle = the brute-force filter over
     the corpus MINUS the post-snapshot decile."""
-    import tempfile
-
     from accumulo_wikisearch_spark.api import Wikisearch
     from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import load_index
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    path = _time_travel_catalog(spark, sf_dir, cfg)
+    eng = Wikisearch(load_index(spark, path, cfg, at_version=1))
+    return eng.query("TEXT == 'dup'").select("doc_id")
+
+
+def _time_travel_catalog(spark, sf_dir: str, cfg) -> str:
+    """Build (once per sf_dir) the two-snapshot catalog the time-travel /
+    changes-feed entries share: base = deciles 0-7, v1 folds the ==8
+    delta, v2 folds the ==9 delta."""
+    import tempfile
+
     from accumulo_wikisearch_spark.operators.compaction import (
         compact_index,
         write_delta,
     )
-    from accumulo_wikisearch_spark.operators.ingest import (
-        build_index,
-        load_index,
-        write_index,
-    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
     from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
 
-    tune_runtime(spark)
-    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
     path = _TIME_TRAVEL_CATALOGS.get(sf_dir)
     if path is None:
         arts = load_articles(spark, sf_dir)
@@ -675,19 +682,38 @@ def _cat_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             tmp,
         )
-        delta8 = build_index(
-            arts.where(F.col("id") % 10 == 8), cfg, SCALAR_FIELDS, unique_ids=True
-        )
-        write_delta(delta8, tmp, "tt-0")
-        compact_index(spark, tmp, cfg)  # mints snapshot v1 (90%)
-        delta9 = build_index(
-            arts.where(F.col("id") % 10 == 9), cfg, SCALAR_FIELDS, unique_ids=True
-        )
-        write_delta(delta9, tmp, "tt-1")
-        compact_index(spark, tmp, cfg)  # mints snapshot v2 (100%)
+        for n, decile in enumerate((8, 9)):
+            delta = build_index(
+                arts.where(F.col("id") % 10 == decile),
+                cfg,
+                SCALAR_FIELDS,
+                unique_ids=True,
+            )
+            write_delta(delta, tmp, f"tt-{n}")
+            compact_index(spark, tmp, cfg)  # mints snapshot v{n+1}
         path = _TIME_TRAVEL_CATALOGS[sf_dir] = tmp
-    eng = Wikisearch(load_index(spark, path, cfg, at_version=1))
-    return eng.query("TEXT == 'dup'").select("doc_id")
+    return path
+
+
+def _cat_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changes feed between two retained snapshots (r11):
+    on the same two-snapshot catalog as ``cat_time_travel``,
+    ``read_changes(since=1, until=2)`` must return EXACTLY the documents
+    the v2 compaction folded (the ``id % 10 == 9`` decile) — read from
+    the folded delta dirs alone, O(changed data) not O(catalog). The
+    Iceberg incremental-read / Delta table_changes shape on our
+    manifest-pointer catalog; a 100 TB downstream consumer (index
+    mirror, embedding refresh) taps this instead of diffing snapshots.
+    Oracle = the brute-force decile filter."""
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import read_changes
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    path = _time_travel_catalog(spark, sf_dir, cfg)
+    return read_changes(spark, path, since_version=1, until_version=2).select(
+        "version", "change", "doc_id"
+    )
 
 
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_facade_delta_freshness"] = _ws_facade_delta_freshness
     out["ws_facade_tombstone_freshness"] = _ws_facade_tombstone_freshness
     out["cat_time_travel"] = _cat_time_travel
+    out["cat_changes_feed"] = _cat_changes_feed
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
@@ -1012,6 +1039,13 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out["cat_time_travel"] = (
         f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
         f"AND doc_id % 10 <> 9"
+    )
+    # the changes feed between snapshot v1 and v2 is exactly the decile
+    # the second compaction folded — appends only, read from the folded
+    # delta dirs (O(changed data), never a snapshot diff)
+    out["cat_changes_feed"] = (
+        "SELECT 2::BIGINT AS version, 'append' AS change, doc_id "
+        "FROM documents WHERE doc_id % 10 = 9"
     )
     out["ws_metadata_freq"] = (
         "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "

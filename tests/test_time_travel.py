@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from accumulo_wikisearch_spark.api import Wikisearch
 from accumulo_wikisearch_spark.config import EngineConfig
-from accumulo_wikisearch_spark.operators.compaction import compact_index, write_delta
+from accumulo_wikisearch_spark.operators.compaction import (
+    compact_index,
+    read_changes,
+    write_delta,
+    write_tombstones,
+)
 from accumulo_wikisearch_spark.operators.ingest import build_index, load_index, write_index
 from accumulo_wikisearch_spark.operators.manifest import list_versions
 
@@ -109,6 +114,57 @@ def test_retain_generations_extends_snapshot_history(spark, tmp_path):
     for v in (1, 2, 3):
         snap = load_index(spark, path, CFG, at_version=v)
         assert snap.documents.count() == 1 + v
+
+
+def test_changes_feed_appends(spark, versioned_catalog):
+    ch = read_changes(spark, versioned_catalog, since_version=1, until_version=2)
+    rows = ch.collect()
+    assert all(r["change"] == "append" and r["version"] == 2 for r in rows)
+    assert sorted(r["doc_id"] for r in rows) == list(range(10, 15))
+    # default until = current version
+    assert read_changes(spark, versioned_catalog, 1).count() == 5
+    # an empty (since == until) range is a valid, empty feed
+    assert read_changes(spark, versioned_catalog, 2, 2).count() == 0
+
+
+def test_changes_feed_deletes_and_pending_excluded(spark, versioned_catalog):
+    write_tombstones(
+        spark.range(3).select(F.col("id").alias("doc_id")),
+        versioned_catalog,
+        "del0",
+    )
+    _delta(spark, versioned_catalog, [30], "b9")
+    # pending (unfolded) batches belong to no snapshot → unchanged feed
+    assert read_changes(spark, versioned_catalog, 1).count() == 5
+    compact_index(spark, versioned_catalog, CFG)  # v3 folds del0 + b9
+    ch = read_changes(spark, versioned_catalog, 2, 3).collect()
+    dels = sorted(r["doc_id"] for r in ch if r["change"] == "delete")
+    adds = sorted(r["doc_id"] for r in ch if r["change"] == "append")
+    assert dels == [0, 1, 2] and adds == [30]
+    for r in ch:
+        assert r["version"] == 3
+        if r["change"] == "delete":
+            assert r["text"] is None and r["language"] is None
+
+
+def test_changes_feed_schema_is_stable_when_empty(spark, versioned_catalog):
+    empty = read_changes(spark, versioned_catalog, 2, 2)
+    assert empty.columns == [
+        "version", "batch", "change", "partition_id", "language", "doc_id", "text",
+    ]
+    full = read_changes(spark, versioned_catalog, 1, 2)
+    assert full.columns == empty.columns
+
+
+def test_changes_feed_bad_anchors_raise(spark, versioned_catalog, tmp_path):
+    with pytest.raises(ValueError, match="since_version 2 > until_version 1"):
+        read_changes(spark, versioned_catalog, 2, 1)
+    with pytest.raises(ValueError, match="no retained version 0"):
+        read_changes(spark, versioned_catalog, 0, 2)
+    legacy = str(tmp_path / "legacy3")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "x", "t")]), CFG, SF), legacy)
+    with pytest.raises(ValueError, match="legacy"):
+        read_changes(spark, legacy, 1)
 
 
 def test_never_published_version_raises(spark, versioned_catalog, tmp_path):
