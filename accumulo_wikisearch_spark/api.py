@@ -97,22 +97,32 @@ class Wikisearch:
         # {path}/deltas instead of re-opening every manifest per query
         self._folded_cache: tuple | None = None
 
-    def _pending_deltas(self, spark, path: str, mv: int | None) -> frozenset:
-        """Names of PENDING delta batches on disk right now — one
-        listStatus of ``{path}/deltas`` (the folded-name exclusion set is
-        served from the per-manifest-version cache). Called lock-free:
-        two threads racing the cache recompute both derive the same value
-        for the same version, and the tuple assignment is atomic."""
-        from accumulo_wikisearch_spark.operators.compaction import delta_batches
+    def _pending_deltas(self, spark, path: str, mv: int | None, raw) -> frozenset:
+        """Names of PENDING delta batches among the already-listed ``raw``
+        set (the folded-name exclusion set is served from the
+        per-manifest-version cache — zero extra listings here). Called
+        lock-free: two threads racing the cache recompute both derive the
+        same value for the same version, and the tuple assignment is
+        atomic."""
         from accumulo_wikisearch_spark.operators.manifest import folded_deltas
 
         cached = self._folded_cache
         if cached is not None and cached[0] == mv:
             folded = cached[1]
         else:
-            folded = frozenset(folded_deltas(spark, path))
+            # capped at mv: a fold recorded by a manifest NEWER than the
+            # version this probe read must not hide its batches from the
+            # pending set, or the stale version would compare clean while
+            # the batches disappear — with the cap, the value is a pure
+            # function of mv (manifests are immutable), which is also
+            # what makes this cache exact under racing threads
+            folded = frozenset(
+                folded_deltas(
+                    spark, path, max_version=mv if mv is not None else 0
+                )
+            )
             self._folded_cache = (mv, folded)
-        return frozenset(delta_batches(spark, path, folded=folded))
+        return frozenset(raw) - folded
 
     @classmethod
     def ingest(
@@ -152,8 +162,16 @@ class Wikisearch:
             # inside the TTL: serve the last-probed epoch as-is. Stale by
             # at most probe_ttl_s after a flush/rewrite — the documented
             # trade. (Attribute reads are GIL-atomic; a racing full probe
-            # only makes this window end sooner.)
-            return index, card_cache, plan_cache, index.zlayout, index.manifest_version
+            # only makes this window end sooner.) The mv returned must be
+            # what the FULL probe returns for this index — for probeless
+            # indexes (time-travel snapshots carry a manifest_version but
+            # catalog_path None) that is None, or the plan-cache key
+            # would alternate between the two paths' keys and re-plan
+            # every TTL lapse (r11 review).
+            mv_key = (
+                index.manifest_version if index.catalog_path is not None else None
+            )
+            return index, card_cache, plan_cache, index.zlayout, mv_key
         zl = _current_zlayout(index)
         stale = zl != index.zlayout
         mv = None
@@ -168,14 +186,33 @@ class Wikisearch:
             # it a long-lived facade over a stream_ingest_deltas
             # catalog misses streamed rows until the next compaction
             # (the reference's queries see writes DURING ingest,
-            # README.md:206-219)
+            # README.md:206-219).
+            #
+            # ORDER MATTERS (r11 review): list the raw delta names
+            # FIRST, the manifest version SECOND. A compaction that
+            # completes between the two reads then shows up in the
+            # version comparison (version read last = newest). The
+            # reverse order had a one-query read-your-writes hole:
+            # version read as N, compaction folds batch b and
+            # publishes N+1, then the delta listing sees b already
+            # folded — pending and version BOTH compare clean and a
+            # write that durably completed before the query began is
+            # invisible until the next probe. Folded batch dirs stay
+            # on disk as reader grace until their manifest retires,
+            # so a raw listing taken before the fold still contains
+            # b either way — the stale raw set can only ADD names,
+            # never hide one.
+            from accumulo_wikisearch_spark.operators.compaction import (
+                raw_delta_names,
+            )
             from accumulo_wikisearch_spark.operators.manifest import (
                 manifest_version,
             )
 
             spark = index.docs_wide.sparkSession
+            raw = raw_delta_names(spark, index.catalog_path)
             mv = manifest_version(spark, index.catalog_path)
-            pending = self._pending_deltas(spark, index.catalog_path, mv)
+            pending = self._pending_deltas(spark, index.catalog_path, mv, raw)
             stale = (
                 stale
                 or mv != index.manifest_version

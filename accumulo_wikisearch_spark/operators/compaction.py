@@ -94,6 +94,39 @@ def _fs(spark: SparkSession, path: str):
     return fs, hpath, jvm
 
 
+def raw_delta_names(spark: SparkSession, path: str) -> frozenset[str]:
+    """Every PUBLISHED batch directory under ``{path}/deltas`` — folded or
+    pending — in ONE listStatus. In-progress flushes stage under a hidden
+    ``._staged_*`` name and publish by one directory rename, so a
+    lock-free reader never sees half a batch; any OTHER hidden directory
+    is loudly rejected instead of silently skipped — a batch published
+    under a hidden id (possible before batch-id validation existed) would
+    otherwise be invisible to every listing forever: never merge-read,
+    never folded, never compacted — silent data loss."""
+    fs, hpath, _ = _fs(spark, f"{path}/deltas")
+    if not fs.exists(hpath):
+        return frozenset()
+    names = []
+    for st in fs.listStatus(hpath):
+        if not st.isDirectory():
+            continue
+        n = st.getPath().getName()
+        if n.startswith((".", "_")):
+            if not n.startswith(_STAGED_PREFIX):
+                raise ValueError(
+                    f"delta listing of {path}: unrecognized hidden batch"
+                    f" directory {n!r} — hidden names are reserved for"
+                    f" in-progress staging and are excluded from every"
+                    f" listing, so its rows would silently never be"
+                    f" merge-read, folded, or compacted. If this is a"
+                    f" batch published under a pre-validation hidden id,"
+                    f" rename it to a visible id (no leading '.' or '_')."
+                )
+            continue
+        names.append(n)
+    return frozenset(names)
+
+
 def delta_batches(
     spark: SparkSession, path: str, folded: set[str] | None = None
 ) -> list[str]:
@@ -106,20 +139,11 @@ def delta_batches(
     stays ONE listStatus."""
     from accumulo_wikisearch_spark.operators.manifest import folded_deltas
 
-    fs, hpath, _ = _fs(spark, f"{path}/deltas")
-    if not fs.exists(hpath):
+    raw = raw_delta_names(spark, path)
+    if not raw:
         return []
     done = folded_deltas(spark, path) if folded is None else folded
-    return sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(hpath)
-        if st.isDirectory()
-        and st.getPath().getName() not in done
-        # in-progress flushes stage under a hidden name and publish by
-        # ONE directory rename — a lock-free reader (merge-read load or
-        # the facade's freshness probe) must never see half a batch
-        and not st.getPath().getName().startswith((".", "_"))
-    )
+    return sorted(raw - set(done))
 
 
 def _check_batch_id(batch_id: int | str, fn_name: str) -> None:
@@ -412,6 +436,7 @@ def swap_in_catalog(
     path: str,
     folded_deltas: tuple[str, ...] = (),
     retain_generations: int = 2,
+    kind: str = "rewrite",
 ) -> int:
     """Swap a fully-written staged catalog into place ATOMICALLY for
     concurrent readers: adopt ``tmp`` as the next versioned generation
@@ -439,6 +464,7 @@ def swap_in_catalog(
         _ALL_TABLES,
         folded=folded_deltas,
         retain_generations=retain_generations,
+        kind=kind,
     )
 
 
@@ -513,6 +539,9 @@ def compact_index(
         path,
         folded_deltas=tuple(batches),
         retain_generations=retain_generations,
+        # a compaction's generation is EXACTLY base + the folded batches,
+        # so those dirs are this version's complete changes feed
+        kind="fold",
     )
     # invalidate cached plans over the replaced files (rename does not
     # trigger Spark's automatic overwrite invalidation)
@@ -800,6 +829,20 @@ def read_changes(
     parts: list[DataFrame] = []
     for v in range(since_version + 1, until_version + 1):
         m = read_manifest_at(spark, path, v)
+        if m.get("kind") != "fold":
+            # a full rewrite (stream_ingest's per-batch swap, or any
+            # manifest predating the kind marker) can change arbitrary
+            # content that no delta dir records — an empty feed for it
+            # would read as "no changes" and silently diverge downstream
+            raise ValueError(
+                f"read_changes: version {v} of {path} is a"
+                f" '{m.get('kind', 'unmarked')}' generation, not a"
+                " compaction fold — its changes are not representable as"
+                " a delta feed. Anchor the feed on compaction-minted"
+                " versions only (continuous ingest via"
+                " stream_ingest_deltas + compact_index produces exactly"
+                " those)."
+            )
         for b in sorted(m.get("folded_deltas", [])):
             base = f"{path}/deltas/{b}"
             fs, hpath, _ = _fs(spark, f"{base}/documents")

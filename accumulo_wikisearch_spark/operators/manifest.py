@@ -176,16 +176,29 @@ def resolve_root(spark: SparkSession, path: str) -> tuple[str, int | None]:
     return f"{path}/{m['generation']}", int(m["version"])
 
 
-def folded_deltas(spark: SparkSession, path: str) -> set[str]:
+def folded_deltas(
+    spark: SparkSession, path: str, max_version: int | None = None
+) -> set[str]:
     """Delta batch names already folded into SOME retained generation —
     union over every manifest still present. Their directories stay on
     disk for in-flight merge-read queries planned before the fold, but
     no NEW load may merge them again (that would double-count); they are
-    physically deleted when the manifest that folded them retires."""
+    physically deleted when the manifest that folded them retires.
+
+    ``max_version`` caps the union at manifests ≤ that version — the
+    freshness probe passes its already-read manifest version so the
+    folded set can never be NEWER than the version it is compared
+    against (a compaction publishing between the probe's version read
+    and this listing would otherwise mark its batches folded while the
+    stale version still compares clean — the exact one-query
+    read-your-writes hole the probe's read ordering closes, re-entering
+    through this listing). None = no cap (maintenance callers want every
+    fold ever recorded)."""
     fs, _, jvm = _fs(spark, path)
     out: set[str] = set()
     for n in _listing(spark, path):
-        if _MANIFEST_RE.match(n):
+        m = _MANIFEST_RE.match(n)
+        if m and (max_version is None or int(m.group(1)) <= max_version):
             # tolerate a manifest deleted between the listing and this
             # open (a concurrent adoption's retention): its folded delta
             # dirs are deleted WITH it, so skipping it is exact
@@ -202,6 +215,7 @@ def adopt_generation(
     required_tables: tuple[str, ...],
     folded: tuple[str, ...] = (),
     retain_generations: int = 2,
+    kind: str = "rewrite",
 ) -> int:
     """Adopt a fully-staged catalog directory as the next generation and
     publish it atomically. Returns the new version.
@@ -272,6 +286,12 @@ def adopt_generation(
             # them) but excluded from every new delta listing; retention
             # deletes them when this manifest itself retires
             "folded_deltas": sorted(folded),
+            # what produced this generation: "fold" = base + the folded
+            # deltas, nothing else (so the folded dirs ARE the version's
+            # changes feed); "rewrite" = arbitrary content (streaming
+            # full rewrite) — read_changes refuses to span it rather
+            # than silently report an empty diff
+            "kind": kind,
         }
     ).encode()
     tmp = HPath(f"{path}/._manifest_tmp_{uuid.uuid4().hex}")

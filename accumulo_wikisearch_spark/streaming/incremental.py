@@ -130,11 +130,19 @@ def _warn_if_large_rewrite(spark, index_path: str, threshold: int) -> bool:
     full rewrite it gates)."""
     import warnings
 
-    from accumulo_wikisearch_spark.operators.compaction import _count_files
+    from accumulo_wikisearch_spark.operators.compaction import (
+        _ALL_TABLES,
+        _count_files,
+    )
     from accumulo_wikisearch_spark.operators.manifest import resolve_root
 
     root, _ = resolve_root(spark, index_path)
-    n = _count_files(spark, root)
+    # count the TABLE directories only: on a legacy catalog root == path,
+    # where a recursive root count sweeps in deltas/ part files and any
+    # orphan gen-* dir — pending deltas are not part of what the full
+    # rewrite rewrites, and counting them produced false scale-trap
+    # warnings (same miscount compact_index's files_before had)
+    n = sum(_count_files(spark, f"{root}/{t}") for t in _ALL_TABLES)
     if n <= threshold:
         return False
     warnings.warn(

@@ -870,3 +870,116 @@ def test_published_batches_are_immutable(spark, tmp_path):
     os.rename(f"{path}/deltas/5/tombstones", f"{path}/deltas/0/tombstones")
     with pytest.raises(ValueError, match="already holds a DATA"):
         write_tombstones(tombs, path, 0)
+
+
+def test_probe_sees_compaction_completing_mid_probe(spark, tmp_path, monkeypatch):
+    """r11 review F1: the freshness probe lists raw delta names FIRST and
+    reads the manifest version SECOND, so a compaction that completes
+    between the two reads is caught by the version comparison. The old
+    order (version first) had a one-query read-your-writes hole: the
+    compaction folded the batch after the version read, the delta
+    listing then saw it folded, and both comparisons came up clean while
+    the batch's rows vanished from the served view."""
+    import accumulo_wikisearch_spark.operators.compaction as C
+
+    path = str(tmp_path / "race")
+    base = _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(5)])
+    write_index(build_index(base, CFG, SF), path)
+    d = _arts(spark, [(i, "enwiki", "tok", f"t{i}") for i in range(5, 10)])
+    write_delta(build_index(d, CFG, SF), path, "b0")
+    eng = Wikisearch(load_index(spark, path, CFG))  # base-only, b0 pending
+
+    real = C.raw_delta_names
+    state = {"fired": False}
+
+    def compaction_lands_between_the_two_reads(s, p):
+        raw = real(s, p)
+        if not state["fired"]:
+            state["fired"] = True
+            compact_index(s, p, CFG)  # folds b0, publishes v1 mid-probe
+        return raw
+
+    monkeypatch.setattr(C, "raw_delta_names", compaction_lands_between_the_two_reads)
+    # the probe's version read happens AFTER the compaction published, so
+    # staleness is detected and the heal serves the fully-folded catalog
+    assert eng.query("TEXT == 'tok'").count() == 10
+    assert state["fired"]
+    assert eng.index.manifest_version == 1
+
+
+def test_folded_exclusion_is_capped_at_probed_version(spark, tmp_path):
+    """r11 review F1 (second entry point): the folded-name exclusion the
+    probe applies must come from manifests ≤ the version it probed — a
+    NEWER manifest's folds must not hide their batches from the pending
+    comparison while the stale version still compares clean."""
+    from accumulo_wikisearch_spark.operators.manifest import folded_deltas
+
+    path = str(tmp_path / "cap")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "tok", "t0")]), CFG, SF), path)
+    write_delta(build_index(_arts(spark, [(1, "enwiki", "tok", "t1")]), CFG, SF), path, "b0")
+    compact_index(spark, path, CFG)  # v1 folds b0
+    assert folded_deltas(spark, path) == {"b0"}
+    # as-of "no manifest yet" (the epoch a legacy-loaded facade probed):
+    # v1's fold is invisible, so b0 stays in the pending comparison
+    assert folded_deltas(spark, path, max_version=0) == set()
+    assert folded_deltas(spark, path, max_version=1) == {"b0"}
+
+
+def test_unrecognized_hidden_delta_dir_is_loud(spark, tmp_path):
+    """r11 review F3: a batch dir published under a hidden name (legal
+    before batch-id validation existed) must raise, not silently vanish
+    from every listing forever; our own staging prefix stays skipped."""
+    import os
+
+    from accumulo_wikisearch_spark.operators.compaction import raw_delta_names
+
+    path = str(tmp_path / "hidden")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "tok", "t0")]), CFG, SF), path)
+    write_delta(build_index(_arts(spark, [(1, "enwiki", "tok", "t1")]), CFG, SF), path, "b0")
+    os.makedirs(f"{path}/deltas/._staged_crashed")  # crashed flush: skipped
+    assert raw_delta_names(spark, path) == {"b0"}
+    os.makedirs(f"{path}/deltas/_backfill")
+    with pytest.raises(ValueError, match="hidden batch directory '_backfill'"):
+        raw_delta_names(spark, path)
+    with pytest.raises(ValueError, match="_backfill"):
+        delta_batches(spark, path)
+
+
+def test_snapshot_facade_plan_cache_is_stable_under_ttl(spark, tmp_path):
+    """r11 review F4: with probe_ttl_s > 0 a time-travel snapshot facade
+    (manifest_version set, catalog_path None) must key plans identically
+    on the TTL fast path and the full-probe path — the mismatch re-planned
+    every query and duplicated cache entries."""
+    path = str(tmp_path / "ttlsnap")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "tok", "t0")]), CFG, SF), path)
+    write_delta(build_index(_arts(spark, [(1, "enwiki", "tok", "t1")]), CFG, SF), path, "b0")
+    compact_index(spark, path, CFG)  # v1
+    eng = Wikisearch(load_index(spark, path, CFG, at_version=1), probe_ttl_s=300.0)
+    for _ in range(3):
+        assert eng.query("TEXT == 'tok'").count() == 2
+    assert len(eng._plan_cache) == 1
+
+
+def test_rewrite_warn_counts_table_files_only(spark, tmp_path):
+    """r11 review F5: the stream_ingest scale-trap warning must measure
+    the catalog it would rewrite (the table dirs), not pending deltas —
+    a legacy root with many flushed batches produced false warnings."""
+    from accumulo_wikisearch_spark.operators.compaction import _ALL_TABLES, _count_files
+    from accumulo_wikisearch_spark.streaming.incremental import _warn_if_large_rewrite
+
+    path = str(tmp_path / "warnsz")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "tok", "t0")]), CFG, SF), path)
+    n_base = sum(_count_files(spark, f"{path}/{t}") for t in _ALL_TABLES)
+    for b in ("b0", "b1"):
+        write_delta(
+            build_index(_arts(spark, [(1, "enwiki", "tok", "t1")]), CFG, SF),
+            path,
+            b,
+            on_folded="raise",
+        )
+    # pending batches would tip a recursive root count past n_base
+    assert _warn_if_large_rewrite(spark, path, n_base) is False
+    import pytest as _pytest
+
+    with _pytest.warns(RuntimeWarning, match="rewrites the ENTIRE catalog"):
+        assert _warn_if_large_rewrite(spark, path, n_base - 1) is True

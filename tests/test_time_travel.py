@@ -167,6 +167,35 @@ def test_changes_feed_bad_anchors_raise(spark, versioned_catalog, tmp_path):
         read_changes(spark, legacy, 1)
 
 
+def test_changes_feed_refuses_full_rewrite_versions(spark, versioned_catalog, tmp_path):
+    """r11 review F2: a generation minted by a full rewrite (streaming
+    swap) can change arbitrary content no delta dir records — the feed
+    must refuse to span it rather than silently report no changes."""
+    from accumulo_wikisearch_spark.operators.compaction import swap_in_catalog
+    from accumulo_wikisearch_spark.operators.ingest import load_index as _load
+
+    staged = str(tmp_path / "staged_rewrite")
+    write_index(
+        build_index(
+            _arts(spark, [(i, "enwiki", "tok new", f"t{i}") for i in range(3)]),
+            CFG,
+            SF,
+        ),
+        staged,
+    )
+    # keep v1 readable through the third adoption so the fold-only
+    # prefix check below can still anchor on it
+    swap_in_catalog(
+        spark, staged, versioned_catalog, retain_generations=3
+    )  # v3, kind="rewrite"
+    assert _load(spark, versioned_catalog, CFG).documents.count() == 3
+    # spanning the rewrite refuses loudly...
+    with pytest.raises(ValueError, match="version 3 .*'rewrite' generation"):
+        read_changes(spark, versioned_catalog, 1)
+    # ...while the fold-only prefix still serves
+    assert read_changes(spark, versioned_catalog, 1, 2).count() == 5
+
+
 def test_never_published_version_raises(spark, versioned_catalog, tmp_path):
     with pytest.raises(ValueError, match="no retained version 99"):
         load_index(spark, versioned_catalog, CFG, at_version=99)
