@@ -716,6 +716,28 @@ def _cat_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cat_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC tail (r11): ``stream_changes`` — a real Structured
+    Streaming file source over the catalog's published delta dirs
+    (availableNow trigger, memory sink) — must deliver EXACTLY the rows
+    the two flushed batches carried (the ``id % 10 >= 8`` deciles of the
+    two-snapshot catalog), each exactly once, regardless of the batches
+    having since been FOLDED by compactions: the tail is a log
+    subscription, not a snapshot reader. Oracle = the brute-force decile
+    filter."""
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.streaming.analytics import _run_to_table
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    path = _time_travel_catalog(spark, sf_dir, cfg)
+    out = stream_changes(spark, path).select(
+        "change", F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return _run_to_table(spark, out, "cat_changes_stream_sink", "append")
+
+
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqFieldNameValueIterator parity: distinct values in a range."""
     tune_runtime(spark)
@@ -756,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ws_facade_tombstone_freshness"] = _ws_facade_tombstone_freshness
     out["cat_time_travel"] = _cat_time_travel
     out["cat_changes_feed"] = _cat_changes_feed
+    out["cat_changes_stream"] = _cat_changes_stream
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
@@ -1046,6 +1069,12 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out["cat_changes_feed"] = (
         "SELECT 2::BIGINT AS version, 'append' AS change, doc_id "
         "FROM documents WHERE doc_id % 10 = 9"
+    )
+    # the streaming tail delivers every published batch's rows exactly
+    # once — both flushed deciles, independent of their later folding
+    out["cat_changes_stream"] = (
+        "SELECT 'append' AS change, doc_id "
+        "FROM documents WHERE doc_id % 10 >= 8"
     )
     out["ws_metadata_freq"] = (
         "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "

@@ -229,3 +229,51 @@ def stream_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_changes(
+    spark,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming tail of the catalog's APPEND feed — the CDC twin of
+    ``operators.compaction.read_changes`` for consumers that want every
+    flushed batch as it lands instead of polling between snapshots.
+
+    A Structured Streaming file source over ``{path}/deltas/*/documents``:
+    ``write_delta`` / ``stream_ingest_deltas`` publish each batch dir
+    with ONE atomic rename out of a hidden staging name, so the source
+    never lists half a batch (hidden dirs are excluded by the file
+    index's default path filter); the checkpoint's seen-file log makes
+    delivery exactly-once across restarts; and later maintenance is
+    invisible to the tail — a compaction FOLDING a batch does not touch
+    its dir, and retention deletes it only after its folding manifest
+    retires, by which point the log consumer has long moved on. At
+    100 TB this is a log subscription: each trigger lists the delta area
+    and reads only new files, never the catalog.
+
+    Returns (batch, change='append', partition_id, language, doc_id,
+    text). Appends only — deletes ride tombstone batches with a
+    different shape; consume those between snapshots via
+    ``read_changes`` (which also reports them with exact versions).
+    ``max_files_per_trigger`` caps per-micro-batch intake for a bounded
+    blast radius on catch-up."""
+    from pyspark.sql import functions as F
+
+    from accumulo_wikisearch_spark.operators.manifest import resolve_root
+
+    # the documents schema is engine-fixed; take it from the base
+    # catalog's own table (schema-only read, no data scan)
+    root, _ = resolve_root(spark, path)
+    schema = spark.read.parquet(f"{root}/documents").schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(f"{path}/deltas/*/documents")
+    return docs.select(
+        F.regexp_extract(
+            F.input_file_name(), r"/deltas/([^/]+)/documents/", 1
+        ).alias("batch"),
+        F.lit("append").alias("change"),
+        *[F.col(f.name) for f in schema.fields],
+    )

@@ -168,3 +168,57 @@ def test_stream_ingest_warns_on_large_catalog_rewrite(spark, tmp_path):
         assert _warn_if_large_rewrite(spark, path, 10_000) is False
     with pytest.warns(RuntimeWarning, match="stream_ingest_deltas"):
         assert _warn_if_large_rewrite(spark, path, 0) is True
+
+
+def test_stream_changes_tails_published_batches_exactly_once(spark, tmp_path):
+    """The CDC tail (stream_changes) delivers every published delta batch
+    exactly once across restarts of the same checkpoint — batches folded
+    by a compaction in between are NOT re-delivered (their dirs persist
+    as reader grace, but the seen-file log has them), while batches
+    flushed after the first run are."""
+    from accumulo_wikisearch_spark.operators.compaction import (
+        compact_index,
+        write_delta,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    cfg = EngineConfig(num_partitions=1)
+    sf = {"ID": "id", "TITLE": "title"}
+    schema = "id long, language string, text string, title string"
+
+    def arts(rows):
+        return spark.createDataFrame(rows, schema)
+
+    path = str(tmp_path / "cdc")
+    write_index(build_index(arts([(0, "enwiki", "base", "t0")]), cfg, sf), path)
+    write_delta(build_index(arts([(1, "enwiki", "tok", "t1")]), cfg, sf), path, "b0")
+    write_delta(build_index(arts([(2, "enwiki", "tok", "t2")]), cfg, sf), path, "b1")
+
+    cp = str(tmp_path / "cp")
+    seen: list = []
+
+    def run_tail():
+        got: list = []
+        q = (
+            stream_changes(spark, path)
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    first = run_tail()
+    assert sorted(r["doc_id"] for r in first) == [1, 2]
+    assert {r["batch"] for r in first} == {"b0", "b1"}
+    assert all(r["change"] == "append" for r in first)
+    seen.extend(first)
+
+    compact_index(spark, path, cfg)  # folds b0+b1; dirs retained as grace
+    write_delta(build_index(arts([(3, "enwiki", "tok", "t3")]), cfg, sf), path, "b2")
+
+    second = run_tail()
+    assert sorted(r["doc_id"] for r in second) == [3]
+    assert {r["batch"] for r in second} == {"b2"}
