@@ -97,3 +97,99 @@ def test_random_maintenance_schedule_facade_matches_oracle(spark, ops):
             compact_index(spark, path, CFG, retain_generations=k)
         got = sorted(r["doc_id"] for r in eng.query("TEXT == 'tok'").collect())
         assert got == sorted(live), f"after {op}({k}): {got} != {sorted(live)}"
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(op_st, min_size=2, max_size=5))
+def test_random_schedule_snapshots_and_changes_feed_match_oracle(spark, ops):
+    """Snapshot/CDC invariants under the same randomized maintenance
+    schedules (r11): every compaction's minted version must time-travel
+    to EXACTLY the live set at that moment (tombstones applied, folds
+    in), for as long as it stays retained; and between adjacent retained
+    fold versions, read_changes must report exactly the rows flushed and
+    the ids tombstoned in that window."""
+    from accumulo_wikisearch_spark.operators.compaction import read_changes
+    from accumulo_wikisearch_spark.operators.manifest import (
+        list_versions,
+        manifest_version,
+    )
+
+    path = tempfile.mkdtemp(prefix="wikisearch-lifecycle-tt-") + "/index"
+
+    def arts(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+
+    next_id = [0]
+
+    def fresh_rows(n):
+        rows = [
+            (next_id[0] + i, "enwiki", "tok", f"t{next_id[0] + i}")
+            for i in range(n)
+        ]
+        next_id[0] += n
+        return rows
+
+    base_rows = fresh_rows(3)
+    write_index(build_index(arts(base_rows), CFG, SF), path)
+    live = {r[0] for r in base_rows}
+    bid = [0]
+    window_adds: set[int] = set()
+    window_dels: set[int] = set()
+    snap_live: dict[int, set] = {}
+    feed_adds: dict[int, set] = {}
+    feed_dels: dict[int, set] = {}
+
+    for op, k in ops:
+        if op == "flush":
+            rows = fresh_rows(k)
+            write_delta(build_index(arts(rows), CFG, SF), path, f"b{bid[0]}")
+            bid[0] += 1
+            live |= {r[0] for r in rows}
+            window_adds |= {r[0] for r in rows}
+        elif op == "tombstone":
+            dead = sorted(i for i in live if i % k == 0)
+            if not dead:
+                continue
+            write_tombstones(
+                spark.createDataFrame([(i,) for i in dead], "doc_id long"),
+                path,
+                f"b{bid[0]}",
+            )
+            bid[0] += 1
+            live -= set(dead)
+            window_dels |= set(dead)
+        else:
+            compact_index(spark, path, CFG, retain_generations=k)
+            v = manifest_version(spark, path)
+            snap_live[v] = set(live)
+            feed_adds[v] = set(window_adds)
+            feed_dels[v] = set(window_dels)
+            window_adds, window_dels = set(), set()
+
+    retained = list_versions(spark, path)
+    for v in retained:
+        assert v in snap_live  # every version here came from our compacts
+        snap = load_index(spark, path, CFG, at_version=v)
+        got = sorted(
+            r["doc_id"] for r in snap.documents.select("doc_id").collect()
+        )
+        assert got == sorted(snap_live[v]), f"snapshot v{v}"
+    for a, b in zip(retained, retained[1:]):
+        ch = read_changes(spark, path, a, b).collect()
+        adds = {r["doc_id"] for r in ch if r["change"] == "append"}
+        dels = {r["doc_id"] for r in ch if r["change"] == "delete"}
+        # versions are minted sequentially by our compacts, so adjacent
+        # retained versions span exactly the windows recorded for (a, b]
+        want_adds = set().union(
+            *(feed_adds[v] for v in snap_live if a < v <= b)
+        )
+        want_dels = set().union(
+            *(feed_dels[v] for v in snap_live if a < v <= b)
+        )
+        assert adds == want_adds, f"feed ({a},{b}] adds"
+        assert dels == want_dels, f"feed ({a},{b}] dels"
