@@ -881,6 +881,65 @@ def read_changes(
     return out
 
 
+def describe_catalog(spark: SparkSession, path: str) -> dict:
+    """Operational introspection of a catalog's LSM state in one place —
+    the DESCRIBE HISTORY / table-maintenance view an operator consults
+    before picking retention, compaction cadence, or a time-travel pin.
+
+    Pure metadata: two listings plus one small JSON read per retained
+    manifest (the same objects every probe touches); never scans data.
+
+    Returns::
+
+        {
+          "current_version":  int | None (legacy catalog),
+          "versions": [         # ascending; the time-travelable set
+            {"version", "kind", "generation", "folded_deltas"}, ...
+          ],
+          "pending_deltas":   [batch names not folded by any manifest],
+          "generations_on_disk": [gen dir names incl. orphans/grace],
+          "legacy_tables_present": bool,  # pre-manifest root tables
+        }
+    """
+    from accumulo_wikisearch_spark.operators.manifest import (
+        _GEN_RE,
+        _listing,
+        folded_deltas,
+        list_versions,
+        read_manifest_at,
+    )
+
+    versions = list_versions(spark, path)
+    rows = []
+    for v in versions:
+        try:
+            m = read_manifest_at(spark, path, v)
+        except ValueError:
+            continue  # retired between the listing and the read
+        rows.append(
+            {
+                "version": v,
+                "kind": m.get("kind", "unmarked"),
+                "generation": m["generation"],
+                "folded_deltas": sorted(m.get("folded_deltas", [])),
+            }
+        )
+    names = _listing(spark, path)
+    fs, _, jvm = _fs(spark, path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    return {
+        "current_version": versions[-1] if versions else None,
+        "versions": rows,
+        "pending_deltas": delta_batches(
+            spark, path, folded=folded_deltas(spark, path)
+        ),
+        "generations_on_disk": sorted(n for n in names if _GEN_RE.match(n)),
+        "legacy_tables_present": any(
+            fs.exists(HPath(f"{path}/{t}")) for t in _ALL_TABLES
+        ),
+    }
+
+
 def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str | None:
     """The streaming query id persisted in ``{checkpoint}/metadata`` —
     minted once at the query's FIRST start and kept for every restart of

@@ -277,3 +277,29 @@ def stream_changes(
         F.lit("append").alias("change"),
         *[F.col(f.name) for f in schema.fields],
     )
+
+
+def stream_deletes(spark, path: str) -> DataFrame:
+    """Streaming tail of the catalog's DELETE feed — the tombstone twin
+    of :func:`stream_changes`, over ``{path}/deltas/*/tombstones``. The
+    same guarantees hold (atomic batch publish, exactly-once via the
+    checkpoint's seen-file log, folding/retention invisible to the
+    tail); the shape differs because a delete carries only its id.
+    Returns (batch, change='delete', doc_id). A downstream mirror
+    subscribes to both tails; only cross-snapshot consumers that need
+    exact version attribution use ``read_changes`` instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # the tombstones schema is fixed by write_tombstones: (doc_id long)
+    schema = StructType([StructField("doc_id", LongType())])
+    tombs = spark.readStream.schema(schema).parquet(
+        f"{path}/deltas/*/tombstones"
+    )
+    return tombs.select(
+        F.regexp_extract(
+            F.input_file_name(), r"/deltas/([^/]+)/tombstones/", 1
+        ).alias("batch"),
+        F.lit("delete").alias("change"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )

@@ -203,3 +203,45 @@ def test_never_published_version_raises(spark, versioned_catalog, tmp_path):
     write_index(build_index(_arts(spark, [(0, "enwiki", "x", "t")]), CFG, SF), legacy)
     with pytest.raises(ValueError, match="legacy catalog"):
         load_index(spark, legacy, CFG, at_version=1)
+
+
+def test_describe_catalog_reports_lifecycle_state(spark, versioned_catalog, tmp_path):
+    from accumulo_wikisearch_spark.operators.compaction import describe_catalog
+
+    d = describe_catalog(spark, versioned_catalog)
+    assert d["current_version"] == 2
+    assert [r["version"] for r in d["versions"]] == [1, 2]
+    assert all(r["kind"] == "fold" for r in d["versions"])
+    assert d["versions"][0]["folded_deltas"] == ["b0"]
+    assert d["versions"][1]["folded_deltas"] == ["b1"]
+    assert d["pending_deltas"] == []
+    assert d["generations_on_disk"] == ["gen-000001", "gen-000002"]
+    assert d["legacy_tables_present"] is False  # retired by retention
+
+    _delta(spark, versioned_catalog, [50], "b7")
+    assert describe_catalog(spark, versioned_catalog)["pending_deltas"] == ["b7"]
+
+    legacy = str(tmp_path / "legacy4")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "x", "t")]), CFG, SF), legacy)
+    dl = describe_catalog(spark, legacy)
+    assert dl["current_version"] is None and dl["versions"] == []
+    assert dl["legacy_tables_present"] is True
+
+
+def test_stream_deletes_tails_tombstone_batches(spark, versioned_catalog, tmp_path):
+    from accumulo_wikisearch_spark.streaming.incremental import stream_deletes
+
+    write_tombstones(
+        spark.range(4).selectExpr("id AS doc_id"), versioned_catalog, "del0"
+    )
+    got: list = []
+    q = (
+        stream_deletes(spark, versioned_catalog)
+        .writeStream.foreachBatch(lambda df, _i: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["doc_id"] for r in got) == [0, 1, 2, 3]
+    assert {(r["batch"], r["change"]) for r in got} == {("del0", "delete")}
