@@ -125,6 +125,28 @@ class Wikisearch:
         return frozenset(raw) - folded
 
     @classmethod
+    def open(
+        cls,
+        spark,
+        path: str,
+        config: EngineConfig | None = None,
+        at_version: int | None = None,
+        probe_ttl_s: float = 0.0,
+        multi_value_fields: frozenset[str] = frozenset({"TEXT"}),
+    ) -> "Wikisearch":
+        """One-call facade over a written catalog: live (self-healing,
+        sees flushed writes per query) by default, or a FROZEN snapshot
+        with ``at_version`` — the reproducibility pin
+        (``load_index(at_version=...)``) behind the same serving API."""
+        from accumulo_wikisearch_spark.operators.ingest import load_index
+
+        return cls(
+            load_index(spark, path, config, at_version=at_version),
+            multi_value_fields=multi_value_fields,
+            probe_ttl_s=probe_ttl_s,
+        )
+
+    @classmethod
     def ingest(
         cls,
         articles: DataFrame,

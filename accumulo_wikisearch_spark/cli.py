@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--ids-only", action="store_true", help="emit doc ids, not documents")
     p.add_argument(
+        "--describe",
+        metavar="CATALOG",
+        help="print a written catalog's lifecycle state (versions/kinds,"
+        " pending deltas, generations on disk) as one JSON object",
+    )
+    p.add_argument(
         "--explain",
         action="store_true",
         help="print the planner's decision for the query instead of running it",
@@ -64,6 +70,7 @@ def run(argv: list[str], out=sys.stdout) -> int:
         or args.bm25
         or args.more_like is not None
         or args.cardinalities
+        or args.describe
     ):
         build_parser().print_usage(out)
         return 2
@@ -73,6 +80,14 @@ def run(argv: list[str], out=sys.stdout) -> int:
 
     spark = get_spark("wikisearch-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.describe:
+        # catalog maintenance view — metadata only, no corpus engine
+        from accumulo_wikisearch_spark.operators.compaction import describe_catalog
+
+        print(json.dumps(describe_catalog(spark, args.describe)), file=out)
+        return 0
+
     eng = get_engine(spark, args.sf_dir)
     auths = args.auths.split(",") if args.auths else None
 

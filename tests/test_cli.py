@@ -104,3 +104,69 @@ def test_cli_phrase(spark, sf_dir):
     assert rc == 0
     rows = [json.loads(l) for l in out.getvalue().splitlines()]
     assert all({"doc_id", "n_matches"} <= set(r) for r in rows)
+
+
+def test_cli_describe_catalog(spark, tmp_path):
+    from accumulo_wikisearch_spark.cli import run
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import compact_index, write_delta
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+
+    cfg = EngineConfig(num_partitions=1)
+    arts = spark.createDataFrame(
+        [(0, "enwiki", "tok", "t0")], "id long, language string, text string, title string"
+    )
+    path = str(tmp_path / "cat")
+    write_index(build_index(arts, cfg, {"ID": "id", "TITLE": "title"}), path)
+    write_delta(
+        build_index(
+            spark.createDataFrame(
+                [(1, "enwiki", "tok", "t1")],
+                "id long, language string, text string, title string",
+            ),
+            cfg,
+            {"ID": "id", "TITLE": "title"},
+        ),
+        path,
+        "b0",
+    )
+    compact_index(spark, path, cfg)
+    out = io.StringIO()
+    rc = run(["--describe", path], out=out)
+    assert rc == 0
+    d = json.loads(out.getvalue())
+    assert d["current_version"] == 1
+    assert d["versions"][0]["kind"] == "fold"
+    assert d["pending_deltas"] == []
+
+
+def test_wikisearch_open(spark, tmp_path):
+    """Wikisearch.open: live facade by default, frozen pin with at_version."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import compact_index, write_delta
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+
+    cfg = EngineConfig(num_partitions=1)
+    sch = "id long, language string, text string, title string"
+    sf = {"ID": "id", "TITLE": "title"}
+    path = str(tmp_path / "cat2")
+    write_index(
+        build_index(spark.createDataFrame([(0, "enwiki", "tok", "t0")], sch), cfg, sf),
+        path,
+    )
+    write_delta(
+        build_index(spark.createDataFrame([(1, "enwiki", "tok", "t1")], sch), cfg, sf),
+        path,
+        "b0",
+    )
+    compact_index(spark, path, cfg)  # v1 = 2 docs
+    write_delta(
+        build_index(spark.createDataFrame([(2, "enwiki", "tok", "t2")], sch), cfg, sf),
+        path,
+        "b1",
+    )
+    live = Wikisearch.open(spark, path, cfg)
+    pinned = Wikisearch.open(spark, path, cfg, at_version=1)
+    assert live.query("TEXT == 'tok'").count() == 3  # probe folds b1
+    assert pinned.query("TEXT == 'tok'").count() == 2  # frozen at v1
