@@ -138,10 +138,22 @@ class Wikisearch:
         sees flushed writes per query) by default, or a FROZEN snapshot
         with ``at_version`` — the reproducibility pin
         (``load_index(at_version=...)``) behind the same serving API."""
+        from accumulo_wikisearch_spark.operators.compaction import (
+            load_index_with_deltas,
+        )
         from accumulo_wikisearch_spark.operators.ingest import load_index
 
+        if at_version is not None:
+            index = load_index(spark, path, config, at_version=at_version)
+        else:
+            # the merge-read view directly: a base-only load of a catalog
+            # under ingest would be thrown away by the first query's
+            # freshness probe (pending != ()) — two full catalog loads
+            # where one suffices (r11 review). Reduces to a plain load
+            # when no deltas are pending.
+            index = load_index_with_deltas(spark, path, config)
         return cls(
-            load_index(spark, path, config, at_version=at_version),
+            index,
             multi_value_fields=multi_value_fields,
             probe_ttl_s=probe_ttl_s,
         )

@@ -886,8 +886,10 @@ def describe_catalog(spark: SparkSession, path: str) -> dict:
     the DESCRIBE HISTORY / table-maintenance view an operator consults
     before picking retention, compaction cadence, or a time-travel pin.
 
-    Pure metadata: two listings plus one small JSON read per retained
-    manifest (the same objects every probe touches); never scans data.
+    Pure metadata: ONE root listing + ONE deltas listing + one small
+    JSON read per retained manifest (the same objects every probe
+    touches); never scans data — each round-trip is billable on an
+    object store, so nothing is listed or opened twice.
 
     Returns::
 
@@ -903,13 +905,16 @@ def describe_catalog(spark: SparkSession, path: str) -> dict:
     """
     from accumulo_wikisearch_spark.operators.manifest import (
         _GEN_RE,
+        _MANIFEST_RE,
         _listing,
-        folded_deltas,
-        list_versions,
         read_manifest_at,
     )
 
-    versions = list_versions(spark, path)
+    names = _listing(spark, path)  # the one root listing: manifests,
+    # generations, AND the legacy table check all come from it
+    versions = sorted(
+        int(m.group(1)) for n in names if (m := _MANIFEST_RE.match(n))
+    )
     rows = []
     for v in versions:
         try:
@@ -924,19 +929,14 @@ def describe_catalog(spark: SparkSession, path: str) -> dict:
                 "folded_deltas": sorted(m.get("folded_deltas", [])),
             }
         )
-    names = _listing(spark, path)
-    fs, _, jvm = _fs(spark, path)
-    HPath = jvm.org.apache.hadoop.fs.Path
+    # the folded exclusion set is already in hand from the manifest reads
+    folded = set().union(*(r["folded_deltas"] for r in rows)) if rows else set()
     return {
         "current_version": versions[-1] if versions else None,
         "versions": rows,
-        "pending_deltas": delta_batches(
-            spark, path, folded=folded_deltas(spark, path)
-        ),
+        "pending_deltas": delta_batches(spark, path, folded=folded),
         "generations_on_disk": sorted(n for n in names if _GEN_RE.match(n)),
-        "legacy_tables_present": any(
-            fs.exists(HPath(f"{path}/{t}")) for t in _ALL_TABLES
-        ),
+        "legacy_tables_present": any(t in names for t in _ALL_TABLES),
     }
 
 

@@ -240,17 +240,24 @@ def stream_changes(
     ``operators.compaction.read_changes`` for consumers that want every
     flushed batch as it lands instead of polling between snapshots.
 
-    A Structured Streaming file source over ``{path}/deltas/*/documents``:
-    ``write_delta`` / ``stream_ingest_deltas`` publish each batch dir
-    with ONE atomic rename out of a hidden staging name, so the source
-    never lists half a batch (hidden dirs are excluded by the file
-    index's default path filter); the checkpoint's seen-file log makes
-    delivery exactly-once across restarts; and later maintenance is
-    invisible to the tail — a compaction FOLDING a batch does not touch
-    its dir, and retention deletes it only after its folding manifest
-    retires, by which point the log consumer has long moved on. At
-    100 TB this is a log subscription: each trigger lists the delta area
-    and reads only new files, never the catalog.
+    A Structured Streaming file source over
+    ``{path}/deltas/[^._]*/documents``: ``write_delta`` /
+    ``stream_ingest_deltas`` publish each batch dir with ONE atomic
+    rename out of a hidden ``._staged_*`` name, and the glob's negated
+    class excludes hidden names AT THE BATCH SEGMENT — the default
+    hidden-file filter does NOT apply to glob-matched intermediate dirs
+    (``*`` matches dot-names; verified live), so a plain ``*`` tailed
+    in-flight staging dirs and then re-delivered the same rows after
+    the publish rename (new path = new seen-file entry): phantom rows
+    of never-published batches plus double delivery. Published batch
+    ids can never start with '.'/'_' (``_check_batch_id``), so the
+    class is exact. The checkpoint's seen-file log then makes delivery
+    exactly-once across restarts; later maintenance is invisible to
+    the tail — a compaction FOLDING a batch does not touch its dir,
+    and retention deletes it only after its folding manifest retires,
+    by which point the log consumer has long moved on. At 100 TB this
+    is a log subscription: each trigger lists the delta area and reads
+    only new files, never the catalog.
 
     Returns (batch, change='append', partition_id, language, doc_id,
     text). Appends only — deletes ride tombstone batches with a
@@ -269,7 +276,7 @@ def stream_changes(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(f"{path}/deltas/*/documents")
+    docs = reader.parquet(f"{path}/deltas/[^._]*/documents")
     return docs.select(
         F.regexp_extract(
             F.input_file_name(), r"/deltas/([^/]+)/documents/", 1
@@ -279,23 +286,30 @@ def stream_changes(
     )
 
 
-def stream_deletes(spark, path: str) -> DataFrame:
+def stream_deletes(
+    spark, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming tail of the catalog's DELETE feed — the tombstone twin
-    of :func:`stream_changes`, over ``{path}/deltas/*/tombstones``. The
-    same guarantees hold (atomic batch publish, exactly-once via the
-    checkpoint's seen-file log, folding/retention invisible to the
-    tail); the shape differs because a delete carries only its id.
-    Returns (batch, change='delete', doc_id). A downstream mirror
-    subscribes to both tails; only cross-snapshot consumers that need
-    exact version attribution use ``read_changes`` instead."""
+    of :func:`stream_changes`, over ``{path}/deltas/[^._]*/tombstones``
+    (the same hidden-segment exclusion: in-flight ``._staged_tomb_*``
+    dirs must neither deliver phantom deletes nor double-deliver after
+    the publish rename). The same guarantees hold (atomic batch
+    publish, exactly-once via the checkpoint's seen-file log,
+    folding/retention invisible to the tail); the shape differs because
+    a delete carries only its id. Returns (batch, change='delete',
+    doc_id). A downstream mirror subscribes to both tails — with
+    ``max_files_per_trigger`` bounding catch-up on each — while
+    cross-snapshot consumers that need exact version attribution use
+    ``read_changes`` instead."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructField, StructType
 
     # the tombstones schema is fixed by write_tombstones: (doc_id long)
     schema = StructType([StructField("doc_id", LongType())])
-    tombs = spark.readStream.schema(schema).parquet(
-        f"{path}/deltas/*/tombstones"
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    tombs = reader.parquet(f"{path}/deltas/[^._]*/tombstones")
     return tombs.select(
         F.regexp_extract(
             F.input_file_name(), r"/deltas/([^/]+)/tombstones/", 1

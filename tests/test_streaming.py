@@ -222,3 +222,55 @@ def test_stream_changes_tails_published_batches_exactly_once(spark, tmp_path):
     second = run_tail()
     assert sorted(r["doc_id"] for r in second) == [3]
     assert {r["batch"] for r in second} == {"b2"}
+
+
+def test_stream_changes_never_reads_staged_batches(spark, tmp_path):
+    """r11 second review: a glob of `*` matches HIDDEN dir names at the
+    batch segment (the default hidden filter only applies below the
+    globbed roots), so an in-flight staging dir would deliver phantom
+    rows and then deliver them AGAIN after the publish rename (new path
+    = new seen-file entry). The negated-class glob must exclude the
+    staged dir entirely and deliver the batch exactly once, at publish."""
+    import os
+
+    from accumulo_wikisearch_spark.operators.compaction import write_delta
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    cfg = EngineConfig(num_partitions=1)
+    sf = {"ID": "id", "TITLE": "title"}
+    schema = "id long, language string, text string, title string"
+
+    def arts(rows):
+        return spark.createDataFrame(rows, schema)
+
+    path = str(tmp_path / "cdc2")
+    write_index(build_index(arts([(0, "enwiki", "base", "t0")]), cfg, sf), path)
+    write_delta(build_index(arts([(1, "enwiki", "tok", "t1")]), cfg, sf), path, "b0")
+    # an in-flight flush, captured mid-staging (what write_delta's
+    # staging looks like before its publish rename)
+    staged = f"{path}/deltas/._staged_data_b1"
+    spark.createDataFrame([(9, "enwiki", 99, "phantom")],
+        "partition_id int, language string, doc_id long, text string",
+    ).write.parquet(f"{staged}/documents")
+
+    cp = str(tmp_path / "cp2")
+
+    def run_tail():
+        got: list = []
+        q = (
+            stream_changes(spark, path)
+            .writeStream.foreachBatch(lambda df, _i: got.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    first = run_tail()
+    assert sorted(r["doc_id"] for r in first) == [1]  # no phantom 99
+    os.rename(staged, f"{path}/deltas/b1")  # the publish rename
+    second = run_tail()
+    assert sorted(r["doc_id"] for r in second) == [99]  # once, at publish
+    assert {r["batch"] for r in second} == {"b1"}
