@@ -738,6 +738,58 @@ def _cat_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(spark, out, "cat_changes_stream_sink", "append")
 
 
+_REPLICA_CATALOGS: dict[str, str] = {}
+
+
+def _cat_replica_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog replication end-to-end (r11): 90% of the corpus is the
+    source's base; the last decile is a published delta batch. The
+    replica bootstraps with ``clone_catalog`` (base only — pending
+    batches deliberately excluded from the clone) and catches up with
+    ``replicate_deltas`` (per-table distributed copy + the same atomic
+    publish under the same batch id). A query on the REPLICA must equal
+    the brute-force truth over the FULL corpus — base via the clone,
+    the last decile via the shipped batch folded by the replica's own
+    merge-read. Oracle = the full-corpus filter."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import write_delta
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.operators.replication import (
+        clone_catalog,
+        replicate_deltas,
+    )
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    dst = _REPLICA_CATALOGS.get(sf_dir)
+    if dst is None:
+        import tempfile
+
+        arts = load_articles(spark, sf_dir)
+        src = tempfile.mkdtemp(prefix="wikisearch-repl-src-")
+        write_index(
+            build_index(
+                arts.where(F.col("id") % 10 <= 8), cfg, SCALAR_FIELDS, unique_ids=True
+            ),
+            src,
+        )
+        write_delta(
+            build_index(
+                arts.where(F.col("id") % 10 == 9), cfg, SCALAR_FIELDS, unique_ids=True
+            ),
+            src,
+            "r0",
+        )
+        dst_tmp = tempfile.mkdtemp(prefix="wikisearch-repl-dst-") + "/replica"
+        clone_catalog(spark, src, dst_tmp, cfg)
+        replicate_deltas(spark, src, dst_tmp)
+        dst = _REPLICA_CATALOGS[sf_dir] = dst_tmp
+    eng = Wikisearch.open(spark, dst, cfg)
+    return eng.query("TEXT == 'dup'").select("doc_id")
+
+
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqFieldNameValueIterator parity: distinct values in a range."""
     tune_runtime(spark)
@@ -779,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cat_time_travel"] = _cat_time_travel
     out["cat_changes_feed"] = _cat_changes_feed
     out["cat_changes_stream"] = _cat_changes_stream
+    out["cat_replica_query"] = _cat_replica_query
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
@@ -1075,6 +1128,13 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out["cat_changes_stream"] = (
         "SELECT 'append' AS change, doc_id "
         "FROM documents WHERE doc_id % 10 >= 8"
+    )
+    # the replica (clone of the 90% base + the shipped last-decile
+    # batch) must answer with the FULL corpus truth — a clone that
+    # leaked pending batches or a shipper that missed/double-shipped
+    # one diverges
+    out["cat_replica_query"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup')"
     )
     out["ws_metadata_freq"] = (
         "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "

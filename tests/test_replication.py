@@ -1,0 +1,141 @@
+"""Catalog replication: clone bootstrap + O(batch) delta shipping, and
+the loud failure modes when a replica falls behind the source's
+retention window or the source was rewritten wholesale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from accumulo_wikisearch_spark.api import Wikisearch
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.operators.compaction import (
+    compact_index,
+    delta_batches,
+    write_delta,
+    write_tombstones,
+)
+from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+from accumulo_wikisearch_spark.operators.replication import (
+    clone_catalog,
+    replicate_deltas,
+)
+
+CFG = EngineConfig(num_partitions=1, uid_max=20)
+SF = {"ID": "id", "TITLE": "title"}
+SCHEMA = "id long, language string, text string, title string"
+
+
+def _arts(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _flush(spark, path, ids, batch):
+    d = _arts(spark, [(i, "enwiki", "tok wave", f"t{i}") for i in ids])
+    write_delta(build_index(d, CFG, SF), path, batch)
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    path = str(tmp_path / "src")
+    base = _arts(spark, [(i, "enwiki", "tok base", f"t{i}") for i in range(5)])
+    write_index(build_index(base, CFG, SF), path)
+    return path
+
+
+def _docs(spark, path):
+    return sorted(
+        r["doc_id"]
+        for r in Wikisearch.open(spark, path, CFG)
+        .query("TEXT == 'tok'")
+        .collect()
+    )
+
+
+def test_clone_then_ship_matches_source(spark, src, tmp_path):
+    dst = str(tmp_path / "dst")
+    marker = clone_catalog(spark, src, dst, CFG)
+    assert marker["source_version"] is None  # legacy source at clone time
+    assert _docs(spark, dst) == list(range(5))
+
+    _flush(spark, src, range(5, 8), "b0")
+    write_tombstones(
+        spark.createDataFrame([(0,)], "doc_id long"), src, "del0"
+    )
+    shipped = replicate_deltas(spark, src, dst)
+    assert shipped == ["b0", "del0"]
+    assert _docs(spark, dst) == _docs(spark, src) == list(range(1, 8))
+    # idempotent: nothing new to ship
+    assert replicate_deltas(spark, src, dst) == []
+
+
+def test_replica_is_a_normal_catalog(spark, src, tmp_path):
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    _flush(spark, src, range(5, 8), "b0")
+    replicate_deltas(spark, src, dst)
+    # the replica compacts on its OWN cadence...
+    compact_index(spark, dst, CFG)
+    assert delta_batches(spark, dst) == []
+    assert _docs(spark, dst) == list(range(8))
+    # ...and keeps shipping: a batch the replica already FOLDED is not
+    # re-shipped, the next source batch is
+    _flush(spark, src, [20], "b1")
+    assert replicate_deltas(spark, src, dst) == ["b1"]
+    assert _docs(spark, dst) == list(range(8)) + [20]
+
+
+def test_ship_survives_source_compaction_within_grace(spark, src, tmp_path):
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    _flush(spark, src, [10], "b0")
+    compact_index(spark, src, CFG)  # folds b0 (v1); dir stays in grace
+    shipped = replicate_deltas(spark, src, dst)
+    assert shipped == ["b0"]
+    assert _docs(spark, dst) == _docs(spark, src)
+
+
+def test_clone_of_versioned_source_skips_folded_batches(spark, src, tmp_path):
+    _flush(spark, src, [10], "b0")
+    compact_index(spark, src, CFG)  # v1 folds b0
+    dst = str(tmp_path / "dst")
+    marker = clone_catalog(spark, src, dst, CFG)
+    assert marker["source_version"] == 1
+    # b0's grace dir still exists at the source, but the cloned base
+    # already includes it — shipping it again would double-count
+    assert replicate_deltas(spark, src, dst) == []
+    assert _docs(spark, dst) == _docs(spark, src)
+
+
+def test_fell_behind_retention_raises(spark, src, tmp_path):
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    # three compactions with the default window retire v1 (and delete
+    # the delta dirs it folded) before the replica ever shipped them
+    for n in range(3):
+        _flush(spark, src, [10 + n], f"b{n}")
+        compact_index(spark, src, CFG)
+    with pytest.raises(RuntimeError, match="no longer retained"):
+        replicate_deltas(spark, src, dst)
+
+
+def test_source_rewrite_requires_reclone(spark, src, tmp_path):
+    from accumulo_wikisearch_spark.operators.compaction import swap_in_catalog
+
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    staged = str(tmp_path / "staged")
+    write_index(
+        build_index(_arts(spark, [(9, "enwiki", "tok new", "t9")]), CFG, SF),
+        staged,
+    )
+    swap_in_catalog(spark, staged, src)  # kind="rewrite"
+    with pytest.raises(RuntimeError, match="'rewrite' generation"):
+        replicate_deltas(spark, src, dst)
+
+
+def test_unbootstrapped_or_wrong_source_raises(spark, src, tmp_path):
+    dst = str(tmp_path / "dst")
+    with pytest.raises(ValueError, match="clone_catalog first"):
+        replicate_deltas(spark, src, dst)
+    clone_catalog(spark, src, dst, CFG)
+    with pytest.raises(ValueError, match="one replica tracks one source"):
+        replicate_deltas(spark, str(tmp_path / "other"), dst)
