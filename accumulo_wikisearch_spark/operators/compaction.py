@@ -910,6 +910,13 @@ def describe_catalog(spark: SparkSession, path: str) -> dict:
         read_manifest_at,
     )
 
+    # raw delta names FIRST, manifests SECOND (the probe's read order,
+    # api.py): the folded exclusion below then can only be at-or-newer
+    # than the delta listing, so a compaction landing between the two
+    # reads folds batches OUT of the pending view — never the reverse,
+    # where freshly-folded grace dirs would reappear as a phantom
+    # pending backlog in the ops report
+    raw = raw_delta_names(spark, path)
     names = _listing(spark, path)  # the one root listing: manifests,
     # generations, AND the legacy table check all come from it
     versions = sorted(
@@ -934,7 +941,7 @@ def describe_catalog(spark: SparkSession, path: str) -> dict:
     return {
         "current_version": versions[-1] if versions else None,
         "versions": rows,
-        "pending_deltas": delta_batches(spark, path, folded=folded),
+        "pending_deltas": sorted(raw - folded),
         "generations_on_disk": sorted(n for n in names if _GEN_RE.match(n)),
         "legacy_tables_present": any(t in names for t in _ALL_TABLES),
     }

@@ -6,16 +6,24 @@ served from one cluster, but its operational model assumes replicas):
 
 - :func:`clone_catalog` — bootstrap a replica from the source's CURRENT
   base generation with the engine's own writer (one full distributed
-  rewrite, layout re-derived — honest: a bootstrap IS O(catalog)). A
-  ``_REPLICA.json`` marker records which source version the base
-  includes, so later shipping knows exactly which batches the clone
-  already contains.
+  rewrite, layout re-derived — honest: a bootstrap IS O(catalog)).
 - :func:`replicate_deltas` — ship published batch dirs the replica does
   not yet have: per-table distributed parquet copy into the replica's
   hidden staging name, then the SAME atomic publish rename and the SAME
   batch id as the source. O(new batches), never O(catalog); idempotent
   (re-runs skip existing ids); restart-safe (a crash leaves only a
   hidden staged dir that the replica's next compaction sweeps).
+
+The replica's durable sync state is ``_REPLICA.json`` (published
+atomically, tmp-write + rename): the qualified source path, the source
+manifest version the replica is complete THROUGH (``source_version`` —
+advanced after every successful sync, not just at clone time), and a
+``received`` ledger of batch ids at the replica that the source still
+lists (pruned as source folds overtake them). The ledger is what makes
+re-ship decisions independent of the REPLICA's own fold history — a
+replica compaction's manifest eventually retires, and without the
+ledger a long-lived source pending batch would be silently shipped
+twice and double-counted.
 
 The replica is a NORMAL catalog afterwards: merge-read queryable while
 batches are pending, compactable on its own cadence, time-travelable,
@@ -25,14 +33,18 @@ lifecycle feature instead of being a parallel mechanism.
 Falling behind: a batch folded at the source stays on disk until its
 folding manifest retires (``retain_generations`` rewrites later), so a
 replica that syncs at least once per source retention window never
-misses one. Past that, the batch's files are gone and
-:func:`replicate_deltas` raises a re-clone error instead of silently
-serving a hole.
+misses one — each sync re-anchors ``source_version`` at the source's
+current version. Past the window (a gap in the retained manifests above
+the anchor), or across a source generation minted by a full rewrite
+(manifest ``kind != 'fold'``), reconstruction by shipping is impossible
+and :func:`replicate_deltas` raises a re-clone error instead of
+silently serving a hole.
 """
 
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -42,11 +54,38 @@ from accumulo_wikisearch_spark.operators.compaction import (
     _STAGED_PREFIX,
     _fs,
     _publish_delta,
-    delta_batches,
     raw_delta_names,
 )
 
 _REPLICA_MARKER = "_REPLICA.json"
+
+
+def _qualified(spark: SparkSession, path: str) -> str:
+    """Filesystem-qualified canonical form of a path — the marker's
+    source identity must not depend on how the caller spelled it
+    (trailing slash, file: scheme, …)."""
+    fs, hpath, _ = _fs(spark, path)
+    return fs.makeQualified(hpath).toString()
+
+
+def _write_marker(spark: SparkSession, dst: str, marker: dict) -> None:
+    """Publish the sync-state marker atomically (tmp-write + rename —
+    the same discipline as every manifest publish): a crash mid-write
+    must leave either the previous marker or the new one, never a
+    truncated JSON that turns the next sync into a parse error."""
+    fs, _, jvm = _fs(spark, dst)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    tmp = HPath(f"{dst}/._replica_tmp_{uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(marker).encode()))
+    out.close()
+    final = HPath(f"{dst}/{_REPLICA_MARKER}")
+    fs.delete(final, False)  # rename-onto-existing is not portable
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, True)
+        raise RuntimeError(
+            f"replication: publishing {_REPLICA_MARKER} at {dst} failed"
+        )
 
 
 def clone_catalog(
@@ -64,10 +103,7 @@ def clone_catalog(
     replica gets the same partition/sort (and, with ``preserve_layout``,
     the same z-clustering re-fit on the cloned data) rather than a
     byte-copy — file layout is the ENGINE's contract, not the source
-    cluster's history. Records ``_REPLICA.json`` (source path + the
-    source manifest version the base includes) for the shipper.
-
-    Returns the marker dict."""
+    cluster's history. Returns the published marker dict."""
     from accumulo_wikisearch_spark.operators.ingest import load_index, write_index
     from accumulo_wikisearch_spark.operators.layout import refit
 
@@ -80,17 +116,17 @@ def clone_catalog(
     )
     write_index(index, dst, zorder=zorder)
     marker = {
-        "source": src,
+        "source": _qualified(spark, src),
         # the source version whose generation the base was read from;
         # None = source was still a legacy (never-rewritten) catalog, so
-        # the base includes no folded batches at all
+        # the base includes no folded batches at all. Advanced by every
+        # successful replicate_deltas sync.
         "source_version": index.manifest_version,
+        # batch ids present at the replica that the source still lists —
+        # the durable dedup ledger (see module docstring)
+        "received": [],
     }
-    fs, _, jvm = _fs(spark, dst)
-    HPath = jvm.org.apache.hadoop.fs.Path
-    out = fs.create(HPath(f"{dst}/{_REPLICA_MARKER}"), True)
-    out.write(bytearray(json.dumps(marker).encode()))
-    out.close()
+    _write_marker(spark, dst, marker)
     return marker
 
 
@@ -103,88 +139,97 @@ def _replica_marker(spark: SparkSession, dst: str) -> dict:
         raise ValueError(
             f"replicate_deltas: {dst} has no {_REPLICA_MARKER} — bootstrap"
             " the replica with clone_catalog first (the marker records"
-            " which source version the base already includes)"
+            " which source state the replica is complete through)"
         )
     return body
 
 
-def replicate_deltas(
-    spark: SparkSession, src: str, dst: str
-) -> list[str]:
-    """Ship every published source batch the replica neither holds nor
-    has folded, and that the replica's cloned base does not already
-    include. Idempotent and restart-safe; returns the batch names
-    shipped (sorted).
+def _source_manifests(spark: SparkSession, src: str) -> dict[int, dict]:
+    """All retained source manifests in ONE root listing + one JSON read
+    each (each round-trip is billable on an object store — everything
+    the sync needs derives from this single pass)."""
+    from accumulo_wikisearch_spark.operators.manifest import (
+        _MANIFEST_RE,
+        _listing,
+        _open_json,
+    )
+
+    fs, _, jvm = _fs(spark, src)
+    out: dict[int, dict] = {}
+    for n in _listing(spark, src):
+        m = _MANIFEST_RE.match(n)
+        if m:
+            body = _open_json(fs, jvm, f"{src}/{n}")
+            if body is not None:  # retired mid-listing: dirs went with it
+                out[int(m.group(1))] = body
+    return out
+
+
+def replicate_deltas(spark: SparkSession, src: str, dst: str) -> list[str]:
+    """Ship every published source batch the replica does not already
+    contain (base, on-disk, folded, or ledger-recorded), then advance
+    the marker so the replica is recorded complete through the source's
+    CURRENT version. Idempotent and restart-safe; returns the batch
+    names shipped (sorted).
 
     Per batch: distributed parquet read→write of each table dir into the
     replica's hidden staging name, then the same atomic publish rename
-    under the SAME batch id — so a replayed run skips it as already
-    published, and the replica's own facade probe sees the batch the
+    under the SAME batch id — a crash between publish and the marker
+    update re-runs safely (the batch dir's existence short-circuits the
+    next sync), and the replica's own facade probe sees the batch the
     instant it publishes, exactly like a local flush."""
-    from accumulo_wikisearch_spark.operators.manifest import (
-        folded_deltas,
-        list_versions,
-        read_manifest_at,
-    )
+    from accumulo_wikisearch_spark.operators.manifest import folded_deltas
 
     marker = _replica_marker(spark, dst)
-    if marker.get("source") != src:
+    q_src = _qualified(spark, src)
+    if marker.get("source") != q_src:
         raise ValueError(
             f"replicate_deltas: {dst} was cloned from"
-            f" {marker.get('source')!r}, not {src!r} — one replica tracks"
-            " one source"
+            f" {marker.get('source')!r}, not {q_src!r} — one replica"
+            " tracks one source"
         )
-    base_v = marker.get("source_version")
-    # every source version AFTER the cloned base must still be a
-    # retained FOLD manifest: a retired manifest's folds are unknowable
-    # (set + dirs deleted together — a silent replica hole), and a
-    # 'rewrite' generation changed content no delta records, so
-    # clone+ship can no longer reconstruct the source. Versions are
-    # minted sequentially, so retained manifests are a contiguous
-    # suffix; a crash-orphaned generation number can break contiguity
-    # and trips this check in the LOUD direction (re-clone), never the
-    # silent one.
-    floor = base_v if base_v is not None else 0
-    newer = [v for v in list_versions(spark, src) if v > floor]
+    anchor = marker.get("source_version")
+    floor = anchor if anchor is not None else 0
+    manifests = _source_manifests(spark, src)
+    # every source version AFTER the anchor must still be a retained
+    # FOLD manifest: a retired manifest's folds are unknowable (set +
+    # dirs deleted together — a silent replica hole), and a 'rewrite'
+    # generation changed content no delta records. Versions are minted
+    # sequentially, so retained manifests are a contiguous suffix; a
+    # crash-orphaned generation number can break contiguity and trips
+    # this check in the LOUD direction (re-clone), never the silent one.
+    newer = sorted(v for v in manifests if v > floor)
     expected = list(range(floor + 1, (max(newer) + 1) if newer else floor + 1))
     if newer != expected:
         raise RuntimeError(
-            f"replicate_deltas: source versions {sorted(set(expected) - set(newer))}"
-            f" after the cloned base (v{base_v}) are no longer retained at"
-            f" {src} — their folded batches are unknowable. The replica"
-            " fell behind the source's retention window: re-clone, or"
-            " raise the source's retain_generations."
+            f"replicate_deltas: source versions"
+            f" {sorted(set(expected) - set(newer))} after the replica's"
+            f" sync anchor (v{anchor}) are no longer retained at {src} —"
+            " their folded batches are unknowable. The replica fell"
+            " behind the source's retention window: re-clone, or raise"
+            " the source's retain_generations / sync more often (each"
+            " sync advances the anchor to the source's current version)."
         )
     for v in newer:
-        m = read_manifest_at(spark, src, v)
-        if m.get("kind") != "fold":
+        if manifests[v].get("kind") != "fold":
             raise RuntimeError(
                 f"replicate_deltas: source version {v} is a"
-                f" '{m.get('kind', 'unmarked')}' generation — a full"
-                " rewrite changed content no delta batch records, so"
-                " shipping cannot reconstruct the source. Re-clone the"
-                " replica from the current source state."
+                f" '{manifests[v].get('kind', 'unmarked')}' generation —"
+                " a full rewrite changed content no delta batch records,"
+                " so shipping cannot reconstruct the source. Re-clone"
+                " the replica from the current source state."
             )
-    # batches the cloned base already contains: folded at the source by
-    # manifests UP TO the cloned version (capped — later folds are real
-    # changes the replica still needs)
-    in_base = folded_deltas(spark, src, max_version=base_v if base_v else 0)
+    # batches the replica's state already covers: folds up to the anchor
+    # (in the cloned/advanced base coverage), everything on disk or
+    # folded at the replica, and the durable received ledger
+    in_base = set()
+    for v, body in manifests.items():
+        if v <= floor:
+            in_base.update(body.get("folded_deltas", []))
     src_dirs = raw_delta_names(spark, src)
-    have = raw_delta_names(spark, dst) | folded_deltas(spark, dst)
-    # every batch the source ever folded must be accounted for: in the
-    # cloned base, already at the replica, or still shippable (dir on
-    # disk). A batch outside all three fell past the source's retention
-    # window — the replica cannot be completed by shipping
-    lost = folded_deltas(spark, src) - in_base - have - src_dirs
-    if lost:
-        raise RuntimeError(
-            f"replicate_deltas: source batches {sorted(lost)} were folded"
-            f" at {src} and their grace dirs are gone (retention) before"
-            " the replica received them — the replica fell behind the"
-            " source's retention window. Re-clone, or raise the source's"
-            " retain_generations to widen the shipping window."
-        )
-    ship = sorted(src_dirs - in_base - have)
+    dst_present = raw_delta_names(spark, dst) | folded_deltas(spark, dst)
+    received = set(marker.get("received", []))
+    ship = sorted(src_dirs - in_base - dst_present - received)
     fs, _, jvm = _fs(spark, src)
     HPath = jvm.org.apache.hadoop.fs.Path
     for b in ship:
@@ -204,7 +249,28 @@ def replicate_deltas(
             spark.read.parquet(f"{src}/deltas/{b}/{t}").write.mode(
                 "overwrite"
             ).parquet(f"{staged}/{t}")
-        _publish_delta(
-            spark, staged, f"{dst}/deltas/{b}", expect=tuple(tables)
-        )
+        _publish_delta(spark, staged, f"{dst}/deltas/{b}", expect=tuple(tables))
+    # advance the anchor: the replica is now complete through the
+    # source's newest retained version (folds ≤ it are in base/ledger,
+    # pending batches shipped just now). The ledger keeps every batch
+    # still listed at the source that is NOT covered by a fold ≤ the new
+    # anchor — pruning it exactly when the source's own fold takes over
+    # the exclusion (the batch dir retires with that fold's manifest).
+    new_anchor = max(manifests) if manifests else anchor
+    covered = set()
+    for v, body in manifests.items():
+        if new_anchor is not None and v <= new_anchor:
+            covered.update(body.get("folded_deltas", []))
+    new_received = sorted(
+        ((received | set(ship) | dst_present) & src_dirs) - covered
+    )
+    _write_marker(
+        spark,
+        dst,
+        {
+            "source": q_src,
+            "source_version": new_anchor,
+            "received": new_received,
+        },
+    )
     return ship

@@ -139,3 +139,52 @@ def test_unbootstrapped_or_wrong_source_raises(spark, src, tmp_path):
     clone_catalog(spark, src, dst, CFG)
     with pytest.raises(ValueError, match="one replica tracks one source"):
         replicate_deltas(spark, str(tmp_path / "other"), dst)
+
+
+def test_no_double_ship_after_replica_fold_history_retires(spark, src, tmp_path):
+    """r11 third review F1: the replica's own fold manifests retire, and
+    with them the replica-side record of a received batch — the durable
+    marker ledger must prevent a long-lived source pending batch from
+    being shipped twice and double-counted."""
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    _flush(spark, src, [10], "b0")  # stays PENDING at the source
+    assert replicate_deltas(spark, src, dst) == ["b0"]
+    # three replica-side compaction cycles retire the replica manifest
+    # that folded b0 (deleting its grace dir and fold record)
+    for n in range(3):
+        _flush(spark, dst, [20 + n], f"local{n}")
+        compact_index(spark, dst, CFG)
+    from accumulo_wikisearch_spark.operators.manifest import folded_deltas
+
+    assert "b0" not in folded_deltas(spark, dst)  # fold record retired
+    assert replicate_deltas(spark, src, dst) == []  # ledger remembers
+    assert _docs(spark, dst) == list(range(5)) + [10, 20, 21, 22]
+
+
+def test_sync_per_window_survives_unbounded_source_compactions(spark, src, tmp_path):
+    """r11 third review F2: each sync advances the marker's anchor to the
+    source's current version, so a replica that ships once per source
+    retention window keeps working through arbitrarily many source
+    compactions (the old clone-time anchor forced a re-clone after
+    retain_generations+1 of them)."""
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    for n in range(4):
+        _flush(spark, src, [10 + n], f"b{n}")
+        assert replicate_deltas(spark, src, dst) == [f"b{n}"]
+        compact_index(spark, src, CFG)  # retires old source versions
+    # one final sync across the last compaction: nothing left to ship,
+    # and no spurious fell-behind error
+    assert replicate_deltas(spark, src, dst) == []
+    assert _docs(spark, dst) == _docs(spark, src) == list(range(5)) + [10, 11, 12, 13]
+
+
+def test_marker_source_path_is_spelling_insensitive(spark, src, tmp_path):
+    """r11 third review F5: the one-replica-one-source guard compares
+    filesystem-qualified paths, not raw strings."""
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    _flush(spark, src, [10], "b0")
+    assert replicate_deltas(spark, f"file:{src}", dst) == ["b0"]  # scheme spelled out
+    assert replicate_deltas(spark, src + "/", dst) == []  # trailing slash
