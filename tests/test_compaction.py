@@ -939,10 +939,18 @@ def test_unrecognized_hidden_delta_dir_is_loud(spark, tmp_path):
     os.makedirs(f"{path}/deltas/._staged_crashed")  # crashed flush: skipped
     assert raw_delta_names(spark, path) == {"b0"}
     os.makedirs(f"{path}/deltas/_backfill")
-    with pytest.raises(ValueError, match="hidden batch directory '_backfill'"):
+    with pytest.raises(ValueError, match="_backfill"):
         raw_delta_names(spark, path)
     with pytest.raises(ValueError, match="_backfill"):
         delta_batches(spark, path)
+    # the DIAGNOSTIC surface must still render in this bad state and
+    # report the stray dir (r12, ADVICE: one hidden dir otherwise broke
+    # describe_catalog together with every query)
+    from accumulo_wikisearch_spark.operators.compaction import describe_catalog
+
+    d = describe_catalog(spark, path)
+    assert d["unrecognized_hidden"] == ["_backfill"]
+    assert d["pending_deltas"] == ["b0"]
 
 
 def test_snapshot_facade_plan_cache_is_stable_under_ttl(spark, tmp_path):

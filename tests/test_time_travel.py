@@ -196,6 +196,58 @@ def test_changes_feed_refuses_full_rewrite_versions(spark, versioned_catalog, tm
     assert read_changes(spark, versioned_catalog, 1, 2).count() == 5
 
 
+@pytest.mark.slow
+def test_changes_feed_plan_is_flat_at_many_batches(spark, tmp_path):
+    """r12 (verdict #5): the feed builds ONE multi-path parquet read per
+    change kind with a broadcast batch→version map — plan construction
+    must not grow a union/scan node per folded batch (at a 100 TB
+    cadence a feed tap can span hundreds of folded batches, and an
+    O(batches) plan makes driver-side analysis the bottleneck)."""
+    from accumulo_wikisearch_spark.operators.ingest import build_index as _bix
+
+    path = str(tmp_path / "many")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "tok", "t0")]), CFG, SF), path)
+    _delta(spark, path, [1], "seed")
+    compact_index(spark, path, CFG)  # v1, the feed anchor
+    # 20 data batches (identical content, distinct ids — the feed
+    # attributes rows per batch dir) + 2 tombstone batches, all folded
+    # by ONE compaction into v2
+    one = _bix(_arts(spark, [(100, "enwiki", "tok wave", "t100")]), CFG, SF)
+    for i in range(20):
+        write_delta(one, path, f"m{i:02d}")
+    for i in range(2):
+        write_tombstones(
+            spark.createDataFrame([(50 + i,)], "doc_id long"), path, f"del{i}"
+        )
+    compact_index(spark, path, CFG)  # v2 folds all 22
+    ch = read_changes(spark, path, 1, 2)
+    plan = ch._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("parquet") == 2, plan  # one scan per change kind
+    assert plan.count("Union") <= 1, plan
+    rows = ch.collect()
+    adds = [r for r in rows if r["change"] == "append"]
+    dels = [r for r in rows if r["change"] == "delete"]
+    assert len(adds) == 20 and len(dels) == 2
+    assert sorted({r["batch"] for r in adds}) == [f"m{i:02d}" for i in range(20)]
+    assert all(r["version"] == 2 and r["doc_id"] == 100 for r in adds)
+    assert sorted(r["doc_id"] for r in dels) == [50, 51]
+
+
+def test_changes_feed_exotic_batch_ids_fall_back_exactly(spark, tmp_path):
+    """A batch id that would percent-encode in ``input_file_name()``
+    (spaces are legal ids) must still be attributed exactly — via the
+    per-batch fallback, not a silently-empty extract-join."""
+    path = str(tmp_path / "exotic")
+    write_index(build_index(_arts(spark, [(0, "enwiki", "tok", "t0")]), CFG, SF), path)
+    _delta(spark, path, [1], "seed")
+    compact_index(spark, path, CFG)  # v1
+    _delta(spark, path, [2], "has space")
+    compact_index(spark, path, CFG)  # v2
+    rows = read_changes(spark, path, 1, 2).collect()
+    assert len(rows) == 1
+    assert rows[0]["batch"] == "has space" and rows[0]["doc_id"] == 2
+
+
 def test_never_published_version_raises(spark, versioned_catalog, tmp_path):
     with pytest.raises(ValueError, match="no retained version 99"):
         load_index(spark, versioned_catalog, CFG, at_version=99)
