@@ -229,6 +229,15 @@ def replicate_deltas(spark: SparkSession, src: str, dst: str) -> list[str]:
     src_dirs = raw_delta_names(spark, src)
     dst_present = raw_delta_names(spark, dst) | folded_deltas(spark, dst)
     received = set(marker.get("received", []))
+    # candidates excluded ONLY because a same-named dir exists at the
+    # replica (not ledger-recorded, not covered by a fold ≤ anchor):
+    # either the documented crash window (publish succeeded, marker
+    # write didn't — adopt silently-as-shipped) or a replica-LOCAL
+    # batch colliding with a source id, which name-based suppression
+    # would turn into silent divergence. Audit the contents to tell
+    # them apart (the set is empty in every normal sync).
+    for b in sorted((src_dirs - in_base - received) & dst_present):
+        _audit_same_name_batch(spark, src, dst, b)
     ship = sorted(src_dirs - in_base - dst_present - received)
     fs, _, jvm = _fs(spark, src)
     HPath = jvm.org.apache.hadoop.fs.Path
@@ -274,3 +283,139 @@ def replicate_deltas(spark: SparkSession, src: str, dst: str) -> list[str]:
         },
     )
     return ship
+
+
+def _audit_same_name_batch(spark: SparkSession, src: str, dst: str, b: str) -> None:
+    """r12 ADVICE: distinguish the two ways a to-ship batch can already
+    exist at the replica outside the ledger. A crash-recovered ship
+    (publish landed, marker write didn't) is a faithful copy — same
+    table-dir set, same per-table row counts — and is safe to adopt; a
+    replica-local batch that hand-minted the same id (both sides using
+    'b0'-style ids) is NOT, and suppressing its ship by name would make
+    the replica silently diverge — the silent-divergence class this
+    module elsewhere guards loudly against. Contents tell them apart
+    (up to the row-count coincidence the warning covers): raise on
+    mismatch, warn-and-adopt on match. Cost: nothing on the normal path
+    (the suspicious set is empty); a handful of count jobs on the rare
+    crash-recovery sync. Best practice stays: keep replica-local batch
+    ids in a namespace disjoint from the source's."""
+    import warnings
+
+    def tables(root: str) -> list[str]:
+        fs, _, jvm = _fs(spark, root)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        return sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(HPath(f"{root}/deltas/{b}"))
+            if st.isDirectory()
+        )
+
+    st_src, st_dst = tables(src), tables(dst)
+    mismatch = None
+    if st_src != st_dst:
+        mismatch = f"table dirs differ (source {st_src} vs replica {st_dst})"
+    else:
+        for t in st_src:
+            ns = spark.read.parquet(f"{src}/deltas/{b}/{t}").count()
+            nd = spark.read.parquet(f"{dst}/deltas/{b}/{t}").count()
+            if ns != nd:
+                mismatch = (
+                    f"table {t!r} row counts differ (source {ns} vs replica {nd})"
+                )
+                break
+    if mismatch:
+        raise RuntimeError(
+            f"replicate_deltas: batch id {b!r} exists at BOTH the source"
+            f" and the replica, is not in the received ledger, and the"
+            f" contents differ — {mismatch}. A replica-local batch"
+            " collided with a source batch id; shipping is suppressed by"
+            " name, so the replica would silently diverge. Re-flush the"
+            " replica-local data under an id namespace disjoint from the"
+            " source's (e.g. 'local-*') and re-sync."
+        )
+    warnings.warn(
+        f"replicate_deltas: batch id {b!r} already exists at the replica"
+        " with identical shape — adopting it into the ledger as a"
+        " crash-recovered ship. If this id was minted replica-locally,"
+        " the contents merely coincide: keep replica-local batch ids in"
+        " a namespace disjoint from the source's.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
+def sync_replica(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    config: EngineConfig | None = None,
+    compact_min_files: int | None = None,
+    retain_generations: int = 2,
+) -> dict:
+    """The replica's one-call operational loop: ship new source batches
+    (:func:`replicate_deltas`), optionally fold them with a replica-side
+    compaction when the pending backlog crosses ``compact_min_files``
+    part files, and return the ops view a scheduler needs — including
+    the anchor-vs-retention headroom that says how close the replica is
+    to a forced re-clone. Composing the three calls (and knowing the
+    cadence constraint vs the source's retention window) was previously
+    on the user.
+
+    ``compact_min_files=None`` never compacts (the replica keeps its
+    own cadence); an int folds once the PENDING batches hold at least
+    that many part files — the same small-files signal
+    ``compact_index``'s stats expose, measured only over the backlog
+    this sync is responsible for (one listing per pending batch).
+
+    Returns::
+
+        {
+          "shipped": [batch names shipped this call],
+          "compacted": bool,
+          "source_version": anchor after the sync,
+          "source_current_version": int | None (legacy source),
+          "source_retained_versions": [...],
+          "headroom_rewrites": int | None,
+          "replica_pending_deltas": [...],
+        }
+
+    ``headroom_rewrites`` = how many MORE source rewrites can land
+    before an unsynced replica falls behind the retention window and
+    :func:`replicate_deltas` forces a re-clone: anchor + retained-window
+    size − current version (immediately after a successful sync this is
+    the window size itself; a scheduler alarms when it approaches 0
+    faster than the sync cadence). None when the source is legacy (no
+    manifests — no retention clock is running yet)."""
+    from accumulo_wikisearch_spark.operators.compaction import (
+        _count_files,
+        compact_index,
+        delta_batches,
+    )
+
+    shipped = replicate_deltas(spark, src, dst)
+    compacted = False
+    pending = delta_batches(spark, dst)
+    if compact_min_files is not None and pending:
+        n = sum(_count_files(spark, f"{dst}/deltas/{b}") for b in pending)
+        if n >= compact_min_files:
+            compact_index(
+                spark, dst, config, retain_generations=retain_generations
+            )
+            compacted = True
+            pending = delta_batches(spark, dst)
+    marker = _replica_marker(spark, dst)
+    manifests = _source_manifests(spark, src)
+    anchor = marker.get("source_version")
+    current = max(manifests) if manifests else None
+    headroom = (
+        None if current is None else (anchor or 0) + len(manifests) - current
+    )
+    return {
+        "shipped": shipped,
+        "compacted": compacted,
+        "source_version": anchor,
+        "source_current_version": current,
+        "source_retained_versions": sorted(manifests),
+        "headroom_rewrites": headroom,
+        "replica_pending_deltas": pending,
+    }

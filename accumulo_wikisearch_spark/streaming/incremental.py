@@ -231,10 +231,206 @@ def stream_ingest(
     return writer
 
 
+# batch names in a checkpoint's file-source log: any path segment under
+# deltas/ followed by one of the two flush-kind table dirs
+_SEEN_BATCH_RE = None  # compiled lazily (module keeps import cheap)
+
+
+def _seen_batches(spark, checkpoint: str) -> set[str]:
+    """Batch names this checkpoint's file-source log has recorded in a
+    COMMITTED micro-batch. Planned-but-uncommitted files are excluded on
+    purpose: a restart reprocesses them, so counting them as consumed
+    would let the reconcile guard (:func:`reconcile_cdc_tail`) advance
+    past data that was never actually delivered downstream."""
+    import json as _json
+    import re as _re
+    from urllib.parse import unquote
+
+    from accumulo_wikisearch_spark.operators.compaction import _fs
+
+    global _SEEN_BATCH_RE
+    if _SEEN_BATCH_RE is None:
+        _SEEN_BATCH_RE = _re.compile(r"/deltas/([^/]+)/(?:documents|tombstones)/")
+    fs, _, jvm = _fs(spark, checkpoint)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    committed = -1
+    commits = HPath(f"{checkpoint}/commits")
+    if fs.exists(commits):
+        for st in fs.listStatus(commits):
+            n = st.getPath().getName()
+            if n.isdigit():
+                committed = max(committed, int(n))
+    sources = HPath(f"{checkpoint}/sources")
+    if committed < 0 or not fs.exists(sources):
+        return set()
+    out: set[str] = set()
+    it = fs.listFiles(sources, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().startswith("."):
+            continue
+        stream = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        for line in data.decode().splitlines():
+            if not line.startswith("{"):
+                continue  # the v1 version header
+            try:
+                e = _json.loads(line)
+            except ValueError:
+                continue
+            if int(e.get("batchId", -1)) > committed:
+                continue
+            m = _SEEN_BATCH_RE.search(e.get("path", ""))
+            if m:
+                out.add(unquote(m.group(1)))
+    return out
+
+
+_CDC_ANCHOR = "_cdc_anchor.json"
+
+
+def _write_cdc_anchor(spark, checkpoint: str, body: dict) -> None:
+    import json as _json
+    import uuid as _uuid
+
+    from accumulo_wikisearch_spark.operators.compaction import _fs
+
+    fs, _, jvm = _fs(spark, checkpoint)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(HPath(checkpoint))
+    tmp = HPath(f"{checkpoint}/._cdc_anchor_tmp_{_uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    out.write(bytearray(_json.dumps(body).encode()))
+    out.close()
+    final = HPath(f"{checkpoint}/{_CDC_ANCHOR}")
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, True)
+        raise RuntimeError(
+            f"reconcile_cdc_tail: publishing {_CDC_ANCHOR} at {checkpoint} failed"
+        )
+
+
+def reconcile_cdc_tail(spark, path: str, checkpoint: str) -> None:
+    """Fail LOUDLY when a restarting CDC tail may have missed retired
+    batches — the guard that makes the tails' exactly-once claim honest
+    across stops (r11 verdict #1).
+
+    The hole without it: a published batch dir stays on disk only while
+    the manifest that folded it is retained; a tail stopped across
+    ``retain_generations`` source compactions restarts and the file
+    source simply never lists the deleted dirs — no error, no gap
+    marker. ``read_changes`` raises in the identical situation (via
+    ``read_manifest_at``) and ``replicate_deltas`` raises re-clone; the
+    streaming tail was the one lifecycle consumer with a silent hole.
+    The reference's operational model never drops ingested data on the
+    floor (reference README.md:206-219 — scans see all writes; Accumulo
+    replication blocks WAL GC until shipped).
+
+    Mechanism — pure metadata, one catalog listing + one small JSON read
+    per retained manifest plus one checkpoint-log sweep, never a data
+    scan: the checkpoint carries a ``_cdc_anchor.json`` recording the
+    source identity and the catalog version the tail was reconciled
+    through. On every stream construction:
+
+    1. source identity must match (a checkpoint reused across catalogs
+       would silently mix seen-file logs);
+    2. every source version after the anchor must still be RETAINED —
+       a retired manifest's folded set is unknowable (deleted together
+       with its batch dirs), so a gap means batches this tail never
+       consumed may be gone: raise the curated fell-behind error;
+    3. belt-and-braces: each retained post-anchor version's folded
+       batches must be consumed (in the checkpoint's COMMITTED seen-file
+       log) or still on disk — a dir vanished early is the same loss;
+    4. on success the anchor advances to the current version (batches
+       still on disk will be listed by the source; history older than
+       the subscription is not owed).
+
+    A fresh checkpoint anchors at the current version without checks
+    (bootstrap = snapshot read / clone + tail from now — batches retired
+    before subscription are not owed). A pre-guard checkpoint (seen
+    files but no anchor) gets the per-batch check over all retained
+    versions; losses that predate the first guarded start are
+    undetectable, so upgrade tails restart once to mint their anchor.
+
+    Residual constraint (shared with ``read_changes`` and sized by the
+    same knob): a tail must be STARTED at least once per source
+    retention window, and a started tail must drain within it — the
+    guard detects losses at start, it cannot forbid retention from
+    outrunning a hung consumer mid-run. Size ``retain_generations`` to
+    the slowest consumer's restart cadence."""
+    from accumulo_wikisearch_spark.operators.compaction import _fs, raw_delta_names
+    from accumulo_wikisearch_spark.operators.manifest import _open_json
+    from accumulo_wikisearch_spark.operators.replication import (
+        _qualified,
+        _source_manifests,
+    )
+
+    q_src = _qualified(spark, path)
+    manifests = _source_manifests(spark, path)
+    current = max(manifests) if manifests else 0
+    fs, _, jvm = _fs(spark, checkpoint)
+    body = _open_json(fs, jvm, f"{checkpoint}/{_CDC_ANCHOR}")
+    seen = _seen_batches(spark, checkpoint)
+    if body is not None:
+        if body.get("source") != q_src:
+            raise ValueError(
+                f"reconcile_cdc_tail: checkpoint {checkpoint} was anchored"
+                f" to source {body.get('source')!r}, not {q_src!r} — one"
+                " tail checkpoint tracks one catalog (its seen-file log"
+                " is meaningless against any other)"
+            )
+        anchor = int(body.get("version", 0))
+        newer = sorted(v for v in manifests if v > anchor)
+        expected = list(range(anchor + 1, current + 1))
+        if newer != expected:
+            gap = sorted(set(expected) - set(newer))
+            raise RuntimeError(
+                f"CDC tail fell behind the retention window of {path}:"
+                f" source versions {gap} after this checkpoint's reconcile"
+                f" anchor (v{anchor}) are no longer retained, so the"
+                " batches they folded (deleted with them) are unknowable"
+                " and any this tail had not consumed are gone. Re-bootstrap"
+                " the consumer (snapshot read or clone_catalog, then a"
+                " FRESH-checkpoint tail), or raise retain_generations on"
+                " the source's maintenance ops / restart the tail at least"
+                " once per retention window (each start advances the"
+                " anchor)."
+            )
+        check_versions = newer
+    else:
+        # no anchor: fresh checkpoint (nothing owed — anchor at current)
+        # or a pre-guard checkpoint (per-batch check over every retained
+        # version; losses before the first guarded start are undetectable)
+        check_versions = sorted(manifests) if seen else []
+    on_disk = raw_delta_names(spark, path)
+    for v in check_versions:
+        missing = [
+            b
+            for b in manifests[v].get("folded_deltas", [])
+            if b not in seen and b not in on_disk
+        ]
+        if missing:
+            raise RuntimeError(
+                f"CDC tail fell behind the retention window of {path}:"
+                f" folded batch dirs {missing} of retained version {v} are"
+                " gone and this checkpoint's committed seen-file log never"
+                " consumed them. Re-bootstrap the consumer (snapshot read"
+                " or clone_catalog, then a FRESH-checkpoint tail), or"
+                " raise retain_generations on the source's maintenance"
+                " ops."
+            )
+    _write_cdc_anchor(spark, checkpoint, {"source": q_src, "version": current})
+
+
 def stream_changes(
     spark,
     path: str,
     max_files_per_trigger: int | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Streaming tail of the catalog's APPEND feed — the CDC twin of
     ``operators.compaction.read_changes`` for consumers that want every
@@ -252,12 +448,23 @@ def stream_changes(
     of never-published batches plus double delivery. Published batch
     ids can never start with '.'/'_' (``_check_batch_id``), so the
     class is exact. The checkpoint's seen-file log then makes delivery
-    exactly-once across restarts; later maintenance is invisible to
-    the tail — a compaction FOLDING a batch does not touch its dir,
-    and retention deletes it only after its folding manifest retires,
-    by which point the log consumer has long moved on. At 100 TB this
-    is a log subscription: each trigger lists the delta area and reads
-    only new files, never the catalog.
+    exactly-once across restarts; a compaction FOLDING a batch is
+    invisible to the tail (the fold does not touch the batch dir), and
+    retention deleting the dir after its folding manifest retires is
+    covered by the reconcile guard below — a tail stopped across the
+    retention window must fail LOUDLY, not skip the retired batches.
+    At 100 TB this is a log subscription: each trigger lists the delta
+    area and reads only new files, never the catalog.
+
+    ``checkpoint`` — pass the SAME checkpoint location the consuming
+    ``writeStream`` uses to arm :func:`reconcile_cdc_tail` at every
+    stream construction: it compares the checkpoint's committed
+    seen-file log and reconcile anchor against the catalog's retained
+    manifests and raises the curated fell-behind error when retention
+    may have deleted batches this tail never consumed (the same loud
+    behavior as ``read_changes`` and ``replicate_deltas``). Without it
+    the exactly-once claim holds only for consumers restarted at least
+    once per source retention window — and a violation is silent.
 
     Returns (batch, change='append', partition_id, language, doc_id,
     text). Appends only — deletes ride tombstone batches with a
@@ -269,6 +476,8 @@ def stream_changes(
 
     from accumulo_wikisearch_spark.operators.manifest import resolve_root
 
+    if checkpoint is not None:
+        reconcile_cdc_tail(spark, path, checkpoint)
     # the documents schema is engine-fixed; take it from the base
     # catalog's own table (schema-only read, no data scan)
     root, _ = resolve_root(spark, path)
@@ -287,23 +496,30 @@ def stream_changes(
 
 
 def stream_deletes(
-    spark, path: str, max_files_per_trigger: int | None = None
+    spark,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Streaming tail of the catalog's DELETE feed — the tombstone twin
     of :func:`stream_changes`, over ``{path}/deltas/[^._]*/tombstones``
     (the same hidden-segment exclusion: in-flight ``._staged_tomb_*``
     dirs must neither deliver phantom deletes nor double-deliver after
     the publish rename). The same guarantees hold (atomic batch
-    publish, exactly-once via the checkpoint's seen-file log,
-    folding/retention invisible to the tail); the shape differs because
-    a delete carries only its id. Returns (batch, change='delete',
-    doc_id). A downstream mirror subscribes to both tails — with
-    ``max_files_per_trigger`` bounding catch-up on each — while
-    cross-snapshot consumers that need exact version attribution use
-    ``read_changes`` instead."""
+    publish, exactly-once via the checkpoint's seen-file log, folds
+    invisible to the tail, and the same ``checkpoint``-armed
+    :func:`reconcile_cdc_tail` guard against retention outrunning a
+    stopped consumer); the shape differs because a delete carries only
+    its id. Returns (batch, change='delete', doc_id). A downstream
+    mirror subscribes to both tails — each with its OWN checkpoint
+    (and so its own reconcile anchor), with ``max_files_per_trigger``
+    bounding catch-up on each — while cross-snapshot consumers that
+    need exact version attribution use ``read_changes`` instead."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if checkpoint is not None:
+        reconcile_cdc_tail(spark, path, checkpoint)
     # the tombstones schema is fixed by write_tombstones: (doc_id long)
     schema = StructType([StructField("doc_id", LongType())])
     reader = spark.readStream.schema(schema)

@@ -188,3 +188,70 @@ def test_marker_source_path_is_spelling_insensitive(spark, src, tmp_path):
     _flush(spark, src, [10], "b0")
     assert replicate_deltas(spark, f"file:{src}", dst) == ["b0"]  # scheme spelled out
     assert replicate_deltas(spark, src + "/", dst) == []  # trailing slash
+
+
+def test_same_name_collision_raises_crash_recovery_adopts(spark, src, tmp_path):
+    """r12 ADVICE: a replica-LOCAL batch colliding with a source batch id
+    must raise (name-suppressed shipping would silently diverge), while
+    the documented crash window (batch published at the replica, marker
+    write lost) is adopted with a warning — the contents tell them
+    apart."""
+    import warnings
+
+    from accumulo_wikisearch_spark.operators.replication import _write_marker
+
+    dst = str(tmp_path / "dst")
+    marker = clone_catalog(spark, src, dst, CFG)
+    # replica-LOCAL flush minting the same id a later source flush uses
+    _flush(spark, dst, [100, 101], "b0")
+    _flush(spark, src, [10], "b0")  # different content, same id
+    with pytest.raises(RuntimeError, match="collided with a source batch id"):
+        replicate_deltas(spark, src, dst)
+    # crash-recovery twin: replica holds a FAITHFUL copy of the source
+    # batch but the ledger never recorded it (marker write lost) —
+    # rewind the marker to the post-clone state to simulate the crash
+    dst2 = str(tmp_path / "dst2")
+    marker2 = clone_catalog(spark, src, dst2, CFG)
+    assert replicate_deltas(spark, src, dst2) == ["b0"]
+    _write_marker(spark, dst2, marker2)  # the crash: ledger update lost
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert replicate_deltas(spark, src, dst2) == []  # adopt, not re-ship
+    assert any("crash-recovered ship" in str(x.message) for x in w)
+    # adopted into the ledger: the next sync is silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert replicate_deltas(spark, src, dst2) == []
+    assert _docs(spark, dst2) == _docs(spark, src)
+
+
+def test_sync_replica_one_call_loop(spark, src, tmp_path):
+    """r12 (verdict #6): sync_replica = ship + threshold-gated replica
+    compaction + the ops dict with anchor-vs-retention headroom."""
+    from accumulo_wikisearch_spark.operators.replication import sync_replica
+
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    # legacy source: nothing to ship, no retention clock
+    rep = sync_replica(spark, src, dst, CFG)
+    assert rep["shipped"] == [] and rep["headroom_rewrites"] is None
+
+    _flush(spark, src, [10, 11], "b0")
+    rep = sync_replica(spark, src, dst, CFG)
+    assert rep["shipped"] == ["b0"] and not rep["compacted"]
+    assert rep["replica_pending_deltas"] == ["b0"]
+
+    # threshold crossed -> the same call folds the replica backlog
+    _flush(spark, src, [12], "b1")
+    rep = sync_replica(spark, src, dst, CFG, compact_min_files=1)
+    assert rep["shipped"] == ["b1"] and rep["compacted"]
+    assert rep["replica_pending_deltas"] == []
+    assert _docs(spark, dst) == list(range(5)) + [10, 11, 12]
+
+    # headroom: after the source compacts (v1) and a sync anchors on it,
+    # the replica can survive len(retained) more rewrites before re-clone
+    compact_index(spark, src, CFG)  # v1
+    rep = sync_replica(spark, src, dst, CFG)
+    assert rep["source_current_version"] == 1
+    assert rep["source_version"] == 1  # anchor advanced
+    assert rep["headroom_rewrites"] == len(rep["source_retained_versions"])

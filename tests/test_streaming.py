@@ -274,3 +274,154 @@ def test_stream_changes_never_reads_staged_batches(spark, tmp_path):
     second = run_tail()
     assert sorted(r["doc_id"] for r in second) == [99]  # once, at publish
     assert {r["batch"] for r in second} == {"b1"}
+
+
+# ---------------------------------------------------------------------------
+# CDC-tail falling-behind guard (r12, verdict #1): a tail stopped across
+# the retention window must raise the curated fell-behind error on
+# restart instead of silently skipping retired batches.
+# ---------------------------------------------------------------------------
+
+
+def _cdc_catalog(spark, tmp_path, name="cdcg"):
+    from accumulo_wikisearch_spark.operators.compaction import write_delta
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+
+    cfg = EngineConfig(num_partitions=1)
+    sf = {"ID": "id", "TITLE": "title"}
+    path = str(tmp_path / name)
+    write_index(
+        build_index(_arts(spark, [(0, "enwiki", "base", "t0")]), cfg, sf), path
+    )
+
+    def flush(i):
+        write_delta(
+            build_index(_arts(spark, [(i, "enwiki", "tok", f"t{i}")]), cfg, sf),
+            path,
+            f"b{i}",
+        )
+
+    return path, cfg, flush
+
+
+def _run_tail(spark, path, cp):
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    got: list = []
+    q = (
+        stream_changes(spark, path, checkpoint=cp)
+        .writeStream.foreachBatch(lambda df, _i: got.extend(df.collect()))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def test_cdc_tail_raises_when_stopped_past_retention(spark, tmp_path):
+    """Consume batches 1-2; stop; maintenance cycles retire the manifest
+    that folded the UNSEEN batch 3 (deleting its dir); restart must
+    raise the curated fell-behind error — the silent hole the r11
+    verdict named #1. read_changes and replicate_deltas already raise
+    in the identical situation; the tail must too."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.compaction import compact_index
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path)
+    flush(1)
+    flush(2)
+    cp = str(tmp_path / "cp")
+    first = _run_tail(spark, path, cp)
+    assert sorted(r["doc_id"] for r in first) == [1, 2]
+
+    compact_index(spark, path, cfg)  # v1 folds b1,b2 (seen)
+    flush(3)
+    compact_index(spark, path, cfg)  # v2 folds b3 (NEVER seen)
+    flush(4)
+    compact_index(spark, path, cfg)  # v3: retires v1 (b1,b2 dirs - seen, fine)
+    flush(5)
+    compact_index(spark, path, cfg)  # v4: retires v2 -> b3's dir gone UNSEEN
+
+    with _pytest.raises(RuntimeError, match="fell behind the retention window"):
+        _run_tail(spark, path, cp)
+
+
+def test_cdc_tail_non_lagging_restarts_stay_exactly_once(spark, tmp_path):
+    """Restarts within the retention window pass the guard and keep
+    exactly-once delivery; the reconcile anchor advances with each
+    construction so arbitrarily many maintenance cycles never trip a
+    false alarm as long as the tail keeps up."""
+    from accumulo_wikisearch_spark.operators.compaction import compact_index
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path)
+    flush(1)
+    cp = str(tmp_path / "cp2")
+    assert sorted(r["doc_id"] for r in _run_tail(spark, path, cp)) == [1]
+    for i in range(2, 6):
+        compact_index(spark, path, cfg)  # folds the consumed batch
+        flush(i)
+        # restart each cycle: guard passes, delivery stays exactly-once
+        got = _run_tail(spark, path, cp)
+        assert sorted(r["doc_id"] for r in got) == [i], f"cycle {i}"
+
+
+def test_cdc_tail_checkpoint_is_bound_to_one_catalog(spark, tmp_path):
+    import pytest as _pytest
+
+    path, _cfg, flush = _cdc_catalog(spark, tmp_path)
+    flush(1)
+    other, _, oflush = _cdc_catalog(spark, tmp_path, name="other")
+    oflush(2)
+    cp = str(tmp_path / "cp3")
+    _run_tail(spark, path, cp)
+    with _pytest.raises(ValueError, match="one tail checkpoint tracks one"):
+        _run_tail(spark, other, cp)
+
+
+def test_cdc_delete_tail_guard_and_delivery(spark, tmp_path):
+    """The tombstone tail arms the same guard; a delete tail that kept
+    up delivers each tombstone batch exactly once and passes restarts
+    through maintenance."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.compaction import (
+        compact_index,
+        write_tombstones,
+    )
+    from accumulo_wikisearch_spark.streaming.incremental import stream_deletes
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path, name="cdcd")
+    flush(1)
+
+    def run_del_tail(cp):
+        got: list = []
+        q = (
+            stream_deletes(spark, path, checkpoint=cp)
+            .writeStream.foreachBatch(lambda df, _i: got.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    cp = str(tmp_path / "cpd")
+    write_tombstones(
+        spark.createDataFrame([(1,)], "doc_id long"), path, "del1"
+    )
+    got = run_del_tail(cp)
+    assert [(r["batch"], r["doc_id"]) for r in got] == [("del1", 1)]
+    compact_index(spark, path, cfg)  # folds b1 + del1 (both consumed... b1 by nobody)
+    # restart within the window: nothing new, no false alarm
+    assert run_del_tail(cp) == []
+    # now fall behind: unseen tombstone batch folded then retired
+    write_tombstones(
+        spark.createDataFrame([(0,)], "doc_id long"), path, "del2"
+    )
+    compact_index(spark, path, cfg)  # v2 folds del2 (never seen by THIS cp? seen=del1 only)
+    compact_index(spark, path, cfg)  # v3
+    compact_index(spark, path, cfg)  # v4: retires v2 -> del2's dir gone
+    with _pytest.raises(RuntimeError, match="fell behind the retention window"):
+        run_del_tail(cp)
