@@ -790,6 +790,163 @@ def _cat_replica_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.query("TEXT == 'dup'").select("doc_id")
 
 
+_LAG_STREAM_RESULTS: dict[str, list] = {}
+
+
+def _cat_changes_stream_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-tail falling-behind guard end-to-end (r12, verdict #1): a tail
+    consumes deciles 5-6, stops, and maintenance retires the manifest
+    that folded the UNSEEN decile-7 batch (deleting its dir). The
+    restart MUST raise the curated fell-behind error — the reference's
+    operational model never drops ingested data silently (reference
+    README.md:206-219), and read_changes/replicate_deltas already raise
+    in the identical situation. The documented remedy (re-bootstrap
+    with a fresh checkpoint) then delivers what retention still holds
+    (deciles 8-9 in grace dirs). Result = consumed rows across the
+    lifecycle; a missed raise injects a poison row so the oracle
+    compare fails loudly. Oracle = the decile filter minus the
+    legitimately-lost decile 7."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import (
+        compact_index,
+        write_delta,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    tune_runtime(spark)
+    rows = _LAG_STREAM_RESULTS.get(sf_dir)
+    if rows is None:
+        cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+        arts = load_articles(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-cdclag-")
+        path = f"{tmp}/index"
+        write_index(
+            build_index(
+                arts.where(F.col("id") % 10 <= 4), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            path,
+        )
+
+        def flush(decile):
+            write_delta(
+                build_index(
+                    arts.where(F.col("id") % 10 == decile), cfg,
+                    SCALAR_FIELDS, unique_ids=True,
+                ),
+                path,
+                f"c{decile}",
+            )
+
+        def drain(ckpt):
+            got: list = []
+            q = (
+                stream_changes(spark, path, checkpoint=ckpt)
+                .select("change", F.col("doc_id").cast("long").alias("doc_id"))
+                .writeStream.foreachBatch(
+                    lambda df, _i: got.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return [(r["change"], r["doc_id"]) for r in got]
+
+        flush(5)
+        flush(6)
+        rows = drain(f"{tmp}/cp")  # the tail keeps up: deciles 5+6
+        compact_index(spark, path, cfg)  # v1 folds c5,c6 (consumed)
+        flush(7)
+        compact_index(spark, path, cfg)  # v2 folds c7 — NEVER consumed
+        flush(8)
+        compact_index(spark, path, cfg)  # v3 retires v1 (consumed dirs go)
+        flush(9)
+        compact_index(spark, path, cfg)  # v4 retires v2 → c7 gone UNSEEN
+        try:
+            drain(f"{tmp}/cp")  # restart of the stopped-too-long tail
+            rows.append(("guard-missed", -1))  # poisons the oracle compare
+        except RuntimeError as e:
+            if "fell behind the retention window" not in str(e):
+                raise
+        # the remedy: a fresh-checkpoint re-bootstrap tail delivers the
+        # batches retention still holds (c8, c9 in reader grace)
+        rows = rows + drain(f"{tmp}/cp-rebootstrap")
+        _LAG_STREAM_RESULTS[sf_dir] = rows
+    return spark.createDataFrame(rows, "change string, doc_id long")
+
+
+_REPLICA_SYNC_CATALOGS: dict[str, str] = {}
+
+
+def _cat_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call replica operations loop (r12, verdict #6): 90% of the
+    corpus is the source base, cloned to a replica; cycle 1 ships the
+    last-decile batch via ``sync_replica``; cycle 2 ships a tombstone
+    batch deleting the ``id % 10 == 1`` decile AND (files threshold)
+    folds the replica backlog with a replica-side compaction in the
+    same call, returning the anchor-vs-retention headroom a scheduler
+    alarms on. The replica facade must then equal the brute-force truth
+    over the full corpus minus the deleted decile — double-ship,
+    missed-batch, or resurrected-delete bugs all diverge."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import (
+        write_delta,
+        write_tombstones,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.operators.replication import (
+        clone_catalog,
+        sync_replica,
+    )
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    dst = _REPLICA_SYNC_CATALOGS.get(sf_dir)
+    if dst is None:
+        import tempfile
+
+        arts = load_articles(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-replsync-")
+        src = f"{tmp}/src"
+        write_index(
+            build_index(
+                arts.where(F.col("id") % 10 <= 8), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            src,
+        )
+        dst_path = f"{tmp}/replica"
+        clone_catalog(spark, src, dst_path, cfg)
+        write_delta(
+            build_index(
+                arts.where(F.col("id") % 10 == 9), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            src,
+            "s9",
+        )
+        rep = sync_replica(spark, src, dst_path, cfg)
+        assert rep["shipped"] == ["s9"] and not rep["compacted"]
+        write_tombstones(
+            arts.where(F.col("id") % 10 == 1).select(F.col("id").alias("doc_id")),
+            src,
+            "sdel",
+        )
+        rep = sync_replica(spark, src, dst_path, cfg, compact_min_files=1)
+        assert rep["shipped"] == ["sdel"] and rep["compacted"]
+        assert rep["replica_pending_deltas"] == []
+        dst = _REPLICA_SYNC_CATALOGS[sf_dir] = dst_path
+    eng = Wikisearch.open(spark, dst, cfg)
+    return eng.query("TEXT == 'dup'").select("doc_id")
+
+
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqFieldNameValueIterator parity: distinct values in a range."""
     tune_runtime(spark)
@@ -831,7 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cat_time_travel"] = _cat_time_travel
     out["cat_changes_feed"] = _cat_changes_feed
     out["cat_changes_stream"] = _cat_changes_stream
+    out["cat_changes_stream_lag"] = _cat_changes_stream_lag
     out["cat_replica_query"] = _cat_replica_query
+    out["cat_replica_sync"] = _cat_replica_sync
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
@@ -1129,12 +1288,28 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         "SELECT 'append' AS change, doc_id "
         "FROM documents WHERE doc_id % 10 >= 8"
     )
+    # lifecycle of a lagging tail: deciles 5-6 consumed before the stop,
+    # 8-9 recovered by the re-bootstrap tail from retained grace dirs;
+    # decile 7 is the batch retention legitimately retired while the
+    # consumer was stopped — the guard's RAISE (not a silent skip) is
+    # what the entry proves, and a missed raise injects a poison row
+    out["cat_changes_stream_lag"] = (
+        "SELECT 'append' AS change, doc_id "
+        "FROM documents WHERE doc_id % 10 IN (5, 6, 8, 9)"
+    )
     # the replica (clone of the 90% base + the shipped last-decile
     # batch) must answer with the FULL corpus truth — a clone that
     # leaked pending batches or a shipper that missed/double-shipped
     # one diverges
     out["cat_replica_query"] = (
         f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup')"
+    )
+    # two sync_replica cycles: the shipped last decile is present, the
+    # shipped tombstone decile is gone (and stays gone through the
+    # replica-side compaction the files threshold triggered)
+    out["cat_replica_sync"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
+        f"AND doc_id % 10 <> 1"
     )
     out["ws_metadata_freq"] = (
         "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "
