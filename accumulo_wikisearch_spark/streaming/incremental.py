@@ -314,7 +314,9 @@ def _write_cdc_anchor(spark, checkpoint: str, body: dict) -> None:
         )
 
 
-def reconcile_cdc_tail(spark, path: str, checkpoint: str) -> None:
+def reconcile_cdc_tail(
+    spark, path: str, checkpoint: str, table: str = "documents"
+) -> None:
     """Fail LOUDLY when a restarting CDC tail may have missed retired
     batches — the guard that makes the tails' exactly-once claim honest
     across stops (r11 verdict #1).
@@ -330,38 +332,46 @@ def reconcile_cdc_tail(spark, path: str, checkpoint: str) -> None:
     floor (reference README.md:206-219 — scans see all writes; Accumulo
     replication blocks WAL GC until shipped).
 
-    Mechanism — pure metadata, one catalog listing + one small JSON read
-    per retained manifest plus one checkpoint-log sweep, never a data
-    scan: the checkpoint carries a ``_cdc_anchor.json`` recording the
-    source identity and the catalog version the tail was reconciled
-    through. On every stream construction:
+    Mechanism — pure metadata, one catalog listing + one small JSON
+    read per retained manifest plus one checkpoint-log sweep, never a
+    data scan. The checkpoint carries a ``_cdc_anchor.json`` with the
+    source identity, an anchor version A (every relevant batch folded
+    at versions ≤ A is in the committed seen-file log), and the
+    OBSERVED fold sets of versions still above A — persisting what each
+    version folded is what makes the guard exact: a version whose folds
+    were observed at some construction stays checkable against the
+    seen log even after retention retires its manifest, so a consumed
+    batch never false-alarms and an unconsumed one is never silently
+    skipped (including by a stream constructed but never run — its
+    owed folds are already in the anchor file). Only ``table``-relevant
+    batches are owed (a documents tail never consumes tombstone
+    batches; kind comes from one existence check per newly observed
+    batch). On every construction:
 
-    1. source identity must match (a checkpoint reused across catalogs
-       would silently mix seen-file logs);
-    2. every source version after the anchor must still be RETAINED —
-       a retired manifest's folded set is unknowable (deleted together
-       with its batch dirs), so a gap means batches this tail never
-       consumed may be gone: raise the curated fell-behind error;
-    3. belt-and-braces: each retained post-anchor version's folded
-       batches must be consumed (in the checkpoint's COMMITTED seen-file
-       log) or still on disk — a dir vanished early is the same loss;
-    4. on success the anchor advances to the current version (batches
-       still on disk will be listed by the source; history older than
-       the subscription is not owed).
+    1. the source identity must match (a checkpoint reused across
+       catalogs would silently mix seen-file logs);
+    2. fold sets of retained versions above A merge into the observed
+       map; a version in (A, current] in NEITHER the map nor the
+       retained set was minted AND retired entirely between
+       constructions — its folds are unknowable: raise;
+    3. every owed batch above A must be in the COMMITTED seen-file log
+       or still on disk (deliverable) — otherwise it is gone unread:
+       raise;
+    4. A advances through versions whose owed batches are all SEEN
+       (not merely on disk — disk can retire before the next run);
+       entries ≤ the new A are trimmed from the map.
 
-    A fresh checkpoint anchors at the current version without checks
-    (bootstrap = snapshot read / clone + tail from now — batches retired
-    before subscription are not owed). A pre-guard checkpoint (seen
-    files but no anchor) gets the per-batch check over all retained
-    versions; losses that predate the first guarded start are
-    undetectable, so upgrade tails restart once to mint their anchor.
+    A fresh checkpoint owes exactly what is still deliverable: the
+    retained versions' folds (on disk by definition) enter the map and
+    history older than that is not owed. A pre-guard checkpoint (seen
+    files, no anchor) starts the same way; losses that predate its
+    first guarded start are undetectable.
 
     Residual constraint (shared with ``read_changes`` and sized by the
-    same knob): a tail must be STARTED at least once per source
-    retention window, and a started tail must drain within it — the
-    guard detects losses at start, it cannot forbid retention from
-    outrunning a hung consumer mid-run. Size ``retain_generations`` to
-    the slowest consumer's restart cadence."""
+    same knob): the guard runs at construction — it cannot stop
+    retention from outrunning a hung consumer MID-run, it can only
+    detect it at the next start. Size ``retain_generations`` to the
+    slowest consumer's drain-and-restart cadence."""
     from accumulo_wikisearch_spark.operators.compaction import _fs, raw_delta_names
     from accumulo_wikisearch_spark.operators.manifest import _open_json
     from accumulo_wikisearch_spark.operators.replication import (
@@ -373,57 +383,89 @@ def reconcile_cdc_tail(spark, path: str, checkpoint: str) -> None:
     manifests = _source_manifests(spark, path)
     current = max(manifests) if manifests else 0
     fs, _, jvm = _fs(spark, checkpoint)
-    body = _open_json(fs, jvm, f"{checkpoint}/{_CDC_ANCHOR}")
+    state = _open_json(fs, jvm, f"{checkpoint}/{_CDC_ANCHOR}")
     seen = _seen_batches(spark, checkpoint)
-    if body is not None:
-        if body.get("source") != q_src:
+    if state is not None:
+        if state.get("source") != q_src:
             raise ValueError(
                 f"reconcile_cdc_tail: checkpoint {checkpoint} was anchored"
-                f" to source {body.get('source')!r}, not {q_src!r} — one"
+                f" to source {state.get('source')!r}, not {q_src!r} — one"
                 " tail checkpoint tracks one catalog (its seen-file log"
                 " is meaningless against any other)"
             )
-        anchor = int(body.get("version", 0))
-        newer = sorted(v for v in manifests if v > anchor)
-        expected = list(range(anchor + 1, current + 1))
-        if newer != expected:
-            gap = sorted(set(expected) - set(newer))
-            raise RuntimeError(
-                f"CDC tail fell behind the retention window of {path}:"
-                f" source versions {gap} after this checkpoint's reconcile"
-                f" anchor (v{anchor}) are no longer retained, so the"
-                " batches they folded (deleted with them) are unknowable"
-                " and any this tail had not consumed are gone. Re-bootstrap"
-                " the consumer (snapshot read or clone_catalog, then a"
-                " FRESH-checkpoint tail), or raise retain_generations on"
-                " the source's maintenance ops / restart the tail at least"
-                " once per retention window (each start advances the"
-                " anchor)."
-            )
-        check_versions = newer
+        anchor = int(state.get("version", 0))
+        owed = {int(k): list(v) for k, v in state.get("folds", {}).items()}
     else:
-        # no anchor: fresh checkpoint (nothing owed — anchor at current)
-        # or a pre-guard checkpoint (per-batch check over every retained
-        # version; losses before the first guarded start are undetectable)
-        check_versions = sorted(manifests) if seen else []
+        # first guarded construction: owe what is still deliverable —
+        # the retained versions' folds; versions already retired
+        # predate the subscription (or, for a pre-guard checkpoint,
+        # are undetectable) and are not owed
+        anchor = min(manifests) - 1 if manifests else 0
+        owed = {}
+
+    def batch_kind(b: str) -> str | None:
+        dfs, dh, _ = _fs(spark, f"{path}/deltas/{b}")
+        if not dfs.exists(dh):
+            return None  # gone already — kind unknowable, stay conservative
+        djvm = spark.sparkContext._jvm
+        tomb = djvm.org.apache.hadoop.fs.Path(f"{path}/deltas/{b}/tombstones")
+        return "tombstones" if dfs.exists(tomb) else "documents"
+
+    # merge newly observed retained fold sets (kind-filtered: this tail
+    # owes only its own table's batches; unknown-kind stays owed so the
+    # pathological dir-vanished-early case fails loud, not silent)
+    for v, body in manifests.items():
+        if v > anchor and v not in owed:
+            owed[v] = [
+                b
+                for b in sorted(body.get("folded_deltas", []))
+                if batch_kind(b) in (table, None)
+            ]
+    remedy = (
+        " Re-bootstrap the consumer (snapshot read or clone_catalog, then"
+        " a FRESH-checkpoint tail), or raise retain_generations on the"
+        " source's maintenance ops / restart the tail at least once per"
+        " retention window."
+    )
+    unknowable = [
+        v for v in range(anchor + 1, current + 1) if v not in owed
+    ]
+    if unknowable:
+        raise RuntimeError(
+            f"CDC tail fell behind the retention window of {path}: source"
+            f" versions {unknowable} after this checkpoint's reconcile"
+            f" anchor (v{anchor}) were minted AND retired while the tail"
+            " was stopped — what they folded is unknowable, so batches"
+            " this tail never consumed may be gone." + remedy
+        )
     on_disk = raw_delta_names(spark, path)
-    for v in check_versions:
-        missing = [
-            b
-            for b in manifests[v].get("folded_deltas", [])
-            if b not in seen and b not in on_disk
-        ]
+    for v in sorted(owed):
+        missing = [b for b in owed[v] if b not in seen and b not in on_disk]
         if missing:
             raise RuntimeError(
                 f"CDC tail fell behind the retention window of {path}:"
-                f" folded batch dirs {missing} of retained version {v} are"
-                " gone and this checkpoint's committed seen-file log never"
-                " consumed them. Re-bootstrap the consumer (snapshot read"
-                " or clone_catalog, then a FRESH-checkpoint tail), or"
-                " raise retain_generations on the source's maintenance"
-                " ops."
+                f" batch dirs {missing} folded at version {v} are gone and"
+                " this checkpoint's committed seen-file log never consumed"
+                " them." + remedy
             )
-    _write_cdc_anchor(spark, checkpoint, {"source": q_src, "version": current})
+    # advance through fully-CONSUMED versions only: an on-disk-but-unseen
+    # batch stays owed (with its fold set persisted) so its retirement
+    # before the next run is caught exactly instead of silently passed
+    new_anchor = anchor
+    while new_anchor + 1 in owed and all(
+        b in seen for b in owed[new_anchor + 1]
+    ):
+        new_anchor += 1
+        del owed[new_anchor]
+    _write_cdc_anchor(
+        spark,
+        checkpoint,
+        {
+            "source": q_src,
+            "version": new_anchor,
+            "folds": {str(v): owed[v] for v in sorted(owed)},
+        },
+    )
 
 
 def stream_changes(
@@ -519,7 +561,7 @@ def stream_deletes(
     from pyspark.sql.types import LongType, StructField, StructType
 
     if checkpoint is not None:
-        reconcile_cdc_tail(spark, path, checkpoint)
+        reconcile_cdc_tail(spark, path, checkpoint, table="tombstones")
     # the tombstones schema is fixed by write_tombstones: (doc_id long)
     schema = StructType([StructField("doc_id", LongType())])
     reader = spark.readStream.schema(schema)

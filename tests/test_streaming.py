@@ -425,3 +425,86 @@ def test_cdc_delete_tail_guard_and_delivery(spark, tmp_path):
     compact_index(spark, path, cfg)  # v4: retires v2 -> del2's dir gone
     with _pytest.raises(RuntimeError, match="fell behind the retention window"):
         run_del_tail(cp)
+
+
+def test_cdc_tail_constructed_but_never_run_still_owes_its_batches(spark, tmp_path):
+    """Exactness upgrade (r12 second pass): the anchor file persists the
+    OBSERVED fold sets, so a stream that was constructed (guard armed,
+    anchor written) but never actually run cannot silently advance past
+    the folded-but-unconsumed batches that were on disk at construction
+    — if retention retires them before the first real run, the next
+    construction must raise, not skip."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.compaction import compact_index
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path, name="neverran")
+    flush(1)
+    compact_index(spark, path, cfg)  # v1 folds b1; dir stays in grace
+    cp = str(tmp_path / "cpn")
+    stream_changes(spark, path, checkpoint=cp)  # constructed, NEVER run
+    compact_index(spark, path, cfg)  # v2
+    compact_index(spark, path, cfg)  # v3: retires v1 -> b1's dir gone, unconsumed
+    with _pytest.raises(RuntimeError, match="never consumed"):
+        stream_changes(spark, path, checkpoint=cp)
+
+
+def test_cdc_delete_tail_ignores_data_batches_it_never_reads(spark, tmp_path):
+    """Kind-exactness: a DATA batch retiring unconsumed must not trip
+    the DELETE tail (it never reads documents dirs) — the observed fold
+    sets are kind-filtered per tail, so the delete tail's anchor
+    advances past data-only versions it has fully covered."""
+    from accumulo_wikisearch_spark.operators.compaction import (
+        compact_index,
+        write_tombstones,
+    )
+    from accumulo_wikisearch_spark.streaming.incremental import stream_deletes
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path, name="kindf")
+    write_tombstones(spark.createDataFrame([(0,)], "doc_id long"), path, "del1")
+
+    def run_del_tail(cp):
+        got: list = []
+        q = (
+            stream_deletes(spark, path, checkpoint=cp)
+            .writeStream.foreachBatch(lambda df, _i: got.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    cp = str(tmp_path / "cpk")
+    assert [r["batch"] for r in run_del_tail(cp)] == ["del1"]
+    compact_index(spark, path, cfg)  # v1 folds del1 (consumed)
+    run_del_tail(cp)  # observe v1; anchor advances past it (del1 seen)
+    # DATA batches fold and retire while the delete tail is stopped —
+    # the delete tail never reads them, so no false alarm
+    flush(1)
+    compact_index(spark, path, cfg)  # v2 folds b1 (data)
+    run_del_tail(cp)  # observe v2 (owes nothing for this tail)
+    flush(2)
+    compact_index(spark, path, cfg)  # v3 folds b2 (data)
+    compact_index(spark, path, cfg)  # v4
+    compact_index(spark, path, cfg)  # v5: v3 retired -> b2's dir gone, never
+    # observed by this tail... but v3 was also never OBSERVED (minted and
+    # retired between constructions) -> conservative raise? No: v3 IS
+    # observed at the v4 construction below? It isn't - the tail stopped.
+    # The unknowable-version rule is kind-agnostic by necessity; what the
+    # kind filter guarantees is the OBSERVED case:
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="fell behind"):
+        run_del_tail(cp)  # v3 minted+retired unseen: unknowable, loud
+    # fresh tail over the surviving state delivers nothing (no tombstone
+    # dirs remain) and a data-only OBSERVED version cannot trip it
+    cp2 = str(tmp_path / "cpk2")
+    assert run_del_tail(cp2) == []
+    flush(3)
+    compact_index(spark, path, cfg)  # v6 folds b3 (data) - observed next
+    assert run_del_tail(cp2) == []  # observes v6: owes [] for deletes
+    compact_index(spark, path, cfg)  # v7
+    compact_index(spark, path, cfg)  # v8: v6 retired; b3 gone DATA-only
+    assert run_del_tail(cp2) == []  # no false alarm: v6 observed, owed []
