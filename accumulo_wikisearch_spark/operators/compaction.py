@@ -1012,6 +1012,10 @@ def describe_catalog(spark: SparkSession, path: str) -> dict:
           "legacy_tables_present": bool,  # pre-manifest root tables
           "unrecognized_hidden": [hidden delta dirs that are neither
                                   staging nor publishable],
+          "replica_of": None | {         # present when this catalog is a
+            "source", "source_version",  # replica (_REPLICA.json): what
+            "received",                  # it tracks, its sync anchor,
+          },                             # and the dedup ledger
         }
 
     Unlike every query/maintenance listing (``raw_delta_names`` raises
@@ -1064,7 +1068,20 @@ def describe_catalog(spark: SparkSession, path: str) -> dict:
         "generations_on_disk": sorted(n for n in names if _GEN_RE.match(n)),
         "legacy_tables_present": any(t in names for t in _ALL_TABLES),
         "unrecognized_hidden": unrecognized,
+        # replica sync state, if this catalog is one (the marker name is
+        # in the root listing already in hand; one GET when present) —
+        # the ops view a replica operator needs next to version history
+        "replica_of": _replica_info(spark, path, names),
     }
+
+
+def _replica_info(spark: SparkSession, path: str, names: list[str]) -> dict | None:
+    if "_REPLICA.json" not in names:
+        return None
+    from accumulo_wikisearch_spark.operators.manifest import _open_json
+
+    fs, _, jvm = _fs(spark, path)
+    return _open_json(fs, jvm, f"{path}/_REPLICA.json")
 
 
 def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str | None:

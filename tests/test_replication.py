@@ -255,3 +255,20 @@ def test_sync_replica_one_call_loop(spark, src, tmp_path):
     assert rep["source_current_version"] == 1
     assert rep["source_version"] == 1  # anchor advanced
     assert rep["headroom_rewrites"] == len(rep["source_retained_versions"])
+
+
+def test_describe_catalog_reports_replica_state(spark, src, tmp_path):
+    """r12: the ops/--describe view surfaces the replica marker (source,
+    sync anchor, received ledger) next to the version history — a
+    replica operator otherwise had to read _REPLICA.json by hand."""
+    from accumulo_wikisearch_spark.operators.compaction import describe_catalog
+
+    assert describe_catalog(spark, src)["replica_of"] is None
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    _flush(spark, src, [10], "b0")
+    replicate_deltas(spark, src, dst)
+    d = describe_catalog(spark, dst)
+    assert d["replica_of"]["source"].endswith("/src")
+    assert d["replica_of"]["received"] == ["b0"]
+    assert d["pending_deltas"] == ["b0"]
