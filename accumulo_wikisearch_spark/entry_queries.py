@@ -947,6 +947,302 @@ def _cat_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.query("TEXT == 'dup'").select("doc_id")
 
 
+_DELETES_STREAM_RESULTS: dict[str, list] = {}
+
+
+def _cat_deletes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-tail mirror (r13, verdict #2): a downstream mirror subscribes
+    to BOTH CDC feeds — ``stream_changes`` for appends and
+    ``stream_deletes`` for tombstones (each with its own checkpoint),
+    the topology PIPELINE.md recommends and the reference's delete
+    markers imply (deletes shadow at scan time; a mirror that only
+    tails appends resurrects deleted docs). Interleaved lifecycle: a
+    doc batch is consumed, FOLDED by a compaction (folds must be
+    invisible to both tails), then a tombstone batch and a second doc
+    batch land and a second drain picks up exactly the new batches
+    (checkpointed exactly-once). Result = appends minus deletes — the
+    mirror's state. Oracle = the brute-force decile filter minus the
+    tombstoned ids."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import (
+        compact_index,
+        write_delta,
+        write_tombstones,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+    from accumulo_wikisearch_spark.streaming.incremental import (
+        stream_changes,
+        stream_deletes,
+    )
+
+    tune_runtime(spark)
+    rows = _DELETES_STREAM_RESULTS.get(sf_dir)
+    if rows is None:
+        cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+        arts = load_articles(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-cdcdel-")
+        path = f"{tmp}/index"
+        write_index(
+            build_index(
+                arts.where(F.col("id") % 10 <= 5), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            path,
+        )
+
+        def drain(tail, ckpt):
+            got: list = []
+            q = (
+                tail.select(F.col("doc_id").cast("long").alias("doc_id"))
+                .writeStream.foreachBatch(
+                    lambda df, _i: got.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return [r["doc_id"] for r in got]
+
+        def drain_both():
+            return (
+                drain(
+                    stream_changes(spark, path, checkpoint=f"{tmp}/cp-a"),
+                    f"{tmp}/cp-a",
+                ),
+                drain(
+                    stream_deletes(spark, path, checkpoint=f"{tmp}/cp-d"),
+                    f"{tmp}/cp-d",
+                ),
+            )
+
+        write_delta(
+            build_index(
+                arts.where(F.col("id") % 10 == 6), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            path,
+            "d6",
+        )
+        appends, deletes = drain_both()  # decile 6 lands; no deletes yet
+        compact_index(spark, path, cfg)  # v1 folds d6 — invisible to tails
+        write_tombstones(
+            arts.where(F.col("id") % 20 == 6).select(
+                F.col("id").alias("doc_id")
+            ),
+            path,
+            "t1",
+        )
+        write_delta(
+            build_index(
+                arts.where(F.col("id") % 10 == 7), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            path,
+            "d7",
+        )
+        a2, d2 = drain_both()  # exactly the NEW batches: d7 + t1
+        appends, deletes = appends + a2, deletes + d2
+        dead = set(deletes)
+        rows = _DELETES_STREAM_RESULTS[sf_dir] = [
+            (i,) for i in appends if i not in dead
+        ]
+    return spark.createDataFrame(rows, "doc_id long")
+
+
+_DELETES_LAG_RESULTS: dict[str, list] = {}
+
+
+def _cat_deletes_stream_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-tail falling-behind guard (r13, verdict #2 — the
+    ``table='tombstones'`` mirror of ``cat_changes_stream_lag``): the
+    tombstone tail consumes one delete batch, stops, and maintenance
+    retires the manifest that folded an UNSEEN tombstone batch. The
+    restart MUST raise the curated fell-behind error — a mirror that
+    silently skipped a retired tombstone batch would resurrect deleted
+    documents downstream, strictly worse than a missing append. The
+    re-bootstrap tail then delivers the tombstone batches retention
+    still holds. Oracle = the tombstoned deciles minus the one
+    legitimately lost."""
+    import tempfile
+
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import (
+        compact_index,
+        write_tombstones,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+    from accumulo_wikisearch_spark.streaming.incremental import stream_deletes
+
+    tune_runtime(spark)
+    rows = _DELETES_LAG_RESULTS.get(sf_dir)
+    if rows is None:
+        cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+        arts = load_articles(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-cdcdellag-")
+        path = f"{tmp}/index"
+        write_index(
+            build_index(
+                arts.where(F.col("id") % 10 <= 4), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            path,
+        )
+
+        def flush_tomb(decile):
+            write_tombstones(
+                arts.where(F.col("id") % 10 == decile).select(
+                    F.col("id").alias("doc_id")
+                ),
+                path,
+                f"t{decile}",
+            )
+
+        def drain(ckpt):
+            got: list = []
+            q = (
+                stream_deletes(spark, path, checkpoint=ckpt)
+                .select("change", F.col("doc_id").cast("long").alias("doc_id"))
+                .writeStream.foreachBatch(
+                    lambda df, _i: got.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return [(r["change"], r["doc_id"]) for r in got]
+
+        flush_tomb(5)
+        rows = drain(f"{tmp}/cp")  # the tail keeps up: decile-5 deletes
+        compact_index(spark, path, cfg)  # v1 folds t5 (consumed)
+        flush_tomb(6)
+        compact_index(spark, path, cfg)  # v2 folds t6 — NEVER consumed
+        flush_tomb(7)
+        compact_index(spark, path, cfg)  # v3 retires v1 (consumed dir goes)
+        flush_tomb(8)
+        compact_index(spark, path, cfg)  # v4 retires v2 → t6 gone UNSEEN
+        try:
+            drain(f"{tmp}/cp")  # restart of the stopped-too-long tail
+            rows.append(("guard-missed", -1))  # poisons the oracle compare
+        except RuntimeError as e:
+            if "fell behind the retention window" not in str(e):
+                raise
+        # the remedy: a fresh-checkpoint re-bootstrap tail delivers the
+        # tombstone batches retention still holds (t7, t8 in grace)
+        rows = rows + drain(f"{tmp}/cp-rebootstrap")
+        _DELETES_LAG_RESULTS[sf_dir] = rows
+    return spark.createDataFrame(rows, "change string, doc_id long")
+
+
+_MAINTAIN_CATALOGS: dict[str, str] = {}
+
+
+def _cat_maintain_primary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-catalog one-call ops loop (r13, verdict #6): 80% of the
+    corpus is the source base; a data batch (decile 9) and a tombstone
+    batch (decile 3) are pending; a replica and a CDC tail are
+    REGISTERED consumers. ``maintain_catalog(compact_min_files=1)``
+    must fold the backlog (one compaction), and its per-consumer report
+    must carry the exact anchor-vs-retention headroom arithmetic —
+    both consumers anchored at v0 against current v1 with a one-version
+    window ⇒ headroom 0 (alarm); after the consumers catch up ⇒
+    headroom 1. A wrong compaction, a wrong anchor resolve, or wrong
+    arithmetic trips the in-entry asserts (driver records the error);
+    the final facade query proves the maintenance itself was correct —
+    decile 9 folded in, decile 3 deleted. Oracle = brute force over the
+    full corpus minus the tombstoned decile."""
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import (
+        maintain_catalog,
+        write_delta,
+        write_tombstones,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.operators.replication import (
+        clone_catalog,
+        sync_replica,
+    )
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    path = _MAINTAIN_CATALOGS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        arts = load_articles(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-maint-")
+        src = f"{tmp}/src"
+        write_index(
+            build_index(
+                arts.where(F.col("id") % 10 <= 8), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            src,
+        )
+        dst = f"{tmp}/replica"
+        clone_catalog(spark, src, dst, cfg)
+        write_delta(
+            build_index(
+                arts.where(F.col("id") % 10 == 9), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            src,
+            "m9",
+        )
+        cp = f"{tmp}/cp"
+
+        def drain():
+            q = (
+                stream_changes(spark, src, checkpoint=cp)
+                .writeStream.format("noop")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()  # the tail consumes m9; its anchor sits at v0
+        write_tombstones(
+            arts.where(F.col("id") % 10 == 3).select(F.col("id").alias("doc_id")),
+            src,
+            "mdel",
+        )
+        rep = maintain_catalog(
+            spark,
+            src,
+            cfg,
+            compact_min_files=1,
+            consumers=[
+                {"kind": "replica", "ref": dst},
+                {"kind": "cdc", "ref": cp},
+            ],
+        )
+        assert rep["compacted"] and rep["current_version"] == 1
+        by_kind = {r["kind"]: r for r in rep["consumers"]}
+        # window=1, current=1, both anchors at v0 ⇒ headroom 0: the
+        # NEXT rewrite would strand either consumer — the alarm fires
+        assert by_kind["replica"]["headroom_rewrites"] == 0
+        assert by_kind["cdc"]["headroom_rewrites"] == 0
+        assert rep["min_headroom_rewrites"] == 0
+        # consumers catch up; headroom recovers to the window size
+        drain()  # reconcile observes v1 (m9 consumed) → cdc anchor 1
+        sync_replica(spark, src, dst, cfg)  # replica anchor → 1
+        rep = maintain_catalog(spark, src, cfg, compact_min_files=1)
+        assert not rep["compacted"] and rep["pending_deltas"] == []
+        assert rep["min_headroom_rewrites"] == 1
+        path = _MAINTAIN_CATALOGS[sf_dir] = src
+    eng = Wikisearch.open(spark, path, cfg)
+    return eng.query("TEXT == 'dup'").select("doc_id")
+
+
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqFieldNameValueIterator parity: distinct values in a range."""
     tune_runtime(spark)
@@ -989,8 +1285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cat_changes_feed"] = _cat_changes_feed
     out["cat_changes_stream"] = _cat_changes_stream
     out["cat_changes_stream_lag"] = _cat_changes_stream_lag
+    out["cat_deletes_stream"] = _cat_deletes_stream
+    out["cat_deletes_stream_lag"] = _cat_deletes_stream_lag
     out["cat_replica_query"] = _cat_replica_query
     out["cat_replica_sync"] = _cat_replica_sync
+    out["cat_maintain_primary"] = _cat_maintain_primary
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
@@ -1297,6 +1596,22 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
         "SELECT 'append' AS change, doc_id "
         "FROM documents WHERE doc_id % 10 IN (5, 6, 8, 9)"
     )
+    # the dual-tail mirror's state: both tailed doc deciles minus the
+    # tombstoned ids — appends and deletes each delivered exactly once
+    # across drains, folds invisible to both tails
+    out["cat_deletes_stream"] = (
+        "SELECT doc_id FROM documents"
+        " WHERE doc_id % 10 IN (6, 7) AND doc_id % 20 <> 6"
+    )
+    # lifecycle of a lagging DELETE tail: decile-5 tombstones consumed
+    # before the stop, 7-8 recovered by the re-bootstrap tail from
+    # retained grace dirs; decile 6 is the tombstone batch retention
+    # legitimately retired while the consumer was stopped — the guard's
+    # RAISE is what the entry proves (poison row on a missed raise)
+    out["cat_deletes_stream_lag"] = (
+        "SELECT 'delete' AS change, doc_id "
+        "FROM documents WHERE doc_id % 10 IN (5, 7, 8)"
+    )
     # the replica (clone of the 90% base + the shipped last-decile
     # batch) must answer with the FULL corpus truth — a clone that
     # leaked pending batches or a shipper that missed/double-shipped
@@ -1310,6 +1625,13 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     out["cat_replica_sync"] = (
         f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
         f"AND doc_id % 10 <> 1"
+    )
+    # maintain_catalog folded the pending data batch (decile 9 present)
+    # and the tombstone batch (decile 3 gone); the headroom arithmetic
+    # is assert-checked inside the entry (a violation errors the row)
+    out["cat_maintain_primary"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
+        f"AND doc_id % 10 <> 3"
     )
     out["ws_metadata_freq"] = (
         "SELECT f.field, lang AS language, count(*)::BIGINT AS freq "

@@ -293,13 +293,18 @@ def _audit_same_name_batch(spark: SparkSession, src: str, dst: str, b: str) -> N
     replica-local batch that hand-minted the same id (both sides using
     'b0'-style ids) is NOT, and suppressing its ship by name would make
     the replica silently diverge — the silent-divergence class this
-    module elsewhere guards loudly against. Contents tell them apart
-    (up to the row-count coincidence the warning covers): raise on
-    mismatch, warn-and-adopt on match. Cost: nothing on the normal path
-    (the suspicious set is empty); a handful of count jobs on the rare
+    module elsewhere guards loudly against. Contents tell them apart:
+    per table, an order-insensitive CONTENT signature (row count + sum
+    of a 64-bit hash over every row's full serialized form — r12 ADVICE
+    strengthened the earlier count-only compare, whose coincidental
+    equality adopted divergent content): raise on mismatch,
+    warn-and-adopt on match. Cost: nothing on the normal path (the
+    suspicious set is empty); one aggregate job per table on the rare
     crash-recovery sync. Best practice stays: keep replica-local batch
     ids in a namespace disjoint from the source's."""
     import warnings
+
+    from pyspark.sql import functions as F
 
     def tables(root: str) -> list[str]:
         fs, _, jvm = _fs(spark, root)
@@ -310,17 +315,32 @@ def _audit_same_name_batch(spark: SparkSession, src: str, dst: str, b: str) -> N
             if st.isDirectory()
         )
 
+    def signature(root: str, t: str):
+        df = spark.read.parquet(f"{root}/deltas/{b}/{t}")
+        cols = sorted(df.columns)  # writer-independent column order
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-space sum: exact and overflow-free under ANSI mode
+            # (a long sum of 64-bit hashes overflows on 2 rows)
+            F.sum(
+                F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols]))).cast(
+                    "decimal(20,0)"
+                )
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     st_src, st_dst = tables(src), tables(dst)
     mismatch = None
     if st_src != st_dst:
         mismatch = f"table dirs differ (source {st_src} vs replica {st_dst})"
     else:
         for t in st_src:
-            ns = spark.read.parquet(f"{src}/deltas/{b}/{t}").count()
-            nd = spark.read.parquet(f"{dst}/deltas/{b}/{t}").count()
-            if ns != nd:
+            ss, sd = signature(src, t), signature(dst, t)
+            if ss != sd:
                 mismatch = (
-                    f"table {t!r} row counts differ (source {ns} vs replica {nd})"
+                    f"table {t!r} content signatures differ"
+                    f" (source n={ss[0]} h={ss[1]} vs replica n={sd[0]} h={sd[1]})"
                 )
                 break
     if mismatch:
@@ -335,10 +355,11 @@ def _audit_same_name_batch(spark: SparkSession, src: str, dst: str, b: str) -> N
         )
     warnings.warn(
         f"replicate_deltas: batch id {b!r} already exists at the replica"
-        " with identical shape — adopting it into the ledger as a"
-        " crash-recovered ship. If this id was minted replica-locally,"
-        " the contents merely coincide: keep replica-local batch ids in"
-        " a namespace disjoint from the source's.",
+        " with an identical per-table content signature — adopting it"
+        " into the ledger as a crash-recovered ship. If this id was"
+        " minted replica-locally, the signatures merely collide: keep"
+        " replica-local batch ids in a namespace disjoint from the"
+        " source's.",
         RuntimeWarning,
         stacklevel=3,
     )

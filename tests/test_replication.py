@@ -225,6 +225,22 @@ def test_same_name_collision_raises_crash_recovery_adopts(spark, src, tmp_path):
     assert _docs(spark, dst2) == _docs(spark, src)
 
 
+def test_same_name_equal_counts_different_content_raises(spark, src, tmp_path):
+    """r13 (r12 ADVICE strengthening): a replica-local id collision whose
+    per-table ROW COUNTS coincide with the source batch must still raise
+    — adoption is gated on a full content signature (count + summed
+    row-hash), not the weak count compare that would adopt divergent
+    content with only a warning."""
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)
+    # one-row flushes on both sides: identical table sets and per-table
+    # row counts, different row values (ids/titles/index keys differ)
+    _flush(spark, dst, [100], "b0")  # replica-local batch
+    _flush(spark, src, [10], "b0")  # source batch under the same id
+    with pytest.raises(RuntimeError, match="content signatures differ"):
+        replicate_deltas(spark, src, dst)
+
+
 def test_sync_replica_one_call_loop(spark, src, tmp_path):
     """r12 (verdict #6): sync_replica = ship + threshold-gated replica
     compaction + the ops dict with anchor-vs-retention headroom."""
@@ -272,3 +288,105 @@ def test_describe_catalog_reports_replica_state(spark, src, tmp_path):
     assert d["replica_of"]["source"].endswith("/src")
     assert d["replica_of"]["received"] == ["b0"]
     assert d["pending_deltas"] == ["b0"]
+
+
+def test_maintain_catalog_primary_ops_loop(spark, src, tmp_path):
+    """r13 (r12 verdict #6): the PRIMARY catalog's one-call ops loop —
+    threshold compaction plus per-consumer retention headroom, so
+    "how close is my slowest consumer to falling out of retention"
+    stops being a hand-derived number. Covers all three consumer kinds,
+    the upsert-by-name registry, the describe_catalog surface, and the
+    diagnostic statuses (no-anchor, foreign-source)."""
+    from accumulo_wikisearch_spark.operators.compaction import (
+        describe_catalog,
+        maintain_catalog,
+        register_consumer,
+    )
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    dst = str(tmp_path / "dst")
+    clone_catalog(spark, src, dst, CFG)  # legacy source: anchor None -> v0
+    _flush(spark, src, [10], "b1")
+    cp = str(tmp_path / "cp")
+
+    def drain():
+        q = (
+            stream_changes(spark, src, checkpoint=cp)
+            .writeStream.format("noop")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # tail consumes b1; anchor at v0 (no manifests yet)
+    rep = maintain_catalog(
+        spark,
+        src,
+        CFG,
+        compact_min_files=1,
+        consumers=[
+            {"kind": "replica", "ref": dst},
+            {"kind": "cdc", "ref": cp},
+        ],
+    )
+    assert rep["compacted"] and rep["current_version"] == 1
+    by_kind = {r["kind"]: r for r in rep["consumers"]}
+    # both consumers are anchored at v0: one retained version, current 1
+    # -> headroom 0 (the NEXT rewrite strands an unsynced consumer)
+    assert by_kind["replica"]["anchor"] == 0
+    assert by_kind["replica"]["headroom_rewrites"] == 0
+    assert by_kind["cdc"]["headroom_rewrites"] == 0
+    assert rep["min_headroom_rewrites"] == 0
+    # consumers catch up; a named version tap pins v1
+    drain()  # reconcile observes v1 (b1 consumed) -> cdc anchor 1
+    replicate_deltas(spark, src, dst)  # replica anchor -> 1
+    rep = maintain_catalog(
+        spark,
+        src,
+        CFG,
+        compact_min_files=1,
+        consumers=[{"kind": "version", "ref": 1, "name": "eval-pin"}],
+    )
+    assert not rep["compacted"] and rep["pending_deltas"] == []
+    by_key = {r.get("name") or r["kind"]: r for r in rep["consumers"]}
+    assert by_key["replica"]["headroom_rewrites"] == 1
+    assert by_key["cdc"]["anchor"] == 1 and by_key["cdc"]["headroom_rewrites"] == 1
+    assert by_key["eval-pin"]["headroom_rewrites"] == 1
+    assert rep["min_headroom_rewrites"] == 1
+    # upsert-by-name: re-pinning the tap replaces its row
+    rows = register_consumer(spark, src, "version", 1, name="eval-pin")
+    assert len(rows) == 3
+    # the describe surface renders the same report
+    desc = describe_catalog(spark, src)
+    assert {r["kind"] for r in desc["consumers"]} == {"replica", "cdc", "version"}
+    # diagnostic statuses render instead of raising: a replica path with
+    # no marker, and a checkpoint anchored to a DIFFERENT catalog
+    other = str(tmp_path / "other")
+    base = _arts(spark, [(77, "enwiki", "tok", "t77")])
+    write_index(build_index(base, CFG, SF), other)
+    _flush(spark, other, [78], "ob1")
+    ocp = str(tmp_path / "ocp")
+    q = (
+        stream_changes(spark, other, checkpoint=ocp)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ocp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rep = maintain_catalog(
+        spark,
+        src,
+        CFG,
+        consumers=[
+            {"kind": "replica", "ref": str(tmp_path / "nothere"), "name": "r2"},
+            {"kind": "cdc", "ref": ocp, "name": "t2"},
+        ],
+    )
+    by_name = {r.get("name"): r for r in rep["consumers"] if r.get("name")}
+    assert by_name["r2"]["status"] == "no-anchor"
+    assert by_name["t2"]["status"] == "foreign-source"
+    assert by_name["r2"]["headroom_rewrites"] is None
+    # statuses don't poison the alarm number (computed over anchored rows)
+    assert rep["min_headroom_rewrites"] == 1

@@ -508,3 +508,87 @@ def test_cdc_delete_tail_ignores_data_batches_it_never_reads(spark, tmp_path):
     compact_index(spark, path, cfg)  # v7
     compact_index(spark, path, cfg)  # v8: v6 retired; b3 gone DATA-only
     assert run_del_tail(cp2) == []  # no false alarm: v6 observed, owed []
+
+
+def test_cdc_tail_raises_on_rewrite_generation(spark, tmp_path):
+    """r13 (r12 ADVICE, medium): a resumed tail whose source gained a
+    full-rewrite generation (manifest kind != 'fold') above its anchor
+    must raise — a rewrite changed content no delta dir records, so the
+    tail would silently diverge (read_changes and replicate_deltas
+    already raise here). A FRESH checkpoint after the rewrite is fine:
+    its bootstrap snapshot already contains the rewrite's effect."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.compaction import swap_in_catalog
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path, name="rewr")
+    flush(1)
+    cp = str(tmp_path / "cprw")
+    assert sorted(r["doc_id"] for r in _run_tail(spark, path, cp)) == [1]
+    # a stream_ingest-style full rewrite mints a 'rewrite' generation
+    idx = load_index(spark, path, cfg)
+    write_index(idx, f"{path}/_ingest_tmp")
+    swap_in_catalog(spark, f"{path}/_ingest_tmp", path)
+    with _pytest.raises(RuntimeError, match="full-rewrite generation"):
+        _run_tail(spark, path, cp)
+    # the documented remedy: re-bootstrap with a fresh checkpoint —
+    # tolerated (the rewrite predates the new subscription) and the
+    # still-on-disk batch dir delivers
+    got = _run_tail(spark, path, str(tmp_path / "cprw2"))
+    assert sorted(r["doc_id"] for r in got) == [1]
+
+
+def test_cdc_anchor_survives_crashed_publish(spark, tmp_path):
+    """r13 (r12 ADVICE, low): the anchor publish's crash window between
+    delete(final) and rename must NOT lose the persisted fold sets — a
+    lost anchor re-initializes the guard as a fresh subscription and
+    converts a detectable fell-behind into a silent pass. The two-step
+    publish leaves a complete `.new` file in every crash window; the
+    reader prefers it."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.compaction import compact_index
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path, name="crashpub")
+    flush(1)
+    compact_index(spark, path, cfg)  # v1 folds b1; dir stays in grace
+    cp = str(tmp_path / "cpcr")
+    stream_changes(spark, path, checkpoint=cp)  # guard armed: owes b1 at v1
+    # simulate the crash window: the new anchor was staged at .new and
+    # the final was deleted, but the last rename never ran
+    import os
+
+    os.rename(f"{cp}/_cdc_anchor.json", f"{cp}/_cdc_anchor.json.new")
+    compact_index(spark, path, cfg)  # v2
+    compact_index(spark, path, cfg)  # v3: retires v1 -> b1 gone, unconsumed
+    # a lost anchor would re-init fresh here and silently pass
+    with _pytest.raises(RuntimeError, match="never consumed"):
+        stream_changes(spark, path, checkpoint=cp)
+
+
+def test_cdc_guard_restart_sweep_is_o_lag(spark, tmp_path):
+    """r13 (r12 verdict #3): the reconcile guard's restart sweep must be
+    O(consumer lag), not O(all-time consumption) — the anchor persists
+    the committed micro-batch id its knowledge reflects, so each
+    construction parses only NEW seen-file-log entries. Over many
+    consume/compact cycles (including past the file-source log's
+    compaction interval, whose .compact files re-carry full history)
+    the per-construction parsed-entry count stays flat."""
+    from accumulo_wikisearch_spark.operators.compaction import compact_index
+    from accumulo_wikisearch_spark.streaming import incremental
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path, name="olag")
+    cp = str(tmp_path / "cpol")
+    parsed = []
+    for i in range(1, 15):
+        flush(i)
+        got = _run_tail(spark, path, cp)  # construction sweeps the log
+        parsed.append(incremental._SWEEP_STATS["entries_parsed"])
+        assert sorted(r["doc_id"] for r in got) == [i], f"cycle {i}"
+        compact_index(spark, path, cfg)  # folds the consumed batch
+    # history grows 14x; the per-construction sweep must not: each
+    # construction sees only the single batch consumed since the last
+    # anchor write (first cycle has no anchor yet -> full parse of an
+    # empty log)
+    assert all(p <= 2 for p in parsed), parsed

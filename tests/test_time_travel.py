@@ -297,3 +297,36 @@ def test_stream_deletes_tails_tombstone_batches(spark, versioned_catalog, tmp_pa
     q.awaitTermination()
     assert sorted(r["doc_id"] for r in got) == [0, 1, 2, 3]
     assert {(r["batch"], r["change"]) for r in got} == {("del0", "delete")}
+
+
+def test_changes_feed_attribution_under_nested_deltas_path(spark, tmp_path):
+    """r13 (r12 ADVICE, low): a catalog ROOTED under a path that itself
+    contains a /deltas/<x>/documents/ segment must still attribute feed
+    rows to the catalog's OWN batch segment — the extraction is anchored
+    to the filename end, so the outer segment can't hijack it (which
+    would silently drop or mis-version every row through the vmap
+    join). The streaming tail shares the same anchored extraction."""
+    path = str(tmp_path / "deltas" / "x" / "documents" / "cat")
+    base = _arts(spark, [(i, "enwiki", "tok base", f"t{i}") for i in range(3)])
+    write_index(build_index(base, CFG, SF), path)
+    _delta(spark, path, range(3, 6), "b0")
+    compact_index(spark, path, CFG)  # v1
+    _delta(spark, path, range(6, 9), "b1")
+    compact_index(spark, path, CFG)  # v2
+    ch = read_changes(spark, path, since_version=1, until_version=2).collect()
+    assert sorted((r["version"], r["batch"], r["doc_id"]) for r in ch) == [
+        (2, "b1", i) for i in range(6, 9)
+    ]
+    # the streaming tail's extraction under the same nested root
+    from accumulo_wikisearch_spark.streaming.analytics import _run_to_table
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    got = _run_to_table(
+        spark,
+        stream_changes(spark, path).select("batch", "doc_id"),
+        "nested_tail_sink",
+        "append",
+    ).collect()
+    assert sorted((r["batch"], r["doc_id"]) for r in got) == [
+        ("b0", i) for i in range(3, 6)
+    ] + [("b1", i) for i in range(6, 9)]
