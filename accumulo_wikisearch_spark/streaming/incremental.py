@@ -249,10 +249,15 @@ _SWEEP_STATS = {"files_opened": 0, "entries_parsed": 0}
 
 def _seen_batches(
     spark, checkpoint: str, after_batch_id: int = -1
-) -> tuple[set[str], int]:
-    """Batch names this checkpoint's file-source log recorded in a
-    COMMITTED micro-batch with id strictly greater than
-    ``after_batch_id``, plus the highest committed micro-batch id.
+) -> tuple[dict[str, set], int]:
+    """Per-batch sets of consumed FILE paths this checkpoint's
+    file-source log recorded in a COMMITTED micro-batch with id strictly
+    greater than ``after_batch_id``, plus the highest committed
+    micro-batch id. File-level (not name-level) granularity is
+    load-bearing (r13): with ``maxFilesPerTrigger`` a batch dir's files
+    can span micro-batches, and a consumer stopped mid-batch has
+    consumed SOME of the batch — a name-level seen set would mark it
+    fully consumed and let retention retire the half-read dir silently.
     Planned-but-uncommitted files are excluded on purpose: a restart
     reprocesses them, so counting them as consumed would let the
     reconcile guard (:func:`reconcile_cdc_tail`) advance past data that
@@ -291,8 +296,8 @@ def _seen_batches(
                 committed = max(committed, int(n))
     sources = HPath(f"{checkpoint}/sources")
     if committed < 0 or not fs.exists(sources):
-        return set(), committed
-    out: set[str] = set()
+        return {}, committed
+    out: dict[str, set] = {}
     it = fs.listFiles(sources, True)
     while it.hasNext():
         p = it.next().getPath()
@@ -330,9 +335,13 @@ def _seen_batches(
             bid = int(e.get("batchId", -1))
             if bid > committed or bid <= after_batch_id:
                 continue
-            m = _SEEN_BATCH_RE.search(e.get("path", ""))
+            epath = e.get("path", "")
+            m = _SEEN_BATCH_RE.search(epath)
             if m:
-                out.add(unquote(m.group(1)))
+                # paths dedupe within the window (a compacted log file
+                # re-carries delta-file entries verbatim); windows are
+                # disjoint by batchId, so cross-window COUNTS add
+                out.setdefault(unquote(m.group(1)), set()).add(epath)
     return out, committed
 
 
@@ -434,12 +443,14 @@ def reconcile_cdc_tail(
        map; a version in (A, current] in NEITHER the map nor the
        retained set was minted AND retired entirely between
        constructions — its folds are unknowable: raise;
-    3. every owed batch above A must be in the COMMITTED seen-file log
-       or still on disk (deliverable) — otherwise it is gone unread:
-       raise;
-    4. A advances through versions whose owed batches are all SEEN
-       (not merely on disk — disk can retire before the next run);
-       entries ≤ the new A are trimmed from the map.
+    3. every owed batch above A must be FULLY consumed (all of its
+       files in the COMMITTED seen-file log — file-level, because
+       ``maxFilesPerTrigger`` can split a batch across micro-batches
+       and a mid-batch stop leaves it half-read) or still on disk
+       (deliverable) — otherwise data is gone unread: raise;
+    4. A advances through versions whose owed batches are all fully
+       consumed (not merely on disk — disk can retire before the next
+       run); entries ≤ the new A are trimmed from the map.
 
     A fresh checkpoint owes exactly what is still deliverable: the
     retained versions' folds (on disk by definition) enter the map and
@@ -489,12 +500,45 @@ def reconcile_cdc_tail(
                 " tail checkpoint tracks one catalog (its seen-file log"
                 " is meaningless against any other)"
             )
+    def batch_file_count(b: str) -> int:
+        """Visible file count of this tail's table dir in batch ``b`` —
+        published dirs are immutable, so the count observed at ANY
+        construction is the count forever. -1 = dir already gone (count
+        unknowable; degrade to name-level any-consumption semantics)."""
+        dfs, dh, _ = _fs(spark, f"{path}/deltas/{b}/{table}")
+        if not dfs.exists(dh):
+            return -1
+        n = 0
+        for st in dfs.listStatus(dh):
+            nm = st.getPath().getName()
+            if not nm.startswith(".") and not nm.startswith("_"):
+                n += 1  # the file source's own hidden-file rule
+        return n
+
+    if state is not None:
         anchor = int(state.get("version", 0))
-        owed = {int(k): list(v) for k, v in state.get("folds", {}).items()}
-        consumed = {
-            int(k): set(v) for k, v in state.get("consumed", {}).items()
-        }
-        pending_seen = set(state.get("pending_seen", []))
+        # pre-r13 anchors persisted name LISTS; dirs are immutable, so a
+        # still-on-disk batch upgrades to an exact count on first read
+        owed = {}
+        for k, v in state.get("folds", {}).items():
+            owed[int(k)] = (
+                {b: int(n) for b, n in v.items()}
+                if isinstance(v, dict)
+                else {b: batch_file_count(b) for b in v}
+            )
+        consumed = {}
+        for k, v in state.get("consumed", {}).items():
+            consumed[int(k)] = (
+                {b: int(n) for b, n in v.items()}
+                if isinstance(v, dict)
+                else {b: -1 for b in v}  # legacy: name-seen = complete
+            )
+        pend = state.get("pending_seen", [])
+        pending = (
+            {b: int(n) for b, n in pend.items()}
+            if isinstance(pend, dict)
+            else {b: -1 for b in pend}
+        )
         log_pos = int(state.get("log_pos", -1))
     else:
         # first guarded construction: owe what is still deliverable —
@@ -504,10 +548,23 @@ def reconcile_cdc_tail(
         anchor = min(manifests) - 1 if manifests else 0
         owed = {}
         consumed = {}
-        pending_seen = set()
+        pending = {}
         log_pos = -1
     new_seen, committed = _seen_batches(spark, checkpoint, log_pos)
-    all_seen = pending_seen | new_seen
+    gained = {b: len(paths) for b, paths in new_seen.items()}
+
+    def _addc(a: int, b: int) -> int:
+        return -1 if (a == -1 or b == -1) else a + b
+
+    def _complete(n_files: int, c: int) -> bool:
+        # c == -1: legacy complete marker; n_files == -1: count
+        # unknowable (dir retired before observation) — any consumption
+        # passes, the pre-r13 name-level rule
+        if c == -1:
+            return True
+        if n_files >= 0:
+            return c >= n_files
+        return c > 0
 
     def batch_kind(b: str) -> str | None:
         dfs, dh, _ = _fs(spark, f"{path}/deltas/{b}")
@@ -524,7 +581,10 @@ def reconcile_cdc_tail(
         " retention window."
     )
     # merge newly observed retained fold sets (kind-filtered: this tail
-    # owes only its own table's batches; unknown-kind stays owed so the
+    # owes only its own table's batches, WITH their immutable file counts
+    # — a batch is consumed only when every file is in the committed log,
+    # not when its name first appears (maxFilesPerTrigger can split a
+    # batch across micro-batches); unknown-kind stays owed so the
     # pathological dir-vanished-early case fails loud, not silent). A
     # non-fold generation above a RESUMED tail's anchor is the silent
     # hole the guard exists to close — raise, mirroring read_changes.
@@ -543,13 +603,15 @@ def reconcile_cdc_tail(
                     )
                 # predates a FRESH subscription: the bootstrap snapshot
                 # already contains the rewrite's effect; nothing is owed
-                owed[v] = []
+                owed[v] = {}
             else:
-                owed[v] = [
-                    b
-                    for b in sorted(body.get("folded_deltas", []))
-                    if batch_kind(b) in (table, None)
-                ]
+                owed[v] = {}
+                for b in sorted(body.get("folded_deltas", [])):
+                    k = batch_kind(b)
+                    if k == table:
+                        owed[v][b] = batch_file_count(b)
+                    elif k is None:
+                        owed[v][b] = -1
     unknowable = [
         v for v in range(anchor + 1, current + 1) if v not in owed
     ]
@@ -561,40 +623,53 @@ def reconcile_cdc_tail(
             " was stopped — what they folded is unknowable, so batches"
             " this tail never consumed may be gone." + remedy
         )
-    # attribute seen names to their owed versions (each batch is folded
-    # exactly once, so attribution is unambiguous); persisted subsets
-    # from prior constructions carry names whose log entries are now
-    # skipped by the log_pos bound
+    # attribute consumed-file counts to their owed versions (each batch
+    # is folded exactly once, so attribution is unambiguous); persisted
+    # counts from prior constructions cover log entries now skipped by
+    # the log_pos bound, and pending counts cover consumption that
+    # predates the batch's fold
     for v in owed:
-        consumed[v] = consumed.get(v, set()) | (set(owed[v]) & all_seen)
+        cm = consumed.setdefault(v, {})
+        for b in owed[v]:
+            got = _addc(pending.get(b, 0), gained.get(b, 0))
+            if got:
+                cm[b] = _addc(cm.get(b, 0), got)
     on_disk = raw_delta_names(spark, path)
     for v in sorted(owed):
         missing = [
-            b for b in owed[v] if b not in consumed[v] and b not in on_disk
+            b
+            for b, n in owed[v].items()
+            if not _complete(n, consumed[v].get(b, 0)) and b not in on_disk
         ]
         if missing:
             raise RuntimeError(
                 f"CDC tail fell behind the retention window of {path}:"
                 f" batch dirs {missing} folded at version {v} are gone and"
                 " this checkpoint's committed seen-file log never consumed"
-                " them." + remedy
+                " them in full (a partially-read batch counts: its unread"
+                " files are unrecoverable)." + remedy
             )
-    # advance through fully-CONSUMED versions only: an on-disk-but-unseen
-    # batch stays owed (with its fold set persisted) so its retirement
-    # before the next run is caught exactly instead of silently passed
+    # advance through fully-CONSUMED versions only: an on-disk-but-
+    # unfinished batch stays owed (with its fold map persisted) so its
+    # retirement before the next run is caught exactly, never passed
     attributed = set().union(*(set(bs) for bs in owed.values())) if owed else set()
     new_anchor = anchor
     while new_anchor + 1 in owed and all(
-        b in consumed[new_anchor + 1] for b in owed[new_anchor + 1]
+        _complete(n, consumed[new_anchor + 1].get(b, 0))
+        for b, n in owed[new_anchor + 1].items()
     ):
         new_anchor += 1
         del owed[new_anchor]
         consumed.pop(new_anchor, None)
-    # consumed-but-not-yet-folded names: kept until a future fold
+    # consumed-but-not-yet-folded counts: kept until a future fold
     # attributes them (the dir must still exist for that fold to happen,
-    # so intersecting with on_disk bounds the set by the pending backlog
+    # so intersecting with on_disk bounds the map by the pending backlog
     # instead of growing with history)
-    new_pending = sorted((all_seen - attributed) & on_disk)
+    new_pending = {
+        b: _addc(pending.get(b, 0), gained.get(b, 0))
+        for b in set(pending) | set(gained)
+        if b not in attributed and b in on_disk
+    }
     _write_cdc_anchor(
         spark,
         checkpoint,
@@ -603,7 +678,11 @@ def reconcile_cdc_tail(
             "version": new_anchor,
             "folds": {str(v): owed[v] for v in sorted(owed)},
             "consumed": {
-                str(v): sorted(consumed.get(v, set()) & set(owed[v]))
+                str(v): {
+                    b: c
+                    for b, c in consumed.get(v, {}).items()
+                    if b in owed[v]
+                }
                 for v in sorted(owed)
             },
             "pending_seen": new_pending,

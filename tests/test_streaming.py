@@ -592,3 +592,118 @@ def test_cdc_guard_restart_sweep_is_o_lag(spark, tmp_path):
     # anchor write (first cycle has no anchor yet -> full parse of an
     # empty log)
     assert all(p <= 2 for p in parsed), parsed
+
+
+def test_cdc_guard_catches_partially_consumed_batch(spark, tmp_path):
+    """r13 exactness upgrade: consumption is FILE-level, not name-level.
+    With maxFilesPerTrigger a batch dir's files span micro-batches; a
+    consumer that stops mid-batch has committed SOME files of the batch
+    — a name-level seen set would mark the batch consumed and let
+    retention retire the half-read dir silently. The guard must (a) let
+    an in-window restart deliver the remaining files exactly once, and
+    (b) raise when the partially-read batch's dir is retired."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.compaction import (
+        _count_files,
+        compact_index,
+        write_delta,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    def two_file_flush(path, cfg, ids, batch):
+        rows = [(i, "enwiki", "tok", f"t{i}") for i in ids]
+        delta = build_index(_arts(spark, rows).repartition(2), cfg, SF)
+        write_delta(delta, path, batch)
+        assert _count_files(spark, f"{path}/deltas/{batch}/documents") == 2
+
+    def partial_drain(path, cp):
+        """Consume exactly ONE of the batch's files, then die mid-run —
+        the injected crash leaves the second micro-batch uncommitted."""
+        calls = [0]
+        got: list = []
+
+        def fb(df, _bid):
+            calls[0] += 1
+            if calls[0] >= 2:
+                raise RuntimeError("injected mid-batch stop")
+            got.extend(df.collect())
+
+        q = (
+            stream_changes(spark, path, max_files_per_trigger=1, checkpoint=cp)
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with _pytest.raises(Exception, match="injected mid-batch stop"):
+            q.awaitTermination()
+        return got
+
+    # (a) in-window restart completes the batch exactly once
+    path, cfg, _ = _cdc_catalog(spark, tmp_path, name="partial-ok")
+    two_file_flush(path, cfg, [1, 2], "b1")
+    cp = str(tmp_path / "cp-pa")
+    first = partial_drain(path, cp)
+    assert len(first) == 1  # one file's rows committed
+    rest = _run_tail(spark, path, cp)
+    assert sorted(r["doc_id"] for r in first + rest) == [1, 2]
+    compact_index(spark, path, cfg)  # v1 folds the now-complete b1
+    assert _run_tail(spark, path, cp) == []  # observes v1, no false alarm
+    compact_index(spark, path, cfg)
+    compact_index(spark, path, cfg)  # retires v1 -> fine, fully consumed
+    assert _run_tail(spark, path, cp) == []
+
+    # (b) the half-read batch's dir retires -> the restart must raise
+    path2, cfg2, _ = _cdc_catalog(spark, tmp_path, name="partial-bad")
+    two_file_flush(path2, cfg2, [5, 6], "b1")
+    cp2 = str(tmp_path / "cp-pb")
+    assert len(partial_drain(path2, cp2)) == 1
+    compact_index(spark, path2, cfg2)  # v1 folds b1 (dir in grace)
+    # guard observes v1 with b1 at 1/2 files consumed: owed, no raise
+    stream_changes(spark, path2, checkpoint=cp2)
+    compact_index(spark, path2, cfg2)  # v2
+    compact_index(spark, path2, cfg2)  # v3: retires v1 -> b1's dir gone
+    with _pytest.raises(RuntimeError, match="never consumed them in full"):
+        stream_changes(spark, path2, checkpoint=cp2)
+
+
+def test_cdc_anchor_legacy_list_format_upgrades(spark, tmp_path):
+    """The pre-r13 anchor schema persisted fold/consumed/pending sets as
+    NAME LISTS; a live checkpoint carrying one must upgrade in place
+    (immutable dirs make the file counts recoverable) without a false
+    alarm or a lost guard."""
+    import json
+
+    from accumulo_wikisearch_spark.operators.compaction import compact_index
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path, name="legacyfmt")
+    flush(1)
+    compact_index(spark, path, cfg)  # v1 folds b1; dir stays in grace
+    cp = str(tmp_path / "cp-legacy")
+    stream_changes(spark, path, checkpoint=cp)  # anchor written (owes b1)
+    # rewrite the anchor to the r12 list schema
+    anchor_file = f"{cp}/_cdc_anchor.json"
+    state = json.loads(open(anchor_file).read())
+    legacy = {
+        "source": state["source"],
+        "version": state["version"],
+        "folds": {v: sorted(m) for v, m in state["folds"].items()},
+    }
+    open(anchor_file, "w").write(json.dumps(legacy))
+    # drop the Hadoop local-FS checksum sidecar the out-of-band rewrite
+    # invalidated (a real pre-r13 checkpoint has a consistent pair)
+    import os
+
+    crc = f"{cp}/._cdc_anchor.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    # still owed and still guarded: retire b1 unconsumed -> raise
+    compact_index(spark, path, cfg)  # v2
+    compact_index(spark, path, cfg)  # v3: retires v1 -> b1 gone unseen
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="never consumed"):
+        stream_changes(spark, path, checkpoint=cp)
