@@ -1,0 +1,259 @@
+"""Differential fuzz of the FILE-level CDC guard under PARTIAL drains
+(r13). The r13 exactness upgrade made consumption file-granular: with
+``maxFilesPerTrigger`` a batch dir's files span micro-batches, and a
+consumer that dies mid-batch has committed SOME files of a batch. This
+suite drives random schedules of multi-file flushes, compactions, full
+drains, and injected mid-drain crashes, and checks the engine's
+incremental bookkeeping (per-window consumed counts, pending map,
+log_pos skipping) against GROUND TRUTH derived by an independent
+parser of the checkpoint's committed seen-file log:
+
+- after every drain attempt, the set of delivered doc_ids equals
+  exactly the committed files' rows (no loss, no double delivery);
+- committed file counts never exceed a batch's file count;
+- a partially-consumed batch's dir never retires without a raise;
+- the guard raises exactly when the from-spec model (anchor semantics
+  over fold file-counts vs full-log consumed counts) says owed data is
+  unprovably consumed — never a false alarm, never a silent skip —
+  and the documented fresh-checkpoint re-bootstrap recovers.
+
+The fixed partial-drain regression lives in test_streaming.py; this
+file covers the random interleavings (consume-while-pending then fold,
+multi-window count accumulation, rebootstrap mid-schedule).
+"""
+
+import json
+import os
+import random
+import tempfile
+
+import pytest
+
+from accumulo_wikisearch_spark.config import EngineConfig
+from accumulo_wikisearch_spark.operators.compaction import (
+    _count_files,
+    compact_index,
+    write_delta,
+    write_tombstones,
+)
+from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+CFG = EngineConfig(num_partitions=1, uid_max=4)
+SF = {"ID": "id", "TITLE": "title"}
+SCHEMA = "id long, language string, text string, title string"
+
+
+def _committed_files(cp: str) -> dict[str, set]:
+    """Independent checkpoint-log parse: {batch: set(paths)} of files in
+    COMMITTED micro-batches (documents table only)."""
+    commits = f"{cp}/commits"
+    if not os.path.isdir(commits):
+        return {}
+    committed = max(
+        (int(n) for n in os.listdir(commits) if n.isdigit()), default=-1
+    )
+    out: dict[str, set] = {}
+    src = f"{cp}/sources"
+    if committed < 0 or not os.path.isdir(src):
+        return {}
+    for dirpath, _dirs, files in os.walk(src):
+        for fn in files:
+            if fn.startswith("."):
+                continue
+            for line in open(os.path.join(dirpath, fn)):
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if int(e.get("batchId", -1)) > committed:
+                    continue
+                seg = e.get("path", "").split("/deltas/")
+                if len(seg) < 2:
+                    continue
+                rest = seg[-1].split("/")
+                if len(rest) >= 3 and rest[1] == "documents":
+                    out.setdefault(rest[0], set()).add(e["path"])
+    return out
+
+
+class SpecModel:
+    """From-spec mirror of the guard's anchor semantics, file-level."""
+
+    def __init__(self):
+        self.fresh = True
+        self.anchor = 0
+        self.owed: dict[int, dict] = {}  # v -> {batch: n_files}
+
+    def reconcile(self, retained, folds, version, consumed_counts, on_disk):
+        if self.fresh:
+            anchor = min(retained) - 1 if retained else 0
+            owed: dict[int, dict] = {}
+        else:
+            anchor = self.anchor
+            owed = {v: dict(m) for v, m in self.owed.items()}
+        for v in retained:
+            if v > anchor and v not in owed:
+                owed[v] = dict(folds.get(v, {}))
+        if any(v not in owed for v in range(anchor + 1, version + 1)):
+            return "unknowable"
+
+        def comp(b, nf):
+            return consumed_counts.get(b, 0) >= nf
+
+        for v in sorted(owed):
+            if any(
+                not comp(b, nf) and b not in on_disk
+                for b, nf in owed[v].items()
+            ):
+                return "missing"
+        while anchor + 1 in owed and all(
+            comp(b, nf) for b, nf in owed[anchor + 1].items()
+        ):
+            anchor += 1
+            del owed[anchor]
+        self.anchor, self.owed, self.fresh = anchor, owed, False
+        return None
+
+
+def _run_schedule(spark, seed: int, n_ops: int) -> None:
+    rng = random.Random(seed)
+    root = tempfile.mkdtemp(prefix="wikisearch-partialprops-")
+    path = f"{root}/index"
+
+    def arts(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+
+    write_index(build_index(arts([(0, "enwiki", "base", "t0")]), CFG, SF), path)
+
+    batches: dict[str, dict] = {}  # data batch -> {"files", "ids"}
+    version = [0]
+    retained: list[int] = []
+    folds: dict[int, dict] = {}  # v -> {batch: n_files} (DATA only)
+    pending: set = set()
+    next_id = [1]
+    bid = [0]
+    tomb_n = [0]
+    n_cp = [0]
+    cp = [f"{root}/cp0"]
+    spec = SpecModel()
+    delivered: list = []  # every doc_id delivered on the current cp
+
+    def flush(nf):
+        ids = list(range(next_id[0], next_id[0] + nf))
+        next_id[0] += nf
+        b = f"d{bid[0]}"
+        bid[0] += 1
+        rows = [(i, "enwiki", "tok", f"t{i}") for i in ids]
+        df = arts(rows).repartition(nf) if nf > 1 else arts(rows)
+        write_delta(build_index(df, CFG, SF), path, b)
+        n = _count_files(spark, f"{path}/deltas/{b}/documents")
+        batches[b] = {"files": n, "ids": set(ids)}
+        pending.add(b)
+
+    def compact(retain):
+        compact_index(spark, path, CFG, retain_generations=retain)
+        version[0] += 1
+        folds[version[0]] = {b: batches[b]["files"] for b in pending}
+        pending.clear()
+        retained.append(version[0])
+        del retained[:-retain]
+
+    def on_disk_data():
+        out = set(pending)
+        for v in retained:
+            out |= set(folds.get(v, {}))
+        return out
+
+    def drain(stop_after=None):
+        got: list = []
+        calls = [0]
+
+        def fb(df, _bid):
+            calls[0] += 1
+            if stop_after is not None and calls[0] > stop_after:
+                raise RuntimeError("injected mid-batch stop")
+            got.extend(df.collect())
+
+        q = (
+            stream_changes(
+                spark, path, max_files_per_trigger=1, checkpoint=cp[0]
+            )
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", cp[0])
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception as e:
+            if "injected mid-batch stop" not in str(e):
+                raise
+        return [r["doc_id"] for r in got]
+
+    def attempt(kind):
+        counts = {b: len(ps) for b, ps in _committed_files(cp[0]).items()}
+        err = spec.reconcile(
+            retained, folds, version[0], counts, on_disk_data()
+        )
+        if err is not None:
+            with pytest.raises(
+                RuntimeError, match="fell behind the retention window"
+            ):
+                drain()
+            # documented remedy: fresh-checkpoint re-bootstrap
+            n_cp[0] += 1
+            cp[0] = f"{root}/cp{n_cp[0]}"
+            spec.__init__()
+            delivered.clear()
+            delivered.extend(drain())
+        else:
+            stop_after = rng.choice([1, 2]) if kind == "partial" else None
+            delivered.extend(drain(stop_after=stop_after))
+        # invariants vs the log-derived ground truth
+        consumed = _committed_files(cp[0])
+        truth: set = set()
+        for b, ps in consumed.items():
+            assert len(ps) <= batches[b]["files"], f"seed {seed}: overcount"
+            if len(ps) >= batches[b]["files"]:
+                truth |= batches[b]["ids"]  # dir may be retired: known rows
+                continue
+            for p in ps:
+                local = p.replace("file:", "")
+                assert os.path.exists(local), (
+                    f"seed {seed}: partially-consumed {b} retired silently"
+                )
+                truth |= {
+                    r["doc_id"] for r in spark.read.parquet(local).collect()
+                }
+        assert set(delivered) == truth, f"seed {seed}: delivered != truth"
+        assert len(delivered) == len(set(delivered)), (
+            f"seed {seed}: double delivery"
+        )
+
+    ops = ["flush", "tomb", "compact", "full", "partial"]
+    weights = [4, 1, 5, 2, 3]
+    for _ in range(n_ops):
+        op = rng.choices(ops, weights=weights)[0]
+        if op == "flush":
+            flush(rng.choice([1, 2, 2]))
+        elif op == "tomb":
+            b = f"t{tomb_n[0]}"
+            tomb_n[0] += 1
+            write_tombstones(
+                spark.createDataFrame([(0,)], "doc_id long"), path, b
+            )
+        elif op == "compact":
+            compact(rng.choice([2, 3]))
+        else:
+            attempt(op)
+    attempt("full")  # closing: converge to all on-disk content
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [41, 47, 53, 60, 66])
+def test_random_schedule_partial_drains_match_log_truth(spark, seed):
+    _run_schedule(spark, seed, n_ops=8)
