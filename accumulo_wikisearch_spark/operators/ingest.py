@@ -40,6 +40,21 @@ from accumulo_wikisearch_spark.functions.normalize import normalize_col, tokeniz
 DEFAULT_SCALAR_FIELDS = {"ID": "id"}
 
 
+#: serving tables ``WikisearchIndex.persist()`` caches, in persist order.
+#: Cache-eviction sites (``bench.py``'s fresh_index_build, tests) iterate
+#: THIS list via :meth:`WikisearchIndex.unpersist_serving` instead of
+#: hard-coding names — a renamed or newly-persisted serving table would
+#: otherwise silently survive an evict and turn the next timed rebuild
+#: into a cache no-op (r13 ADVICE).
+SERVING_TABLES = (
+    "field_index",
+    "global_index",
+    "docs_wide",
+    "metadata",
+    "term_index",
+)
+
+
 @dataclass
 class WikisearchIndex:
     """The engine's catalog: five DataFrames + config."""
@@ -165,6 +180,28 @@ class WikisearchIndex:
             # downstream tables are now cached themselves; drop the
             # intermediate token cache
             self._tokenized.unpersist()
+        return self
+
+    def unpersist_serving(self) -> "WikisearchIndex":
+        """Evict every serving table :meth:`persist` caches (the
+        :data:`SERVING_TABLES` list, plus the shared tokenized base when
+        present), leaving the index usable but cold. The one honest way
+        to reset cache state between benchmark reps — callers iterating
+        their own attribute lists drifted when the serving set changed
+        (r13 ADVICE)."""
+        for tname in SERVING_TABLES:
+            df = getattr(self, tname, None)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        if self._tokenized is not None:
+            try:
+                self._tokenized.unpersist()
+            except Exception:
+                pass
+        self._persisted = False
         return self
 
     _doc_count: int | None = None
