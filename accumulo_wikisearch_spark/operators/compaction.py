@@ -448,6 +448,42 @@ def _fold_deltas(index: WikisearchIndex, stacked, config: EngineConfig) -> Wikis
     )
 
 
+def _visible_file_count(spark: SparkSession, path: str) -> int:
+    """Files in ``path`` a streaming file source will deliver — names
+    starting with '.' or '_' are skipped (the source's own hidden-file
+    rule; same rule as the reconcile guard's ``batch_file_count``).
+    -1 when the dir does not exist."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return -1
+    n = 0
+    for st in fs.listStatus(hpath):
+        nm = st.getPath().getName()
+        if not nm.startswith(".") and not nm.startswith("_"):
+            n += 1
+    return n
+
+
+def _folded_file_counts(
+    spark: SparkSession, path: str, batches
+) -> dict[str, dict[str, int]]:
+    """Per-batch visible file counts of each flush-kind table dir, for
+    the batches a compaction is about to fold — captured while the
+    (immutable) dirs are certainly on disk and recorded in the manifest
+    (``folded_files``) so the CDC reconcile guard never has to probe a
+    dir that retention may since have deleted (r13 verdict #2). One
+    ``listStatus`` per batch table dir, fold-time only."""
+    out: dict[str, dict[str, int]] = {}
+    for b in batches:
+        rec: dict[str, int] = {}
+        for table in ("documents", "tombstones"):
+            n = _visible_file_count(spark, f"{path}/deltas/{b}/{table}")
+            if n >= 0:
+                rec[table] = n
+        out[b] = rec
+    return out
+
+
 def swap_in_catalog(
     spark: SparkSession,
     tmp: str,
@@ -455,6 +491,7 @@ def swap_in_catalog(
     folded_deltas: tuple[str, ...] = (),
     retain_generations: int = 2,
     kind: str = "rewrite",
+    folded_files: dict | None = None,
 ) -> int:
     """Swap a fully-written staged catalog into place ATOMICALLY for
     concurrent readers: adopt ``tmp`` as the next versioned generation
@@ -483,6 +520,7 @@ def swap_in_catalog(
         folded=folded_deltas,
         retain_generations=retain_generations,
         kind=kind,
+        folded_files=folded_files,
     )
 
 
@@ -560,6 +598,11 @@ def compact_index(
         # a compaction's generation is EXACTLY base + the folded batches,
         # so those dirs are this version's complete changes feed
         kind="fold",
+        # capture each folded batch's per-table file counts NOW, while
+        # the immutable dirs certainly exist — the reconcile guard reads
+        # them from the manifest instead of probing dirs retention may
+        # since have deleted (r13 verdict #2)
+        folded_files=_folded_file_counts(spark, path, batches),
     )
     # invalidate cached plans over the replaced files (rename does not
     # trigger Spark's automatic overwrite invalidation)

@@ -216,6 +216,7 @@ def adopt_generation(
     folded: tuple[str, ...] = (),
     retain_generations: int = 2,
     kind: str = "rewrite",
+    folded_files: dict | None = None,
 ) -> int:
     """Adopt a fully-staged catalog directory as the next generation and
     publish it atomically. Returns the new version.
@@ -286,6 +287,17 @@ def adopt_generation(
             # them) but excluded from every new delta listing; retention
             # deletes them when this manifest itself retires
             "folded_deltas": sorted(folded),
+            # per-batch VISIBLE file counts per flush-kind table dir,
+            # {batch: {"documents"|"tombstones": n}}, captured at fold
+            # time while the (immutable) dirs are certainly on disk —
+            # the CDC reconcile guard reads these so a tail checking a
+            # retained version never degrades to the -1 count-unknowable
+            # any-consumption fallback when the dir itself is already
+            # gone (r13 verdict #2). Absent on legacy manifests (readers
+            # keep the probe-the-dir fallback) and on non-fold rewrites.
+            "folded_files": {
+                b: dict(t) for b, t in sorted((folded_files or {}).items())
+            },
             # what produced this generation: "fold" = base + the folded
             # deltas, nothing else (so the folded dirs ARE the version's
             # changes feed); "rewrite" = arbitrary content (streaming

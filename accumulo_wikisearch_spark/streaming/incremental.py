@@ -515,16 +515,28 @@ def reconcile_cdc_tail(
                 n += 1  # the file source's own hidden-file rule
         return n
 
+    def fold_count(ver: int, b: str) -> int:
+        """Exact file count of batch ``b`` folded at ``ver``: prefer the
+        count the FOLD recorded in its manifest (captured while the dir
+        certainly existed — r13 verdict #2), fall back to probing the
+        (immutable) dir for legacy manifests. -1 only when both are
+        unavailable (pre-r14 manifest AND dir already retired)."""
+        rec = ((manifests.get(ver) or {}).get("folded_files") or {}).get(b)
+        if rec is not None and table in rec:
+            return int(rec[table])
+        return batch_file_count(b)
+
     if state is not None:
         anchor = int(state.get("version", 0))
         # pre-r13 anchors persisted name LISTS; dirs are immutable, so a
         # still-on-disk batch upgrades to an exact count on first read
+        # (or to the fold-recorded count when the manifest carries one)
         owed = {}
         for k, v in state.get("folds", {}).items():
             owed[int(k)] = (
                 {b: int(n) for b, n in v.items()}
                 if isinstance(v, dict)
-                else {b: batch_file_count(b) for b in v}
+                else {b: fold_count(int(k), b) for b in v}
             )
         consumed = {}
         for k, v in state.get("consumed", {}).items():
@@ -606,12 +618,24 @@ def reconcile_cdc_tail(
                 owed[v] = {}
             else:
                 owed[v] = {}
+                recs = body.get("folded_files") or {}
                 for b in sorted(body.get("folded_deltas", [])):
-                    k = batch_kind(b)
-                    if k == table:
-                        owed[v][b] = batch_file_count(b)
-                    elif k is None:
-                        owed[v][b] = -1
+                    rec = recs.get(b)
+                    if rec is not None:
+                        # fold-time record: exact count even when the
+                        # dir is already gone, and kind attribution
+                        # without an existence probe — a batch with no
+                        # entry for this tail's table is the other
+                        # flush kind, not owed (r13 verdict #2)
+                        if table in rec:
+                            owed[v][b] = int(rec[table])
+                    else:
+                        # legacy (pre-r14) manifest: probe the dir
+                        k = batch_kind(b)
+                        if k == table:
+                            owed[v][b] = batch_file_count(b)
+                        elif k is None:
+                            owed[v][b] = -1
     unknowable = [
         v for v in range(anchor + 1, current + 1) if v not in owed
     ]

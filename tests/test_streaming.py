@@ -707,3 +707,165 @@ def test_cdc_anchor_legacy_list_format_upgrades(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="never consumed"):
         stream_changes(spark, path, checkpoint=cp)
+
+
+# ---------------------------------------------------------------------------
+# Fold-time file counts in the manifest (r13 verdict #2): compact_index
+# records each folded batch's per-table visible file counts, so the
+# reconcile guard checking a RETAINED version never degrades to the
+# batch_file_count == -1 any-consumption fallback when the batch dir
+# itself is already gone (early retirement, operator cleanup, a raced
+# retention) — and never needs an existence probe for kind attribution.
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_records_folded_file_counts(spark, tmp_path):
+    import json as _json
+
+    from accumulo_wikisearch_spark.operators.compaction import (
+        _count_files,
+        compact_index,
+        write_delta,
+        write_tombstones,
+    )
+    from accumulo_wikisearch_spark.operators.manifest import read_manifest
+
+    path, cfg, flush = _cdc_catalog(spark, tmp_path, name="foldcounts")
+    rows = [(i, "enwiki", "tok", f"t{i}") for i in (1, 2)]
+    write_delta(build_index(_arts(spark, rows).repartition(2), cfg, SF), path, "b2f")
+    n_docs = _count_files(spark, f"{path}/deltas/b2f/documents")
+    assert n_docs == 2
+    write_tombstones(
+        spark.createDataFrame([(0,)], "doc_id long"), path, "tb1"
+    )
+    n_tomb = _count_files(spark, f"{path}/deltas/tb1/tombstones")
+    compact_index(spark, path, cfg)
+    m = read_manifest(spark, path)
+    assert m["kind"] == "fold"
+    assert set(m["folded_deltas"]) == {"b2f", "tb1"}
+    assert m["folded_files"]["b2f"] == {"documents": n_docs}
+    assert m["folded_files"]["tb1"] == {"tombstones": n_tomb}
+    # round-trips through JSON (the manifest is re-read, not in-memory)
+    assert _json.loads(_json.dumps(m["folded_files"]))== m["folded_files"]
+
+
+def test_cdc_guard_uses_fold_counts_when_dir_lost_early(spark, tmp_path):
+    """THE r13 verdict-#2 hole: a multi-file batch half-consumed
+    (maxFilesPerTrigger=1), folded, whose dir is gone by the time the
+    guard first observes the fold — batch_file_count returns -1 and
+    _complete(-1, c>0) accepted ANY consumption, silently passing a
+    batch with unread files unrecoverable. With fold-time counts in the
+    manifest the restart must raise."""
+    import shutil
+
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.compaction import (
+        _count_files,
+        compact_index,
+        write_delta,
+    )
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    path, cfg, _ = _cdc_catalog(spark, tmp_path, name="earlyloss")
+    rows = [(i, "enwiki", "tok", f"t{i}") for i in (1, 2)]
+    write_delta(build_index(_arts(spark, rows).repartition(2), cfg, SF), path, "b1")
+    assert _count_files(spark, f"{path}/deltas/b1/documents") == 2
+    cp = str(tmp_path / "cp-earlyloss")
+
+    calls = [0]
+
+    def fb(df, _bid):
+        calls[0] += 1
+        if calls[0] >= 2:
+            raise RuntimeError("injected mid-batch stop")
+        df.collect()
+
+    q = (
+        stream_changes(spark, path, max_files_per_trigger=1, checkpoint=cp)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="injected mid-batch stop"):
+        q.awaitTermination()
+
+    compact_index(spark, path, cfg)  # v1 folds b1, recording {documents: 2}
+    # the dir vanishes before ANY construction observes the fold (early
+    # retirement / operator cleanup / raced retention) while v1's
+    # manifest is still retained
+    shutil.rmtree(f"{path}/deltas/b1")
+    with _pytest.raises(RuntimeError, match="never consumed them in full"):
+        stream_changes(spark, path, checkpoint=cp)
+
+
+def test_cdc_guard_fold_counts_avoid_foreign_kind_false_alarm(spark, tmp_path):
+    """Kind attribution from the manifest record, not a dir probe: a
+    TOMBSTONE batch folded at a retained version whose dir is gone early
+    used to enter a DOCUMENTS tail's owed map as -1/unknown-kind and
+    raise a false fell-behind alarm (the documents tail never reads
+    tombstone batches at all). The fold record names the batch's table,
+    so the foreign-kind batch is simply not owed."""
+    import shutil
+
+    from accumulo_wikisearch_spark.operators.compaction import (
+        compact_index,
+        write_tombstones,
+    )
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    path, cfg, _ = _cdc_catalog(spark, tmp_path, name="foreignkind")
+    write_tombstones(spark.createDataFrame([(0,)], "doc_id long"), path, "tb1")
+    compact_index(spark, path, cfg)  # v1 folds tb1 ({tombstones: 1})
+    shutil.rmtree(f"{path}/deltas/tb1")
+    cp = str(tmp_path / "cp-foreignkind")
+    # documents tail: tb1 must not be owed — construction succeeds
+    df = stream_changes(spark, path, checkpoint=cp)
+    assert "doc_id" in df.columns
+
+
+def test_cdc_guard_flush_halfread_fold_retire_between_constructions(
+    spark, tmp_path
+):
+    """The r13 verdict's literal sequence: flush a 2-file batch,
+    half-consume it, then fold AND fully retire it between two
+    constructions — the restart must fail LOUDLY (the fold's version was
+    minted and retired unseen, so the guard cannot prove the second file
+    was ever delivered)."""
+    import pytest as _pytest
+
+    from accumulo_wikisearch_spark.operators.compaction import (
+        compact_index,
+        write_delta,
+    )
+    from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+
+    path, cfg, _ = _cdc_catalog(spark, tmp_path, name="foldretire")
+    rows = [(i, "enwiki", "tok", f"t{i}") for i in (1, 2)]
+    write_delta(build_index(_arts(spark, rows).repartition(2), cfg, SF), path, "b1")
+    cp = str(tmp_path / "cp-foldretire")
+
+    calls = [0]
+
+    def fb(df, _bid):
+        calls[0] += 1
+        if calls[0] >= 2:
+            raise RuntimeError("injected mid-batch stop")
+        df.collect()
+
+    q = (
+        stream_changes(spark, path, max_files_per_trigger=1, checkpoint=cp)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="injected mid-batch stop"):
+        q.awaitTermination()
+
+    compact_index(spark, path, cfg)  # v1 folds half-read b1
+    compact_index(spark, path, cfg)  # v2
+    compact_index(spark, path, cfg)  # v3: retires v1 -> b1's dir gone
+    with _pytest.raises(RuntimeError, match="fell behind the retention window"):
+        stream_changes(spark, path, checkpoint=cp)
