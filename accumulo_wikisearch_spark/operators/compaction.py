@@ -1135,6 +1135,7 @@ def describe_catalog(spark: SparkSession, path: str) -> dict:
                 spark, path, _registered_consumers(spark, path), versions
             )
             if _CONSUMERS_MARKER in names
+            or any(_CONSUMERS_RE.match(n) for n in names)
             else []
         ),
     }
@@ -1149,7 +1150,103 @@ def _replica_info(spark: SparkSession, path: str, names: list[str]) -> dict | No
     return _open_json(fs, jvm, f"{path}/_REPLICA.json")
 
 
-_CONSUMERS_MARKER = "_CONSUMERS.json"
+_CONSUMERS_MARKER = "_CONSUMERS.json"  # legacy (pre-r14) unversioned file
+_CONSUMERS_RE = re.compile(r"^_CONSUMERS\.(\d{6,})\.json$")
+
+
+def _read_consumers_versioned(
+    spark: SparkSession, path: str
+) -> tuple[int, list[dict]]:
+    """(generation, rows) of the consumer registry: the highest complete
+    ``_CONSUMERS.N.json`` (retrying a file pruned between resolve and
+    open, the ``read_manifest`` tolerance). When no versioned file
+    exists yet, generation 0 — adopting the legacy unversioned
+    ``_CONSUMERS.json``'s rows when only it exists, so a pre-r14
+    registry upgrades in place at its next publish."""
+    from accumulo_wikisearch_spark.operators.manifest import (
+        _listing,
+        _open_json,
+    )
+
+    fs, _, jvm = _fs(spark, path)
+    for _ in range(5):
+        gens = [
+            int(m.group(1))
+            for n in _listing(spark, path)
+            if (m := _CONSUMERS_RE.match(n))
+        ]
+        if not gens:
+            body = _open_json(fs, jvm, f"{path}/{_CONSUMERS_MARKER}")
+            return 0, list((body or {}).get("consumers", []))
+        g = max(gens)
+        body = _open_json(fs, jvm, f"{path}/_CONSUMERS.{g:06d}.json")
+        if body is not None:
+            return g, list(body.get("consumers", []))
+    raise RuntimeError(
+        f"consumer registry of {path} kept vanishing between resolve and"
+        " open across 5 attempts — pruning should only delete a"
+        " generation after publishing a newer one"
+    )
+
+
+def _publish_consumers(spark: SparkSession, path: str, mutate) -> list[dict]:
+    """Apply ``mutate(rows) -> rows`` to the registry under a
+    compare-and-swap retry loop, the manifest discipline applied to
+    ``_CONSUMERS.N.json``: stage the new state at a uuid tmp name, then
+    rename to generation N+1 — rename-to-an-existing-name FAILS on HDFS
+    and the local filesystem, so two writers racing for the same
+    generation get exactly one winner and the loser re-reads and
+    re-applies (the r13 read-modify-delete-rename could drop a
+    concurrent registration outright). Versioned names are never
+    deleted-then-renamed, so a complete registry survives every crash
+    point (the r13 protocol had a window with NO registry on disk);
+    generations older than the previous one are pruned only after the
+    new one is durable. Object stores without atomic
+    rename-if-destination-absent need a single REGISTRAR (reads stay
+    lock-free); HDFS-semantics filesystems need nothing."""
+    import json as _json
+    import uuid as _uuid
+
+    fs, _, jvm = _fs(spark, path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    for _ in range(16):
+        g, rows = _read_consumers_versioned(spark, path)
+        new_rows = mutate(list(rows))
+        tmp = HPath(f"{path}/._consumers_tmp_{_uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        out.write(bytearray(_json.dumps({"consumers": new_rows}).encode()))
+        out.close()
+        final = HPath(f"{path}/_CONSUMERS.{g + 1:06d}.json")
+        if fs.rename(tmp, final):
+            # prune AFTER the publish is durable: keep current+previous
+            # (one generation of reader grace), drop older versioned
+            # files and the legacy unversioned file (its rows were
+            # adopted into generation 1)
+            from accumulo_wikisearch_spark.operators.manifest import _listing
+
+            for n in _listing(spark, path):
+                m = _CONSUMERS_RE.match(n)
+                if m and int(m.group(1)) < g:
+                    fs.delete(HPath(f"{path}/{n}"), False)
+            fs.delete(HPath(f"{path}/{_CONSUMERS_MARKER}"), False)
+            return new_rows
+        fs.delete(tmp, True)  # lost the race: re-read and re-apply
+    raise RuntimeError(
+        f"consumer registry of {path}: lost the publish race 16 times in"
+        " a row — a stuck concurrent registrar is hammering the registry"
+    )
+
+
+def _consumer_matches(c: dict, kind: str, ref, name: str | None) -> bool:
+    """One consumer, one row: a row matches on identical ``(kind, ref)``
+    REGARDLESS of names, or on an identical name. The r13 upsert keyed
+    on ``name or (kind, ref)``, so registering the same (kind, ref)
+    once named and once unnamed accumulated duplicate rows,
+    double-counting that consumer in every headroom report (r13
+    ADVICE)."""
+    if c.get("kind") == kind and c.get("ref") == ref:
+        return True
+    return name is not None and c.get("name") == name
 
 
 def register_consumer(
@@ -1173,53 +1270,79 @@ def register_consumer(
       give these a ``name`` so re-registration at a newer version
       REPLACES the row instead of accumulating.
 
-    Upserts by ``name`` when given, else by ``(kind, ref)``; published
-    atomically (tmp write + rename, the manifest discipline). Returns
-    the full registry. The registry is advisory metadata — registering
-    a consumer never blocks maintenance, it makes falling-behind
-    *visible* before it becomes a forced re-clone/re-bootstrap."""
+    Upserts any row with the same ``(kind, ref)`` (names differing or
+    absent — one consumer is one row however it is addressed; r13
+    ADVICE) or the same ``name``; an unnamed re-registration of a named
+    row KEEPS the existing name. Publishing is serialized through a
+    compare-and-swap retry on generation-versioned registry files
+    (see :func:`_publish_consumers` for the concurrency contract), so
+    concurrent registrations cannot drop each other. Returns the full
+    registry. The registry is advisory metadata — registering a
+    consumer never blocks maintenance, it makes falling-behind
+    *visible* before it becomes a forced re-clone/re-bootstrap; retire
+    decommissioned consumers with :func:`unregister_consumer` or their
+    rows pin ``min_headroom_rewrites`` pessimistic forever."""
     if kind not in ("replica", "cdc", "version"):
         raise ValueError(
             f"register_consumer: unknown kind {kind!r} (expected"
             " 'replica', 'cdc', or 'version')"
         )
-    import json as _json
-    import uuid as _uuid
 
-    from accumulo_wikisearch_spark.operators.manifest import _open_json
+    def mutate(rows: list[dict]) -> list[dict]:
+        entry: dict = {"kind": kind, "ref": ref}
+        if name is not None:
+            entry["name"] = name
+        else:
+            for c in rows:
+                if _consumer_matches(c, kind, ref, None) and c.get("name"):
+                    entry["name"] = c["name"]
+                    break
+        return [
+            c for c in rows if not _consumer_matches(c, kind, ref, name)
+        ] + [entry]
 
-    fs, _, jvm = _fs(spark, path)
-    body = _open_json(fs, jvm, f"{path}/{_CONSUMERS_MARKER}") or {"consumers": []}
+    return _publish_consumers(spark, path, mutate)
 
-    def _key(c: dict):
-        return c.get("name") or (c.get("kind"), c.get("ref"))
 
-    entry: dict = {"kind": kind, "ref": ref}
-    if name is not None:
-        entry["name"] = name
-    rows = [c for c in body.get("consumers", []) if _key(c) != _key(entry)]
-    rows.append(entry)
-    HPath = jvm.org.apache.hadoop.fs.Path
-    tmp = HPath(f"{path}/._consumers_tmp_{_uuid.uuid4().hex}")
-    out = fs.create(tmp, True)
-    out.write(bytearray(_json.dumps({"consumers": rows}).encode()))
-    out.close()
-    final = HPath(f"{path}/{_CONSUMERS_MARKER}")
-    fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        fs.delete(tmp, True)
-        raise RuntimeError(
-            f"register_consumer: publishing {_CONSUMERS_MARKER} at {path} failed"
+def unregister_consumer(
+    spark: SparkSession,
+    path: str,
+    name: str | None = None,
+    kind: str | None = None,
+    ref=None,
+) -> list[dict]:
+    """Remove a registered consumer — by ``name``, or by ``(kind,
+    ref)``, or both (a row matching either selector is removed).
+    Idempotent: unregistering an absent consumer is a no-op. Returns
+    the remaining registry. This is how a decommissioned replica /
+    retired version tap stops pinning ``min_headroom_rewrites``
+    pessimistic in every :func:`maintain_catalog` report (r13 verdict
+    #5); rows that merely LOOK dead are only ever reported
+    (``stale_consumers``), never pruned automatically — a stopped-but-
+    coming-back consumer must keep its headroom accounting."""
+    if name is None and (kind is None or ref is None):
+        raise ValueError(
+            "unregister_consumer: give name=... and/or BOTH kind= and"
+            " ref= — an empty selector would be a registry wipe"
         )
-    return rows
+
+    def hit(c: dict) -> bool:
+        if name is not None and c.get("name") == name:
+            return True
+        return (
+            kind is not None
+            and ref is not None
+            and c.get("kind") == kind
+            and c.get("ref") == ref
+        )
+
+    return _publish_consumers(
+        spark, path, lambda rows: [c for c in rows if not hit(c)]
+    )
 
 
 def _registered_consumers(spark: SparkSession, path: str) -> list[dict]:
-    from accumulo_wikisearch_spark.operators.manifest import _open_json
-
-    fs, _, jvm = _fs(spark, path)
-    body = _open_json(fs, jvm, f"{path}/{_CONSUMERS_MARKER}")
-    return list((body or {}).get("consumers", []))
+    return _read_consumers_versioned(spark, path)[1]
 
 
 def _consumer_headroom_rows(
@@ -1291,6 +1414,7 @@ def maintain_catalog(
     compact_min_files: int | None = None,
     retain_generations: int = 2,
     consumers: list[dict] | None = None,
+    no_anchor_grace: int = 3,
 ) -> dict:
     """The PRIMARY catalog's one-call operational loop (r12 verdict #6)
     — the source-side twin of :func:`~accumulo_wikisearch_spark.operators.replication.sync_replica`:
@@ -1319,8 +1443,9 @@ def maintain_catalog(
           "retained_versions": [...],
           "pending_deltas": [...],
           "consumers": [{kind, ref, name?, anchor, status,
-                         headroom_rewrites}, ...],
+                         headroom_rewrites, no_anchor_reports?}, ...],
           "min_headroom_rewrites": int | None,
+          "stale_consumers": [...],
         }
 
     ``headroom_rewrites`` per consumer = anchor + retained-window size
@@ -1333,7 +1458,13 @@ def maintain_catalog(
     never constructed) and ``foreign-source`` (anchor tracks a
     different catalog) instead of raising: this is the diagnostic
     surface an operator reads to FIND misconfiguration, like
-    ``describe_catalog``'s ``unrecognized_hidden``."""
+    ``describe_catalog``'s ``unrecognized_hidden``.
+
+    Rows that stay ``no-anchor`` for ``no_anchor_grace`` consecutive
+    reports (counter persisted in the registry) additionally surface in
+    ``stale_consumers`` — the nudge to :func:`unregister_consumer` dead
+    version taps before they pin ``min_headroom_rewrites`` pessimistic
+    forever. Reported, never auto-pruned (r13 verdict #5)."""
     from accumulo_wikisearch_spark.operators.manifest import list_versions
 
     registered = _registered_consumers(spark, path)
@@ -1341,6 +1472,16 @@ def maintain_catalog(
         registered = register_consumer(
             spark, path, c["kind"], c["ref"], c.get("name")
         )
+    # sweep registry staging debris a crashed publish left behind (the
+    # hidden uuid names are invisible to every listing but accumulate
+    # forever otherwise — the compact_index ._staged_* sweep's twin).
+    # Deleting a CONCURRENT registrar's in-flight tmp is safe: its
+    # rename fails and the CAS loop re-stages.
+    fs, root_h, _ = _fs(spark, path)
+    if fs.exists(root_h):
+        for st in fs.listStatus(root_h):
+            if st.getPath().getName().startswith("._consumers_tmp_"):
+                fs.delete(st.getPath(), False)
     compacted = False
     pending = delta_batches(spark, path)
     if compact_min_files is not None and pending:
@@ -1356,6 +1497,47 @@ def maintain_catalog(
     headrooms = [
         r["headroom_rewrites"] for r in rows if r["headroom_rewrites"] is not None
     ]
+    # no-anchor aging (r13 verdict #5): count CONSECUTIVE reports a
+    # registered consumer has had no anchor (registered but never
+    # synced/constructed — or its anchor file was wiped). Rows past
+    # ``no_anchor_grace`` reports surface in ``stale_consumers`` so an
+    # operator can unregister_consumer the dead ones; they are NEVER
+    # pruned automatically (a stopped-but-coming-back consumer must
+    # keep its headroom accounting). The counter is persisted through
+    # the registry's CAS publish — one extra publish per report, and
+    # only when a counter actually changed.
+    def _ident(c: dict):
+        return (c.get("name"), c.get("kind"), str(c.get("ref")))
+
+    new_counts: dict = {}
+    for r in rows:
+        n = int(r.get("no_anchor_reports", 0))
+        n = n + 1 if r["status"] == "no-anchor" else 0
+        if n:
+            new_counts[_ident(r)] = n
+        r["no_anchor_reports"] = n
+    if new_counts != {
+        _ident(c): int(c.get("no_anchor_reports", 0))
+        for c in registered
+        if int(c.get("no_anchor_reports", 0))
+    }:
+
+        def _apply_counts(rs: list[dict]) -> list[dict]:
+            out = []
+            for c in rs:
+                c2 = {k: v for k, v in c.items() if k != "no_anchor_reports"}
+                n = new_counts.get(_ident(c), 0)
+                if n:
+                    c2["no_anchor_reports"] = n
+                out.append(c2)
+            return out
+
+        _publish_consumers(spark, path, _apply_counts)
+    stale = [
+        {k: r.get(k) for k in ("kind", "ref", "name") if r.get(k) is not None}
+        for r in rows
+        if r["no_anchor_reports"] >= no_anchor_grace
+    ]
     return {
         "compacted": compacted,
         "current_version": versions[-1] if versions else None,
@@ -1363,6 +1545,7 @@ def maintain_catalog(
         "pending_deltas": sorted(pending),
         "consumers": rows,
         "min_headroom_rewrites": min(headrooms) if headrooms else None,
+        "stale_consumers": stale,
     }
 
 
