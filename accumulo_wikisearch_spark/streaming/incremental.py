@@ -239,12 +239,26 @@ def stream_ingest(
 _SEEN_BATCH_RE = None  # compiled lazily (module keeps import cheap)
 _BATCHID_RE = None
 
-# last sweep's work counters, for the O(lag) pytest (test_cdc_props):
-# files_opened = source-log files actually read (files whose name-id is
-# ≤ the anchor's log_pos are skipped whole), entries_parsed = JSON
-# entries decoded (entries at batch ids ≤ log_pos are regex-skipped
-# inside compacted log files without a decode)
-_SWEEP_STATS = {"files_opened": 0, "entries_parsed": 0}
+# last sweep's work counters, for the O(lag) pytest
+# (test_cdc_guard_restart_sweep_is_o_lag): files_opened = source-log
+# files actually read (files whose name-id is ≤ the anchor's log_pos
+# are skipped whole), entries_parsed = JSON entries decoded (entries at
+# batch ids ≤ log_pos are regex-skipped inside compacted log files
+# without a decode). THREAD-LOCAL, not module-global: two tails
+# reconciling concurrently in one driver (each construction runs in its
+# caller's thread) must not interleave writes to shared counters (r13
+# verdict #7) — test-only instrumentation, zero effect on the guard.
+import threading as _threading
+
+_SWEEP_LOCAL = _threading.local()
+
+
+def _sweep_stats() -> dict:
+    """This thread's last-sweep work counters (reset per sweep)."""
+    d = getattr(_SWEEP_LOCAL, "stats", None)
+    if d is None:
+        d = _SWEEP_LOCAL.stats = {"files_opened": 0, "entries_parsed": 0}
+    return d
 
 
 def _seen_batches(
@@ -283,8 +297,9 @@ def _seen_batches(
             r"/deltas/([^/]+)/(?:documents|tombstones)/[^/]+$"
         )
         _BATCHID_RE = _re.compile(r'"batchId"\s*:\s*(-?\d+)')
-    _SWEEP_STATS["files_opened"] = 0
-    _SWEEP_STATS["entries_parsed"] = 0
+    stats = _sweep_stats()
+    stats["files_opened"] = 0
+    stats["entries_parsed"] = 0
     fs, _, jvm = _fs(spark, checkpoint)
     HPath = jvm.org.apache.hadoop.fs.Path
     committed = -1
@@ -309,7 +324,7 @@ def _seen_batches(
         base_id = name[: -len(".compact")] if name.endswith(".compact") else name
         if base_id.isdigit() and int(base_id) <= after_batch_id:
             continue
-        _SWEEP_STATS["files_opened"] += 1
+        stats["files_opened"] += 1
         stream = fs.open(p)
         try:
             data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
@@ -331,7 +346,7 @@ def _seen_batches(
                 e = _json.loads(line)
             except ValueError:
                 continue
-            _SWEEP_STATS["entries_parsed"] += 1
+            stats["entries_parsed"] += 1
             bid = int(e.get("batchId", -1))
             if bid > committed or bid <= after_batch_id:
                 continue
@@ -360,15 +375,20 @@ def _write_cdc_anchor(spark, checkpoint: str, body: dict) -> None:
     only then does the old final get swapped out; every crash point
     leaves either the old final, both (``.new`` newer), or ``.new``
     alone — :func:`_read_cdc_anchor` prefers ``.new``, so a complete
-    anchor state is always recoverable."""
+    anchor state is always recoverable. The staging name carries a
+    uuid so two concurrent constructions/reconciles of one checkpoint
+    cannot interleave create/rename on a shared staging path (r13
+    ADVICE; the fixed ``.new`` rename target stays safe — each rename
+    swaps in a COMPLETE staged state)."""
     import json as _json
+    import uuid as _uuid
 
     from accumulo_wikisearch_spark.operators.compaction import _fs
 
     fs, _, jvm = _fs(spark, checkpoint)
     HPath = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(HPath(checkpoint))
-    tmp = HPath(f"{checkpoint}/._cdc_anchor_tmp")
+    tmp = HPath(f"{checkpoint}/._cdc_anchor_tmp_{_uuid.uuid4().hex}")
     out = fs.create(tmp, True)
     out.write(bytearray(_json.dumps(body).encode()))
     out.close()

@@ -584,7 +584,7 @@ def test_cdc_guard_restart_sweep_is_o_lag(spark, tmp_path):
     for i in range(1, 15):
         flush(i)
         got = _run_tail(spark, path, cp)  # construction sweeps the log
-        parsed.append(incremental._SWEEP_STATS["entries_parsed"])
+        parsed.append(incremental._sweep_stats()["entries_parsed"])
         assert sorted(r["doc_id"] for r in got) == [i], f"cycle {i}"
         compact_index(spark, path, cfg)  # folds the consumed batch
     # history grows 14x; the per-construction sweep must not: each
