@@ -15,6 +15,14 @@ silently:
   unconsumed-on-disk batches, and its reconcile guard raises the
   fell-behind error exactly when the tail's model says consumed-state
   is unprovable (model shared with test_cdc_props);
+- the CDC DELETE tail (``stream_deletes``, its own checkpoint and so
+  its own reconcile anchor — the PIPELINE.md dual-tail mirror topology)
+  does the same for tombstone batches: the guard model is kind-
+  symmetric, so a second TailModel with the batch roles swapped (data
+  batches ride its irrelevant side) is exact. Cross-tail interleavings
+  — e.g. a doc batch's fold advancing the delete tail's owed map past
+  a tombstone batch it never saw — were unfuzzed before r14 (r13
+  verdict #4);
 - `sync_replica` leaves the replica facade equal to the brute-force
   live set, and raises the re-clone error exactly on a retained gap
   above its anchor;
@@ -52,7 +60,10 @@ from accumulo_wikisearch_spark.operators.replication import (
     clone_catalog,
     sync_replica,
 )
-from accumulo_wikisearch_spark.streaming.incremental import stream_changes
+from accumulo_wikisearch_spark.streaming.incremental import (
+    stream_changes,
+    stream_deletes,
+)
 
 CFG = EngineConfig(num_partitions=1, uid_max=4)
 SF = {"ID": "id", "TITLE": "title"}
@@ -63,6 +74,7 @@ op_st = st.one_of(
     st.tuples(st.just("tomb"), st.integers(2, 4)),
     st.tuples(st.just("compact"), st.sampled_from([2, 3])),
     st.tuples(st.just("drain"), st.just(0)),
+    st.tuples(st.just("drain_deletes"), st.just(0)),
     st.tuples(st.just("sync"), st.just(0)),
     st.tuples(st.just("check_changes"), st.just(0)),
     st.tuples(st.just("check_tt"), st.just(0)),
@@ -94,6 +106,13 @@ class Harness:
         self.tail = TailModel()
         self.n_cp = 0
         self.cp = f"{root}/cp0"
+        # --- CDC DELETE tail model: the same guard semantics with the
+        # batch kinds swapped (its "data" side is the tombstone batches;
+        # doc batches ride the irrelevant side). Own checkpoint = own
+        # reconcile anchor, the dual-tail mirror topology. ---
+        self.dtail = TailModel()
+        self.n_dcp = 0
+        self.dcp = f"{root}/dcp0"
         # --- replica model ---
         self.n_clone = 0
         self.dst = None
@@ -121,6 +140,7 @@ class Harness:
         self.pending_rows[b] = {r[0] for r in rows}
         self.live |= self.pending_rows[b]
         self.tail.pending_data.add(b)
+        self.dtail.pending_tomb.add(b)  # the delete tail's foreign kind
 
     def tomb(self, k):
         dead = sorted(i for i in self.live if i % k == 0)
@@ -136,6 +156,7 @@ class Harness:
         self.pending_tombs[b] = set(dead)
         self.live -= set(dead)
         self.tail.pending_tomb.add(b)
+        self.dtail.pending_data.add(b)  # the delete tail's OWN kind
 
     def compact(self, retain):
         compact_index(self.spark, self.src, CFG, retain_generations=retain)
@@ -149,6 +170,7 @@ class Harness:
         self.retained.append(v)
         del self.retained[:-retain]
         self.tail.compact(retain)
+        self.dtail.compact(retain)
 
     def _drain_tail(self):
         got: list = []
@@ -181,6 +203,41 @@ class Harness:
             delivered = self._drain_tail()
             assert delivered == self.tail.on_disk_data(), f"rebootstrap: {ops}"
             self.tail.consumed |= delivered
+
+    def _drain_delete_tail(self):
+        got: list = []
+        q = (
+            stream_deletes(self.spark, self.src, checkpoint=self.dcp)
+            .writeStream.foreachBatch(lambda df, _i: got.extend(df.collect()))
+            .option("checkpointLocation", self.dcp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["batch"] for r in got}
+
+    def drain_deletes(self, ops):
+        err = self.dtail.reconcile()
+        if err is None:
+            delivered = self._drain_delete_tail()
+            want = self.dtail.on_disk_data() - self.dtail.consumed
+            assert delivered == want, f"drain_deletes: {ops}"
+            self.dtail.consumed |= delivered
+        else:
+            with pytest.raises(
+                RuntimeError, match="fell behind the retention window"
+            ):
+                self._drain_delete_tail()
+            # documented remedy: fresh-checkpoint re-bootstrap (the
+            # mirror re-reads a snapshot for the missed delete effects)
+            self.n_dcp += 1
+            self.dcp = f"{self.root}/dcp{self.n_dcp}"
+            self.dtail.rebootstrap()
+            delivered = self._drain_delete_tail()
+            assert delivered == self.dtail.on_disk_data(), (
+                f"delete rebootstrap: {ops}"
+            )
+            self.dtail.consumed |= delivered
 
     def clone(self):
         self.n_clone += 1
@@ -241,6 +298,7 @@ class Harness:
             consumers=[
                 {"kind": "replica", "ref": self.dst, "name": "replica"},
                 {"kind": "cdc", "ref": self.cp, "name": "tail"},
+                {"kind": "cdc", "ref": self.dcp, "name": "dtail"},
             ],
         )
         assert rep["current_version"] == (self.version or None), f"maintain: {ops}"
@@ -256,13 +314,14 @@ class Harness:
         assert by["replica"]["headroom_rewrites"] == want_headroom(
             self.replica_anchor
         ), f"replica headroom: {ops}"
-        if self.tail.fresh:
-            assert by["tail"]["status"] == "no-anchor", f"tail status: {ops}"
-        else:
-            assert by["tail"]["status"] == "ok"
-            assert by["tail"]["headroom_rewrites"] == want_headroom(
-                self.tail.anchor
-            ), f"tail headroom: {ops}"
+        for nm, t in (("tail", self.tail), ("dtail", self.dtail)):
+            if t.fresh:
+                assert by[nm]["status"] == "no-anchor", f"{nm} status: {ops}"
+            else:
+                assert by[nm]["status"] == "ok"
+                assert by[nm]["headroom_rewrites"] == want_headroom(
+                    t.anchor
+                ), f"{nm} headroom: {ops}"
 
     def step(self, op, k, ops):
         if op == "flush":
@@ -273,6 +332,8 @@ class Harness:
             self.compact(k)
         elif op == "drain":
             self.drain(ops)
+        elif op == "drain_deletes":
+            self.drain_deletes(ops)
         elif op == "sync":
             self.sync(ops)
         elif op == "check_changes":
@@ -304,19 +365,25 @@ def test_seeded_long_schedule_all_consumers(spark):
     maintain report interleaved throughout."""
     import random
 
-    rng = random.Random(1309)
+    # seed picked by simulating the schedule against the pure-python
+    # models: it produces one doc-tail drought, TWO delete-tail
+    # droughts, and a replica re-clone in 44 steps
+    rng = random.Random(22)
     h = Harness(spark, tempfile.mkdtemp(prefix="wikisearch-uniseed-"))
     names = [
-        "flush", "tomb", "compact", "drain", "sync",
+        "flush", "tomb", "compact", "drain", "drain_deletes", "sync",
         "check_changes", "check_tt", "maintain",
     ]
-    weights = [4, 2, 6, 2, 2, 2, 1, 1]
-    raised_before = h.n_cp + h.n_clone
-    for step_i in range(40):
+    weights = [4, 2, 6, 2, 1, 2, 2, 1, 1]
+    for step_i in range(44):
         op = rng.choices(names, weights=weights)[0]
         k = {"flush": rng.randint(1, 2), "tomb": rng.randint(2, 4),
              "compact": rng.choice([2, 3])}.get(op, 0)
         h.step(op, k, f"seeded step {step_i}: {op}")
-    # the droughts actually happened: at least one consumer fell behind
-    # and recovered through its curated path
-    assert (h.n_cp + h.n_clone) > raised_before + 0, (h.n_cp, h.n_clone)
+    # the droughts actually happened: every consumer kind fell behind at
+    # least once and recovered through its curated path — INCLUDING the
+    # delete tail's guard raise + fresh-checkpoint re-bootstrap (r13
+    # verdict #4: the cross-tail interleavings were unfuzzed)
+    assert h.n_cp > 0, "documents tail never fell behind"
+    assert h.n_dcp > 0, "delete tail never fell behind"
+    assert h.n_clone > 1, "replica never needed a re-clone"
