@@ -1243,6 +1243,216 @@ def _cat_maintain_primary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.query("TEXT == 'dup'").select("doc_id")
 
 
+_REGISTRY_CATALOGS: dict[str, str] = {}
+
+
+def _cat_consumer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-registry lifecycle (r14, r13 verdict #5 + ADVICE): one
+    consumer is ONE row — upsert matches on (kind, ref) regardless of
+    names and on name (the old key accumulated duplicates when the same
+    consumer registered once named and once unnamed, double-counting it
+    in every headroom report); `unregister_consumer` retires rows; a
+    consumer stuck at status no-anchor for `no_anchor_grace` consecutive
+    maintain_catalog reports surfaces in `stale_consumers` (reported,
+    never auto-pruned); a crashed publish's staging debris neither
+    corrupts reads nor survives maintenance (the CAS publish keeps a
+    complete registry on disk at every crash point). All mechanics are
+    assert-checked in-entry (a violation errors the row); the final
+    facade query proves the catalog itself stayed intact. Oracle =
+    brute force over the even-id half corpus."""
+    import os
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import (
+        _registered_consumers,
+        maintain_catalog,
+        register_consumer,
+        unregister_consumer,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    path = _REGISTRY_CATALOGS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="wikisearch-registry-")
+        src = f"{tmp}/src"
+        write_index(
+            build_index(
+                load_articles(spark, sf_dir).where(F.col("id") % 2 == 0),
+                cfg,
+                SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            src,
+        )
+        # upsert: the same (kind, ref) registered unnamed then named is
+        # ONE row carrying the name
+        register_consumer(spark, src, "replica", f"{tmp}/replica")
+        rows = register_consumer(
+            spark, src, "replica", f"{tmp}/replica", name="dr"
+        )
+        assert len(rows) == 1 and rows[0].get("name") == "dr", rows
+        # ...and unregisters by (kind, ref) even though it is named now
+        rows = unregister_consumer(
+            spark, src, kind="replica", ref=f"{tmp}/replica"
+        )
+        assert rows == [], rows
+        # a named version tap re-binds its ref in place
+        register_consumer(spark, src, "version", 0, name="pin")
+        rows = register_consumer(spark, src, "version", 1, name="pin")
+        assert len(rows) == 1 and rows[0]["ref"] == 1, rows
+        # a cdc consumer that never constructs ages into stale_consumers
+        # after no_anchor_grace consecutive reports; crashed-publish
+        # staging debris is invisible to reads and swept by maintenance
+        register_consumer(spark, src, "cdc", f"{tmp}/cp-never", name="ghost")
+        open(f"{src}/._consumers_tmp_crashed", "w").write("{")
+        for i in range(3):
+            rep = maintain_catalog(spark, src, cfg, no_anchor_grace=3)
+            assert (rep["stale_consumers"] == []) == (i < 2), (i, rep)
+        assert [c["name"] for c in rep["stale_consumers"]] == ["ghost"], rep
+        assert len(rep["consumers"]) == 2, rep  # reported, never pruned
+        assert not os.path.exists(f"{src}/._consumers_tmp_crashed")
+        rows = unregister_consumer(spark, src, name="ghost")
+        assert [r.get("name") for r in rows] == ["pin"], rows
+        assert [
+            r.get("name") for r in _registered_consumers(spark, src)
+        ] == ["pin"]
+        path = _REGISTRY_CATALOGS[sf_dir] = src
+    eng = Wikisearch.open(spark, path, cfg)
+    return eng.query("TEXT == 'dup'").select("doc_id")
+
+
+_FOLDCOUNT_CATALOGS: dict[str, str] = {}
+
+
+def _cat_fold_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold-time file counts (r14, r13 verdict #2): compact_index
+    records each folded batch's per-table visible file counts in its
+    manifest, and the CDC reconcile guard judges consumption against
+    THOSE counts — exact even after retention deletes the batch dirs.
+    Lifecycle: a TWO-file data batch (decile 9) is HALF-consumed under
+    maxFilesPerTrigger=1 (injected mid-batch stop), completed by an
+    in-window restart, then folded together with a tombstone batch
+    (decile 3); the manifest must carry {f9: {documents: 2}} and
+    {fdel: {tombstones: n}}; two more compactions retire the fold and
+    the next guarded construction must PASS with its anchor advanced
+    through the retired version (fully-consumed proof from the
+    recorded counts, no dir probes) — all assert-checked in-entry. The
+    final facade query proves the maintenance itself: decile 9 folded
+    in, decile 3 deleted."""
+    import json as _json
+
+    from accumulo_wikisearch_spark.api import Wikisearch
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.compaction import (
+        _count_files,
+        compact_index,
+        write_delta,
+        write_tombstones,
+    )
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.operators.manifest import read_manifest
+    from accumulo_wikisearch_spark.sources.corpus import SCALAR_FIELDS, load_articles
+    from accumulo_wikisearch_spark.streaming.incremental import (
+        _read_cdc_anchor,
+        stream_changes,
+    )
+
+    tune_runtime(spark)
+    cfg = EngineConfig(unevaluated_fields=_FRESHNESS_CFG_FIELDS)
+    path = _FOLDCOUNT_CATALOGS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        arts = load_articles(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="wikisearch-foldcount-")
+        src = f"{tmp}/src"
+        write_index(
+            build_index(
+                arts.where(F.col("id") % 10 != 9), cfg, SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            src,
+        )
+        write_delta(
+            build_index(
+                arts.where(F.col("id") % 10 == 9).repartition(2),
+                cfg,
+                SCALAR_FIELDS,
+                unique_ids=True,
+            ),
+            src,
+            "f9",
+        )
+        assert _count_files(spark, f"{src}/deltas/f9/documents") == 2
+        cp = f"{tmp}/cp"
+
+        def drain(stop_after=None):
+            got: list = []
+            calls = [0]
+
+            def fb(df, _bid):
+                calls[0] += 1
+                if stop_after is not None and calls[0] > stop_after:
+                    raise RuntimeError("injected mid-batch stop")
+                got.extend(r["doc_id"] for r in df.collect())
+
+            q = (
+                stream_changes(
+                    spark, src, max_files_per_trigger=1, checkpoint=cp
+                )
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            except Exception as e:
+                if "injected mid-batch stop" not in str(e):
+                    raise
+            return got
+
+        nine = {
+            r["id"]
+            for r in arts.where(F.col("id") % 10 == 9).select("id").collect()
+        }
+        first = drain(stop_after=1)  # one committed file, then a crash
+        assert 0 < len(first) < len(nine), (len(first), len(nine))
+        rest = drain()  # in-window restart completes the batch
+        assert set(first + rest) == nine and not set(first) & set(rest)
+        write_tombstones(
+            arts.where(F.col("id") % 10 == 3).select(F.col("id").alias("doc_id")),
+            src,
+            "fdel",
+        )
+        n_tomb = _count_files(spark, f"{src}/deltas/fdel/tombstones")
+        compact_index(spark, src, cfg)  # v1 folds f9 + fdel
+        m = read_manifest(spark, src)
+        assert m["folded_files"] == {
+            "f9": {"documents": 2},
+            "fdel": {"tombstones": n_tomb},
+        }, m["folded_files"]
+        drain()  # construction observes v1; nothing new to deliver
+        compact_index(spark, src, cfg)  # v2
+        compact_index(spark, src, cfg)  # v3: retires v1 -> dirs gone
+        # the fold was fully consumed, so the restart passes and the
+        # anchor advances THROUGH the retired version on recorded counts
+        assert drain() == []
+        state = _read_cdc_anchor(spark, cp)
+        assert state["version"] == 3 and state["folds"] == {}, _json.dumps(
+            state
+        )
+        path = _FOLDCOUNT_CATALOGS[sf_dir] = src
+    eng = Wikisearch.open(spark, path, cfg)
+    return eng.query("TEXT == 'dup'").select("doc_id")
+
+
 def _ws_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqFieldNameValueIterator parity: distinct values in a range."""
     tune_runtime(spark)
@@ -1290,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cat_replica_query"] = _cat_replica_query
     out["cat_replica_sync"] = _cat_replica_sync
     out["cat_maintain_primary"] = _cat_maintain_primary
+    out["cat_consumer_registry"] = _cat_consumer_registry
+    out["cat_fold_file_counts"] = _cat_fold_file_counts
     for name, (jexl, _sql) in EV_QUERIES.items():
         out[name] = _ev_query(jexl)
     out["ev_written_and"] = _ev_written_and
@@ -1630,6 +1842,20 @@ SELECT term, field, n_docs::BIGINT AS n_docs FROM c WHERE n_docs > 0
     # and the tombstone batch (decile 3 gone); the headroom arithmetic
     # is assert-checked inside the entry (a violation errors the row)
     out["cat_maintain_primary"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
+        f"AND doc_id % 10 <> 3"
+    )
+    # registry lifecycle (upsert/unregister/no-anchor aging/CAS debris)
+    # is assert-checked inside the entry; the returned query proves the
+    # even-id half catalog survived the registry churn intact
+    out["cat_consumer_registry"] = (
+        f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
+        f"AND doc_id % 2 = 0"
+    )
+    # manifest fold-file-count record + guard anchor advance across a
+    # retired version are assert-checked in-entry; the final facade
+    # query proves the maintenance: decile 9 folded in, decile 3 deleted
+    out["cat_fold_file_counts"] = (
         f"SELECT doc_id FROM documents WHERE list_contains({TOK},'dup') "
         f"AND doc_id % 10 <> 3"
     )
