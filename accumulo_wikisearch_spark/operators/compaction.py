@@ -1170,14 +1170,22 @@ def _read_consumers_versioned(
 
     fs, _, jvm = _fs(spark, path)
     for _ in range(5):
+        names = _listing(spark, path)
         gens = [
-            int(m.group(1))
-            for n in _listing(spark, path)
-            if (m := _CONSUMERS_RE.match(n))
+            int(m.group(1)) for n in names if (m := _CONSUMERS_RE.match(n))
         ]
         if not gens:
             body = _open_json(fs, jvm, f"{path}/{_CONSUMERS_MARKER}")
-            return 0, list((body or {}).get("consumers", []))
+            if body is not None:
+                return 0, list(body.get("consumers", []))
+            if _CONSUMERS_MARKER not in names:
+                return 0, []  # genuinely empty registry
+            # the legacy file was in the listing but gone by the open:
+            # a concurrent publisher adopted it into generation 1 and
+            # pruned it between our two reads — re-list to find that
+            # generation instead of reporting an empty registry for
+            # the cycle (r14 review)
+            continue
         g = max(gens)
         body = _open_json(fs, jvm, f"{path}/_CONSUMERS.{g:06d}.json")
         if body is not None:
@@ -1209,9 +1217,17 @@ def _publish_consumers(spark: SparkSession, path: str, mutate) -> list[dict]:
 
     fs, _, jvm = _fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path
+    def _canon(rs: list[dict]) -> list[str]:
+        return sorted(_json.dumps(r, sort_keys=True) for r in rs)
+
     for _ in range(16):
         g, rows = _read_consumers_versioned(spark, path)
         new_rows = mutate(list(rows))
+        if _canon(new_rows) == _canon(rows):
+            # content no-op (the steady-state maintain_catalog
+            # consumers=[...] re-registration): don't burn a registry
+            # generation or widen the CAS window for real registrars
+            return new_rows
         tmp = HPath(f"{path}/._consumers_tmp_{_uuid.uuid4().hex}")
         out = fs.create(tmp, True)
         out.write(bytearray(_json.dumps({"consumers": new_rows}).encode()))
@@ -1297,6 +1313,21 @@ def register_consumer(
                 if _consumer_matches(c, kind, ref, None) and c.get("name"):
                     entry["name"] = c["name"]
                     break
+        # the upsert must carry the aging counter across: maintain's
+        # documented consumers=[...] idempotent re-registration would
+        # otherwise reset no_anchor_reports every report, so
+        # stale_consumers could never trip under the feature's primary
+        # usage (r14 review)
+        aged = max(
+            (
+                int(c.get("no_anchor_reports", 0))
+                for c in rows
+                if _consumer_matches(c, kind, ref, name)
+            ),
+            default=0,
+        )
+        if aged:
+            entry["no_anchor_reports"] = aged
         return [
             c for c in rows if not _consumer_matches(c, kind, ref, name)
         ] + [entry]

@@ -502,7 +502,11 @@ def reconcile_cdc_tail(
     retention from outrunning a hung consumer MID-run, it can only
     detect it at the next start. Size ``retain_generations`` to the
     slowest consumer's drain-and-restart cadence."""
-    from accumulo_wikisearch_spark.operators.compaction import _fs, raw_delta_names
+    from accumulo_wikisearch_spark.operators.compaction import (
+        _fs,
+        _visible_file_count,
+        raw_delta_names,
+    )
     from accumulo_wikisearch_spark.operators.replication import (
         _qualified,
         _source_manifests,
@@ -524,16 +528,12 @@ def reconcile_cdc_tail(
         """Visible file count of this tail's table dir in batch ``b`` —
         published dirs are immutable, so the count observed at ANY
         construction is the count forever. -1 = dir already gone (count
-        unknowable; degrade to name-level any-consumption semantics)."""
-        dfs, dh, _ = _fs(spark, f"{path}/deltas/{b}/{table}")
-        if not dfs.exists(dh):
-            return -1
-        n = 0
-        for st in dfs.listStatus(dh):
-            nm = st.getPath().getName()
-            if not nm.startswith(".") and not nm.startswith("_"):
-                n += 1  # the file source's own hidden-file rule
-        return n
+        unknowable; degrade to name-level any-consumption semantics).
+        Delegates to the ONE implementation of the file source's
+        hidden-file rule (``compaction._visible_file_count``) — the
+        same rule the fold records into the manifest, so recorded owed
+        counts and observed counts can never drift (r14 review)."""
+        return _visible_file_count(spark, f"{path}/deltas/{b}/{table}")
 
     def fold_count(ver: int, b: str) -> int:
         """Exact file count of batch ``b`` folded at ``ver``: prefer the

@@ -443,7 +443,15 @@ def main() -> None:
             shutil.rmtree(cdir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
-    detail_path = write_detail(times, lanes, total, sf)
+    try:
+        detail_path = write_detail(times, lanes, total, sf)
+    except OSError as e:
+        # the stdout artifact must survive a detail-write failure
+        # (read-only checkout, missing tools/) — the driver's tail
+        # capture is the round's headline record and losing it to a
+        # side-file error would recreate the r13 parsed:null failure
+        print(f"bench: detail write failed: {e}", file=sys.stderr)
+        detail_path = None
     print(final_line(times, lanes, total, sf, detail_path))
 
 
@@ -521,6 +529,8 @@ def final_line(times, lanes, total, sf, detail_path) -> str:
         "sf": sf,
         "detail": detail_path,
     }
+    if detail_path is None:
+        body.pop("detail")
     line = json.dumps(body)
     if len(line) > LINE_BUDGET:
         body.pop("floors")

@@ -119,3 +119,18 @@ def test_round_number_infers_from_bench_artifacts(monkeypatch):
     assert bench._round_number() == max(ns) + 1
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
     assert bench._round_number() == 7
+
+
+def test_final_line_omits_detail_when_write_failed():
+    # main() tolerates a failed detail write (read-only checkout,
+    # missing tools/) by passing detail_path=None — the stdout line
+    # must still emit, parseable, without a null "detail" key (r14
+    # review: losing the line to a side-file error would recreate the
+    # r13 parsed:null failure through the back door)
+    names = real_lane_names()
+    times, lanes = _fake_lanes(names)
+    line = bench.final_line(times, lanes, 888.888, 0.1, None)
+    parsed = json.loads(line)
+    assert "detail" not in parsed
+    assert parsed["value"] == 888.888
+    assert parsed["queries"] == times

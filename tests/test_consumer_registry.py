@@ -163,3 +163,83 @@ def test_maintain_reports_stale_no_anchor_consumers(spark, tmp_path):
     assert not any(
         c.get("no_anchor_reports") for c in _rows(spark, path)
     )
+
+
+def test_consumers_param_re_registration_preserves_aging(spark, tmp_path):
+    """The documented primary ops loop — maintain_catalog(path,
+    consumers=[...]) every cycle — re-registers each listed consumer
+    per report; the upsert must carry no_anchor_reports across or the
+    counter resets to 0 every call and stale_consumers can never trip
+    (r14 review)."""
+    path = str(tmp_path / "cat")
+    spec = [{"kind": "replica", "ref": str(tmp_path / "replica"), "name": "dr"}]
+    for i in range(2):
+        out = maintain_catalog(spark, path, consumers=spec, no_anchor_grace=3)
+        assert out["consumers"][0]["no_anchor_reports"] == i + 1
+        assert out["stale_consumers"] == []
+    out = maintain_catalog(spark, path, consumers=spec, no_anchor_grace=3)
+    assert out["consumers"][0]["no_anchor_reports"] == 3
+    assert out["stale_consumers"] == [spec[0]]
+
+
+def test_noop_re_registration_burns_no_generation(spark, tmp_path):
+    """A content-identical re-registration (the steady-state
+    consumers=[...] report) must not publish a new registry generation:
+    no generation-number churn, no widened CAS window, no extra FS
+    round-trips (r14 review)."""
+    path = str(tmp_path / "cat")
+    register_consumer(spark, path, "cdc", "/cp/tail", name="tail")
+    before = _gens(path)
+    rows = register_consumer(spark, path, "cdc", "/cp/tail", name="tail")
+    assert _gens(path) == before
+    assert rows == [{"kind": "cdc", "ref": "/cp/tail", "name": "tail"}]
+    # an unnamed re-registration of the same (kind, ref) keeps the name
+    # — also content-identical, also a no-op
+    register_consumer(spark, path, "cdc", "/cp/tail")
+    assert _gens(path) == before
+
+
+def test_registry_read_retries_when_legacy_upgrade_races(
+    spark, tmp_path, monkeypatch
+):
+    """Reader lists the registry (sees only the legacy unversioned
+    file), then a concurrent publisher adopts the legacy rows into
+    generation 1 and prunes the legacy file before the reader opens it.
+    The reader must re-list and return generation 1's rows — not report
+    an empty registry for the cycle, which would render a headroom
+    report with no consumers while one may be about to fall out of the
+    retention window (r14 review)."""
+    from accumulo_wikisearch_spark.operators import manifest as M
+
+    path = str(tmp_path / "cat")
+    os.makedirs(path)
+    legacy = {"consumers": [{"kind": "version", "ref": 2, "name": "pin"}]}
+    open(f"{path}/_CONSUMERS.json", "w").write(json.dumps(legacy))
+    real = M._open_json
+    hit = [0]
+
+    def racing(fs, jvm, p):
+        if p.endswith("/_CONSUMERS.json") and hit[0] == 0:
+            hit[0] = 1
+            os.remove(f"{path}/_CONSUMERS.json")
+            open(f"{path}/_CONSUMERS.000001.json", "w").write(
+                json.dumps(legacy)
+            )
+            return None
+        return real(fs, jvm, p)
+
+    monkeypatch.setattr(M, "_open_json", racing)
+    g, rows = C._read_consumers_versioned(spark, path)
+    assert hit[0] == 1
+    assert (g, rows) == (1, legacy["consumers"])
+
+
+def test_registry_read_empty_catalog_is_empty_not_retry_exhaustion(
+    spark, tmp_path
+):
+    """A catalog with no registry at all returns (0, []) immediately —
+    the race-retry branch must not turn 'genuinely empty' into five
+    futile re-listings or a RuntimeError."""
+    path = str(tmp_path / "cat")
+    os.makedirs(path)
+    assert C._read_consumers_versioned(spark, path) == (0, [])
