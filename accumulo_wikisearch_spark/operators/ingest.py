@@ -103,6 +103,16 @@ class WikisearchIndex:
     # see writes DURING ingest (README.md:206-219).
     merged_deltas: tuple | None = None
 
+    # True only for indexes whose global_index is the PRISTINE
+    # build_index derivation of field_index (no LSM merges folded in):
+    # persist() may then rebuild the global/reverse plans on top of the
+    # narrowed field_index cache so they materialize FROM it instead of
+    # re-deriving the union from the token cache. Merged views
+    # (_fold_deltas) keep False — merge_global_index's degradation is
+    # sticky, so a rebuild-from-fi could UN-degrade rows and change
+    # results.
+    _gi_from_fi: bool = False
+
     # merge-read views of a z catalog with pending deltas set this to
     # (z_base, flat_extra): the z-ordered base docs_wide WITH its physical
     # layout columns, and the unioned flat delta rows. The planner then
@@ -143,6 +153,37 @@ class WikisearchIndex:
         if not self._persisted:
             if self._tokenized is not None:
                 self._tokenized = self._tokenized.persist()
+            if serving_partitions is not None:
+                # field_index is a UNION of the scalar and TEXT branches —
+                # two build-width legs, no shuffle anywhere in its lineage,
+                # so AQE never coalesces it and every per-query leaf scan
+                # pays 2×build-width tasks (128 at local[32] over a few MB;
+                # measured ~45% of warm AND-query latency at sf0.1). One
+                # tiny exchange here narrows only the cached copy; the
+                # only-narrow gate makes this a no-op at real scale, where
+                # the data's own split count exceeds the serving cap —
+                # same posture as the docs_wide narrowing below.
+                fi_cur = (
+                    2 * current_partitions
+                    if current_partitions is not None
+                    else self.field_index.rdd.getNumPartitions()
+                )
+                if serving_partitions < fi_cur:
+                    self.field_index = self.field_index.repartition(
+                        serving_partitions
+                    )
+                    if self._gi_from_fi:
+                        # re-derive global/reverse over the narrowed plan
+                        # so their materialization cache-hits the narrowed
+                        # field_index instead of re-deriving the union
+                        # from the token cache (identical rows: same
+                        # derivation, repartition only moves them)
+                        self.global_index = _global_index_from_fi(
+                            self.field_index, self.config.uid_max
+                        )
+                        self.reverse_index = self.global_index.withColumn(
+                            "norm_value", F.reverse(F.col("norm_value"))
+                        )
             self.field_index = self.field_index.persist()
             self.global_index = self.global_index.persist()
             if serving_partitions is not None:
@@ -235,6 +276,35 @@ class WikisearchIndex:
         return self._indexed_cache
 
 
+def _global_index_from_fi(field_index: DataFrame, uid_max: int) -> DataFrame:
+    """Global index from a field_index: two-tier uid degradation (A1,
+    GlobalIndexUidCombiner.java:38-96). The window is ranked on the same
+    keys as the groupBy, so the sort/shuffle is reused (one exchange) and
+    no executor ever materializes more than uid_max+1 uids per group."""
+    gi_keys = ["norm_value", "field", "partition_id", "language"]
+    w = Window.partitionBy(*gi_keys).orderBy("doc_id")
+    ranked = field_index.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(*gi_keys)
+        .agg(
+            F.count("*").alias("count"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= uid_max, F.col("doc_id").cast("string"))
+                )
+            ).alias("_uids"),
+        )
+        .select(
+            *gi_keys,
+            "count",
+            F.when(F.col("count") > uid_max, F.array().cast("array<string>"))
+            .otherwise(F.col("_uids"))
+            .alias("uids"),
+            (F.col("count") > uid_max).alias("ignore"),
+        )
+    )
+
+
 def build_index(
     articles: DataFrame,
     config: EngineConfig | None = None,
@@ -313,28 +383,7 @@ def build_index(
         field_index = field_index.distinct()
 
     # --- global index with two-tier degradation (A1) -----------------------
-    gi_keys = ["norm_value", "field", "partition_id", "language"]
-    w = Window.partitionBy(*gi_keys).orderBy("doc_id")
-    ranked = field_index.withColumn("rn", F.row_number().over(w))
-    global_index = (
-        ranked.groupBy(*gi_keys)
-        .agg(
-            F.count("*").alias("count"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("rn") <= config.uid_max, F.col("doc_id").cast("string"))
-                )
-            ).alias("_uids"),
-        )
-        .select(
-            *gi_keys,
-            "count",
-            F.when(F.col("count") > config.uid_max, F.array().cast("array<string>"))
-            .otherwise(F.col("_uids"))
-            .alias("uids"),
-            (F.col("count") > config.uid_max).alias("ignore"),
-        )
-    )
+    global_index = _global_index_from_fi(field_index, config.uid_max)
 
     # --- reverse index (leading wildcards, WikipediaMapper.java:193-197) ---
     reverse_index = global_index.withColumn("norm_value", F.reverse(F.col("norm_value")))
@@ -477,6 +526,7 @@ def build_index(
         docs_wide=docs_wide,
         documents=documents,
         _tokenized=tokenized,
+        _gi_from_fi=True,
     )
 
 

@@ -24,6 +24,18 @@ def get_spark(app: str = "accumulo-wikisearch-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce the partitioning of CACHED plans too (off by
+        # default): the global/term index caches are built behind a
+        # shuffle sized by spark.sql.shuffle.partitions, and without this
+        # every per-query scan of them pays one task per shuffle
+        # partition regardless of data size (32 tasks over a few MB
+        # locally; 200+ tiny cached partitions on a cluster default).
+        # Scale-adaptive by construction — AQE targets
+        # advisoryPartitionSizeInBytes, so big caches keep their width.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python call-site capture for error enrichment costs ~2 py4j
         # round-trips per DataFrame API call (~6 ms each measured); plan
@@ -68,6 +80,15 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         pass
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    try:
+        # cached-plan AQE coalescing (see get_spark) — runtime-settable;
+        # a host that disallows it just keeps the wider cached layout
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     except Exception:
         pass
     try:
