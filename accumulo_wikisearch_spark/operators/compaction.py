@@ -34,6 +34,7 @@ the same code runs on HDFS/S3 on a real cluster and on local disk in tests.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -375,27 +376,54 @@ def load_index_with_deltas(
     double-count TOCTOU (the unrecorded batch would merge-read on top of
     a base that already contains it)."""
     config = config or EngineConfig()
-    index = load_index(spark, path, config)
     if batches is None:
         batches = delta_batches(spark, path)
     if not batches:
-        return index
-    rd = spark.read.parquet
+        return load_index(spark, path, config)
+
+    # ONE listStatus per batch dir tells us which flush tables exist —
+    # the old shape probed every (batch, table) pair individually
+    # (batches × 9 Path+FileSystem existence round-trips) and built a
+    # throwaway parquet read just to test whether ANY delta table
+    # existed. The listing also keys the parallel reads below.
+    present: dict[str, list[str]] = {}
+    for b in batches:
+        fs, hpath, _ = _fs(spark, f"{path}/deltas/{b}")
+        if not fs.exists(hpath):
+            continue
+        for st in fs.listStatus(hpath):
+            nm = st.getPath().getName()
+            present.setdefault(nm, []).append(f"{path}/deltas/{b}/{nm}")
+
+    index = load_index(spark, path, config)
+    stack_names = [n for n in _ALL_TABLES if n in present]
+    stacks: dict[str, DataFrame] = {}
+    if stack_names:
+        # open every stacked delta table concurrently — same rationale
+        # as ingest._read_tables: each open is a blocking footer/schema
+        # read, independent per table
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _open(name: str):
+            return name, spark.read.parquet(*present[name])
+
+        with ThreadPoolExecutor(max_workers=len(stack_names)) as ex:
+            stacks = dict(ex.map(_open, stack_names))
 
     def stacked(name: str) -> DataFrame | None:
-        # a delete-only batch has just a tombstones table — skip absent dirs
-        paths = []
-        for b in batches:
-            fs, hpath, _ = _fs(spark, f"{path}/deltas/{b}/{name}")
-            if fs.exists(hpath):
-                paths.append(f"{path}/deltas/{b}/{name}")
-        return rd(*paths) if paths else None
+        # a delete-only batch has just a tombstones table — absent dirs
+        # simply have no entry
+        return stacks.get(name)
 
-    if all(stacked(name) is None for name in _ALL_TABLES):
+    if not stacks:
         merged = index
     else:
         merged = _fold_deltas(index, stacked, config)
-    tombs = _stacked_tombstones(spark, path, batches)
+    tombs = (
+        spark.read.parquet(*present["tombstones"]).select("doc_id").distinct()
+        if "tombstones" in present
+        else None
+    )
     out = apply_tombstones(merged, tombs) if tombs is not None else merged
     # record WHICH pending batches this view folded: the facade's
     # freshness probe compares it against the live pending set per query
@@ -628,6 +656,26 @@ def compact_index(
 
 
 def _count_files(spark: SparkSession, path: str) -> int:
+    # Local fast path: the Hadoop recursive iterator costs ~3 py4j
+    # round-trips PER FILE (hasNext/next/getName), which made the two
+    # catalog-wide counts in compact_index cost ~1 s of pure driver
+    # socket wait at a few hundred part files (measured r14). One
+    # os.walk is a single process-local traversal of the same dirs.
+    # Non-local schemes (s3/hdfs) keep the iterator: there the listing
+    # is one bulk LIST per dir server-side, and os.walk cannot see it.
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        local = u.path if u.scheme == "file" else path
+        if not os.path.exists(local):
+            return 0
+        return sum(
+            1
+            for _dp, _dns, fns in os.walk(local)
+            for f in fns
+            if f.startswith("part-")
+        )
     fs, hpath, _ = _fs(spark, path)
     if not fs.exists(hpath):
         return 0

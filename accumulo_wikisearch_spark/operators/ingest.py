@@ -624,7 +624,12 @@ def write_index(index: WikisearchIndex, path: str, zorder=None) -> None:
         ),
     ]
     try:
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        # one thread per table: the serial cost of a small write is its
+        # DRIVER-side planning/commit, and 4 workers left the 8 writes
+        # paying two planning waves (measured ~0.4 s of the compaction
+        # lane at sf0.1); on a cluster FIFO scheduling backfills the
+        # extra in-flight jobs into idle executors (guide §2.6)
+        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
             list(ex.map(lambda w: w(), writes))
     finally:
         if tok is not None and not tok_was_cached:
@@ -714,6 +719,37 @@ def load_index_bucketed(
     )
 
 
+#: table dirs a catalog load opens — read order is irrelevant (independent
+#: paths), so loads fan the footer/schema reads out over a thread pool
+_CATALOG_TABLES = (
+    "doc_fields",
+    "field_index",
+    "global_index",
+    "reverse_index",
+    "metadata",
+    "term_index",
+    "docs_wide",
+    "documents",
+)
+
+
+def _read_tables(spark: SparkSession, root: str) -> dict[str, DataFrame]:
+    """Open every catalog table under ``root`` CONCURRENTLY. Each
+    ``spark.read.parquet`` pays a blocking file-listing + footer
+    schema-read round-trip (~50-100 ms locally, more on object stores);
+    eight sequential opens made catalog load latency-bound on pure
+    metadata I/O (measured ~40% of load_index_with_deltas at sf0.1).
+    Threads each take their own DataFrameReader; plan construction is
+    independent per table."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def rd(name: str):
+        return name, spark.read.parquet(f"{root}/{name}")
+
+    with ThreadPoolExecutor(max_workers=len(_CATALOG_TABLES)) as ex:
+        return dict(ex.map(rd, _CATALOG_TABLES))
+
+
 def load_index(
     spark: SparkSession,
     path: str,
@@ -746,17 +782,17 @@ def load_index(
         m = read_manifest_at(spark, path, at_version)
         root, version = f"{path}/{m['generation']}", int(m["version"])
         zl = load_zlayout(spark, f"{root}/docs_wide")
-        rd = spark.read.parquet
+        t = _read_tables(spark, root)
         return WikisearchIndex(
             config=config,
-            doc_fields=rd(f"{root}/doc_fields"),
-            field_index=rd(f"{root}/field_index"),
-            global_index=rd(f"{root}/global_index"),
-            reverse_index=rd(f"{root}/reverse_index"),
-            metadata=rd(f"{root}/metadata"),
-            term_index=rd(f"{root}/term_index"),
-            docs_wide=rd(f"{root}/docs_wide"),
-            documents=rd(f"{root}/documents"),
+            doc_fields=t["doc_fields"],
+            field_index=t["field_index"],
+            global_index=t["global_index"],
+            reverse_index=t["reverse_index"],
+            metadata=t["metadata"],
+            term_index=t["term_index"],
+            docs_wide=t["docs_wide"],
+            documents=t["documents"],
             # zlayout_path stays None: the generation is immutable, so
             # load-time prune parameters are valid for the snapshot's
             # whole lifetime — no per-query sidecar re-read
@@ -774,17 +810,17 @@ def load_index(
     # flat legacy layout (root == path, version None)
     root, version = resolve_root(spark, path)
     zl = load_zlayout(spark, f"{root}/docs_wide")
-    rd = spark.read.parquet
+    t = _read_tables(spark, root)
     return WikisearchIndex(
         config=config,
-        doc_fields=rd(f"{root}/doc_fields"),
-        field_index=rd(f"{root}/field_index"),
-        global_index=rd(f"{root}/global_index"),
-        reverse_index=rd(f"{root}/reverse_index"),
-        metadata=rd(f"{root}/metadata"),
-        term_index=rd(f"{root}/term_index"),
-        docs_wide=rd(f"{root}/docs_wide"),
-        documents=rd(f"{root}/documents"),
+        doc_fields=t["doc_fields"],
+        field_index=t["field_index"],
+        global_index=t["global_index"],
+        reverse_index=t["reverse_index"],
+        metadata=t["metadata"],
+        term_index=t["term_index"],
+        docs_wide=t["docs_wide"],
+        documents=t["documents"],
         # a z-ordered store self-describes via _ZLAYOUT.json; the planner
         # then box-prunes docs_wide scans (layout.zprune_docs), re-reading
         # the sidecar per query via zlayout_path (flat stores skip both)
