@@ -625,6 +625,63 @@ class Planner:
         infos = self.eq_term_info(tree, auths)
         return self._build(tree, auths, infos)
 
+    # -- grouped eq-conjunct scan (one pass + one aggregation) --------------
+    def _grouped_eq_candidates(
+        self, units: list[tuple], auths: list[str] | None, keys
+    ) -> DataFrame:
+        """≥2 scan-tier eq conjuncts of an AND collapse into ONE
+        field_index pass: filter to the union of their (field, value)
+        pairs (per-field IN lists — parquet-pushable), tag each posting
+        row with the bitmask of the conjunct units its pair satisfies,
+        and keep doc keys whose bit_or over rows is complete. Replaces k
+        leaf scans + (k-1) semi-join exchanges with one scan + one
+        partially-aggregated exchange of posting KEYS (~20 bytes/row) —
+        the AndIterator leapfrog as a single grouped pass. bit_or is
+        idempotent, so duplicate posting rows (multi-valued fields,
+        merged deltas) cannot over-count, and a pair shared by several
+        units carries the OR of their bits. On the bucketed at-rest
+        layout the groupBy keys equal the bucket keys, so the
+        aggregation plans with no exchange at all.
+
+        A unit is a tuple of eq leaves: a single leaf (the bit requires
+        its pair) or the members of an all-eq IxOr (any member's pair
+        sets the bit — any-match)."""
+        fi = self.index.field_index
+        pair_mask: dict[tuple[str, str], int] = {}
+        for j, unit in enumerate(units):
+            for leaf in unit:
+                k = (leaf.field, leaf.value)
+                pair_mask[k] = pair_mask.get(k, 0) | (1 << j)
+        by_field: dict[str, list[str]] = {}
+        for f, v in pair_mask:
+            by_field.setdefault(f, []).append(v)
+        cond = None
+        for f in sorted(by_field):
+            c = (F.col("field") == f) & F.col("norm_value").isin(
+                *sorted(by_field[f])
+            )
+            cond = c if cond is None else cond | c
+        if auths:
+            cond = cond & F.col("language").isin(*auths)
+        scan = fi.where(cond)
+        if keys is not None:
+            # exact-tier intersection pushed INTO the one scan (same
+            # superset-filter role it plays on the chain's first leaf)
+            scan = scan.where(_keys_filter(keys))
+        mask = None
+        for (f, v), m in sorted(pair_mask.items()):
+            c = (F.col("field") == f) & (F.col("norm_value") == v)
+            mask = F.when(c, F.lit(m)) if mask is None else mask.when(c, F.lit(m))
+        mask = mask.otherwise(F.lit(0)).cast("long")
+        need = (1 << len(units)) - 1
+        return (
+            scan.select(*_POSTING_KEY, mask.alias("_m"))
+            .groupBy(*_POSTING_KEY)
+            .agg(F.bit_or("_m").alias("_m"))
+            .where(F.col("_m") == F.lit(need))
+            .select(*_POSTING_KEY)
+        )
+
     def _empty_postings(self) -> DataFrame:
         return self.index.field_index.where(F.lit(False)).select(*_POSTING_KEY)
 
@@ -680,20 +737,40 @@ class Planner:
                 self.index.field_index.sparkSession, sorted(keys)
             )
         else:
-            # cheapest scan conjunct first (RangeCalculator.java:784-843);
-            # the driver-exact intersection pushes INTO that scan as a
-            # filter, so the exact terms cost no join at all — the AND
-            # collapses into the leaf scan (doc-range semantics, O4)
-            scan_children.sort(key=lambda c: self._est(c, infos))
-            est0 = self._est(scan_children[0], infos)
-            out = self._build(scan_children[0], auths, infos)
+            # ≥2 scan-tier eq conjuncts (incl. all-eq OR conjuncts)
+            # collapse into one grouped field_index pass; anything left
+            # (range/regex leaves, deeper subtrees) joins onto it.
+            units, rest = _grouped_units(scan_children)
+            grouped = None
+            if 2 <= len(units) <= _GROUPED_MAX_UNITS:
+                grouped = self._grouped_eq_candidates(units, auths, keys)
+                # the intersection is at most as large as its rarest unit
+                # (an OR unit's est = sum of member counts, like _est)
+                est_g = min(
+                    sum(self._est(leaf, infos) for leaf in u) for u in units
+                )
+                if keys is not None:
+                    est_g = min(est_g, len(keys))
+                    keys = None  # consumed: pushed into the grouped scan
+            if grouped is not None:
+                est0, out = est_g, grouped
+                chain = sorted(rest, key=lambda c: self._est(c, infos))
+            else:
+                # cheapest scan conjunct first (RangeCalculator.java:784-843);
+                # the driver-exact intersection pushes INTO that scan as a
+                # filter, so the exact terms cost no join at all — the AND
+                # collapses into the leaf scan (doc-range semantics, O4)
+                scan_children.sort(key=lambda c: self._est(c, infos))
+                est0 = self._est(scan_children[0], infos)
+                out = self._build(scan_children[0], auths, infos)
+                chain = scan_children[1:]
             if keys is not None:
                 out = out.where(_keys_filter(keys))
                 est0 = min(est0, len(keys))
             small = est0 <= self.index.config.broadcast_postings_max
             if small:
                 out = F.broadcast(out)
-            for c in scan_children[1:]:
+            for c in chain:
                 out = self._build(c, auths, infos).join(
                     out, list(_POSTING_KEY), "left_semi"
                 )
@@ -713,6 +790,31 @@ class Planner:
 
 def _is_neg(n) -> bool:
     return isinstance(n, IxLeaf) and n.negated
+
+
+#: bitmask width cap for the grouped eq-conjunct pass (long = 63 usable
+#: bits; queries with more conjuncts fall back to the semi-join chain)
+_GROUPED_MAX_UNITS = 60
+
+
+def _grouped_units(children: list) -> tuple[list[tuple], list]:
+    """Split an AND's scan-tier children into groupable units and the
+    rest. A unit is a positive eq leaf, or an IxOr whose children are ALL
+    positive eq leaves (its bit is any-match over the member pairs).
+    Range/regex leaves and deeper subtrees stay on the join chain."""
+    units: list[tuple] = []
+    rest: list = []
+    for c in children:
+        if isinstance(c, IxLeaf) and c.kind == "eq" and not c.negated:
+            units.append((c,))
+        elif isinstance(c, IxOr) and all(
+            isinstance(k, IxLeaf) and k.kind == "eq" and not k.negated
+            for k in c.children
+        ):
+            units.append(tuple(c.children))
+        else:
+            rest.append(c)
+    return units, rest
 
 
 # ---------------------------------------------------------------------------

@@ -39,12 +39,16 @@ def scan_engine(spark, sf_dir):
     )
 
 
-def test_and_query_is_broadcast_semi_chain(scan_engine):
+def test_and_query_is_grouped_scan_plus_doc_fetch(scan_engine):
     plan = _formatted(
         scan_engine.query("TEXT == 'key' and TEXT == 'vector' and TEXT == 'the'")
     )
-    # three-term AND = ≥3 left-semi joins (2 intersects + doc fetch), all broadcast
-    assert plan.count("BroadcastHashJoin LeftSemi") >= 3
+    # three scan-tier eq conjuncts collapse into ONE grouped field_index
+    # pass (bit_or mask aggregation) + the final broadcast doc fetch —
+    # NOT a per-term semi-join chain (r14: replaces k scans + k-1 join
+    # exchanges with one scan + one partial-aggregated exchange)
+    assert "bit_or" in plan
+    assert plan.count("BroadcastHashJoin LeftSemi") == 1
     assert "SortMergeJoin" not in plan
 
 

@@ -194,6 +194,48 @@ def test_multivalue_any_match_semantics(spark):
     assert ids(eng.query("not (TITLE == 'v1')")) == [1, 2]
 
 
+def test_grouped_eq_mask_semantics(spark):
+    """r14 grouped eq-conjunct pass edge cases: a conjunct repeated
+    verbatim, a (field, value) pair shared between a leaf unit and an
+    OR unit (its row must set BOTH bits), and multi-valued docs whose
+    duplicate posting rows must not over-count (bit_or idempotence).
+    exact_uid_total_max=0 forces the scan tier, so the grouped pass
+    (not the driver doc-range path) is what answers."""
+    rows = [
+        (1, "enwiki", "alpha beta", "t"),
+        (2, "enwiki", "alpha", "t"),
+        (3, "enwiki", "beta gamma", "t"),
+        (4, "enwiki", "alpha beta gamma", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, language string, text string, title string"
+    )
+    eng = Wikisearch(
+        __import__(
+            "accumulo_wikisearch_spark.operators.ingest", fromlist=["build_index"]
+        ).build_index(
+            df,
+            EngineConfig(num_partitions=1, exact_uid_total_max=0),
+            {"ID": "id", "TITLE": "title"},
+        )
+    )
+    ids = lambda d: sorted(r["doc_id"] for r in d.collect())
+    for jexl, want in [
+        # repeated conjunct: each repeat gets its own bit, the shared
+        # pair's mask covers both — NOT an unsatisfiable mask
+        ("TEXT == 'alpha' and TEXT == 'alpha'", [1, 2, 4]),
+        # leaf unit + OR unit sharing the 'alpha' pair
+        ("TEXT == 'alpha' and (TEXT == 'alpha' or TEXT == 'gamma')", [1, 2, 4]),
+        # plain grouped AND + OR unit any-match
+        ("TEXT == 'alpha' and (TEXT == 'beta' or TEXT == 'gamma')", [1, 4]),
+        ("TEXT == 'alpha' and TEXT == 'beta' and TEXT == 'gamma'", [4]),
+    ]:
+        got = ids(eng.query(jexl))
+        assert got == want, (jexl, got, want)
+        full = ids(eng.query(jexl, force_path="fullscan"))
+        assert got == full, (jexl, got, full)
+
+
 def test_language_qualified_candidates_no_cross_language_leak(spark):
     """Same doc id in two languages (same partition, since partition = id%N):
     an unevaluated-field predicate proved by the index for one language must
