@@ -571,36 +571,52 @@ class Wikisearch:
         ``TextIndexCombiner.java:40-106``); our term_index carries the same
         offsets as a column.
 
-        Plan: per-term posting fetch with the term literal pushed to the
-        scan, folded left with (partition_id, language, doc_id)-keyed joins
-        — the AndIterator intersection plus position arithmetic. ``o``
-        tracks surviving phrase-start offsets; selective terms keep the
-        join broadcast-able. Returns (doc_id, n_matches).
-        """
+        Plan (r14): ONE term_index scan filtered to the phrase's distinct
+        terms (per-term IN list — parquet-pushable), grouped per doc into
+        a term→offsets map, then the positional intersection evaluated
+        row-locally over that map — the AndIterator intersection plus
+        position arithmetic as a single grouped pass, replacing k pushed
+        leaf scans + (k-1) keyed joins with one scan + one aggregation
+        (same restructure as the planner's grouped eq-conjunct pass).
+        (doc, term) posting rows are unique by construction, so the group
+        row count IS the distinct-matched-term count. Returns
+        (doc_id, n_matches)."""
         ts = [normalize_str(t) for t in terms]
+        uts = sorted(set(ts))
         keys = ["partition_id", "language", "doc_id"]
         ti = self._snapshot()[0].term_index
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
-        cur = ti.where(F.col("norm_value") == ts[0]).select(
-            *keys, F.col("offsets").alias("o")
+        g = (
+            ti.where(F.col("norm_value").isin(*uts))
+            .groupBy(*keys)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("norm_value", "offsets"))
+                ).alias("_om"),
+                F.count("*").alias("_nt"),
+            )
+            .where(F.col("_nt") == len(uts))
         )
-        def _survives(shift: int):
-            # single-parameter lambda: a second parameter (even a default)
-            # would make PySpark pass the ARRAY INDEX into it
-            return lambda s: F.array_contains(F.col("o2"), s + F.lit(shift))
 
-        for i, t in enumerate(ts[1:], start=1):
-            nxt = ti.where(F.col("norm_value") == t).select(
-                *keys, F.col("offsets").alias("o2")
-            )
-            cur = (
-                cur.join(nxt, keys)
-                .withColumn("o", F.filter("o", _survives(i)))
-                .where(F.size("o") > 0)
-                .drop("o2")
-            )
-        return cur.select("doc_id", F.size("o").cast("long").alias("n_matches"))
+        def _alive(s):
+            # phrase-start offset s survives iff every later term has an
+            # occurrence at s + its position (single-parameter lambda: a
+            # second parameter would make PySpark pass the ARRAY INDEX)
+            cond = None
+            for i in range(1, len(ts)):
+                c = F.array_contains(F.col("_om")[ts[i]], s + F.lit(i))
+                cond = c if cond is None else cond & c
+            return cond
+
+        o = F.col("_om")[ts[0]]
+        if len(ts) > 1:
+            o = F.filter(o, _alive)
+        return (
+            g.withColumn("o", o)
+            .where(F.size("o") > 0)
+            .select("doc_id", F.size("o").cast("long").alias("n_matches"))
+        )
 
     def sql(self, query: str, auths: list[str] | None = None) -> DataFrame:
         """``spark.sql`` over the catalog with ``TEXT_MATCH('<jexl>')``
