@@ -682,6 +682,29 @@ class Wikisearch:
             F.col("norm_value").alias("term"), "field"
         ).agg(F.sum("count").alias("n_docs"))
 
+    def _text_df_map(self, index, card_cache, ts: list[str]) -> Column:
+        """term→document-frequency map literal for ranked search: df per
+        TEXT term resolved through the planner's TermInfo cache (the same
+        global-index counts boolean planning batches and caches — O3), so
+        a warm ranked query runs ZERO metadata jobs where it used to pay a
+        ≤|terms|-row aggregate + broadcast build per call. df is summed
+        over all partitions AND languages (auths never filtered the df
+        side — idf is a corpus-wide statistic), which is exactly
+        TermInfo.count under the no-auths context."""
+        from accumulo_wikisearch_spark.plans.planner import IxAnd, IxLeaf, Planner
+
+        planner = Planner(index, self.multi_value_fields, card_cache)
+        infos = planner.eq_term_info(
+            IxAnd(tuple(IxLeaf("TEXT", "eq", value=t) for t in ts)), None
+        )
+        return F.create_map(
+            *[
+                x
+                for t in ts
+                for x in (F.lit(t), F.lit(infos[("TEXT", t)].count).cast("long"))
+            ]
+        )
+
     def scored_search_tfidf(
         self, terms: list[str], auths: list[str] | None = None, limit: int | None = None
     ) -> DataFrame:
@@ -692,24 +715,22 @@ class Wikisearch:
 
         df_t comes from the global index (posting counts summed over
         partitions — the cardinalities the planner already uses, O3), N from
-        the cached corpus count; both sides of the plan are a broadcast join
-        against the per-term scan of the TermWeight index."""
+        the cached corpus count. r14: df enters the plan as a term→df map
+        LITERAL resolved through the planner's TermInfo cache (one batched
+        tiny collect on first use, shared with boolean-query planning)
+        instead of a per-query broadcast join — the ≤|terms|-row aggregate
+        job and the join node both disappear from every warm query."""
         ts = sorted({normalize_str(t) for t in terms})
-        index = self._snapshot()[0]
+        index, card_cache = self._snapshot()
         n_total = index.doc_count()
         ti = index.term_index.where(F.col("norm_value").isin(*ts))
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
-        df_tbl = (
-            index.global_index.where(
-                (F.col("field") == "TEXT") & F.col("norm_value").isin(*ts)
-            )
-            .groupBy("norm_value")
-            .agg(F.sum("count").alias("df"))
-        )
-        scored = ti.join(F.broadcast(df_tbl), "norm_value").withColumn(
+        scored = ti.withColumn(
+            "_df", self._text_df_map(index, card_cache, ts)[F.col("norm_value")]
+        ).withColumn(
             "w",
-            F.expr(f"(occurrences * {(n_total + 1) * 1000}L) div (df + 1)"),
+            F.expr(f"(occurrences * {(n_total + 1) * 1000}L) div (_df + 1)"),
         )
         g = (
             scored.groupBy("partition_id", "language", "doc_id")
@@ -746,29 +767,26 @@ class Wikisearch:
 
         Plan: ONE scan of the TermWeight index for the query terms (doc
         lengths ride on the posting rows — the index's doc-length sidecar),
-        one broadcast of the ≤|terms| df rows, one groupBy on doc. The AND
-        is the n-distinct-terms filter on the same aggregation."""
+        one groupBy on doc. The AND is the n-distinct-terms filter on the
+        same aggregation. r14: df enters as a term→df map literal from the
+        planner's TermInfo cache (see scored_search_tfidf) — no per-query
+        broadcast-join job."""
         ts = sorted({normalize_str(t) for t in terms})
-        index = self._snapshot()[0]
+        index, card_cache = self._snapshot()
         n_total = index.doc_count()
         a_total = index.token_count()
         keys = ["partition_id", "language", "doc_id"]
         ti = index.term_index.where(F.col("norm_value").isin(*ts))
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
-        df_tbl = (
-            index.global_index.where(
-                (F.col("field") == "TEXT") & F.col("norm_value").isin(*ts)
-            )
-            .groupBy("norm_value")
-            .agg(F.sum("count").alias("df"))
-        )
         c1 = 2200 * (n_total + 1) * a_total
-        scored = ti.join(F.broadcast(df_tbl), "norm_value").withColumn(
+        scored = ti.withColumn(
+            "_df", self._text_df_map(index, card_cache, ts)[F.col("norm_value")]
+        ).withColumn(
             "w",
             F.expr(
                 f"({c1}L * occurrences) div "
-                f"((df + 1) * ({10 * a_total}L * occurrences"
+                f"((_df + 1) * ({10 * a_total}L * occurrences"
                 f" + {3 * a_total}L + {9 * n_total}L * doc_len))"
             ),
         )

@@ -295,11 +295,12 @@ def test_token_rarity_skew_safe_shape(spark, sf_dir):
 
 def test_bm25_is_single_scan_single_shuffle(engine):
     plan = _formatted(engine.scored_search_bm25(["dup", "key"]))
-    # one posting scan + broadcast df join + one groupBy: doc lengths ride on
-    # the posting rows, so there is no second aggregation or semi-join
-    assert "BroadcastHashJoin" in plan
-    assert "LeftSemi" not in plan
-    assert "SortMergeJoin" not in plan
+    # one posting scan + one groupBy, NO joins: doc lengths ride on the
+    # posting rows and df enters as a term→df map literal from the
+    # planner's TermInfo cache (r14) — the per-query broadcast df join
+    # and its build job are gone
+    assert "Join" not in plan
+    assert "map(keys: [dup,key]" in plan  # df as a literal map lookup
 
 
 def test_more_like_this_broadcasts_seed_and_top_terms(engine):
