@@ -820,25 +820,60 @@ class Wikisearch:
         join is the classic more-like-this construction (Lucene's MLT shape)
         on our global/TermWeight index.
 
-        Fully distributed: the seed's term list and the per-term df table
-        stay DataFrames (broadcast — ≤ seed-term-count rows); candidates come
-        from one pushed-down scan of the term index."""
-        index = self._snapshot()[0]
+        r14 shape: the seed's term list is one tiny pushed scan collected
+        to the driver (≤ the doc's distinct-term count — the same boundary
+        the planner's cardinality batch crosses), per-term df comes from
+        the planner's TermInfo cache, and the rare-term pick happens in
+        Python. The candidate fetch is then a term_index scan with the
+        top-terms IN list PUSHED TO PARQUET — at scale, row-group pruning
+        instead of a broadcast join over the full TEXT posting stream
+        (the previous plan's two broadcast joins are gone)."""
+        from accumulo_wikisearch_spark.plans.planner import IxAnd, IxLeaf, Planner
+
+        index, card_cache = self._snapshot()
         n_total = index.doc_count()
         ti = index.term_index
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
-        seed_terms = ti.where(F.col("doc_id") == doc_id).select("norm_value")
-        df_tbl = (
-            index.global_index.where(F.col("field") == "TEXT")
-            .join(F.broadcast(seed_terms), "norm_value")
-            .groupBy("norm_value")
-            .agg(F.sum("count").alias("df"))
+        seed = sorted(
+            {
+                r["norm_value"]
+                for r in ti.where(F.col("doc_id") == doc_id)
+                .select("norm_value")
+                .collect()
+            }
         )
-        top = df_tbl.orderBy("df", "norm_value").limit(top_terms)
-        cand = ti.join(F.broadcast(top), "norm_value").where(F.col("doc_id") != doc_id)
+        if not seed:
+            return (
+                ti.where(F.lit(False))
+                .select("partition_id", "language", "doc_id")
+                .withColumn("score", F.lit(0).cast("long"))
+                .withColumn("n_shared", F.lit(0).cast("long"))
+            )
+        planner = Planner(index, self.multi_value_fields, card_cache)
+        infos = planner.eq_term_info(
+            IxAnd(tuple(IxLeaf("TEXT", "eq", value=t) for t in seed)), None
+        )
+        # rarest first, deterministic tie-break on the term — the same
+        # (df, norm_value) order the old orderBy().limit() produced
+        top = sorted(seed, key=lambda t: (infos[("TEXT", t)].count, t))[:top_terms]
+        w_map = F.create_map(
+            *[
+                x
+                for t in top
+                for x in (
+                    F.lit(t),
+                    F.lit((n_total + 1) * 1000 // (infos[("TEXT", t)].count + 1)).cast(
+                        "long"
+                    ),
+                )
+            ]
+        )
+        cand = ti.where(F.col("norm_value").isin(*top)).where(
+            F.col("doc_id") != doc_id
+        )
         g = (
-            cand.withColumn("w", F.expr(f"({(n_total + 1) * 1000}L) div (df + 1)"))
+            cand.withColumn("w", w_map[F.col("norm_value")])
             .groupBy("partition_id", "language", "doc_id")
             .agg(F.sum("w").alias("score"), F.count("*").alias("n_shared"))
             .orderBy(F.desc("score"), "doc_id")

@@ -303,11 +303,13 @@ def test_bm25_is_single_scan_single_shuffle(engine):
     assert "map(keys: [dup,key]" in plan  # df as a literal map lookup
 
 
-def test_more_like_this_broadcasts_seed_and_top_terms(engine):
+def test_more_like_this_pushes_top_terms_no_joins(engine):
     plan = _formatted(engine.more_like_this(7))
-    # seed-term join and top-term candidate join both broadcast (≤16 rows)
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    # r14: seed terms + df resolve driver-side (TermInfo cache), the
+    # rare-term pick is a literal IN list pushed into the candidate scan
+    # — no joins anywhere in the serving plan (was 2 broadcast joins)
+    assert "Join" not in plan
+    assert "norm_value" in plan  # the IN-list filter reached the plan
 
 
 def test_keys_filter_prunes_partitions_on_written_catalog(spark, sf_dir, tmp_path):
