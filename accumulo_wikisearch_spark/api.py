@@ -350,6 +350,28 @@ class Wikisearch:
                 plan_cache[key] = hit
         return hit
 
+    def _memo_plan(self, state, key: tuple, build) -> DataFrame:
+        """Serve repeated NON-boolean serving plans (ranked/phrase) from
+        the same epoch-keyed plan LRU ``query()`` uses. This is plan
+        caching — the reference's parsed-plan LRU — never result
+        caching: the cached object is the lazy DataFrame and every
+        execution still computes from the (cached) index tables. The
+        key carries the probed epoch (zlayout identity + manifest
+        version) exactly like ``_plan_with``'s, so a heal invalidates
+        by key mismatch and late inserts land in the epoch's own dict."""
+        index, card_cache, plan_cache, zl, mv = state
+        full_key = key + (zl, mv)
+        hit = plan_cache.get(full_key)
+        if hit is None:
+            hit = build(index, card_cache)
+            with self._heal_lock:
+                if len(plan_cache) >= self._plan_cache_max:
+                    k0 = next(iter(plan_cache), None)
+                    if k0 is not None:
+                        plan_cache.pop(k0, None)
+                plan_cache[full_key] = hit
+        return hit
+
     def query(
         self,
         expr: str,
@@ -544,23 +566,31 @@ class Wikisearch:
         equality filter is the AND, so no per-term join chain is needed —
         the right shape when terms share the ranking aggregation anyway."""
         ts = sorted({normalize_str(t) for t in terms})
-        ti = self._snapshot()[0].term_index.where(F.col("norm_value").isin(*ts))
-        if auths:
-            ti = ti.where(F.col("language").isin(*auths))
-        g = (
-            ti.groupBy("partition_id", "language", "doc_id")
-            .agg(
-                F.sum("occurrences").alias("total_occ"),
-                # (doc, term) posting rows are unique by construction (build groupBy
-                # / compaction re-fold), so a plain count IS the distinct-term
-                # count — avoids the two-phase distinct aggregation
-                F.count("*").alias("_n_terms"),
+        auths_key = tuple(sorted(auths)) if auths else None
+
+        def build(index, _card_cache):
+            ti = index.term_index.where(F.col("norm_value").isin(*ts))
+            if auths:
+                ti = ti.where(F.col("language").isin(*auths))
+            g = (
+                ti.groupBy("partition_id", "language", "doc_id")
+                .agg(
+                    F.sum("occurrences").alias("total_occ"),
+                    # (doc, term) posting rows are unique by construction
+                    # (build groupBy / compaction re-fold), so a plain count
+                    # IS the distinct-term count — avoids the two-phase
+                    # distinct aggregation
+                    F.count("*").alias("_n_terms"),
+                )
+                .where(F.col("_n_terms") == len(ts))
+                .select("partition_id", "language", "doc_id", "total_occ")
+                .orderBy(F.desc("total_occ"), "doc_id")
             )
-            .where(F.col("_n_terms") == len(ts))
-            .select("partition_id", "language", "doc_id", "total_occ")
-            .orderBy(F.desc("total_occ"), "doc_id")
+            return g.limit(limit) if limit else g
+
+        return self._memo_plan(
+            self._fresh(), ("__multi__", tuple(ts), auths_key, limit), build
         )
-        return g.limit(limit) if limit else g
 
     def phrase_search(
         self, terms: list[str], auths: list[str] | None = None
@@ -584,38 +614,45 @@ class Wikisearch:
         ts = [normalize_str(t) for t in terms]
         uts = sorted(set(ts))
         keys = ["partition_id", "language", "doc_id"]
-        ti = self._snapshot()[0].term_index
-        if auths:
-            ti = ti.where(F.col("language").isin(*auths))
-        g = (
-            ti.where(F.col("norm_value").isin(*uts))
-            .groupBy(*keys)
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("norm_value", "offsets"))
-                ).alias("_om"),
-                F.count("*").alias("_nt"),
+        auths_key = tuple(sorted(auths)) if auths else None
+
+        def build(index, _card_cache):
+            ti = index.term_index
+            if auths:
+                ti = ti.where(F.col("language").isin(*auths))
+            g = (
+                ti.where(F.col("norm_value").isin(*uts))
+                .groupBy(*keys)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("norm_value", "offsets"))
+                    ).alias("_om"),
+                    F.count("*").alias("_nt"),
+                )
+                .where(F.col("_nt") == len(uts))
             )
-            .where(F.col("_nt") == len(uts))
-        )
 
-        def _alive(s):
-            # phrase-start offset s survives iff every later term has an
-            # occurrence at s + its position (single-parameter lambda: a
-            # second parameter would make PySpark pass the ARRAY INDEX)
-            cond = None
-            for i in range(1, len(ts)):
-                c = F.array_contains(F.col("_om")[ts[i]], s + F.lit(i))
-                cond = c if cond is None else cond & c
-            return cond
+            def _alive(s):
+                # phrase-start offset s survives iff every later term has
+                # an occurrence at s + its position (single-parameter
+                # lambda: a second one would receive the ARRAY INDEX)
+                cond = None
+                for i in range(1, len(ts)):
+                    c = F.array_contains(F.col("_om")[ts[i]], s + F.lit(i))
+                    cond = c if cond is None else cond & c
+                return cond
 
-        o = F.col("_om")[ts[0]]
-        if len(ts) > 1:
-            o = F.filter(o, _alive)
-        return (
-            g.withColumn("o", o)
-            .where(F.size("o") > 0)
-            .select("doc_id", F.size("o").cast("long").alias("n_matches"))
+            o = F.col("_om")[ts[0]]
+            if len(ts) > 1:
+                o = F.filter(o, _alive)
+            return (
+                g.withColumn("o", o)
+                .where(F.size("o") > 0)
+                .select("doc_id", F.size("o").cast("long").alias("n_matches"))
+            )
+
+        return self._memo_plan(
+            self._fresh(), ("__phrase__", tuple(ts), auths_key), build
         )
 
     def sql(self, query: str, auths: list[str] | None = None) -> DataFrame:
@@ -721,31 +758,38 @@ class Wikisearch:
         instead of a per-query broadcast join — the ≤|terms|-row aggregate
         job and the join node both disappear from every warm query."""
         ts = sorted({normalize_str(t) for t in terms})
-        index, card_cache = self._snapshot()
-        n_total = index.doc_count()
-        ti = index.term_index.where(F.col("norm_value").isin(*ts))
-        if auths:
-            ti = ti.where(F.col("language").isin(*auths))
-        scored = ti.withColumn(
-            "_df", self._text_df_map(index, card_cache, ts)[F.col("norm_value")]
-        ).withColumn(
-            "w",
-            F.expr(f"(occurrences * {(n_total + 1) * 1000}L) div (_df + 1)"),
-        )
-        g = (
-            scored.groupBy("partition_id", "language", "doc_id")
-            .agg(
-                F.sum("w").alias("score"),
-                # (doc, term) posting rows are unique by construction (build groupBy
-                # / compaction re-fold), so a plain count IS the distinct-term
-                # count — avoids the two-phase distinct aggregation
-                F.count("*").alias("_n_terms"),
+        auths_key = tuple(sorted(auths)) if auths else None
+
+        def build(index, card_cache):
+            n_total = index.doc_count()
+            ti = index.term_index.where(F.col("norm_value").isin(*ts))
+            if auths:
+                ti = ti.where(F.col("language").isin(*auths))
+            scored = ti.withColumn(
+                "_df", self._text_df_map(index, card_cache, ts)[F.col("norm_value")]
+            ).withColumn(
+                "w",
+                F.expr(f"(occurrences * {(n_total + 1) * 1000}L) div (_df + 1)"),
             )
-            .where(F.col("_n_terms") == len(ts))
-            .select("partition_id", "language", "doc_id", "score")
-            .orderBy(F.desc("score"), "doc_id")
+            g = (
+                scored.groupBy("partition_id", "language", "doc_id")
+                .agg(
+                    F.sum("w").alias("score"),
+                    # (doc, term) posting rows are unique by construction
+                    # (build groupBy / compaction re-fold), so a plain count
+                    # IS the distinct-term count — avoids the two-phase
+                    # distinct aggregation
+                    F.count("*").alias("_n_terms"),
+                )
+                .where(F.col("_n_terms") == len(ts))
+                .select("partition_id", "language", "doc_id", "score")
+                .orderBy(F.desc("score"), "doc_id")
+            )
+            return g.limit(limit) if limit else g
+
+        return self._memo_plan(
+            self._fresh(), ("__tfidf__", tuple(ts), auths_key, limit), build
         )
-        return g.limit(limit) if limit else g
 
     def scored_search_bm25(
         self, terms: list[str], auths: list[str] | None = None, limit: int | None = None
@@ -772,38 +816,45 @@ class Wikisearch:
         planner's TermInfo cache (see scored_search_tfidf) — no per-query
         broadcast-join job."""
         ts = sorted({normalize_str(t) for t in terms})
-        index, card_cache = self._snapshot()
-        n_total = index.doc_count()
-        a_total = index.token_count()
+        auths_key = tuple(sorted(auths)) if auths else None
         keys = ["partition_id", "language", "doc_id"]
-        ti = index.term_index.where(F.col("norm_value").isin(*ts))
-        if auths:
-            ti = ti.where(F.col("language").isin(*auths))
-        c1 = 2200 * (n_total + 1) * a_total
-        scored = ti.withColumn(
-            "_df", self._text_df_map(index, card_cache, ts)[F.col("norm_value")]
-        ).withColumn(
-            "w",
-            F.expr(
-                f"({c1}L * occurrences) div "
-                f"((_df + 1) * ({10 * a_total}L * occurrences"
-                f" + {3 * a_total}L + {9 * n_total}L * doc_len))"
-            ),
-        )
-        g = (
-            scored.groupBy(*keys)
-            .agg(
-                F.sum("w").alias("score"),
-                # (doc, term) posting rows are unique by construction (build groupBy
-                # / compaction re-fold), so a plain count IS the distinct-term
-                # count — avoids the two-phase distinct aggregation
-                F.count("*").alias("_n_terms"),
+
+        def build(index, card_cache):
+            n_total = index.doc_count()
+            a_total = index.token_count()
+            ti = index.term_index.where(F.col("norm_value").isin(*ts))
+            if auths:
+                ti = ti.where(F.col("language").isin(*auths))
+            c1 = 2200 * (n_total + 1) * a_total
+            scored = ti.withColumn(
+                "_df", self._text_df_map(index, card_cache, ts)[F.col("norm_value")]
+            ).withColumn(
+                "w",
+                F.expr(
+                    f"({c1}L * occurrences) div "
+                    f"((_df + 1) * ({10 * a_total}L * occurrences"
+                    f" + {3 * a_total}L + {9 * n_total}L * doc_len))"
+                ),
             )
-            .where(F.col("_n_terms") == len(ts))
-            .select(*keys, "score")
-            .orderBy(F.desc("score"), "doc_id")
+            g = (
+                scored.groupBy(*keys)
+                .agg(
+                    F.sum("w").alias("score"),
+                    # (doc, term) posting rows are unique by construction
+                    # (build groupBy / compaction re-fold), so a plain count
+                    # IS the distinct-term count — avoids the two-phase
+                    # distinct aggregation
+                    F.count("*").alias("_n_terms"),
+                )
+                .where(F.col("_n_terms") == len(ts))
+                .select(*keys, "score")
+                .orderBy(F.desc("score"), "doc_id")
+            )
+            return g.limit(limit) if limit else g
+
+        return self._memo_plan(
+            self._fresh(), ("__bm25__", tuple(ts), auths_key, limit), build
         )
-        return g.limit(limit) if limit else g
 
     def more_like_this(
         self,
