@@ -283,6 +283,12 @@ def minhash_lsh_pairs(
     sets = sets.persist()
     banded = _band_rows(sets, num_hashes, bands)
     banded = _cap_band_groups(banded, ["band", "bsig"], max_bucket)
+    # persist the capped band rows too: the self-join's two sides are NOT
+    # served by exchange reuse once AQE converts one side to a broadcast
+    # (the canonical subtrees differ), so without the cache the band
+    # explode + cap window (its Exchange + Sort over bands·n rows) runs
+    # once PER SIDE — r14 plan audit, plans/r14/dedup_minhash_lsh_*.txt
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -621,6 +627,11 @@ def simhash_pairs(
         "doc_id", "simhash", "b.band", "b.bsig"
     )
     banded = _cap_band_groups(banded, ["band", "bsig"], max_bucket)
+    # persist the capped band rows (narrow: doc_id, simhash, band, bsig):
+    # as in minhash_lsh_pairs, AQE's broadcast conversion of the self-join
+    # defeats exchange reuse, so the explode + cap window (Exchange + Sort
+    # over nbands·n rows) would otherwise run once per side
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -1000,7 +1011,7 @@ def embedding_near_dup_pairs(
     banding and the cap are deterministic and replayed identically by the
     SQL oracle, so the driver check stays hash-exact at any recall."""
     v = _vecs(emb)
-    sig = v.select("vec_id", "v", _band_buckets_udf()(F.col("v")).alias("bks"))
+    sig = v.select("vec_id", _band_buckets_udf()(F.col("v")).alias("bks"))
     e = sig.select("vec_id", F.posexplode("bks").alias("band", "bucket"))
     if max_bucket is not None:
         w = Window.partitionBy("band", "bucket")
@@ -1009,6 +1020,15 @@ def embedding_near_dup_pairs(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
+    # persist the capped band rows: without the cache the ENTIRE signature
+    # leg — corpus scan, Arrow matmul UDF, explode, cap window with its
+    # Exchange + Sort — ran once PER SELF-JOIN SIDE (AQE's broadcast
+    # conversion defeats exchange reuse; r14 plan audit, nodes (1)-(13)
+    # vs (14)-(26) in plans/r14/dedup_embedding_banded_before2.txt). The
+    # cached rows are narrow (vec_id, band, bucket) — the vectors
+    # themselves are re-read from the source only for the candidate
+    # verify, the §8 "move heavy bytes once" shape.
+    e = e.persist()
     a = e.alias("a")
     b = e.alias("b")
     cand = (

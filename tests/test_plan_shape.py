@@ -364,3 +364,54 @@ def test_trained_ivf_pq_plan_is_all_broadcast(spark, sf_dir):
         plan = _formatted(df)
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+def test_band_selfjoin_plans_compute_band_rows_once(spark, sf_dir):
+    """The LSH band self-joins (minhash, sign-LSH embedding, simhash) must
+    read their band rows from ONE cached relation: AQE's broadcast
+    conversion of the self-join defeats exchange reuse, so without the
+    scoped persist the band explode + cap window (and for the embedding
+    path the whole Arrow signature kernel) runs once PER SIDE — a full
+    duplicated corpus pass at scale (r14 plan audit,
+    plans/r14/dedup_*_before2.txt vs _after.txt)."""
+    import re
+
+    from accumulo_wikisearch_spark.operators import dedup as D
+
+    def live_nodes(plan: str) -> list[tuple[str, str]]:
+        """(name, id) pairs of the tree section OUTSIDE InMemoryRelation
+        bodies — a materialized cache prints its whole (Initial + Final)
+        AQE plan inside the relation, which must not count as live
+        recomputation."""
+        out, skip_indent = [], None
+        for line in plan.split("\n\n", 1)[0].splitlines():
+            m = re.search(r"(?:\+-|:-) (\w+) \((\d+)\)", line)
+            indent = m.start() if m else None
+            if skip_indent is not None:
+                if indent is None or indent > skip_indent:
+                    continue  # still inside the cached-relation body
+                skip_indent = None
+            if m:
+                if m.group(1) == "InMemoryRelation":
+                    skip_indent = indent
+                else:
+                    out.append((m.group(1), m.group(2)))
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        D.minhash_lsh_pairs(docs),
+        D.embedding_near_dup_pairs(emb),
+        D.simhash_pairs(docs),
+    ):
+        plan = _formatted(df)
+        nodes = live_nodes(plan)
+        windows = {i for name, i in nodes if name == "Window"}
+        exchanges = {i for name, i in nodes if name == "Exchange"}
+        # the cap window must live INSIDE the cached band-rows relation
+        # (computed once when it materializes), never in the live path —
+        # one live Exchange remains: the candidate distinct's
+        assert not windows, f"cap window recomputed per side: {sorted(windows)}"
+        assert len(exchanges) <= 1, f"extra exchanges: {sorted(exchanges)}"
+        assert "InMemoryRelation" in plan

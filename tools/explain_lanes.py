@@ -105,6 +105,7 @@ def main() -> None:
             "cur_decontaminate": lambda: curation.decontaminate(docs),
             "vocab_counts": lambda: vocab.vocab_counts(docs),
             "sample_global_shuffle": lambda: sampling.global_shuffle(docs),
+            "more_like_this": lambda: eng.more_like_this(7),
         }
     )
 
