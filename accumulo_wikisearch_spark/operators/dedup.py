@@ -81,7 +81,15 @@ def _pairs_with_jaccard(sh: DataFrame, num: int, den: int) -> DataFrame:
     """Pairs (a<b) whose shingle-set Jaccard ≥ num/den, via inverted join.
 
     Integer filter: den*common ≥ num*(|A|+|B|-common).
+
+    ``sh`` is referenced four times (both self-join sides + two count
+    legs) and — when the caller capped hot shingles — each reference
+    re-runs TWO shingle explodes (the table and its hot-set anti-join
+    subquery): 8 Generate nodes in the uncached plan. The scoped persist
+    makes it one explode pass, same as the banded paths (r14 plan
+    audit).
     """
+    sh = sh.persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
