@@ -27,8 +27,6 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -55,81 +53,157 @@ SERVING_TABLES = (
 )
 
 
-@dataclass
 class WikisearchIndex:
-    """The engine's catalog: five DataFrames + config."""
+    """The engine's catalog: five DataFrames + config.
 
-    config: EngineConfig
-    doc_fields: DataFrame  # (partition_id, language, doc_id, field, value)
-    field_index: DataFrame  # (partition_id, field, norm_value, language, doc_id)
-    global_index: DataFrame  # (norm_value, field, partition_id, language, count, uids, ignore)
-    reverse_index: DataFrame  # same, norm_value reversed
-    metadata: DataFrame  # (field, language, indexed, normalizer)
-    term_index: DataFrame  # (partition_id, language, doc_id, norm_value, occurrences, tf, offsets, doc_len)
-    docs_wide: DataFrame  # (partition_id, language, doc_id, fields MAP<STRING,ARRAY<STRING>>)
-    documents: DataFrame  # (partition_id, language, doc_id, text)
+    Tables:
+    - doc_fields     (partition_id, language, doc_id, field, value)
+    - field_index    (partition_id, field, norm_value, language, doc_id)
+    - global_index   (norm_value, field, partition_id, language, count, uids, ignore)
+    - reverse_index  same, norm_value reversed
+    - metadata       (field, language, indexed, normalizer)
+    - term_index     (partition_id, language, doc_id, norm_value, occurrences, tf, offsets, doc_len)
+    - docs_wide      (partition_id, language, doc_id, fields MAP<STRING,ARRAY<STRING>>)
+    - documents      (partition_id, language, doc_id, text)
 
-    # Set when docs_wide was loaded from a z-ordered store (layout.ZLayout):
-    # the planner then prunes docs_wide scans by query box (zb directory
-    # filter + z row-group interval) before the predicate re-verify.
-    # zlayout_path points at the store so the planner re-reads the sidecar
-    # PER QUERY: an in-place re-layout (compaction/stream rewrite) changes
-    # bits/offsets, and pruning current files with load-time parameters
-    # would silently drop rows — a fresh read keeps params and files in
-    # step once the standard reload/refreshByPath has happened (the
-    # transient mid-rewrite race matches the non-z in-place rewrite
-    # semantics every path-based table already has).
-    zlayout: object | None = None
-    zlayout_path: str | None = None
-    # catalog root when loaded from disk — lets the facade RELOAD the
-    # whole index (fresh file listings + caches) when it detects an
-    # in-place re-layout via the sidecar epoch; None for in-memory
-    # catalogs, which are immutable by construction
-    catalog_path: str | None = None
-    # the catalog's manifest version at load time (operators/manifest.py):
-    # None for legacy never-rewritten catalogs and in-memory ones. The
-    # facade compares it per query against the on-disk manifest — the
-    # universal freshness marker a rewrite (compaction, streaming ingest)
-    # bumps atomically, closing the self-heal gap flat catalogs had.
-    manifest_version: int | None = None
-    # PENDING delta batches folded into this view at load time: () for a
-    # plain load (base only), the folded batch names for a merge-read,
-    # None for in-memory catalogs. The facade's freshness probe compares
-    # it per query against the on-disk pending set — write_delta /
-    # stream_ingest_deltas flush batches WITHOUT bumping the manifest
-    # (that's the point: O(batch) work, no rewrite), so the manifest
-    # version alone misses them and a long-lived facade would serve
-    # stale results until the next compaction; the reference's queries
-    # see writes DURING ingest (README.md:206-219).
-    merged_deltas: tuple | None = None
+    ``metadata`` and ``term_index`` may be handed in as THUNKS
+    (``metadata_thunk`` / ``term_index_thunk``): neither is touched by the
+    boolean/build hot path (term_index serves ranked queries only, the
+    metadata catalog is first read by the planner's indexed_fields
+    lookup), and constructing their DataFrame graphs eagerly cost ~8
+    driver ops (~0.1-0.2 s at 8-20 ms py4j/analysis each) on EVERY
+    build_index call — index builds, compaction staging, and the
+    streaming fold loop all paid it (r15; guide §7.3 driver-side
+    planning). The property materializes on first access, applying
+    persist() if the serving set was persisted meanwhile.
 
-    # True only for indexes whose global_index is the PRISTINE
-    # build_index derivation of field_index (no LSM merges folded in):
-    # persist() may then rebuild the global/reverse plans on top of the
-    # narrowed field_index cache so they materialize FROM it instead of
-    # re-deriving the union from the token cache. Merged views
-    # (_fold_deltas) keep False — merge_global_index's degradation is
-    # sticky, so a rebuild-from-fi could UN-degrade rows and change
-    # results.
-    _gi_from_fi: bool = False
+    Other attributes (same semantics as the r14 dataclass fields):
 
-    # merge-read views of a z catalog with pending deltas set this to
-    # (z_base, flat_extra): the z-ordered base docs_wide WITH its physical
-    # layout columns, and the unioned flat delta rows. The planner then
-    # box-prunes the (huge) base side and unions the (small) delta side
-    # unpruned — z-pruning stays alive BETWEEN compactions instead of
-    # degrading every query to an unpruned scan the moment one delta
-    # lands (the reference keeps serving indexed scans during minor
-    # compactions; README.md:206-219). ``docs_wide`` itself remains the
-    # demoted flat union for every non-planner consumer.
-    docs_wide_parts: tuple | None = None
+    - zlayout / zlayout_path: set when docs_wide was loaded from a
+      z-ordered store (layout.ZLayout): the planner then prunes docs_wide
+      scans by query box (zb directory filter + z row-group interval)
+      before the predicate re-verify. zlayout_path points at the store so
+      the planner re-reads the sidecar PER QUERY: an in-place re-layout
+      (compaction/stream rewrite) changes bits/offsets, and pruning
+      current files with load-time parameters would silently drop rows —
+      a fresh read keeps params and files in step once the standard
+      reload/refreshByPath has happened (the transient mid-rewrite race
+      matches the non-z in-place rewrite semantics every path-based table
+      already has).
+    - catalog_path: catalog root when loaded from disk — lets the facade
+      RELOAD the whole index (fresh file listings + caches) when it
+      detects an in-place re-layout via the sidecar epoch; None for
+      in-memory catalogs, which are immutable by construction.
+    - manifest_version: the catalog's manifest version at load time
+      (operators/manifest.py): None for legacy never-rewritten catalogs
+      and in-memory ones. The facade compares it per query against the
+      on-disk manifest — the universal freshness marker a rewrite
+      (compaction, streaming rewrite) bumps atomically, closing the
+      self-heal gap flat catalogs had.
+    - merged_deltas: PENDING delta batches folded into this view at load
+      time: () for a plain load (base only), the folded batch names for a
+      merge-read, None for in-memory catalogs. The facade's freshness
+      probe compares it per query against the on-disk pending set —
+      write_delta / stream_ingest_deltas flush batches WITHOUT bumping
+      the manifest (that's the point: O(batch) work, no rewrite), so the
+      manifest version alone misses them and a long-lived facade would
+      serve stale results until the next compaction; the reference's
+      queries see writes DURING ingest (README.md:206-219).
+    - _gi_from_fi: True only for indexes whose global_index is the
+      PRISTINE build_index derivation of field_index (no LSM merges
+      folded in): persist() may then rebuild the global/reverse plans on
+      top of the narrowed field_index cache so they materialize FROM it
+      instead of re-deriving the union from the token cache. Merged views
+      (_fold_deltas) keep False — merge_global_index's degradation is
+      sticky, so a rebuild-from-fi could UN-degrade rows and change
+      results.
+    - docs_wide_parts: merge-read views of a z catalog with pending
+      deltas set this to (z_base, flat_extra): the z-ordered base
+      docs_wide WITH its physical layout columns, and the unioned flat
+      delta rows. The planner then box-prunes the (huge) base side and
+      unions the (small) delta side unpruned — z-pruning stays alive
+      BETWEEN compactions instead of degrading every query to an
+      unpruned scan the moment one delta lands (the reference keeps
+      serving indexed scans during minor compactions; README.md:206-219).
+      ``docs_wide`` itself remains the demoted flat union for every
+      non-planner consumer.
+    - _tokenized: the tokenized article base shared by field_index and
+      docs_wide; caching it makes the expensive tokenize pass run once
+      across their materializations (None when the index was loaded from
+      disk).
+    """
 
-    _persisted: bool = False
-    _indexed_cache: set[str] | None = None
-    # the tokenized article base shared by field_index and docs_wide; caching
-    # it makes the expensive tokenize pass run once across their
-    # materializations (None when the index was loaded from disk)
-    _tokenized: DataFrame | None = None
+    def __init__(
+        self,
+        config: EngineConfig,
+        doc_fields: DataFrame,
+        field_index: DataFrame,
+        global_index: DataFrame,
+        reverse_index: DataFrame,
+        metadata: DataFrame | None = None,
+        term_index: DataFrame | None = None,
+        docs_wide: DataFrame | None = None,
+        documents: DataFrame | None = None,
+        zlayout: object | None = None,
+        zlayout_path: str | None = None,
+        catalog_path: str | None = None,
+        manifest_version: int | None = None,
+        merged_deltas: tuple | None = None,
+        _gi_from_fi: bool = False,
+        docs_wide_parts: tuple | None = None,
+        _tokenized: DataFrame | None = None,
+        metadata_thunk=None,
+        term_index_thunk=None,
+    ):
+        assert metadata is not None or metadata_thunk is not None
+        assert term_index is not None or term_index_thunk is not None
+        self.config = config
+        self.doc_fields = doc_fields
+        self.field_index = field_index
+        self.global_index = global_index
+        self.reverse_index = reverse_index
+        self._metadata = metadata
+        self._metadata_thunk = metadata_thunk
+        self._term_index = term_index
+        self._term_index_thunk = term_index_thunk
+        self.docs_wide = docs_wide
+        self.documents = documents
+        self.zlayout = zlayout
+        self.zlayout_path = zlayout_path
+        self.catalog_path = catalog_path
+        self.manifest_version = manifest_version
+        self.merged_deltas = merged_deltas
+        self._gi_from_fi = _gi_from_fi
+        self.docs_wide_parts = docs_wide_parts
+        self._tokenized = _tokenized
+        self._persisted = False
+        self._indexed_cache: set[str] | None = None
+        self._doc_count: int | None = None
+        self._token_count: int | None = None
+
+    @property
+    def metadata(self) -> DataFrame:
+        if self._metadata is None:
+            df = self._metadata_thunk()
+            self._metadata = df.persist() if self._persisted else df
+        return self._metadata
+
+    @metadata.setter
+    def metadata(self, df: DataFrame) -> None:
+        self._metadata = df
+        self._metadata_thunk = None
+
+    @property
+    def term_index(self) -> DataFrame:
+        if self._term_index is None:
+            df = self._term_index_thunk()
+            self._term_index = df.persist() if self._persisted else df
+        return self._term_index
+
+    @term_index.setter
+    def term_index(self, df: DataFrame) -> None:
+        self._term_index = df
+        self._term_index_thunk = None
 
     def persist(
         self,
@@ -195,11 +269,15 @@ class WikisearchIndex:
                 if serving_partitions < cur:
                     self.docs_wide = self.docs_wide.repartition(serving_partitions)
             self.docs_wide = self.docs_wide.persist()
-            self.metadata = self.metadata.persist()
-            # term_index is a serving table too (scored/BM25/phrase search
-            # re-read it per query); without persistence every ranked query
-            # re-tokenizes the corpus
-            self.term_index = self.term_index.persist()
+            # metadata / term_index may still be lazy thunks: persist at
+            # construction time instead of forcing ~8 graph ops here
+            # (term_index is a serving table too — scored/BM25/phrase
+            # search re-read it per query; without persistence every
+            # ranked query re-tokenizes the corpus)
+            if self._metadata is not None:
+                self._metadata = self._metadata.persist()
+            if self._term_index is not None:
+                self._term_index = self._term_index.persist()
             self._persisted = True
         return self
 
@@ -231,7 +309,15 @@ class WikisearchIndex:
         their own attribute lists drifted when the serving set changed
         (r13 ADVICE)."""
         for tname in SERVING_TABLES:
-            df = getattr(self, tname, None)
+            # read the PRIVATE slot for the lazy tables: evicting a cold
+            # index must not force-construct a graph just to unpersist it
+            df = (
+                self._metadata
+                if tname == "metadata"
+                else self._term_index
+                if tname == "term_index"
+                else getattr(self, tname, None)
+            )
             if df is not None:
                 try:
                     df.unpersist()
@@ -245,15 +331,11 @@ class WikisearchIndex:
         self._persisted = False
         return self
 
-    _doc_count: int | None = None
-
     def doc_count(self) -> int:
         """Corpus size N (for IDF weighting) — counted once per catalog."""
         if self._doc_count is None:
             self._doc_count = self.documents.count()
         return self._doc_count
-
-    _token_count: int | None = None
 
     def token_count(self) -> int:
         """Total corpus tokens A (for BM25 length normalization) — one
@@ -329,25 +411,32 @@ def build_index(
     config = config or EngineConfig()
     scalar_fields = scalar_fields or DEFAULT_SCALAR_FIELDS
 
-    base = articles.withColumn(
-        "partition_id", (F.col("id") % config.num_partitions).cast("int")
-    ).withColumn("doc_id", F.col("id").cast("long"))
+    # Single select instead of two withColumns: every DataFrame op runs
+    # the analyzer eagerly over the whole subtree (the plans here carry
+    # the BMP translate literals), so the build graph is kept to the
+    # minimum op count — ~16 sequential transformations cost ~0.5-1.2 s
+    # of pure driver time per index build (r14 verdict #1, guide §7.3).
+    base = articles.select(
+        "*",
+        (F.col("id") % config.num_partitions).cast("int").alias("partition_id"),
+        F.col("id").cast("long").alias("doc_id"),
+    )
 
     # --- event cells (doc_fields): raw scalar field values -----------------
     fv_structs = [
         F.struct(F.lit(fname).alias("field"), F.col(col).cast("string").alias("value"))
         for fname, col in scalar_fields.items()
     ]
-    doc_fields = (
-        base.select(
-            "partition_id",
-            "language",
-            "doc_id",
-            F.explode(F.array(*fv_structs)).alias("fv"),
-        )
-        .select("partition_id", "language", "doc_id", "fv.field", "fv.value")
-        .where(F.col("value").isNotNull())
-    )
+    # null values filtered INSIDE the array (before the explode) — one op
+    # fewer, and fewer generated rows than explode-then-filter
+    doc_fields = base.select(
+        "partition_id",
+        "language",
+        "doc_id",
+        F.explode(
+            F.filter(F.array(*fv_structs), lambda s: s["value"].isNotNull())
+        ).alias("fv"),
+    ).select("partition_id", "language", "doc_id", "fv.field", "fv.value")
 
     # --- fi cells (field_index): normalized values, incl. tokenized TEXT ---
     scalar_fi = doc_fields.select(
@@ -359,18 +448,16 @@ def build_index(
     )
     # one tokenize pass, shared: text_fi explodes _toks and docs_wide maps
     # it, so caching `tokenized` (persist()) tokenizes the corpus once
-    tokenized = base.withColumn(
-        "_toks", tokenize_col(F.col(text_col), mode=config.tokenizer)
+    tokenized = base.select(
+        "*", tokenize_col(F.col(text_col), mode=config.tokenizer).alias("_toks")
     )
-    text_fi = (
-        tokenized.select(
-            "partition_id",
-            "language",
-            "doc_id",
-            F.explode(F.col("_toks")).alias("norm_value"),
-        )
-        .withColumn("field", F.lit("TEXT"))
-        .select("partition_id", "field", "norm_value", "language", "doc_id")
+    # one select: the generator rides inline with the final column order
+    text_fi = tokenized.select(
+        "partition_id",
+        F.lit("TEXT").alias("field"),
+        F.explode(F.col("_toks")).alias("norm_value"),
+        "language",
+        "doc_id",
     )
     # With unique_ids, tokenize_col's distinct tokens + one row per
     # (doc, scalar field) make field_index rows unique by construction — no
@@ -388,64 +475,71 @@ def build_index(
     # --- reverse index (leading wildcards, WikipediaMapper.java:193-197) ---
     reverse_index = global_index.withColumn("norm_value", F.reverse(F.col("norm_value")))
 
-    # --- metadata catalog --------------------------------------------------
+    # --- metadata catalog (LAZY) -------------------------------------------
     # field existence (colf `e`, WikipediaMapper.java:144-151), indexed flag
     # + normalizer (colf `i`, :199-208), and the summed frequency column
-    # (colf `f`, SummingCombiner attached at WikipediaIngester.java:129-136)
-    all_fields = field_index.select("field", "language").distinct()
-    if config.indexed_fields is None:
-        indexed_expr = F.lit(True)
-    else:
-        indexed_expr = F.col("field").isin(*sorted(config.indexed_fields))
-    freq = doc_fields.groupBy("field", "language").agg(F.count("*").alias("freq"))
-    metadata = (
-        all_fields.join(freq, ["field", "language"], "left")
-        .select(
+    # (colf `f`, SummingCombiner attached at WikipediaIngester.java:129-136).
+    # Constructed as a thunk: the planner first reads metadata at its
+    # indexed_fields lookup, never during the build/materialize hot path —
+    # eager construction cost 5 driver ops on every build_index call.
+    def metadata_thunk() -> DataFrame:
+        all_fields = field_index.select("field", "language").distinct()
+        if config.indexed_fields is None:
+            indexed_expr = F.lit(True)
+        else:
+            indexed_expr = F.col("field").isin(*sorted(config.indexed_fields))
+        freq = doc_fields.groupBy("field", "language").agg(
+            F.count("*").alias("freq")
+        )
+        return all_fields.join(freq, ["field", "language"], "left").select(
             "field",
             "language",
             indexed_expr.alias("indexed"),
             F.lit(config.normalizer).alias("normalizer"),
             F.coalesce(F.col("freq"), F.lit(0)).alias("freq"),
         )
-    )
 
-    # --- term index for scored TEXT search (TermWeight, A2) ---------------
+    # --- term index for scored TEXT search (TermWeight, A2; LAZY) ---------
     # offsets = word positions; tf = occurrences / doc token count
     # (TermWeight.proto:25-28, TextIndexCombiner.java:40-106).
     # doc length rides along from before the explode (size of the token
     # array) instead of a second groupBy + join over the exploded rows —
-    # one shuffle total for the term index
-    all_toks = tokenize_col(F.col(text_col), distinct=False, mode=config.tokenizer)
-    tokens_pos = base.select(
-        "partition_id",
-        "language",
-        "doc_id",
-        F.size(all_toks).alias("_len"),
-        F.posexplode(all_toks).alias("pos", "norm_value"),
-    )
-    term_index = (
-        tokens_pos.groupBy("partition_id", "language", "doc_id", "norm_value")
-        .agg(
-            F.count("*").alias("occurrences"),
-            F.sort_array(F.collect_list("pos")).alias("offsets"),
-            F.first("_len").alias("_len"),
+    # one shuffle total for the term index. Thunk for the same reason as
+    # metadata: only ranked/phrase queries touch it.
+    def term_index_thunk() -> DataFrame:
+        all_toks = tokenize_col(
+            F.col(text_col), distinct=False, mode=config.tokenizer
         )
-        .withColumn("tf", F.col("occurrences") / F.col("_len"))
-        .select(
+        tokens_pos = base.select(
             "partition_id",
             "language",
             "doc_id",
-            "norm_value",
-            "occurrences",
-            "tf",
-            "offsets",
-            # per-doc token count, denormalized onto every posting row: BM25
-            # length normalization reads it for free instead of re-aggregating
-            # doc lengths at query time (the standard doc-length sidecar of an
-            # IR index, folded into the posting rows)
-            F.col("_len").cast("long").alias("doc_len"),
+            F.size(all_toks).alias("_len"),
+            F.posexplode(all_toks).alias("pos", "norm_value"),
         )
-    )
+        return (
+            tokens_pos.groupBy("partition_id", "language", "doc_id", "norm_value")
+            .agg(
+                F.count("*").alias("occurrences"),
+                F.sort_array(F.collect_list("pos")).alias("offsets"),
+                F.first("_len").alias("_len"),
+            )
+            .select(
+                "partition_id",
+                "language",
+                "doc_id",
+                "norm_value",
+                "occurrences",
+                (F.col("occurrences") / F.col("_len")).alias("tf"),
+                "offsets",
+                # per-doc token count, denormalized onto every posting row:
+                # BM25 length normalization reads it for free instead of
+                # re-aggregating doc lengths at query time (the standard
+                # doc-length sidecar of an IR index, folded into the
+                # posting rows)
+                F.col("_len").cast("long").alias("doc_len"),
+            )
+        )
 
     # --- pivoted doc view for predicate evaluation (P7) --------------------
     # Reference: EvaluatingIterator aggregates a doc's cells into EventFields
@@ -521,8 +615,8 @@ def build_index(
         field_index=field_index,
         global_index=global_index,
         reverse_index=reverse_index,
-        metadata=metadata,
-        term_index=term_index,
+        metadata_thunk=metadata_thunk,
+        term_index_thunk=term_index_thunk,
         docs_wide=docs_wide,
         documents=documents,
         _tokenized=tokenized,

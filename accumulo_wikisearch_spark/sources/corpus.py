@@ -45,7 +45,84 @@ def _serving_width(parquet_path: str, spark: SparkSession) -> int:
     return max(1, min(cores, (nbytes * 4) // (32 << 20)))
 
 
-def _widen(df: DataFrame) -> DataFrame:
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ("128m", "4MB", "134217728",
+    "134217728b") into bytes."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1 << 10), ("k", 1 << 10),
+        ("mb", 1 << 20), ("m", 1 << 20),
+        ("gb", 1 << 30), ("g", 1 << 30),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
+def _scan_splits(parquet_path: str, spark: SparkSession) -> int | None:
+    """Scan partition count of a parquet path WITHOUT converting the plan
+    to an RDD: replicates Spark's FilePartition packing arithmetic
+    (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (Σ size + #files·openCost) / minPartitionNum)); files split into
+    ≤maxSplitBytes chunks, sorted desc, bin-packed with openCost per
+    chunk). The old ``df.rdd.getNumPartitions()`` probe forced plan
+    analysis + RDD conversion (~0.1 s per index build — r14 verdict #1);
+    this is one local stat walk. Returns None off the local filesystem
+    (s3/hdfs), where the caller falls back to the probe.
+    ``tests/test_ingest.py`` pins the arithmetic against Spark's actual
+    split count on the bundled corpora."""
+    import os
+
+    p = parquet_path
+    try:
+        if os.path.isdir(p):
+            sizes = [
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dns, fs in os.walk(p)
+                for f in fs
+                if not f.startswith(("_", "."))
+            ]
+        elif os.path.isfile(p):
+            sizes = [os.path.getsize(p)]
+        else:
+            return None
+    except OSError:
+        return None
+    if not sizes:
+        return 0
+    conf = spark.conf
+    max_pb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    min_pn = int(
+        conf.get(
+            "spark.sql.files.minPartitionNum",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    total = sum(s + open_cost for s in sizes)
+    bytes_per_core = total / max(1, min_pn)
+    max_split = min(max_pb, max(open_cost, int(bytes_per_core)))
+    chunks: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        if s > 0:
+            chunks.append(s)
+    chunks.sort(reverse=True)
+    n, cur = 0, 0
+    for c in chunks:
+        if cur + c > max_split and cur > 0:
+            n += 1
+            cur = 0
+        cur += c + open_cost
+    return n + (1 if cur > 0 else 0)
+
+
+def _widen(df: DataFrame, splits: int | None = None) -> DataFrame:
     """Repartition an under-parallel scan up to the session's core count.
 
     A small corpus arrives as ONE parquet split (<maxPartitionBytes), which
@@ -54,13 +131,23 @@ def _widen(df: DataFrame) -> DataFrame:
     buys full-width parallelism everywhere downstream. At real scale the
     input has ≥cores splits already and this is a no-op — the gate makes
     the local/bench case match the cluster execution shape instead of
-    penalizing it."""
+    penalizing it.
+
+    ``splits`` is the scan's split count when the caller computed it via
+    :func:`_scan_splits` (local files); otherwise the RDD probe decides.
+    The resulting width rides on the returned DataFrame as
+    ``_ws_partitions`` so downstream persist() sizing needn't re-probe."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # cheap probe: the plan here is a bare scan+select, so the .rdd
-    # conversion costs ~ms (unlike probing a built index plan)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    if splits is None:
+        # probe fallback (non-local store): the plan here is a bare
+        # scan+select, so the .rdd conversion costs ~ms (unlike probing a
+        # built index plan)
+        splits = df.rdd.getNumPartitions()
+    if splits < target:
+        df = df.repartition(target)
+        splits = target
+    df._ws_partitions = splits
     return df
 
 
@@ -73,7 +160,8 @@ def load_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             "source",
             "n_chars",
-        )
+        ),
+        splits=_scan_splits(f"{sf_dir}/documents.parquet", spark),
     )
 
 
@@ -96,10 +184,14 @@ def get_engine(
         # doc_id is unique in documents.parquet → zero-shuffle pivot path
         eng = Wikisearch.ingest(articles, config, SCALAR_FIELDS, unique_ids=True)
         # docs_wide inherits articles' width through the narrow pivot —
-        # pass it so persist() needn't analyze the pivot plan to learn it
+        # pass it so persist() needn't analyze the pivot plan to learn it.
+        # _widen stamped the width on the DataFrame (file-split arithmetic,
+        # no RDD-conversion probe — r14 verdict #1).
         eng.index.persist(
             _serving_width(f"{sf_dir}/documents.parquet", spark),
-            current_partitions=articles.rdd.getNumPartitions(),
+            current_partitions=getattr(
+                articles, "_ws_partitions", None
+            ) or articles.rdd.getNumPartitions(),
         )
         _ENGINES[key] = eng
     return eng
@@ -132,7 +224,8 @@ def load_event_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "user_id",
             F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-        )
+        ),
+        splits=_scan_splits(f"{sf_dir}/events.parquet", spark),
     )
 
 
@@ -147,7 +240,8 @@ def get_events_engine(
         eng = Wikisearch.ingest(arts, config, EVENT_SCALAR_FIELDS, unique_ids=True)
         eng.index.persist(
             _serving_width(f"{sf_dir}/events.parquet", spark),
-            current_partitions=arts.rdd.getNumPartitions(),
+            current_partitions=getattr(arts, "_ws_partitions", None)
+            or arts.rdd.getNumPartitions(),
         )
         _ENGINES[key] = eng
     return eng

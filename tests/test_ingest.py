@@ -146,3 +146,28 @@ def test_serving_width_sizing(spark, tmp_path):
     big.write_bytes(b"x" * (64 << 20))  # 64MB * 4 / 32MB = 8 partitions
     assert _serving_width(str(big), spark) == min(cores, 8)
     assert _serving_width("s3://bucket/table.parquet", spark) == cores
+
+
+def test_scan_splits_matches_spark(spark):
+    """_scan_splits (the file-split arithmetic that replaced the
+    rdd.getNumPartitions probe — r14 verdict #1) must agree with Spark's
+    actual FilePartition packing on the real corpora, and fall back to
+    None off the local filesystem."""
+    from accumulo_wikisearch_spark.sources.corpus import _scan_splits
+
+    for sf in ("sf0.001", "sf0.01"):
+        for table in ("documents", "events"):
+            p = f"/root/testdata/{sf}/{table}.parquet"
+            est = _scan_splits(p, spark)
+            actual = spark.read.parquet(p).rdd.getNumPartitions()
+            assert est == actual, (p, est, actual)
+    assert _scan_splits("s3://bucket/table.parquet", spark) is None
+
+
+def test_widen_stamps_width(spark, sf_dir):
+    """load_articles attaches the decided scan width so persist() sizing
+    needn't probe the plan via RDD conversion."""
+    from accumulo_wikisearch_spark.sources.corpus import load_articles
+
+    arts = load_articles(spark, sf_dir)
+    assert arts._ws_partitions == arts.rdd.getNumPartitions()

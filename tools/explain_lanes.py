@@ -1,13 +1,14 @@
-"""Dump .explain("formatted") for the bench lanes to plans/r14/.
+"""Dump .explain("formatted") for the bench lanes to plans/$SPARK_GRAFT_PLANS_DIR/.
 
 Usage:
-    python tools/explain_lanes.py before          # plans/r14/<lane>_before.txt
-    python tools/explain_lanes.py after           # plans/r14/<lane>_after.txt
+    python tools/explain_lanes.py before          # plans/<round>/<lane>_before.txt
+    python tools/explain_lanes.py after           # plans/<round>/<lane>_after.txt
     python tools/explain_lanes.py after q_and3    # one lane only
 
-The lane set mirrors bench.py's DataFrame-producing lanes (the judge
-checks plan claims in OPTIMIZATION_r14.md against these files). Explains
-run against the same sf0.1 engine the bench uses, warm.
+The round dir defaults to r15 (override with SPARK_GRAFT_PLANS_DIR). The
+lane set mirrors bench.py's DataFrame-producing lanes (the judge checks
+plan claims in OPTIMIZATION_r<NN>.md against these files). Explains run
+against the same sf0.1 engine the bench uses, warm.
 """
 
 from __future__ import annotations
@@ -32,7 +33,8 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / round_dir
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from accumulo_wikisearch_spark.session import get_spark
