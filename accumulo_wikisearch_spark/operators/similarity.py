@@ -2118,10 +2118,16 @@ def hybrid_search(
         F.col("vec_id").alias("doc_id"),
         _cosine(F.col("qv"), _as_double(F.col("embedding"))).alias("cos"),
     )
+    # Global top-k as orderBy().limit(k) — compiles to TakeOrderedAndProject
+    # (distributed per-partition partial top-k), where the old
+    # row_number() over an UNPARTITIONED window funnelled every candidate
+    # through one task (r14 verdict #3; guide §2.5). (cos, doc_id) is a
+    # total order (doc_id unique), so the k rows and their ranks are
+    # identical; the rank window now runs over ≤k rows.
+    top = scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", F.col("rank").cast("int").alias("rank"))
     )
 

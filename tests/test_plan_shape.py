@@ -415,3 +415,20 @@ def test_band_selfjoin_plans_compute_band_rows_once(spark, sf_dir):
         assert not windows, f"cap window recomputed per side: {sorted(windows)}"
         assert len(exchanges) <= 1, f"extra exchanges: {sorted(exchanges)}"
         assert "InMemoryRelation" in plan
+
+
+def test_hybrid_search_topk_is_take_ordered(spark):
+    """hybrid_search's global top-k must compile to TakeOrderedAndProject
+    (distributed partial top-k) with the rank window running over <= k
+    rows — structurally, not via InferWindowGroupLimit's rank-filter
+    pattern (r14 verdict #3)."""
+    from accumulo_wikisearch_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = emb.select(F.col("vec_id").alias("doc_id"))
+    plan = _formatted(similarity.hybrid_search(cand, emb, query_vec_id=7))
+    assert "TakeOrderedAndProject" in plan
+    # the window sits ABOVE the take (over <= k rows), never below it
+    take_pos = plan.index("TakeOrderedAndProject")
+    win_pos = plan.index("Window")
+    assert win_pos < take_pos
