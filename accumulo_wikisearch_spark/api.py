@@ -871,52 +871,52 @@ class Wikisearch:
         join is the classic more-like-this construction (Lucene's MLT shape)
         on our global/TermWeight index.
 
-        r14 shape: the seed's term list is one tiny pushed scan collected
-        to the driver (≤ the doc's distinct-term count — the same boundary
-        the planner's cardinality batch crosses), per-term df comes from
-        the planner's TermInfo cache, and the rare-term pick happens in
-        Python. The candidate fetch is then a term_index scan with the
+        r15 shape (r14 verdict #6 — no unbounded collect in any query
+        path): the rare-term pick happens DF-SIDE. The seed doc's distinct
+        terms (one pushed term_index point scan) broadcast-semi-join the
+        global index's TEXT slice, df is aggregated per term, and
+        ``orderBy(df, term).limit(top_terms)`` picks the winners — the
+        only driver collect is those ≤ top_terms rows. df is summed over
+        all partitions AND languages with NO auth filter (idf is a
+        corpus-wide statistic), identical to the TermInfo.count the r14
+        driver-side pick used; term_index ⊆ global_index by construction
+        (build, merge, compaction all derive them from the same postings;
+        tombstones shrink term_index only), so the inner join loses no
+        seed term. The candidate fetch is then a term_index scan with the
         top-terms IN list PUSHED TO PARQUET — at scale, row-group pruning
-        instead of a broadcast join over the full TEXT posting stream
-        (the previous plan's two broadcast joins are gone)."""
-        from accumulo_wikisearch_spark.plans.planner import IxAnd, IxLeaf, Planner
-
-        index, card_cache = self._snapshot()
+        instead of a broadcast join over the full TEXT posting stream."""
+        index, _card_cache = self._snapshot()
         n_total = index.doc_count()
         ti = index.term_index
         if auths:
             ti = ti.where(F.col("language").isin(*auths))
-        seed = sorted(
-            {
-                r["norm_value"]
-                for r in ti.where(F.col("doc_id") == doc_id)
-                .select("norm_value")
-                .collect()
-            }
+        seed_terms = (
+            ti.where(F.col("doc_id") == doc_id).select("norm_value").distinct()
         )
-        if not seed:
+        top_rows = (
+            index.global_index.where(F.col("field") == "TEXT")
+            .join(F.broadcast(seed_terms), "norm_value")
+            .groupBy("norm_value")
+            .agg(F.sum("count").alias("_df"))
+            .orderBy(F.asc("_df"), F.asc("norm_value"))
+            .limit(top_terms)
+            .collect()
+        )
+        if not top_rows:
             return (
                 ti.where(F.lit(False))
                 .select("partition_id", "language", "doc_id")
                 .withColumn("score", F.lit(0).cast("long"))
                 .withColumn("n_shared", F.lit(0).cast("long"))
             )
-        planner = Planner(index, self.multi_value_fields, card_cache)
-        infos = planner.eq_term_info(
-            IxAnd(tuple(IxLeaf("TEXT", "eq", value=t) for t in seed)), None
-        )
-        # rarest first, deterministic tie-break on the term — the same
-        # (df, norm_value) order the old orderBy().limit() produced
-        top = sorted(seed, key=lambda t: (infos[("TEXT", t)].count, t))[:top_terms]
+        top = [r["norm_value"] for r in top_rows]
         w_map = F.create_map(
             *[
                 x
-                for t in top
+                for r in top_rows
                 for x in (
-                    F.lit(t),
-                    F.lit((n_total + 1) * 1000 // (infos[("TEXT", t)].count + 1)).cast(
-                        "long"
-                    ),
+                    F.lit(r["norm_value"]),
+                    F.lit((n_total + 1) * 1000 // (int(r["_df"]) + 1)).cast("long"),
                 )
             ]
         )
