@@ -376,13 +376,20 @@ def main() -> None:
     stop = threading.Event()
 
     def ingest_loop():
+        # ONE memoized delta plan, re-executed per fold (r14 verdict #5):
+        # the merged result is discarded each iteration, so every fold
+        # does identical LSM-combiner work whether the id shift varies or
+        # not — but rebuilding the build_index graph per iteration spent
+        # ~0.5 s of pure driver time between folds, halving the ingest
+        # pressure the queries race against. Each count() re-executes the
+        # merge from the (cached) base + fresh delta scan — plan reuse,
+        # never result caching.
         arts = load_articles(spark, sf_dir).limit(500)
-        i = 0
+        fresh = arts.withColumn("id", F.col("id") + 10_000_000)
+        delta = build_index(fresh, eng.index.config, SCALAR_FIELDS, unique_ids=True)
+        merged = merge_global_index(eng.index.global_index, delta.global_index)
         while not stop.is_set():
-            fresh = arts.withColumn("id", F.col("id") + 10_000_000 + i * 1000)
-            delta = build_index(fresh, eng.index.config, SCALAR_FIELDS, unique_ids=True)
-            merge_global_index(eng.index.global_index, delta.global_index).count()
-            i += 1
+            merged.count()
 
     def headline_queries():
         for jexl in ws.values():
