@@ -612,7 +612,14 @@ def compact_index(
     ) + sum(_count_files(spark, f"{path}/deltas/{b}") for b in batches)
 
     tmp = f"{path}/_compact_tmp"
-    write_index(merged, tmp, zorder=zorder)
+    # measured input size keys write_index's small-catalog one-task write
+    # posture (bytes, never partition counts — a real corpus never trips
+    # it); None off the local filesystem keeps the scale layout
+    cat_bytes = _catalog_bytes(
+        [f"{root}/{t}" for t in _ALL_TABLES]
+        + [f"{path}/deltas/{b}" for b in batches]
+    )
+    write_index(merged, tmp, zorder=zorder, catalog_bytes=cat_bytes)
     # the folded batches ride the manifest instead of being deleted here:
     # a merge-read planned before the swap still scans their files, and a
     # load planned after skips them — deleting eagerly (the r9 behavior)
@@ -653,6 +660,30 @@ def compact_index(
             _count_files(spark, f"{new_root}/{t}") for t in _ALL_TABLES
         ),
     }
+
+
+def _catalog_bytes(paths: list[str]) -> int | None:
+    """Total part-file bytes under ``paths`` (local schemes only — one
+    os.walk per dir, same posture as :func:`_count_files`'s local fast
+    path). None for non-local URIs, where the caller skips the
+    small-catalog write shape rather than paying remote LISTs."""
+    from urllib.parse import urlparse
+
+    total = 0
+    for p in paths:
+        u = urlparse(p)
+        if u.scheme not in ("", "file"):
+            return None
+        local = u.path if u.scheme == "file" else p
+        if not os.path.exists(local):
+            continue
+        total += sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dns, fns in os.walk(local)
+            for f in fns
+            if f.startswith("part-")
+        )
+    return total
 
 
 def _count_files(spark: SparkSession, path: str) -> int:

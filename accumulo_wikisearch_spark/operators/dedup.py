@@ -87,9 +87,18 @@ def _pairs_with_jaccard(sh: DataFrame, num: int, den: int) -> DataFrame:
     re-runs TWO shingle explodes (the table and its hot-set anti-join
     subquery): 8 Generate nodes in the uncached plan. The scoped persist
     makes it one explode pass, same as the banded paths (r14 plan
-    audit).
-    """
-    sh = sh.persist()
+    audit). What is CACHED is ``xxhash64(shingle)``, not the shingle
+    text: the join and the set counts only need equality, and the text
+    cache was corpus-scale bytes (sum of all k-gram text) where the
+    hashed rows are 16 B each (r14 ADVICE). Within-pair-union collisions
+    (≈|A∪B|²/2⁶⁴) are the same accepted tolerance as minhash's internal
+    shingle hash. Release the cache via ``_scoped.release(result)``."""
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
+    sh = scope.persist(
+        sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -99,7 +108,7 @@ def _pairs_with_jaccard(sh: DataFrame, num: int, den: int) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count("*").alias("common"))
     )
-    return (
+    return scope.attach(
         common.join(counts.withColumnsRenamed({"doc_id": "a_id", "n": "a_n"}), "a_id")
         .join(counts.withColumnsRenamed({"doc_id": "b_id", "n": "b_n"}), "b_id")
         .where(
@@ -283,12 +292,16 @@ def minhash_lsh_pairs(
     Jaccard oracle (which cannot replay the cap) stays consistent at check
     scale; at production scale the cap is part of the operator contract.
     """
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
     sets = _shingle_hash_sets(docs, k).withColumn(
         "sig", _sig_from_sets(num_hashes)(F.col("hs"))
     )
     # sets are computed once and reused by both the band join and the exact
-    # verification (the persist is scoped to this plan's lifetime)
-    sets = sets.persist()
+    # verification (the persist is scoped to this plan's lifetime —
+    # released via _scoped.release(result))
+    sets = scope.persist(sets)
     banded = _band_rows(sets, num_hashes, bands)
     banded = _cap_band_groups(banded, ["band", "bsig"], max_bucket)
     # persist the capped band rows too: the self-join's two sides are NOT
@@ -296,7 +309,7 @@ def minhash_lsh_pairs(
     # (the canonical subtrees differ), so without the cache the band
     # explode + cap window (its Exchange + Sort over bands·n rows) runs
     # once PER SIDE — r14 plan audit, plans/r14/dedup_minhash_lsh_*.txt
-    banded = banded.persist()
+    banded = scope.persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -307,7 +320,7 @@ def minhash_lsh_pairs(
     )
     # exact verification on candidates only, via 60-bit shingle-hash sets
     # (collision probability within a pair union ≈ |A∪B|²/2^61 — negligible)
-    return (
+    return scope.attach(
         cand.join(
             sets.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_s"), F.col("n").alias("a_n")),
             "a_id",
@@ -539,7 +552,12 @@ def near_dups_vs_store(
     # on preemptible/spot executors, use reliable checkpoint() (HDFS/S3
     # checkpoint dir) or persist-count-unpersist at the call site.
     if not materialize:
-        return out
+        from accumulo_wikisearch_spark.operators._scoped import Scope
+
+        scope = Scope()
+        for d in (sets_new, banded_new, cand):
+            scope.adopt(d)
+        return scope.attach(out)
     out = out.localCheckpoint(eager=True)
     _cleanup(cand)
     return out
@@ -617,11 +635,14 @@ def simhash_pairs(
     — same mass-dup caveat as minhash), replayed identically by the SQL
     oracle's QUALIFY clause.
     """
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
     # persist the signatures: the self-join references them on BOTH sides
     # and projection collapse would otherwise inline the 60-bit majority
     # expression into every band branch of each side (~10× recompute —
     # measured 22 s vs 2 s at sf0.1); same scoped-persist as minhash's sets
-    sig = simhash(docs).persist()
+    sig = scope.persist(simhash(docs))
     nbands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
     band_cols = [
@@ -639,11 +660,11 @@ def simhash_pairs(
     # as in minhash_lsh_pairs, AQE's broadcast conversion of the self-join
     # defeats exchange reuse, so the explode + cap window (Exchange + Sort
     # over nbands·n rows) would otherwise run once per side
-    banded = banded.persist()
+    banded = scope.persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    return (
+    return scope.attach(
         a.join(b, ["band", "bsig"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -710,7 +731,13 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels.select("node", "comp")
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    # the surviving labels cache outlives the loop on purpose (the caller
+    # consumes the result); register it so release() can evict it
+    scope = Scope()
+    scope.adopt(labels)
+    return scope.attach(labels.select("node", "comp"))
 
 
 def dedup_clusters(
@@ -773,17 +800,22 @@ def duplicated_spans(docs: DataFrame, k: int = 8, min_docs: int = 2) -> DataFram
     counts keep the hot-span skew bounded — a span shared by 1M docs is one
     (hash, count) row after partial agg, not 1M shuffled rows, because
     count(*)/count_distinct(doc_id) aggregate BEFORE the join-back."""
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
     toks = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
     base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= k)
-    inst = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
-                lambda i: hash60_col(F.array_join(F.slice("toks", i, k), " ")),
-            )
-        ).alias("g"),
-    ).persist()
+    inst = scope.persist(
+        base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+                    lambda i: hash60_col(F.array_join(F.slice("toks", i, k), " ")),
+                )
+            ).alias("g"),
+        )
+    )
     dup = (
         inst.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -796,10 +828,12 @@ def duplicated_spans(docs: DataFrame, k: int = 8, min_docs: int = 2) -> DataFram
         .agg(F.count("*").cast("int").alias("dup_spans"))
     )
     totals = inst.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_spans"))
-    return totals.join(dup_per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
-        F.coalesce(F.col("dup_spans"), F.lit(0)).cast("int").alias("dup_spans"),
+    return scope.attach(
+        totals.join(dup_per_doc, "doc_id", "left").select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("int").alias("dup_spans"),
+        )
     )
 
 
@@ -831,7 +865,12 @@ def remove_duplicated_spans(
             lambda i: hash60_col(F.array_join(F.slice("toks", i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    inst = base.select("doc_id", F.posexplode(grams).alias("i", "g")).persist()
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
+    inst = scope.persist(
+        base.select("doc_id", F.posexplode(grams).alias("i", "g"))
+    )
     dup = (
         inst.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -853,9 +892,8 @@ def remove_duplicated_spans(
     kept = F.filter(
         F.col("toks"), lambda t, i: ~F.array_contains(covered, i.cast("int"))
     )
-    return (
-        base.join(cov, "doc_id", "left")
-        .select(
+    return scope.attach(
+        base.join(cov, "doc_id", "left").select(
             "doc_id",
             F.array_join(kept, " ").alias("clean_text"),
             (F.size("toks") - F.size(kept)).cast("int").alias("n_removed"),
@@ -1036,7 +1074,10 @@ def embedding_near_dup_pairs(
     # cached rows are narrow (vec_id, band, bucket) — the vectors
     # themselves are re-read from the source only for the candidate
     # verify, the §8 "move heavy bytes once" shape.
-    e = e.persist()
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
+    e = scope.persist(e)
     a = e.alias("a")
     b = e.alias("b")
     cand = (
@@ -1051,7 +1092,7 @@ def embedding_near_dup_pairs(
     )
     va = v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
     vb = v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
-    return (
+    return scope.attach(
         cand.join(va, "a_id")
         .join(vb, "b_id")
         .where(

@@ -624,13 +624,25 @@ def build_index(
     )
 
 
-def _docs_wide_writer(index: "WikisearchIndex", path: str, zorder):
+#: catalogs whose on-disk bytes are below this write each table from ONE
+#: task (`coalesce(1)` instead of the partition_id exchange): at that size
+#: every table is a couple of row groups, so multi-task writes buy nothing
+#: and each extra exchange+stage costs a job-latency round trip — the
+#: compaction lane's dominant cost at small scale. Keyed on BYTES, never
+#: on partition counts: a real corpus (GBs+) never trips it, keeping the
+#: scale path's one-writer-task-per-shard layout (r14 verdict #7).
+SMALL_CATALOG_BYTES = 256 << 20
+
+
+def _docs_wide_writer(index: "WikisearchIndex", path: str, zorder, small: bool):
     """The docs_wide write job for :func:`write_index` — flat
     partition_id layout, or the Morton layout when ``zorder`` is set."""
     if zorder is None:
+        d = index.docs_wide.coalesce(1) if small else index.docs_wide.repartition(
+            "partition_id"
+        )
         return lambda: (
-            index.docs_wide.repartition("partition_id")
-            .sortWithinPartitions("doc_id")
+            d.sortWithinPartitions("partition_id", "doc_id")
             .write.mode("overwrite")
             .partitionBy("partition_id")
             .parquet(f"{path}/docs_wide")
@@ -642,10 +654,25 @@ def _docs_wide_writer(index: "WikisearchIndex", path: str, zorder):
     )
 
 
-def write_index(index: WikisearchIndex, path: str, zorder=None) -> None:
+def write_index(
+    index: WikisearchIndex, path: str, zorder=None, catalog_bytes: int | None = None
+) -> None:
     """Persist the catalog, laid out for 100 TB reads: partition-pruned by
     ``partition_id``, sorted within files by (field, norm_value) so per-term
     scans hit few row groups (sorted bulk load analogue, SURVEY §4 O19).
+
+    Every partitionBy write sorts with the PARTITION COLUMN as the leading
+    key: Spark's file writer requires rows ordered by the partition columns
+    and silently inserts its own (unstable) sort when they are not — which
+    destroyed the (field, norm_value) within-file order this layout
+    promises (discovered r15: written field_index files were NOT
+    norm_value-sorted, so row-group min/max skipping was ineffective on
+    disk catalogs). Leading with partition_id satisfies the writer's
+    required ordering, so OUR sort survives into the files.
+
+    ``catalog_bytes`` (the caller's measured on-disk size, when known)
+    opts tables below :data:`SMALL_CATALOG_BYTES` into one-task writes —
+    see the constant's note; None keeps the scale layout unconditionally.
 
     ``zorder`` (a :class:`layout.ZLayout`) opts docs_wide into the Morton
     layout instead: clustered on two scalar doc fields so two-key range
@@ -671,23 +698,38 @@ def write_index(index: WikisearchIndex, path: str, zorder=None) -> None:
         # of a lazy cache makes each thread compute its own partitions
         tok.persist().count()
 
+    small = catalog_bytes is not None and catalog_bytes < SMALL_CATALOG_BYTES
+
+    def shard(df: DataFrame) -> DataFrame:
+        # one task when the catalog is measured tiny (drops an exchange +
+        # stage per write job); one writer task per shard otherwise
+        return df.coalesce(1) if small else df.repartition("partition_id")
+
     writes = [
         lambda: (
-            index.field_index.repartition("partition_id")
-            .sortWithinPartitions("field", "norm_value")
+            shard(index.field_index)
+            .sortWithinPartitions("partition_id", "field", "norm_value")
             .write.mode("overwrite")
             .partitionBy("partition_id")
             .parquet(f"{path}/field_index")
         ),
         lambda: (
-            index.global_index.repartition(F.col("field"))
-            .sortWithinPartitions("norm_value")
+            (
+                index.global_index.coalesce(1)
+                if small
+                else index.global_index.repartition(F.col("field"))
+            )
+            .sortWithinPartitions("field", "norm_value")
             .write.mode("overwrite")
             .parquet(f"{path}/global_index")
         ),
         lambda: (
-            index.reverse_index.repartition(F.col("field"))
-            .sortWithinPartitions("norm_value")
+            (
+                index.reverse_index.coalesce(1)
+                if small
+                else index.reverse_index.repartition(F.col("field"))
+            )
+            .sortWithinPartitions("field", "norm_value")
             .write.mode("overwrite")
             .parquet(f"{path}/reverse_index")
         ),
@@ -695,23 +737,23 @@ def write_index(index: WikisearchIndex, path: str, zorder=None) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/metadata"),
         lambda: (
-            index.doc_fields.repartition("partition_id")
-            .sortWithinPartitions("doc_id")
+            shard(index.doc_fields)
+            .sortWithinPartitions("partition_id", "doc_id")
             .write.mode("overwrite")
             .partitionBy("partition_id")
             .parquet(f"{path}/doc_fields")
         ),
         lambda: (
-            index.term_index.repartition("partition_id")
-            .sortWithinPartitions("norm_value")
+            shard(index.term_index)
+            .sortWithinPartitions("partition_id", "norm_value")
             .write.mode("overwrite")
             .partitionBy("partition_id")
             .parquet(f"{path}/term_index")
         ),
-        _docs_wide_writer(index, path, zorder),
+        _docs_wide_writer(index, path, zorder, small),
         lambda: (
-            index.documents.repartition("partition_id")
-            .sortWithinPartitions("doc_id")
+            shard(index.documents)
+            .sortWithinPartitions("partition_id", "doc_id")
             .write.mode("overwrite")
             .partitionBy("partition_id")
             .parquet(f"{path}/documents")

@@ -963,10 +963,13 @@ def topk_ivf_trained(
     :func:`take_centroids_trained`. Deterministic end-to-end, covered by
     the recall pytest on a clustered fixture (the greedy init is an
     iterative driver-side construction, so no static SQL oracle)."""
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
     # ONE persisted quantized view feeds training AND the probe/re-rank
-    q8 = _quantized_vecs(emb).persist()
+    q8 = scope.persist(_quantized_vecs(emb))
     cents = _take_centroids_trained_q8(q8, n_cells, lloyd_iters, sample_cap)
-    return _q8_ivf_topk(q8, cents, k, nprobe, nq)
+    return scope.attach(_q8_ivf_topk(q8, cents, k, nprobe, nq))
 
 
 def _q8_ivf_topk(
@@ -1016,9 +1019,12 @@ def topk_ivf_lloyd_exact(
     a fixed-order expression (sequential-fold cosines both engines
     evaluate identically), so the whole operator is SQL-replayable —
     closing the lloyd_iters>0 oracle gap."""
-    q8 = _quantized_vecs(emb).persist()  # see take_centroids_trained
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
+    q8 = scope.persist(_quantized_vecs(emb))  # see take_centroids_trained
     cents = take_centroids_lloyd_exact(q8, n_cells, lloyd_iters)
-    return _q8_ivf_topk(q8, cents, k, nprobe, nq)
+    return scope.attach(_q8_ivf_topk(q8, cents, k, nprobe, nq))
 
 
 # ---------------------------------------------------------------------------
@@ -1088,15 +1094,20 @@ def semdedup_keep(
             cents = take_centroids_trained(emb, n_cells, lloyd_iters, sample_cap)
         else:
             cents = take_centroids(emb, n_cells, lloyd_iters=0)
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
     if centroids == "trained":
-        asn = _trained_assign(emb, cents).persist()
+        asn = scope.persist(_trained_assign(emb, cents))
     else:
-        asn = ivf_assign(emb, cents).persist()
+        asn = scope.persist(ivf_assign(emb, cents))
     dom = _dominated_lower_id(asn, threshold_pct).withColumn("_dom", F.lit(0))
-    return asn.join(dom, "vec_id", "left").select(
-        "vec_id",
-        F.col("cell").cast("int").alias("cell"),
-        F.coalesce(F.col("_dom"), F.lit(1)).cast("int").alias("keep"),
+    return scope.attach(
+        asn.join(dom, "vec_id", "left").select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(F.col("_dom"), F.lit(1)).cast("int").alias("keep"),
+        )
     )
 
 
@@ -1237,7 +1248,11 @@ def semdedup_check_vs_store(
     # preemptible clusters use reliable checkpoint() or
     # persist-count-unpersist at the call site.
     if not materialize:
-        return out
+        from accumulo_wikisearch_spark.operators._scoped import Scope
+
+        scope = Scope()
+        scope.adopt(asn_new)
+        return scope.attach(out)
     out = out.localCheckpoint(eager=True)
     asn_new.unpersist()
     return out
@@ -1423,7 +1438,10 @@ def topk_pq_adc(
     # per-subspace argmin chains INTO the query join, re-coding every
     # corpus row once PER QUERY (m×n_codes×sub_dim ops × |queries| — the
     # difference between 0.5 s and 3 s at sf0.1 already).
-    codes = pq_codes(emb, m, sub_dim, n_codes).persist()
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
+    codes = scope.persist(pq_codes(emb, m, sub_dim, n_codes))
     luts = _adc_luts(emb.sparkSession, queries, books, sub_dim)
     scored = (
         codes.where(F.col("code_0").isNotNull())  # drop malformed-vector rows
@@ -1432,7 +1450,7 @@ def topk_pq_adc(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
-    return _rank_topk(scored, k, F.asc("d"))
+    return scope.attach(_rank_topk(scored, k, F.asc("d")))
 
 
 def _adc_luts(
@@ -1517,14 +1535,15 @@ def topk_ivf_pq(
     # persist = the at-rest IVF-PQ index (cells + codes computed once, not
     # once per query — see topk_pq_adc's note); write_ivf_pq_index is the
     # durable form
-    corpus = (
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
+    corpus = scope.persist(
         emb.select(
             F.col("vec_id").alias("neighbor_id"),
             _assign_cells_udf(cents)(F.col("embedding")).alias("cell"),
             *_code_select(books, sub_dim),
-        )
-        .where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
-        .persist()
+        ).where(F.col("cell") >= 0)  # drop NULL/ragged vectors, not the job
     )
     qv = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
     scores = _cell_scores(F.col("qv"), _centroid_lit(cents))
@@ -1539,7 +1558,7 @@ def topk_ivf_pq(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
-    return _rank_topk(scored, k, F.asc("d"))
+    return scope.attach(_rank_topk(scored, k, F.asc("d")))
 
 
 def write_ivf_pq_index(
@@ -1602,6 +1621,10 @@ def write_ivf_pq_index(
         .parquet(path)
     )
     _write_quantizer(emb.sparkSession, path, cents, books)
+    if quantizers == "trained":
+        # the quantized view served its writes; drop the cache now instead
+        # of leaning on the context cleaner (r14 verdict #4)
+        q8.unpersist()
     return cents, books
 
 
@@ -1843,16 +1866,19 @@ def topk_pq_adc_trained(
     ``books`` (optional) is a pre-trained codebook set (from
     :func:`pq_books_trained`): training is a one-time index-build cost
     at production scale, so the serve path accepts it directly."""
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
     # ONE persisted quantized view feeds coding and queries (training
     # reads only its pushed-down sample slice of it)
-    q8 = _quantized_vecs(emb).persist()
+    q8 = scope.persist(_quantized_vecs(emb))
     if books is None:
         V = _hash_sample_q8(q8, sample_cap)
         books = _pq_books_refine_sample(
             V, _books_from_sample(V, m, sub_dim, n_codes), sub_dim, lloyd_iters
         )
     # persist = the at-rest codes table (see topk_pq_adc's note)
-    codes = _codes_wide(q8, books, sub_dim).persist()
+    codes = scope.persist(_codes_wide(q8, books, sub_dim))
     qv = q8.where(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1862,7 +1888,7 @@ def topk_pq_adc_trained(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
-    return _rank_topk(scored, k, F.asc("d"))
+    return scope.attach(_rank_topk(scored, k, F.asc("d")))
 
 
 def topk_ivf_pq_trained(
@@ -1882,7 +1908,10 @@ def topk_ivf_pq_trained(
     (:func:`pq_books_trained`), sharing one hash-sample. The full
     FAISS-IVFADC shape with its production training story, deterministic
     end-to-end on the int8 grid."""
-    q8 = _quantized_vecs(emb).persist()  # shared by corpus + queries
+    from accumulo_wikisearch_spark.operators._scoped import Scope
+
+    scope = Scope()
+    q8 = scope.persist(_quantized_vecs(emb))  # shared by corpus + queries
     V = _hash_sample_q8(q8, sample_cap)
     seed_cents = [
         (j, [float(x) for x in V[i]])
@@ -1904,8 +1933,8 @@ def topk_ivf_pq_trained(
             "cell",
             *[F.col("codes")[s].cast("int").alias(f"code_{s}") for s in range(m)],
         )
-        .persist()
     )
+    corpus = scope.persist(corpus)
     qv = q8.where(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1921,7 +1950,7 @@ def topk_ivf_pq_trained(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _adc_lut_dist(m).alias("d"))
     )
-    return _rank_topk(scored, k, F.asc("d"))
+    return scope.attach(_rank_topk(scored, k, F.asc("d")))
 
 
 # ---------------------------------------------------------------------------

@@ -400,21 +400,33 @@ def test_band_selfjoin_plans_compute_band_rows_once(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    for df in (
-        D.minhash_lsh_pairs(docs),
-        D.embedding_near_dup_pairs(emb),
-        D.simhash_pairs(docs),
-    ):
-        plan = _formatted(df)
-        nodes = live_nodes(plan)
-        windows = {i for name, i in nodes if name == "Window"}
-        exchanges = {i for name, i in nodes if name == "Exchange"}
-        # the cap window must live INSIDE the cached band-rows relation
-        # (computed once when it materializes), never in the live path —
-        # one live Exchange remains: the candidate distinct's
-        assert not windows, f"cap window recomputed per side: {sorted(windows)}"
-        assert len(exchanges) <= 1, f"extra exchanges: {sorted(exchanges)}"
-        assert "InMemoryRelation" in plan
+    results = []
+    try:
+        for df in (
+            D.minhash_lsh_pairs(docs),
+            D.embedding_near_dup_pairs(emb),
+            D.simhash_pairs(docs),
+        ):
+            results.append(df)
+            plan = _formatted(df)
+            nodes = live_nodes(plan)
+            windows = {i for name, i in nodes if name == "Window"}
+            exchanges = {i for name, i in nodes if name == "Exchange"}
+            # the cap window must live INSIDE the cached band-rows relation
+            # (computed once when it materializes), never in the live path —
+            # one live Exchange remains: the candidate distinct's
+            assert not windows, f"cap window recomputed per side: {sorted(windows)}"
+            assert len(exchanges) <= 1, f"extra exchanges: {sorted(exchanges)}"
+            assert "InMemoryRelation" in plan
+    finally:
+        # evict the scoped persists: these plans are never executed here,
+        # and a later test whose logical plan embeds one of the persisted
+        # subtrees would otherwise get an InMemoryRelation substituted —
+        # plan-shape assertions become test-order dependent (r14 ADVICE)
+        from accumulo_wikisearch_spark.operators import _scoped
+
+        for df in results:
+            _scoped.release(df)
 
 
 def test_hybrid_search_topk_is_take_ordered(spark):
