@@ -44,6 +44,8 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    from pyspark.sql import functions as F
+
     from accumulo_wikisearch_spark.session import get_spark
     from accumulo_wikisearch_spark.sources import corpus as corpus_mod
     from accumulo_wikisearch_spark.sources.corpus import get_engine
@@ -142,6 +144,32 @@ def main() -> None:
         "dedup_embedding_banded",
         lambda: dedup.embedding_near_dup_pairs(emb).count(),
     )
+    # Scaling witness (r14 verdict #8): every other lane at sf0.1 is
+    # driver/latency-bound, so the 8c/32c scaling block reads ≈1 across
+    # the board and a parallelism regression would be invisible. This
+    # lane is compute-bound BY CONSTRUCTION: the minhash signature kernel
+    # (shingle explode + 64 np.minimum.reduceat permutations, the corpus
+    # pass every LSH dedup pays) over a 4x-replicated corpus, partitioned
+    # to the session's core count, through the noop sink (guide §1.4 —
+    # count() would let Catalyst prune the signature column away). The
+    # replication is plan-side (explode of a literal range), so every rep
+    # computes from the parquet input; nothing is cached.
+    sig_rep = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"))
+        .select(
+            (F.col("doc_id") + F.col("r") * F.lit(10_000_000)).alias("doc_id"),
+            "text",
+        )
+    )
+    timed(
+        "minhash_sigs_4x",
+        lambda: dedup._minhash_sets(sig_rep, 3, 64)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
     timed("text_quality", lambda: textstats.text_quality(docs).count())
     timed("text_repetition", lambda: textstats.text_repetition(docs).count())
     timed("text_embed_hashing", lambda: textstats.hashing_embed(docs).count())
