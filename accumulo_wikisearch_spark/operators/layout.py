@@ -304,9 +304,17 @@ def write_zordered(
     staged = df.withColumn("z", z).withColumn(
         "zb", F.shiftright(F.col("z"), shift).cast("int")
     )
+    # Sort with the PARTITION COLUMNS leading: Spark's file writer
+    # requires rows ordered by the partition columns and silently inserts
+    # its own (unstable) sort when they are not — a bare
+    # sortWithinPartitions("z") produced files whose rows were NOT
+    # z-sorted (verified r15: read-back z columns unsorted), so the z
+    # row-group interval pruning this layout exists for had no min/max
+    # runs to skip on. zb is z's top bits, so the composite sort is the
+    # same total order the range partitioner established.
     (
         staged.repartitionByRange(F.col("z"))
-        .sortWithinPartitions("z")
+        .sortWithinPartitions(*extra_partition_cols, "zb", "z")
         .write.mode("overwrite")
         .partitionBy(*extra_partition_cols, "zb")
         .parquet(path)
@@ -646,7 +654,22 @@ def write_zordered_docs(docs_wide: DataFrame, path: str, zl: ZLayout) -> ZLayout
     staged = (
         raw.withColumn("_zx", F.col("_zx") - F.lit(x_off))
         .withColumn("_zy", F.col("_zy") - F.lit(y_off))
-        .withColumn("_zep", F.lit(epoch))
+        # constant value, deliberately NON-foldable (concat with a
+        # zero-length slice of a data column): a plain literal gets
+        # inlined into downstream SortOrders by FoldablePropagation,
+        # EliminateSorts then drops the key, the V1 writer sees its
+        # required (_zep, zb) ordering unsatisfied and inserts its own
+        # sort — clobbering the z order inside every written file
+        # (verified r15: read-back z columns were unsorted, so z
+        # row-group min/max pruning had nothing to skip). Rows with a
+        # NULL key never reach the writer (the z computation raises
+        # first), so the partition value is exactly ``epoch``.
+        .withColumn(
+            "_zep",
+            F.concat(
+                F.lit(epoch), F.substring(F.col("_zx").cast("string"), 1, 0)
+            ),
+        )
     )
     write_zordered(
         staged,

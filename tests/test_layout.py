@@ -691,3 +691,43 @@ def test_literal_key_parser_parity_with_spark(spark):
         spark_k, py_k = r["k"], _literal_key(r["s"], "day")
         if spark_k is not None:
             assert py_k == spark_k, (r["s"], spark_k, py_k)
+
+
+def test_written_files_keep_declared_sort_order(spark, tmp_path):
+    """Spark's file writer silently re-sorts by the partition columns
+    when the data is not already ordered by them (and FoldablePropagation
+    can strip literal sort keys first) — which destroyed the within-file
+    sort both layouts promise (r15). Pin: z-store files are z-sorted and
+    flat field_index files are (field, norm_value)-sorted on disk."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from accumulo_wikisearch_spark.config import EngineConfig
+    from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
+    from accumulo_wikisearch_spark.operators.layout import ZLayout
+
+    rows = [(i, "default", f"w{i % 7} t{i % 11}", i % 97, i % 89) for i in range(4000)]
+    arts = spark.createDataFrame(
+        rows, "id long, language string, text string, xf long, yf long"
+    )
+    idx = build_index(
+        arts, EngineConfig(), {"ID": "id", "XF": "xf", "YF": "yf"}, unique_ids=True
+    )
+    zdir = str(tmp_path / "z")
+    write_index(idx, zdir, zorder=ZLayout("XF", "YF", "int", "int"))
+    zfiles = glob.glob(f"{zdir}/docs_wide/**/part-*.parquet", recursive=True)
+    assert zfiles
+    for f in zfiles:
+        zs = pq.read_table(f, columns=["z"])["z"].to_pylist()
+        assert zs == sorted(zs), f"unsorted z store file {f}"
+
+    flat = str(tmp_path / "flat")
+    write_index(idx, flat)
+    fifiles = glob.glob(f"{flat}/field_index/partition_id=*/part-*.parquet")
+    assert fifiles
+    for f in fifiles:
+        t = pq.read_table(f, columns=["field", "norm_value"])
+        pairs = list(zip(t["field"].to_pylist(), t["norm_value"].to_pylist()))
+        assert pairs == sorted(pairs), f"unsorted field_index file {f}"
