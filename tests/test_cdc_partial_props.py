@@ -39,6 +39,11 @@ from accumulo_wikisearch_spark.operators.compaction import (
 from accumulo_wikisearch_spark.operators.ingest import build_index, write_index
 from accumulo_wikisearch_spark.streaming.incremental import stream_changes
 
+# long-running property/soak suite: excluded from the default run
+# (pytest.ini addopts -m 'not slow'); run with `-m ""` for the full gate
+pytestmark = pytest.mark.slow
+
+
 CFG = EngineConfig(num_partitions=1, uid_max=4)
 SF = {"ID": "id", "TITLE": "title"}
 SCHEMA = "id long, language string, text string, title string"

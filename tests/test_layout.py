@@ -1,6 +1,8 @@
 """Z-order layout: Morton value correctness, exact bucket enumeration,
 and partition-pruned two-sided range scans."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from accumulo_wikisearch_spark.operators.layout import (
@@ -360,6 +362,7 @@ def test_zranges_tighter_than_corner_interval(spark, sf_dir, tmp_path):
     assert got.count() == 128  # exact after re-verify
 
 
+@pytest.mark.slow
 def test_engine_zordered_matches_flat_on_generated_queries(spark, sf_dir, tmp_path):
     """Randomized soundness sweep for the planner's box extraction: 60
     seeded random queries over the layout fields (in/out-of-domain
@@ -403,6 +406,7 @@ def test_engine_zordered_matches_flat_on_generated_queries(spark, sf_dir, tmp_pa
         assert got == want, (i, q)
 
 
+@pytest.mark.slow
 def test_engine_cat_zordered_matches_flat_on_generated_queries(
     spark, sf_dir, tmp_path
 ):

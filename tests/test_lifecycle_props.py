@@ -34,6 +34,10 @@ from accumulo_wikisearch_spark.operators.ingest import (
     write_index,
 )
 
+# long-running property/soak suite: excluded from the default run
+# (pytest.ini addopts -m 'not slow'); run with `-m ""` for the full gate
+pytestmark = pytest.mark.slow
+
 # uid_max=4 so drawn schedules cross the exact-uid → degraded posting
 # tier boundary as doc counts grow
 CFG = EngineConfig(num_partitions=1, uid_max=4)

@@ -83,6 +83,7 @@ def test_replica_is_a_normal_catalog(spark, src, tmp_path):
     assert _docs(spark, dst) == list(range(8)) + [20]
 
 
+@pytest.mark.slow
 def test_ship_survives_source_compaction_within_grace(spark, src, tmp_path):
     dst = str(tmp_path / "dst")
     clone_catalog(spark, src, dst, CFG)
@@ -105,6 +106,7 @@ def test_clone_of_versioned_source_skips_folded_batches(spark, src, tmp_path):
     assert _docs(spark, dst) == _docs(spark, src)
 
 
+@pytest.mark.slow
 def test_fell_behind_retention_raises(spark, src, tmp_path):
     dst = str(tmp_path / "dst")
     clone_catalog(spark, src, dst, CFG)
@@ -141,6 +143,7 @@ def test_unbootstrapped_or_wrong_source_raises(spark, src, tmp_path):
         replicate_deltas(spark, str(tmp_path / "other"), dst)
 
 
+@pytest.mark.slow
 def test_no_double_ship_after_replica_fold_history_retires(spark, src, tmp_path):
     """r11 third review F1: the replica's own fold manifests retire, and
     with them the replica-side record of a received batch — the durable
@@ -162,6 +165,7 @@ def test_no_double_ship_after_replica_fold_history_retires(spark, src, tmp_path)
     assert _docs(spark, dst) == list(range(5)) + [10, 20, 21, 22]
 
 
+@pytest.mark.slow
 def test_sync_per_window_survives_unbounded_source_compactions(spark, src, tmp_path):
     """r11 third review F2: each sync advances the marker's anchor to the
     source's current version, so a replica that ships once per source
@@ -190,6 +194,7 @@ def test_marker_source_path_is_spelling_insensitive(spark, src, tmp_path):
     assert replicate_deltas(spark, src + "/", dst) == []  # trailing slash
 
 
+@pytest.mark.slow
 def test_same_name_collision_raises_crash_recovery_adopts(spark, src, tmp_path):
     """r12 ADVICE: a replica-LOCAL batch colliding with a source batch id
     must raise (name-suppressed shipping would silently diverge), while
@@ -241,6 +246,7 @@ def test_same_name_equal_counts_different_content_raises(spark, src, tmp_path):
         replicate_deltas(spark, src, dst)
 
 
+@pytest.mark.slow
 def test_sync_replica_one_call_loop(spark, src, tmp_path):
     """r12 (verdict #6): sync_replica = ship + threshold-gated replica
     compaction + the ops dict with anchor-vs-retention headroom."""
@@ -290,6 +296,7 @@ def test_describe_catalog_reports_replica_state(spark, src, tmp_path):
     assert d["pending_deltas"] == ["b0"]
 
 
+@pytest.mark.slow
 def test_maintain_catalog_primary_ops_loop(spark, src, tmp_path):
     """r13 (r12 verdict #6): the PRIMARY catalog's one-call ops loop —
     threshold compaction plus per-consumer retention headroom, so

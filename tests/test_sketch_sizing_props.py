@@ -41,6 +41,10 @@ from accumulo_wikisearch_spark.operators.sketches import (
     merge_registers,
 )
 
+# long-running property/soak suite: excluded from the default run
+# (pytest.ini addopts -m 'not slow'); run with `-m ""` for the full gate
+pytestmark = pytest.mark.slow
+
 # geometry spaces: small enough to run fast, wide enough to cross every
 # boundary the guards compare (word counts, bit widths, hash counts,
 # CMS shapes, power-of-2 HLL bucket counts)

@@ -6,6 +6,11 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# long-running property/soak suite: excluded from the default run
+# (pytest.ini addopts -m 'not slow'); run with `-m ""` for the full gate
+pytestmark = pytest.mark.slow
+
+
 K = 3
 
 doc_st = st.lists(

@@ -2,6 +2,8 @@
 (GlobalIndexUidTest.java analogues at the merge level) and a live
 Structured Streaming micro-batch run."""
 
+import pytest
+
 import tempfile
 
 from pyspark.sql import functions as F
@@ -170,6 +172,7 @@ def test_stream_ingest_warns_on_large_catalog_rewrite(spark, tmp_path):
         assert _warn_if_large_rewrite(spark, path, 0) is True
 
 
+@pytest.mark.slow
 def test_stream_changes_tails_published_batches_exactly_once(spark, tmp_path):
     """The CDC tail (stream_changes) delivers every published delta batch
     exactly once across restarts of the same checkpoint — batches folded
@@ -319,6 +322,7 @@ def _run_tail(spark, path, cp):
     return got
 
 
+@pytest.mark.slow
 def test_cdc_tail_raises_when_stopped_past_retention(spark, tmp_path):
     """Consume batches 1-2; stop; maintenance cycles retire the manifest
     that folded the UNSEEN batch 3 (deleting its dir); restart must
@@ -348,6 +352,7 @@ def test_cdc_tail_raises_when_stopped_past_retention(spark, tmp_path):
         _run_tail(spark, path, cp)
 
 
+@pytest.mark.slow
 def test_cdc_tail_non_lagging_restarts_stay_exactly_once(spark, tmp_path):
     """Restarts within the retention window pass the guard and keep
     exactly-once delivery; the reconcile anchor advances with each
@@ -367,6 +372,7 @@ def test_cdc_tail_non_lagging_restarts_stay_exactly_once(spark, tmp_path):
         assert sorted(r["doc_id"] for r in got) == [i], f"cycle {i}"
 
 
+@pytest.mark.slow
 def test_cdc_tail_checkpoint_is_bound_to_one_catalog(spark, tmp_path):
     import pytest as _pytest
 
@@ -380,6 +386,7 @@ def test_cdc_tail_checkpoint_is_bound_to_one_catalog(spark, tmp_path):
         _run_tail(spark, other, cp)
 
 
+@pytest.mark.slow
 def test_cdc_delete_tail_guard_and_delivery(spark, tmp_path):
     """The tombstone tail arms the same guard; a delete tail that kept
     up delivers each tombstone batch exactly once and passes restarts
@@ -450,6 +457,7 @@ def test_cdc_tail_constructed_but_never_run_still_owes_its_batches(spark, tmp_pa
         stream_changes(spark, path, checkpoint=cp)
 
 
+@pytest.mark.slow
 def test_cdc_delete_tail_ignores_data_batches_it_never_reads(spark, tmp_path):
     """Kind-exactness: a DATA batch retiring unconsumed must not trip
     the DELETE tail (it never reads documents dirs) — the observed fold
@@ -567,6 +575,7 @@ def test_cdc_anchor_survives_crashed_publish(spark, tmp_path):
         stream_changes(spark, path, checkpoint=cp)
 
 
+@pytest.mark.slow
 def test_cdc_guard_restart_sweep_is_o_lag(spark, tmp_path):
     """r13 (r12 verdict #3): the reconcile guard's restart sweep must be
     O(consumer lag), not O(all-time consumption) — the anchor persists
@@ -594,6 +603,7 @@ def test_cdc_guard_restart_sweep_is_o_lag(spark, tmp_path):
     assert all(p <= 2 for p in parsed), parsed
 
 
+@pytest.mark.slow
 def test_cdc_guard_catches_partially_consumed_batch(spark, tmp_path):
     """r13 exactness upgrade: consumption is FILE-level, not name-level.
     With maxFilesPerTrigger a batch dir's files span micro-batches; a
