@@ -149,21 +149,21 @@ def main() -> None:
     # the board and a parallelism regression would be invisible. This
     # lane is compute-bound BY CONSTRUCTION: the minhash signature kernel
     # (shingle explode + 64 np.minimum.reduceat permutations, the corpus
-    # pass every LSH dedup pays) over a 4x-replicated corpus, partitioned
+    # pass every LSH dedup pays) over an 8x-replicated corpus, partitioned
     # to the session's core count, through the noop sink (guide §1.4 —
     # count() would let Catalyst prune the signature column away). The
     # replication is plan-side (explode of a literal range), so every rep
     # computes from the parquet input; nothing is cached.
     sig_rep = (
         docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"))
+        .select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r"))
         .select(
             (F.col("doc_id") + F.col("r") * F.lit(10_000_000)).alias("doc_id"),
             "text",
         )
     )
     timed(
-        "minhash_sigs_4x",
+        "minhash_sigs_8x",
         lambda: dedup._minhash_sets(sig_rep, 3, 64)
         .write.format("noop")
         .mode("overwrite")
